@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Loads each <verifyOutDir>/<name> parquet (Spark output), runs the matching
+oracle SQL from oracle_sql.json in DuckDB over <sfDir>'s tables, and
+compares: column names (sorted), row counts, and a hash over all values
+with columns sorted by name and rows sorted canonically.
+
+Tooling only — the shipped Scala library never depends on this.
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import hashlib
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize timestamps to us precision (Spark writes us, duckdb may give ns)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].dt.floor("us")
+        elif df[c].dtype == object:
+            df[c] = df[c].apply(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) or
+                type(v).__name__ == "ndarray" else v)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def h(df: pd.DataFrame) -> str:
+    return hashlib.md5(df.to_csv(index=False, float_format="%.9g").encode()).hexdigest()
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
+        if name not in oracles:
+            print(f"  [rows-only] {name}: {len(got)} rows")
+            continue
+        try:
+            want = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"  [FAIL-sql ] {name}: {e}")
+            n_fail += 1
+            continue
+        gc, wc = canon(got), canon(want)
+        if sorted(gc.columns) != sorted(wc.columns):
+            print(f"  [FAIL-cols] {name}: spark={list(gc.columns)} duck={list(wc.columns)}")
+            n_fail += 1
+        elif len(gc) != len(wc):
+            print(f"  [FAIL-rows] {name}: spark={len(gc)} duck={len(wc)}")
+            n_fail += 1
+        elif h(gc) != h(wc):
+            print(f"  [FAIL-hash] {name}: {len(gc)} rows")
+            diff = gc.compare(wc) if gc.shape == wc.shape else None
+            if diff is not None and not diff.empty:
+                print(diff.head(5))
+            n_fail += 1
+        else:
+            print(f"  [ok       ] {name}: {len(gc)} rows")
+            n_pass += 1
+    print(f"{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
