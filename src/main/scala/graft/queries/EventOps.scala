@@ -1,5 +1,273 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** Temporal / event-stream operator inventory over the `events` table —
+  * the batch-checkable analogs of the reference's streaming semantics
+  * (SURVEY.md §2.6-§2.7, §2.12). The streaming forms of the same
+  * operators live in graft.streaming (MemoryStream-tested); these bodies
+  * are the ones the DuckDB oracle can hash-check.
+  *
+  * Timestamp discipline: events.ts is nanosecond-precision in parquet;
+  * Spark reads micros, DuckDB reads nanos. Every cross-engine comparison
+  * therefore happens on floor-to-second epochs (`epochS`) or on exact
+  * minute boundaries (tumbling windows) — never on raw ts values.
+  */
 object EventOps {
-  def queries: Seq[Q] = Seq()
+
+  /** Floor epoch seconds — identical in Spark (µs domain) and DuckDB
+    * (ns domain) because flooring to seconds absorbs the precision gap. */
+  private def epochS(c: Column): Column =
+    unix_timestamp(c.cast("timestamp")).cast("long")
+
+  private def dec(c: Column) = c.cast(DecimalType(18, 2))
+
+  /** Hour-of-day histogram, "HH:00"-formatted — the reference's Q2
+    * bus-affluence shape (`batch_bus_affluence.ipynb` cell 4 intent,
+    * SURVEY §2.11.3: one count per record, no digit iteration). */
+  def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .select(concat(lpad(hour($"ts").cast("string"), 2, "0"), lit(":00"))
+        .as("hour"))
+      .groupBy($"hour")
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  private val hourlyCountsSql =
+    """SELECT CONCAT(LPAD(CAST(hour(ts) AS VARCHAR), 2, '0'), ':00') AS hour,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** 1-minute tumbling window stats — the reference's windowed avg
+    * (`src/bike_consumer.py:93-100`, `src/previous_tp_code.py:157-165`).
+    * window().start is an exact minute boundary, so emitting it raw is
+    * cross-engine safe. */
+  def tumblingWindowStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .groupBy(window($"ts", "1 minute"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"value")).cast("double").as("total_value"))
+      .select($"window.start".as("window_start"), $"event_type", $"n",
+        $"total_value")
+  }
+
+  private val tumblingWindowStatsSql =
+    """SELECT date_trunc('minute', ts) AS window_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  private val asofOracleSql =
+    """SELECT e.event_id,
+      |  MIN(CAST(floor(epoch(p.ts)) AS BIGINT)) AS next_purchase_s
+      |FROM events e JOIN events p
+      |  ON p.user_id = e.user_id AND p.event_type = 'purchase'
+      | AND floor(epoch(p.ts)) > floor(epoch(e.ts))
+      |WHERE e.event_type = 'click'
+      |GROUP BY e.event_id""".stripMargin
+
+  /** Forward as-of join, reference composition: theta join + min — the
+    * Q1 plane→next-bus pattern (`src/plane_naolib_consumer.py:93-105`).
+    * Equi on user_id keeps it a shuffled hash/SMJ join, not a nested
+    * loop; the range predicate filters post-match. */
+  def asofThetaJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir, "events")
+    val clicks = e.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", epochS($"ts").as("ts_s"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), epochS($"ts").as("p_ts_s"))
+    clicks
+      .join(purchases, $"user_id" === $"p_user" && $"p_ts_s" > $"ts_s")
+      .groupBy($"event_id")
+      .agg(min($"p_ts_s").as("next_purchase_s"))
+  }
+
+  /** Same as-of semantics as [[asofThetaJoin]] but the 100 TB plan: ONE
+    * shuffle+sort on user_id, then a running min over a range frame —
+    * no join blow-up when a user has many purchases. Checked against the
+    * identical oracle to prove equivalence. */
+  def asofWindowed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", epochS($"ts").as("ts_s"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_s")
+      .rangeBetween(1L, Window.unboundedFollowing)
+    e.withColumn("p_ts", when($"event_type" === "purchase", $"ts_s"))
+      .withColumn("next_purchase_s", min($"p_ts").over(w))
+      .filter($"event_type" === "click" && $"next_purchase_s".isNotNull)
+      .select($"event_id", $"next_purchase_s")
+  }
+
+  /** Deterministic dedup — keep the first event per (user_id, event_type)
+    * by (ts, event_id). Batch analog of streaming
+    * `dropDuplicatesWithinWatermark` (`src/previous_tp_code.py:149,212`,
+    * SURVEY §2.6); the rank-1 idiom makes "which duplicate survives"
+    * well-defined, unlike raw dropDuplicates. */
+  def dedupFirstEvent(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts".asc, $"event_id".asc)
+    Tables(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"event_id", $"user_id", $"event_type")
+  }
+
+  private val dedupFirstEventSql =
+    """SELECT event_id, user_id, event_type FROM (
+      |  SELECT event_id, user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts ASC, event_id ASC) AS rn
+      |  FROM events) t WHERE rn = 1""".stripMargin
+
+  /** lag(): seconds since the user's previous event. Gaps are computed
+    * in the floored-second domain on both engines. */
+  def eventGaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables(spark, dir, "events")
+      .withColumn("ts_s", epochS($"ts"))
+      .withColumn("gap_s", $"ts_s" - lag($"ts_s", 1).over(w))
+      .filter($"gap_s".isNotNull)
+      .select($"event_id", $"user_id", $"gap_s")
+  }
+
+  private val eventGapsSql =
+    """SELECT event_id, user_id, gap_s FROM (
+      |  SELECT event_id, user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT)
+      |      - LAG(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER (
+      |          PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_s
+      |  FROM events) t WHERE gap_s IS NOT NULL""".stripMargin
+
+  /** Running total per user — aggregate over a rows frame (absent from
+    * the reference, SURVEY §2.7 "absent"; included for engine
+    * completeness). Decimal accumulation keeps it order-insensitive. */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "events")
+      .withColumn("running_value", sum(dec($"value")).over(w).cast("double"))
+      .select($"event_id", $"user_id", $"running_value")
+  }
+
+  private val runningTotalSql =
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_value
+      |FROM events""".stripMargin
+
+  /** Gap-based sessionization: a new session starts after >30 min of
+    * user inactivity. The batch form of stateful streaming session
+    * assignment (mapGroupsWithState analog; streaming twin in
+    * graft.streaming). One shuffle on user_id serves both windows and
+    * the final group-by. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "events")
+      .withColumn("ts_s", epochS($"ts"))
+      .withColumn("gap_s", $"ts_s" - lag($"ts_s", 1).over(w))
+      .withColumn("is_new", when($"gap_s".isNull || $"gap_s" > 1800, 1)
+        .otherwise(0))
+      .withColumn("session_idx", sum($"is_new").over(cum))
+      .groupBy($"user_id", $"session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts_s").as("session_start_s"),
+        (max($"ts_s") - min($"ts_s")).as("duration_s"))
+  }
+
+  private val sessionizeSql =
+    """WITH g AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+      |    CAST(floor(epoch(ts)) AS BIGINT)
+      |      - LAG(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER (
+      |          PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_s
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts_s,
+      |    SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS session_idx
+      |  FROM g)
+      |SELECT user_id, session_idx, COUNT(*) AS n_events,
+      |  MIN(ts_s) AS session_start_s,
+      |  MAX(ts_s) - MIN(ts_s) AS duration_s
+      |FROM s GROUP BY user_id, session_idx""".stripMargin
+
+  /** Pivot: per-user event-type count matrix. Explicit value list keeps
+    * the plan one pass (no distinct-collect job) — at 100 TB an
+    * unlisted pivot would scan twice. */
+  def eventTypeMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val piv = Tables(spark, dir, "events")
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .count()
+    types.foldLeft(piv)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+  }
+
+  private val eventTypeMatrixSql =
+    """SELECT user_id,
+      |  COUNT(*) FILTER (event_type = 'click') AS click,
+      |  COUNT(*) FILTER (event_type = 'view') AS view,
+      |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (event_type = 'error') AS error
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** JSON path extraction from the props column (get_json_object —
+    * noted absent in the reference, SURVEY §2.10; first-class here). */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+      .groupBy($"event_type")
+      .agg(count($"k").as("n_with_k"),
+        sum($"k".cast("long")).as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+  }
+
+  private val jsonExtractSql =
+    """SELECT event_type,
+      |  COUNT(k) AS n_with_k, SUM(CAST(k AS BIGINT)) AS sum_k,
+      |  MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |      FROM events) t
+      |GROUP BY event_type""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+    Q("q10_hourly_event_counts", hourlyCounts, Some(hourlyCountsSql),
+      "hour-of-day histogram (ref Q2 affluence shape)"),
+    Q("q11_tumbling_window_stats", tumblingWindowStats,
+      Some(tumblingWindowStatsSql), "1-min tumbling window agg (ref Q4)"),
+    Q("q12_asof_theta_join", asofThetaJoin, Some(asofOracleSql),
+      "as-of via theta join + min (ref Q1 composition)"),
+    Q("q13_asof_windowed", asofWindowed, Some(asofOracleSql),
+      "as-of via single-shuffle range-frame window (scale path)"),
+    Q("q14_dedup_first_event", dedupFirstEvent, Some(dedupFirstEventSql),
+      "deterministic keep-first dedup (streaming dropDuplicates analog)"),
+    Q("q15_event_gaps", eventGaps, Some(eventGapsSql), "lag() inter-event gaps"),
+    Q("q16_running_total", runningTotal, Some(runningTotalSql),
+      "rows-frame running aggregate"),
+    Q("q17_sessionize", sessionize, Some(sessionizeSql),
+      "gap-based sessionization (stateful-streaming batch analog)"),
+    Q("q18_event_type_matrix", eventTypeMatrix, Some(eventTypeMatrixSql),
+      "pivot with explicit values (single-pass)"),
+    Q("q19_json_extract", jsonExtract, Some(jsonExtractSql),
+      "JSON path extraction + agg"))
 }

@@ -18,9 +18,22 @@ object Tables {
 
   /** Bounded parquet read. Column pruning + predicate pushdown reach the
     * scan because we hand Catalyst the raw relation, never a cached or
-    * collected copy. */
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    * collected copy.
+    *
+    * `events.ts` is stored as TIMESTAMP(NANOS), which Spark 4 rejects
+    * outright ([PARQUET_TYPE_ILLEGAL]). We read nanos as a long
+    * (legacy conf) and rebuild a micros timestamp with exact integer
+    * division — `div`, not `/`, because a double quotient of an
+    * ~1.7e18 nano value loses low bits and can shift the micro. */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path)
+        .withColumn("ts", org.apache.spark.sql.functions
+          .expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(path)
+  }
 
   /** Register every table as a temp view so `spark.sql` text queries work
     * against the same relations the DataFrame API sees. */
