@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** Native Catalyst expressions for the vector / hashing hot paths.
+  *
+  * The built-in alternative (`zip_with` + `aggregate` higher-order
+  * functions) evaluates interpreted, allocating a lambda frame per
+  * element; at 100 TB embedding scans that is the bottleneck. These
+  * expressions generate tight Java loops inside whole-stage codegen —
+  * preference order (b) of the build contract: a custom `Expression`
+  * before any UDF.
+  */
+object VectorExpressions {
+
+  /** dot(array<float>, array<float>) → double.
+    * Products in float (matching what an engine computing over float
+    * vectors produces), accumulation in double, element order
+    * left-to-right — deterministic across runs and partitions. */
+  case class FloatVecDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "fvec_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0d
+      var i = 0
+      while (i < n) {
+        acc += (x.getFloat(i) * y.getFloat(i)).toDouble
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += (double)($a.getFloat($i) * $b.getFloat($i));
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): FloatVecDot =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** simhash64(array<long>) → long: sign-aggregate the 64 bit planes of
+    * pre-hashed terms (pair with `xxhash64` over tokens). A bit is set
+    * when strictly more terms have it set than clear. */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+
+    override def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData]
+      val cnt = new Array[Int](64)
+      var i = 0
+      while (i < hs.numElements()) {
+        val h = hs.getLong(i)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) cnt(j) += 1 else cnt(j) -= 1
+          j += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var j = 0
+      while (j < 64) { if (cnt(j) > 0) out |= (1L << j); j += 1 }
+      java.lang.Long.valueOf(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cnt = ctx.addMutableState("int[]", "simhashCnt",
+        v => s"$v = new int[64];")
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val h = ctx.freshName("h")
+        val out = ctx.freshName("out")
+        s"""
+           |java.util.Arrays.fill($cnt, 0);
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  long $h = $a.getLong($i);
+           |  for (int $j = 0; $j < 64; $j++) {
+           |    if ((($h >>> $j) & 1L) == 1L) $cnt[$j]++; else $cnt[$j]--;
+           |  }
+           |}
+           |long $out = 0L;
+           |for (int $j = 0; $j < 64; $j++) {
+           |  if ($cnt[$j] > 0) $out |= (1L << $j);
+           |}
+           |${ev.value} = $out;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+  }
+
+  /** Column wrappers. */
+  def fvecDot(a: Column, b: Column): Column =
+    GraftBridge.column(FloatVecDot(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def simhash64(termHashes: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(termHashes)))
+
+  /** Cosine similarity over float vectors, built on the codegen dot. */
+  def cosine(a: Column, b: Column): Column =
+    fvecDot(a, b) / (sqrt(fvecDot(a, a)) * sqrt(fvecDot(b, b)))
+}

