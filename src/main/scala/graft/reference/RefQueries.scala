@@ -123,21 +123,11 @@ object RefQueries {
       .filter($"tempsReel" === "true")
       .withColumn("minutes", TransitFunctions.minutesFromTemps($"temps"))
       .withColumn("created_ts", to_timestamp($"created_at"))
-      .groupBy(window($"created_ts", "1 minute").as("w"), $"sens", $"stop")
-      .agg(min($"minutes").as("m"))
-      .groupBy($"w", $"sens")
-      .agg(map_from_entries(collect_list(struct($"stop", $"m"))).as("mp"))
+      .groupBy(window($"created_ts", "1 minute").as("w"), $"sens")
+      .agg(collect_list(struct($"stop", $"minutes")).as("rd"))
       .withColumn("r", when($"sens" === 1, typedlit(fwd)).otherwise(typedlit(rev)))
-      .withColumn("pos", expr(
-        """filter(transform(sequence(0, size(r) - 1), i ->
-          |  CASE WHEN mp[r[i]] = 0
-          |         THEN named_struct('location', r[i], 'at_stop', true)
-          |       WHEN i > 0 AND mp[r[i-1]] IS NOT NULL AND mp[r[i]] IS NOT NULL
-          |            AND mp[r[i-1]] > mp[r[i]]
-          |         THEN named_struct('location', concat(r[i-1], '|', r[i]),
-          |                           'at_stop', false)
-          |       ELSE CAST(NULL AS STRUCT<location: STRING, at_stop: BOOLEAN>)
-          |  END), x -> x IS NOT NULL)""".stripMargin))
+      .withColumn("waits", TransitFunctions.waitsExpr)
+      .withColumn("pos", TransitFunctions.positionsExpr)
       .select($"w", $"sens", explode($"pos").as("p"))
       .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
         $"sens", $"p.location".as("location"), $"p.at_stop".as("at_stop"))

@@ -47,6 +47,32 @@ object TransitFunctions {
         repeat(lit("?"), discrepancy)))
   }
 
+  /** Per-route-position minimum waits. Expects columns `rd`
+    * (array<struct<stop,minutes>> — the collected readings of one
+    * (window, direction) group) and `r` (ordered route array). A stop
+    * with several readings in the window keeps the MINIMUM wait — the
+    * deliberate determinism fix over the reference's
+    * collect_list-order-dependent behavior (SURVEY §7.4.1). Kept as a
+    * single array reduction so the whole Q3 pipeline needs only ONE
+    * stateful aggregation (a streaming-legality requirement). */
+  def waitsExpr: Column = expr(
+    "transform(r, s -> array_min(transform(filter(rd, x -> x.stop = s), " +
+      "x -> x.minutes)))")
+
+  /** Position inference over `waits` + `r` (`detect_bus_positions`,
+    * `src/naolib_consumer.py:89-114`): wait 0 ⇒ bus AT stop i;
+    * else decreasing adjacent waits ⇒ bus BETWEEN stops i-1|i. */
+  def positionsExpr: Column = expr(
+    """filter(transform(sequence(0, size(r) - 1), i ->
+      |  CASE WHEN waits[i] = 0
+      |         THEN named_struct('location', r[i], 'at_stop', true)
+      |       WHEN i > 0 AND waits[i-1] IS NOT NULL AND waits[i] IS NOT NULL
+      |            AND waits[i-1] > waits[i]
+      |         THEN named_struct('location', concat(r[i-1], '|', r[i]),
+      |                           'at_stop', false)
+      |       ELSE CAST(NULL AS STRUCT<location: STRING, at_stop: BOOLEAN>)
+      |  END), x -> x IS NOT NULL)""".stripMargin)
+
   /** Haversine distance in meters — replaces the reference's
     * API-side `within_distance`/`order_by distance` pushdown
     * (`src/bike_producer.py:23-40`) with a native column expression. */

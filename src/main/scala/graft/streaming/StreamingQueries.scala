@@ -1,0 +1,163 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.reference.TransitFunctions
+
+/** Structured Streaming forms of the reference's streaming queries
+  * (SURVEY.md §2.12) plus a stateful sessionizer. Each transform takes
+  * an already-lifted DataFrame (see graft.sources.TopicSource) so the
+  * same body runs over Kafka, files, or MemoryStream.
+  *
+  * Output-mode contract mirrors the reference:
+  *  - bike shelters: complete mode re-emission with sink-side top-k
+  *    (`src/bike_consumer.py:141-146`); the global-sort-in-complete-mode
+  *    pairing is preserved, and the 100 TB-safe append variant is the
+  *    same agg consumed without the global sort (SURVEY §7.4.3).
+  *  - bus positions: append + foreachBatch (`src/naolib_consumer.py:159-162`).
+  *  - wind (legacy): append console (`src/previous_tp_code.py:231-236`).
+  */
+object StreamingQueries {
+
+  /** Q4 streaming core: 10 s watermark, 1-minute tumbling window,
+    * triple average + occupancy bar (`src/bike_consumer.py:92-131`). */
+  def bikeShelterAgg(parsed: DataFrame): DataFrame = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed
+      .withColumn("bikes", $"available_bikes".cast("int"))
+      .withColumn("free_stands", $"available_bike_stands".cast("int"))
+      .withColumn("last_ts",
+        to_timestamp($"last_update", "yyyy-MM-dd'T'HH:mm:ssXXX"))
+      .withWatermark("last_ts", "10 seconds")
+      .groupBy($"name", $"address", window($"last_ts", "1 minute").as("w"))
+      .agg(avg($"bikes").as("ab"), avg($"free_stands").as("af"),
+        max($"bike_stands").as("st"),
+        min($"position.lat").as("lat"), min($"position.lon").as("lon"))
+      .select($"name", $"address", $"w.start".as("window_start"),
+        $"ab", $"af", $"st", $"lat", $"lon",
+        TransitFunctions.occupancyBar($"ab", $"st", $"af").as("bar"))
+  }
+
+  /** Per-micro-batch geo top-k — runs inside foreachBatch where the
+    * frame is a bounded DataFrame, exactly where the reference put its
+    * driver-side work (`src/naolib_consumer.py:119-157`). */
+  def nearestK(batch: DataFrame, qLat: Double, qLon: Double, k: Int): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"window_start").orderBy($"dist".asc, $"name".asc)
+    batch
+      .withColumn("dist", TransitFunctions.haversineMeters(
+        $"lat", $"lon", lit(qLat), lit(qLon)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+  }
+
+  /** Q3 streaming core: 1-minute watermark + tumbling window, ONE
+    * stateful aggregation (collect_list), then the same columnar
+    * position inference as the batch query — multi-phase streaming
+    * aggregation is illegal, which is why the inference reduces the
+    * raw reading array instead of pre-aggregating per stop. */
+  def busPositions(parsed: DataFrame, route: Seq[String]): DataFrame = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed
+      .filter($"tempsReel" === "true")
+      .withColumn("minutes", TransitFunctions.minutesFromTemps($"temps"))
+      .withColumn("created_ts", to_timestamp($"created_at"))
+      .withWatermark("created_ts", "1 minute")
+      .groupBy(window($"created_ts", "1 minute").as("w"), $"sens")
+      .agg(collect_list(struct($"stop", $"minutes")).as("rd"))
+      .withColumn("r",
+        when($"sens" === 1, typedlit(route)).otherwise(typedlit(route.reverse)))
+      .withColumn("waits", TransitFunctions.waitsExpr)
+      .withColumn("pos", TransitFunctions.positionsExpr)
+      .select($"w.start".as("window_start"), $"sens", explode($"pos").as("p"))
+      .select($"window_start", $"sens", $"p.location".as("location"),
+        $"p.at_stop".as("at_stop"))
+  }
+
+  /** Legacy wind pipeline: 5-min watermark, event-time dedup on
+    * entry_id, 5-min tumbling average
+    * (`src/previous_tp_code.py:191-240`; the dead `data.wind_speed`
+    * filter is implemented as intended — SURVEY §2.4). */
+  def windRollingAvg(parsed: DataFrame): DataFrame = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed
+      .withColumn("created_ts", to_timestamp($"created_at"))
+      .withColumn("speed", expr("try_cast(wind_speed AS double)"))
+      .filter($"speed".isNotNull)
+      .withWatermark("created_ts", "5 minutes")
+      .dropDuplicatesWithinWatermark("entry_id")
+      .groupBy(window($"created_ts", "5 minutes").as("w"))
+      .agg(avg($"speed").as("avg_wind_speed"), count(lit(1)).as("n"))
+      .select($"w.start".as("window_start"), $"avg_wind_speed", $"n")
+  }
+
+  // ------------------------------------------------------- sessionizer
+  final case class SEvent(user_id: Long, ts_s: Long, event_id: Long)
+  final case class SessionOut(user_id: Long, session_idx: Long,
+      n_events: Long, session_start_s: Long, duration_s: Long)
+  private final case class SessState(idx: Long, start: Long, last: Long,
+      n: Long)
+
+  /** Gap-based sessionization via flatMapGroupsWithState — the custom
+    * stateful operator the reference lacks (SURVEY §2.12 "none"); the
+    * batch twin is EventOps.sessionize and a ScalaTest asserts they
+    * produce identical sessions on the same data. Emits every closed
+    * session plus the currently-open one (so bounded inputs yield the
+    * complete session list). */
+  def sessionize(events: Dataset[SEvent], gapS: Long): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[SEvent], state: GroupState[List[SessState]]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts_s, e.event_id))
+          var sessions = state.getOption.getOrElse(Nil)
+          for (e <- sorted) {
+            sessions = sessions match {
+              case cur :: rest if e.ts_s - cur.last <= gapS =>
+                cur.copy(last = math.max(cur.last, e.ts_s), n = cur.n + 1) :: rest
+              case cur :: rest =>
+                SessState(cur.idx + 1, e.ts_s, e.ts_s, 1) :: cur :: rest
+              case Nil => SessState(1, e.ts_s, e.ts_s, 1) :: Nil
+            }
+          }
+          state.update(sessions)
+          sessions.reverse.iterator.map(s =>
+            SessionOut(user, s.idx, s.n, s.start, s.last - s.start))
+      }
+  }
+
+  // ------------------------------------------------------------- sinks
+  /** Memory sink (test/driver inspection). */
+  def toMemory(df: DataFrame, name: String, mode: String): StreamingQuery =
+    df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+
+  /** Console sink, reference style (`src/bike_consumer.py:141-146`). */
+  def toConsole(df: DataFrame, mode: String): StreamingQuery =
+    df.writeStream.outputMode(mode).format("console")
+      .option("truncate", "false").start()
+
+  /** foreachBatch with per-batch top-k — the reference's plot callback
+    * replaced by a structured sink (SURVEY §2.2). */
+  def foreachBatchTopK(df: DataFrame, qLat: Double, qLon: Double, k: Int,
+      mode: String = "complete")(
+      consume: (DataFrame, Long) => Unit): StreamingQuery =
+    df.writeStream.outputMode(mode)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        consume(nearestK(batch, qLat, qLon, k), id)
+      }.start()
+
+  /** Parquet streaming sink with checkpoint — the durable variant the
+    * reference never configured (SURVEY §2.12 "checkpointing: none"). */
+  def toParquet(df: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    df.writeStream.outputMode("append").format("parquet")
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.queries.{Registry, TpchLike, EventOps}
+
+/** Plan-shape assertions (the 100 TB concerns: pushdown reaches the
+  * scan, small dims broadcast, hot paths stay in whole-stage codegen)
+  * plus the driver-contract smoke checks. */
+class PlanAndEntrySpec extends SparkSuite {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter+projection are pushed to the parquet scan") {
+    val p = planOf(TpchLike.filterProject(spark, sf0001))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("LessThan(l_quantity,25.0)"), p)
+    // pruned read schema: only the 5 needed columns, not all 11
+    assert(!p.contains("l_returnflag"), p)
+  }
+
+  test("small dimension joins broadcast, no shuffle of the big side twice") {
+    val p = planOf(TpchLike.revenuePerNation(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("aggregation pipeline stays inside whole-stage codegen") {
+    val df = TpchLike.pricingSummary(spark, sf0001)
+    df.collect() // AQE finalizes (and codegen appears) only on execution
+    val p = planOf(df)
+    // whole-stage codegen spans print as "*(n) " prefixes in simpleString
+    assert(p.contains("*(1) HashAggregate") || p.contains("*(2) HashAggregate"), p)
+  }
+
+  test("as-of windowed variant plans a single shuffle") {
+    val p = planOf(EventOps.asofWindowed(spark, sf0001))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 shuffle, plan:\n$p")
+  }
+
+  test("driver contract: entry returns rows; oracle keys match queries") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    val qk = SparkEntry.queries.keySet
+    val ok = SparkEntry.oracleSql.keySet
+    assert(ok.subsetOf(qk), s"oracle-only keys: ${ok.diff(qk)}")
+    assert(Registry.all.map(_.name).distinct.size == Registry.all.size)
+  }
+
+  test("every declared query runs and returns rows on sf0.001") {
+    val empties = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val n = fn(spark, sf0001).count()
+      if (n == 0) Some(name) else None
+    }
+    // q41/q42 near-dup pair sets may legitimately be empty at tiny SF;
+    // everything else must produce rows
+    assert(empties.forall(n => n.startsWith("q41") || n.startsWith("q42") ||
+      n.startsWith("q44")), s"unexpected empty: $empties")
+  }
+}

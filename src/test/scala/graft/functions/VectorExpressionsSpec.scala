@@ -1,0 +1,61 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import VectorExpressions._
+
+/** The codegen expressions must agree with the interpreted built-in
+  * (zip_with/aggregate) composition they replace, under both codegen
+  * and forced-interpreted evaluation. */
+class VectorExpressionsSpec extends SparkSuite {
+
+  test("FloatVecDot matches interpreted zip_with/aggregate fold") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.5f, -0.25f), Array(2.0f, 8.0f)),
+      (Array.empty[Float], Array.empty[Float])).toDF("a", "b")
+    val got = df.select(fvecDot($"a", $"b").as("d")).collect().map(_.getDouble(0))
+    val ref = df.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0.0 as double), " +
+        "(acc, p) -> acc + p)").as("d")).collect().map(_.getDouble(0))
+    assert(got.toSeq == ref.toSeq)
+    assert(got(0) == 32.0 && got(1) == -1.0 && got(2) == 0.0)
+  }
+
+  test("FloatVecDot null propagation") {
+    import spark.implicits._
+    val df = Seq((Some(Array(1.0f)), None: Option[Array[Float]]))
+      .toDF("a", "b")
+    assert(df.select(fvecDot($"a", $"b")).head.isNullAt(0))
+  }
+
+  test("cosine of identical vectors is 1") {
+    import spark.implicits._
+    val df = Seq((Array(0.3f, 0.4f, 1.2f), Array(0.3f, 0.4f, 1.2f)))
+      .toDF("a", "b")
+    val c = df.select(cosine($"a", $"b")).head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("SimHash64: hand-computed single/multi term behavior") {
+    import spark.implicits._
+    // one term: simhash == that term's hash (every bit decided by it)
+    val df = Seq(Tuple1(Array(0x0123456789abcdefL))).toDF("th")
+    assert(df.select(simhash64($"th")).head.getLong(0) == 0x0123456789abcdefL)
+    // majority vote: two of three terms share all bits
+    val df3 = Seq(Tuple1(Array(-1L, -1L, 0L))).toDF("th")
+    assert(df3.select(simhash64($"th")).head.getLong(0) == -1L)
+    // tie (one 1-bit, one 0-bit) resolves to 0 (strict majority for 1)
+    val df2 = Seq(Tuple1(Array(-1L, 0L))).toDF("th")
+    assert(df2.select(simhash64($"th")).head.getLong(0) == 0L)
+  }
+
+  test("SimHash64 deterministic over documents and close for near-dups") {
+    val sigs = graft.queries.DedupOps.simhashSignatures(spark, sf0001)
+    val a = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a.size == 500)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Cross-implementation and invariant checks over the sf0.001 testdata
+  * (SURVEY.md §5.4): two physical strategies for the same operator must
+  * agree; selected as-of rows must satisfy the minimality invariant. */
+class OperatorPropertiesSpec extends SparkSuite {
+
+  test("as-of: theta-join strategy == windowed strategy") {
+    val a = EventOps.asofThetaJoin(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = EventOps.asofWindowed(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("as-of invariant: chosen purchase is the minimum strictly-later one") {
+    import spark.implicits._
+    val events = graft.sources.Tables(spark, sf0001, "events")
+      .select($"event_id", $"user_id", $"event_type",
+        unix_timestamp($"ts".cast("timestamp")).as("ts_s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val purchasesByUser = events.filter(_._3 == "purchase")
+      .groupBy(_._2).map { case (u, es) => u -> es.map(_._4).toSeq.sorted }
+    val got = EventOps.asofThetaJoin(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, user, typ, ts) <- events if typ == "click") {
+      val expected = purchasesByUser.getOrElse(user, Seq.empty[Long]).find(_ > ts)
+      assert(got.get(id) == expected, s"event $id")
+    }
+  }
+
+  test("sessionize: session count and coverage invariants") {
+    val rows = EventOps.sessionize(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val events = graft.sources.Tables(spark, sf0001, "events").count()
+    assert(rows.map(_._3).sum == events) // every event in exactly one session
+    // session indexes are 1..n per user without gaps
+    rows.groupBy(_._1).foreach { case (_, ss) =>
+      val idx = ss.map(_._2).toSeq.sorted
+      assert(idx == (1L to idx.length.toLong))
+    }
+  }
+
+  test("minhash LSH output == brute-force shingle Jaccard >= 0.5") {
+    import spark.implicits._
+    val lsh = DedupOps.minhashLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over all pairs on the small SF
+    val docs = graft.sources.Tables(spark, sf0001, "documents")
+      .select($"doc_id", split($"text", " ").as("tok"))
+      .filter(size($"tok") >= 3)
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(1, size(tok) - 2), " +
+          "i -> concat_ws(' ', slice(tok, i, 3))))"))
+      .select($"doc_id", $"sh").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val brute = (for {
+      (ai, as) <- docs; (bi, bs) <- docs if ai < bi
+      j = (as & bs).size.toDouble / (as | bs).size
+      if j >= 0.5
+    } yield (ai, bi)).toSet
+    assert(lsh == brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("exact dedup keeps every doc exactly once when all texts distinct") {
+    assert(DedupOps.exactDedup(spark, sf0001).count() == 500)
+  }
+
+  test("knn top-5 ranking is consistent with a driver-side brute force") {
+    import spark.implicits._
+    val vecs = graft.sources.Tables(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val q = vecs.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += (a(i) * b(i)).toDouble
+        na += (a(i) * a(i)).toDouble; nb += (b(i) * b(i)).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+    val got = VectorOps.knnTopK(spark, sf0001).orderBy("rank").collect()
+      .map(_.getLong(1)).toSeq
+    assert(got == expected)
+  }
+}

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.reference.{Fixtures, Schemas}
+import graft.sources.{Tables, TopicSource}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming-semantics tests (SURVEY.md §5.3): MemoryStream +
+  * processAllAvailable exercise watermark drop, append-mode window
+  * close, complete-mode re-emission, streaming dedup, and the stateful
+  * sessionizer — all hermetic, no Kafka. */
+class StreamingSpec extends SparkSuite {
+
+  private def lift(ms: MemoryStream[String],
+      schema: org.apache.spark.sql.types.StructType,
+      asArray: Boolean = false) =
+    TopicSource.lift(ms.toDF().withColumnRenamed("value", "value"),
+      schema, asArray = asArray)
+
+  test("wind: streaming dedup + append-mode window close under watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val q = StreamingQueries.windRollingAvg(lift(ms, Schemas.wind))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wind_out").start()
+    def rec(t: String, id: Int, v: String) = {
+      val vs = if (v == null) "null" else "\"" + v + "\""
+      s"""{"created_at": "$t", "entry_id": $id, "wind_speed": $vs}"""
+    }
+    // window [16:00,16:05): two readings + one duplicate entry_id + a null
+    ms.addData(
+      rec("2025-01-25T16:03:11", 1, "4.0"),
+      rec("2025-01-25T16:04:02", 2, "6.0"),
+      rec("2025-01-25T16:04:30", 2, "99.0"), // dup entry_id -> dropped
+      rec("2025-01-25T16:04:40", 3, null))   // null speed -> filtered
+    q.processAllAvailable()
+    // advance watermark far past the window to force append emission
+    ms.addData(rec("2025-01-25T16:20:00", 9, "1.0"))
+    q.processAllAvailable()
+    val out = spark.table("wind_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getDouble(1), r.getLong(2)))
+    q.stop()
+    assert(out.toSeq == Seq(("2025-01-25 16:00:00.0", 5.0, 2L)))
+  }
+
+  test("bus positions: streaming result equals batch golden") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val q = StreamingQueries
+      .busPositions(lift(ms, Schemas.busPosition), Fixtures.route)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pos_out").start()
+    ms.addData(Fixtures.busReadingsJson: _*)
+    q.processAllAvailable()
+    // close both windows
+    ms.addData(
+      """{"sens": 1, "terminus": "T", "infotrafic": false, "temps": "9mn",
+         "tempsReel": "true", "stop": "HBLI", "numLigne": "C6",
+         "created_at": "2025-03-25T14:30:00"}""".replaceAll("\n\\s*", " "))
+    q.processAllAvailable()
+    val got = spark.table("pos_out").collect()
+      .map(r => (r.getTimestamp(0).toString.substring(0, 19), r.getInt(1),
+        r.getString(2), r.getBoolean(3))).toSet
+    q.stop()
+    assert(got == Set(
+      ("2025-03-25 14:05:00", 1, "HBLI|BRTE", false),
+      ("2025-03-25 14:05:00", 1, "CDCL", true),
+      ("2025-03-25 14:05:00", 1, "SMTD|HERM", false),
+      ("2025-03-25 14:06:00", 2, "FMIT", true),
+      ("2025-03-25 14:06:00", 2, "GMAR|CRQU", false)))
+  }
+
+  test("bike shelters: complete-mode re-emission + foreachBatch top-k") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val agg = StreamingQueries.bikeShelterAgg(
+      lift(ms, Schemas.bikeStation, asArray = true))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val q = StreamingQueries.foreachBatchTopK(
+      agg, Fixtures.q4Lat, Fixtures.q4Lon, 3) { (topk, _) =>
+      buf.synchronized {
+        buf ++= topk.collect().map(r =>
+          (r.getAs[String]("name"), r.getAs[Long]("rank")))
+      }
+    }
+    ms.addData(Fixtures.bikeJson: _*)
+    q.processAllAvailable()
+    q.stop()
+    val last = buf.toSeq
+    assert(last.contains(("Lieu Unique", 1L)))
+    assert(last.contains(("Gare Nord", 2L)))
+    assert(last.contains(("CRCY", 3L)))
+    assert(!last.exists(_._1 == "Zenith"))
+  }
+
+  test("sessionize: flatMapGroupsWithState equals the batch window form") {
+    import spark.implicits._
+    val batch = graft.queries.EventOps.sessionize(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val events = Tables(spark, sf0001, "events")
+      .select($"user_id",
+        unix_timestamp($"ts".cast("timestamp")).as("ts_s"), $"event_id")
+      .as[StreamingQueries.SEvent]
+    val stateful = StreamingQueries.sessionize(events, 1800L).collect()
+      .map(s => (s.user_id, s.session_idx, s.n_events, s.session_start_s,
+        s.duration_s)).toSet
+    assert(stateful == batch)
+  }
+}
