@@ -118,6 +118,74 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** minhash_longs(array<long>, k) → array<long>: k MinHash minima over
+    * pre-hashed set elements in ONE traversal. The composable
+    * alternative (k × `array_min(transform(...))`) re-walks the array k
+    * times with interpreted lambdas — this was the measured hot spot of
+    * the LSH dedup at sf0.1. Hash family: xxhash64 of the element under
+    * k fixed seeds (seed_i = XXH64(i, 42), the same mixing Spark's
+    * xxhash64 uses internally). */
+  case class MinHashLongs(child: Expression, numHashes: Int)
+      extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_longs"
+
+    private lazy val seeds: Array[Long] =
+      Array.tabulate(numHashes)(i =>
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(i.toLong, 42L))
+
+    override def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData]
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < hs.numElements()) {
+        val h = hs.getLong(i)
+        var j = 0
+        while (j < numHashes) {
+          val g = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashLong(h, seeds(j))
+          if (g < mins(j)) mins(j) = g
+          j += 1
+        }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val seedsRef = ctx.addReferenceObj("mhSeeds", seeds, "long[]")
+      val mins = ctx.freshName("mins")
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val h = ctx.freshName("h")
+        val g = ctx.freshName("g")
+        s"""
+           |long[] $mins = new long[$numHashes];
+           |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  long $h = $a.getLong($i);
+           |  for (int $j = 0; $j < $numHashes; $j++) {
+           |    long $g = org.apache.spark.sql.catalyst.expressions.XXH64
+           |      .hashLong($h, $seedsRef[$j]);
+           |    if ($g < $mins[$j]) $mins[$j] = $g;
+           |  }
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData
+           |  .toArrayData($mins);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashLongs =
+      copy(child = newChild)
+  }
+
+  def minhashLongs(hashes: Column, numHashes: Int): Column =
+    GraftBridge.column(MinHashLongs(GraftBridge.expression(hashes), numHashes))
+
   /** Column wrappers. */
   def fvecDot(a: Column, b: Column): Column =
     GraftBridge.column(FloatVecDot(

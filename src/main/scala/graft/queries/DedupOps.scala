@@ -44,7 +44,12 @@ object DedupOps {
 
   /** Exact n-gram (token-set) Jaccard near-dup pairs, blocked by source.
     * Jaccard is a ratio of integer set sizes — both engines divide the
-    * same ints, so even the threshold compare is bit-exact. */
+    * same ints, so even the threshold compare is bit-exact.
+    *
+    * Scale lever: J ≥ 0.8 requires |A|/|B| ≥ 0.8 (since J ≤ min/max of
+    * the set sizes), so a cheap size-ratio prefilter prunes most pairs
+    * before the expensive intersect/union — semantics unchanged, the
+    * oracle needs no such filter. */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, dir, "documents")
@@ -53,6 +58,8 @@ object DedupOps {
     val b = docs.select($"doc_id".as("b_id"), $"source".as("b_source"),
       $"tok".as("b_tok"))
     a.join(b, $"source" === $"b_source" && $"a_id" < $"b_id")
+      .filter(size($"a_tok") * 5 >= size($"b_tok") * 4 &&
+        size($"b_tok") * 5 >= size($"a_tok") * 4)
       .withColumn("jaccard",
         size(array_intersect($"a_tok", $"b_tok")).cast("double") /
           size(array_union($"a_tok", $"b_tok")))
@@ -108,9 +115,8 @@ object DedupOps {
       .withColumn("sh", shingleCol)
       .withColumn("bh", expr("transform(sh, s -> xxhash64(s))"))
 
-    val withMinhash = docs.withColumn("mh", array(
-      (0 until numHashes).map(i =>
-        expr(s"array_min(transform(bh, h -> xxhash64(${i}L, h)))")): _*))
+    val withMinhash = docs.withColumn("mh",
+      graft.functions.VectorExpressions.minhashLongs($"bh", numHashes))
 
     val bandKeys = withMinhash.select($"doc_id", explode(array(
       (0 until numBands).map(j =>
