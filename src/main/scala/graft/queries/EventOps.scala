@@ -91,17 +91,21 @@ object EventOps {
 
   /** Same as-of semantics as [[asofThetaJoin]] but the 100 TB plan: ONE
     * shuffle+sort on user_id, then a running min over a range frame —
-    * no join blow-up when a user has many purchases. Checked against the
-    * identical oracle to prove equivalence. */
+    * no join blow-up when a user has many purchases. Delegates to the
+    * generic [[graft.operators.Operators.asofForward]]; checked against
+    * the identical oracle to prove equivalence. */
   def asofWindowed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables(spark, dir, "events")
       .select($"event_id", $"user_id", $"event_type", epochS($"ts").as("ts_s"))
-    val w = Window.partitionBy($"user_id").orderBy($"ts_s")
-      .rangeBetween(1L, Window.unboundedFollowing)
-    e.withColumn("p_ts", when($"event_type" === "purchase", $"ts_s"))
-      .withColumn("next_purchase_s", min($"p_ts").over(w))
-      .filter($"event_type" === "click" && $"next_purchase_s".isNotNull)
+    graft.operators.Operators.asofForward(
+      left = e.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts_s"),
+      right = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts_s"),
+      key = "user_id", leftTime = "ts_s", rightTime = "ts_s",
+      resultCol = "next_purchase_s")
+      .filter($"next_purchase_s".isNotNull)
       .select($"event_id", $"next_purchase_s")
   }
 
@@ -112,11 +116,10 @@ object EventOps {
     * well-defined, unlike raw dropDuplicates. */
   def dedupFirstEvent(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"user_id", $"event_type")
-      .orderBy($"ts".asc, $"event_id".asc)
-    Tables(spark, dir, "events")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
+    graft.operators.Operators.dedupKeepFirst(
+      Tables(spark, dir, "events"),
+      keys = Seq("user_id", "event_type"),
+      order = Seq($"ts".asc, $"event_id".asc))
       .select($"event_id", $"user_id", $"event_type")
   }
 
@@ -174,14 +177,10 @@ object EventOps {
     * the final group-by. */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
-    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(spark, dir, "events")
-      .withColumn("ts_s", epochS($"ts"))
-      .withColumn("gap_s", $"ts_s" - lag($"ts_s", 1).over(w))
-      .withColumn("is_new", when($"gap_s".isNull || $"gap_s" > 1800, 1)
-        .otherwise(0))
-      .withColumn("session_idx", sum($"is_new").over(cum))
+    graft.operators.Operators.sessionize(
+      Tables(spark, dir, "events").withColumn("ts_s", epochS($"ts")),
+      key = "user_id", tsSeconds = "ts_s", tieBreak = "event_id",
+      gapS = 1800L)
       .groupBy($"user_id", $"session_idx")
       .agg(count(lit(1)).as("n_events"),
         min($"ts_s").as("session_start_s"),

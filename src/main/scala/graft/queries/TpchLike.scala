@@ -198,6 +198,82 @@ object TpchLike {
       |  LENGTH(p_name) AS name_len
       |FROM part""".stripMargin
 
+  /** ROLLUP hierarchy totals (flagged "absent" in the reference,
+    * SURVEY §2.6 — included for engine completeness). Spark and DuckDB
+    * share the NULL-marker convention for super-aggregate rows. */
+  def rollupSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"l_quantity")).cast("double").as("total_qty"))
+  }
+
+  private val rollupSummarySql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** Exact distinct counts (the approx_count_distinct twin is asserted
+    * within tolerance in ScalaTest — an approximate value can't be
+    * hash-compared across engines). */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+  }
+
+  private val distinctCountsSql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Range/band join: orders against a small in-memory price-band
+    * interval table — broadcast nested loop over 4 bands
+    * (graft.operators.Operators.bandJoin). */
+  def priceBands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("budget", 0.0, 50000.0), ("mid", 50000.0, 150000.0),
+      ("high", 150000.0, 300000.0), ("lux", 300000.0, 1e9))
+      .toDF("band", "lo", "hi")
+    graft.operators.Operators.bandJoin(
+      Tables(spark, dir, "orders"), bands, "o_totalprice", "lo", "hi")
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"o_totalprice")).cast("double").as("total"))
+  }
+
+  private val priceBandsSql =
+    """SELECT band, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |JOIN (VALUES ('budget', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+      |             ('high', 150000.0, 300000.0), ('lux', 300000.0, 1e9))
+      |  b(band, lo, hi)
+      |  ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY band""".stripMargin
+
+  /** Skew-mitigating salted join (graft.operators.Operators.saltedJoin):
+    * result provably identical to the unsalted q03 semantics — the
+    * oracle is the plain join SQL. */
+  def revenuePerNationSalted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val joined = graft.operators.Operators.saltedJoin(
+      Tables(spark, dir, "orders").withColumn("key", $"o_custkey"),
+      Tables(spark, dir, "customer").withColumn("key", $"c_custkey"),
+      "key", saltFactor = 8)
+    joined
+      .join(broadcast(Tables(spark, dir, "nation")),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        sum(dec($"o_totalprice")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
   def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary", pricingSummary, Some(pricingSummarySql),
       "groupBy/agg sum+count (ref: batch_bus_affluence groupBy count)"),
@@ -216,5 +292,13 @@ object TpchLike {
     Q("q08_union_distinct", unionDistinctSegments, Some(unionDistinctSegmentsSql),
       "union + distinct"),
     Q("q09_string_shaping", stringShaping, Some(stringShapingSql),
-      "regexp_replace/lpad/concat/upper (ref: SURVEY §2.10)"))
+      "regexp_replace/lpad/concat/upper (ref: SURVEY §2.10)"),
+    Q("q26_rollup_summary", rollupSummary, Some(rollupSummarySql),
+      "ROLLUP hierarchy totals"),
+    Q("q27_distinct_counts", distinctCounts, Some(distinctCountsSql),
+      "exact COUNT DISTINCT per group"),
+    Q("q28_price_bands", priceBands, Some(priceBandsSql),
+      "range/band join via broadcast interval table"),
+    Q("q29_salted_revenue", revenuePerNationSalted, Some(revenuePerNationSql),
+      "salted skew join == plain join (same oracle as q03)"))
 }

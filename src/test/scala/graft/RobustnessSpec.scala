@@ -1,0 +1,74 @@
+package graft
+
+import graft.reference.Schemas
+import graft.sources.{Tables, TopicSource}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Dirty-input and approximate-operator behavior, plus the
+  * stream-stream join the reference lacks (SURVEY §2.5 "absent"). */
+class RobustnessSpec extends SparkSuite {
+
+  test("approx_count_distinct within 5% of exact") {
+    import spark.implicits._
+    val df = Tables(spark, sf0001, "events")
+      .agg(countDistinct($"user_id").as("exact"),
+        approx_count_distinct($"user_id").as("approx"))
+      .head
+    val (exact, approx) = (df.getLong(0), df.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"exact=$exact approx=$approx")
+  }
+
+  test("corrupt JSON records parse to null rows, not query failure") {
+    import spark.implicits._
+    val rows = Seq(
+      """{"bus": 38, "heure": "6h", "passages": ["45"]}""",
+      """{not json at all""",
+      """{"bus": "not-an-int", "heure": "7h", "passages": []}""")
+    val parsed = TopicSource.lift(rows.toDF("value"), Schemas.busAirport)
+    // well-formed row survives; corrupt rows yield null fields
+    assert(parsed.count() == 3)
+    assert(parsed.filter($"bus".isNotNull).count() == 1)
+    assert(parsed.filter($"bus" === 38).head.getString(1) == "6h")
+  }
+
+  test("stream-stream join: clicks joined to later purchases in-window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    val c = clicks.toDF().toDF("user", "c_ts").withWatermark("c_ts", "1 minute")
+    val b = buys.toDF().toDF("b_user", "b_ts").withWatermark("b_ts", "1 minute")
+    val joined = c.join(b,
+      $"user" === $"b_user" && $"b_ts" >= $"c_ts" &&
+        $"b_ts" <= $"c_ts" + expr("INTERVAL 10 MINUTES"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ss_join").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    clicks.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:01:00")))
+    buys.addData((1L, ts("2024-01-01 10:05:00")), // in range -> joins
+      (2L, ts("2024-01-01 10:30:00")))            // outside 10 min -> no join
+    q.processAllAvailable()
+    val out = spark.table("ss_join").collect().map(_.getLong(0)).toSeq
+    q.stop()
+    assert(out == Seq(1L))
+  }
+
+  test("salted join result identical to plain join") {
+    import spark.implicits._
+    val plain = Tables(spark, sf0001, "orders")
+      .join(Tables(spark, sf0001, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = graft.operators.Operators.saltedJoin(
+      Tables(spark, sf0001, "orders").withColumn("key", $"o_custkey"),
+      Tables(spark, sf0001, "customer").withColumn("key", $"c_custkey"),
+      "key", saltFactor = 8)
+      .select($"o_orderkey", $"c_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+}
