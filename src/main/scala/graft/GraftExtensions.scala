@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.VectorExpressions.{FloatVecDot, MinHashLongs, SimHash64}
+
+/** SparkSessionExtensions entry point: registers the library's native
+  * expressions as SQL functions so `spark.sql` text can call them.
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  *   -- or --
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * Example: SELECT fvec_dot(a.embedding, b.embedding) FROM ...
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("fvec_dot"),
+      info("fvec_dot", "fvec_dot(a, b) - dot product of two float vectors"),
+      (args: Seq[Expression]) => FloatVecDot(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(hashes) - 64-bit simhash of term hashes"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    e.injectFunction((FunctionIdentifier("minhash_longs"),
+      info("minhash_longs",
+        "minhash_longs(hashes, k) - k minhash minima in one pass"),
+      (args: Seq[Expression]) => MinHashLongs(args.head,
+        args(1).eval().asInstanceOf[Number].intValue())))
+  }
+}

@@ -57,12 +57,15 @@ object VectorOps {
       $"label")
     val b = emb.select($"vec_id".as("b_id"), $"embedding".as("b_emb"),
       $"label".as("b_label"))
-    val w = Window.partitionBy($"a_id").orderBy($"sim".desc, $"b_id".asc)
     a.join(b, $"label" === $"b_label" && $"a_id" =!= $"b_id")
       .withColumn("sim", cosine($"a_emb", $"b_emb"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"a_id".as("vec_id"), $"b_id".as("nn_id"))
+      // argmax via max(struct): lexicographic (sim desc, b_id asc through
+      // negation) — a partial-aggregatable form, so the shuffle moves one
+      // row per (a_id, partition) instead of every candidate pair. The
+      // row_number/filter idiom would shuffle ALL pairs.
+      .groupBy($"a_id")
+      .agg(max(struct($"sim", (-$"b_id").as("neg"))).as("m"))
+      .select($"a_id".as("vec_id"), (-$"m.neg").cast("long").as("nn_id"))
   }
 
   private val nnPerVectorSql =
@@ -96,11 +99,57 @@ object VectorOps {
       |  ON a.label = b.label AND a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.35""".stripMargin
 
+  /** IVF (inverted-file) approximate top-k: KMeans centroids act as the
+    * coarse quantizer (index build), search probes only the `probes`
+    * cells nearest to the query — at corpus scale the scan shrinks by
+    * ~nCells/probes while the index build is a one-off batch job. The
+    * only driver-side data are the query row and the centroid table
+    * (parameters, not data). With probes == nCells this degenerates to
+    * exact brute force — the equivalence is asserted in ScalaTest. */
+  def ivfSearch(spark: SparkSession, dir: String, nCells: Int,
+      probes: Int, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("v", array_to_vector($"embedding"))
+    val model = new KMeans().setK(nCells).setSeed(42)
+      .setFeaturesCol("v").setPredictionCol("cell").fit(emb)
+    val assigned = model.transform(emb)
+
+    val qRow = assigned.filter($"vec_id" === 0)
+      .select($"embedding").head.getSeq[Float](0).toArray
+    val probeCells = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.toArray.zip(qRow).map { case (x, y) => val t = x - y; t * t }.sum
+        (i, d)
+      }
+      .sortBy(_._2).take(probes).map(_._1).toSeq
+
+    val query = assigned.filter($"vec_id" === 0)
+      .select($"embedding".as("q_emb"))
+    val w = Window.orderBy($"sim".desc, $"vec_id".asc)
+    assigned
+      .filter($"vec_id" =!= 0 && $"cell".isin(probeCells: _*))
+      .crossJoin(broadcast(query))
+      .withColumn("sim", cosine($"embedding", $"q_emb"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"rank", $"vec_id")
+  }
+
+  def ivfKnn(spark: SparkSession, dir: String): DataFrame =
+    ivfSearch(spark, dir, nCells = 16, probes = 4)
+
   def queries: Seq[Q] = Seq(
     Q("q30_knn_topk", knnTopK, Some(knnTopKSql),
       "brute-force cosine top-5 (broadcast query, codegen dot)"),
     Q("q31_nn_per_vector", nnPerVector, Some(nnPerVectorSql),
       "IVF-style per-vector NN via label partition cells"),
     Q("q32_similar_pairs", similarPairs, Some(similarPairsSql),
-      "embedding near-dup pairs above cosine threshold"))
+      "embedding near-dup pairs above cosine threshold"),
+    Q("q33_ivf_knn", ivfKnn, None,
+      "IVF ANN: KMeans coarse quantizer, probe 4/16 cells (rows-only; " +
+        "probes==cells exactness asserted in ScalaTest)"))
 }
