@@ -27,7 +27,10 @@ object Bench {
     graft.sources.Tables.names.foreach(n =>
       graft.sources.Tables(spark, sfDir, n).count())
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected =
+      if (args.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }.toSeq
+    val results = selected.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

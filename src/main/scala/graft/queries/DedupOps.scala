@@ -123,6 +123,13 @@ object DedupOps {
         expr(s"xxhash64(${j}L, mh[${j * 2}], mh[${j * 2 + 1}])")): _*))
       .as("band_key"))
 
+    // Self-join strategy is left to the planner deliberately: at small
+    // corpus size band keys broadcast and the minhash pipeline computes
+    // once per side (cheap, measured faster than forcing a shuffle);
+    // once band keys outgrow the broadcast threshold the planner
+    // switches to sort-merge, whose identical per-side exchanges are
+    // deduplicated by ReuseExchange — so the expensive minhash runs
+    // once at exactly the scale where that matters.
     val candidates = bandKeys.as("x")
       .join(bandKeys.as("y"), col("x.band_key") === col("y.band_key") &&
         col("x.doc_id") < col("y.doc_id"))
