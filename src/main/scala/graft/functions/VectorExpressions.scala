@@ -186,6 +186,60 @@ object VectorExpressions {
   def minhashLongs(hashes: Column, numHashes: Int): Column =
     GraftBridge.column(MinHashLongs(GraftBridge.expression(hashes), numHashes))
 
+  /** sorted_intersect_size(array<string>, array<string>) → int: merge-scan
+    * intersection count over two SORTED, de-duplicated string arrays.
+    * Replaces `size(array_intersect(a, b))` in the Jaccard hot loop —
+    * the built-in builds a hash set per row pair; the merge scan is a
+    * single pass and needs no per-pair allocation. Jaccard follows as
+    * inter / (|a| + |b| - inter). Caller contract: inputs sorted+distinct
+    * (array_sort(array_distinct(...)) once per document, BEFORE the
+    * pair join — amortized over all pairs the document appears in). */
+  case class SortedIntersectSize(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def prettyName: String = "sorted_intersect_size"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      var i = 0; var j = 0; var n = 0
+      while (i < x.numElements() && j < y.numElements()) {
+        val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (c == 0) { n += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+      java.lang.Integer.valueOf(n)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val n = ctx.freshName("n")
+        val c = ctx.freshName("c")
+        s"""
+           |int $i = 0; int $j = 0; int $n = 0;
+           |while ($i < $a.numElements() && $j < $b.numElements()) {
+           |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+           |  if ($c == 0) { $n++; $i++; $j++; }
+           |  else if ($c < 0) $i++;
+           |  else $j++;
+           |}
+           |${ev.value} = $n;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SortedIntersectSize =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersectSize(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
   /** Column wrappers. */
   def fvecDot(a: Column, b: Column): Column =
     GraftBridge.column(FloatVecDot(
