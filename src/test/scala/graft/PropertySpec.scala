@@ -1,0 +1,110 @@
+package graft
+
+import graft.reference.TransitFunctions
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property-based suites (SURVEY.md §5.4): the engine's algebraic
+  * invariants on random inputs, evaluated through the real columnar
+  * expressions (batched per property to keep Spark round-trips sane). */
+class PropertySpec extends SparkSuite {
+
+  test("hour normalization is total and correct on 0h..47h") {
+    import spark.implicits._
+    val got = (0 until 48).map(h => s"${h}h").toDF("heure")
+      .select(TransitFunctions.normalizeHour($"heure").as("n"))
+      .collect().map(_.getString(0))
+    val want = (0 until 48).map(h => f"${h % 24}%02d:00")
+    assert(got.toSeq == want)
+  }
+
+  test("occupancy bar length == stands + discrepancy for random loads") {
+    import spark.implicits._
+    val gen = for {
+      stands <- Gen.choose(0, 60)
+      bikes <- Gen.choose(0, 60)
+      free <- Gen.choose(0, 60)
+    } yield (bikes, stands, free)
+    val cases = Gen.listOfN(200, gen).sample.get
+    val rows = cases.toDF("b", "s", "f")
+      .select($"b", $"s", $"f", TransitFunctions.occupancyBar(
+        $"b".cast("double"), $"s", $"f".cast("double")).as("bar"))
+      .collect()
+    for (r <- rows) {
+      val (b, s, f, bar) = (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getString(3))
+      val disc = math.abs(s - (b + f))
+      assert(bar.length == b + f + disc, s"b=$b s=$s f=$f bar=$bar")
+      assert(bar.count(_ == '#') == b && bar.count(_ == '-') == f &&
+        bar.count(_ == '?') == disc)
+    }
+  }
+
+  test("asofForward picks min strictly-later right time on random data") {
+    import spark.implicits._
+    val gen = for {
+      key <- Gen.choose(0L, 5L)
+      t <- Gen.choose(0L, 1000L)
+    } yield (key, t)
+    val left = Gen.listOfN(120, gen).sample.get.zipWithIndex
+      .map { case ((k, t), i) => (i.toLong, k, t) }
+    val right = Gen.listOfN(120, gen).sample.get
+    val lDf = left.toDF("id", "key", "t")
+    val rDf = right.toDF("key", "rt")
+    val got = graft.operators.Operators
+      .asofForward(lDf, rDf, "key", "t", "rt", "next")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val byKey = right.groupBy(_._1)
+    for ((id, k, t) <- left) {
+      val want = byKey.getOrElse(k, Nil).map(_._2).filter(_ > t)
+        .sorted.headOption
+      assert(got(id) == want, s"id=$id k=$k t=$t")
+    }
+  }
+
+  test("sessionize: no intra-session gap exceeds the threshold; " +
+    "every inter-session gap does") {
+    import spark.implicits._
+    val gen = for {
+      key <- Gen.choose(0L, 3L)
+      t <- Gen.choose(0L, 5000L)
+    } yield (key, t)
+    val events = Gen.listOfN(300, gen).sample.get.zipWithIndex
+      .map { case ((k, t), i) => (i.toLong, k, t) }
+    val df = events.toDF("id", "key", "ts_s")
+    val out = graft.operators.Operators
+      .sessionize(df, "key", "ts_s", "id", gapS = 100L)
+      .select($"key", $"session_idx", $"ts_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for ((key, sessions) <- out.groupBy(_._1)) {
+      val bySession = sessions.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (idx, es) => (idx, es.map(_._3).sorted) }
+      for ((_, ts) <- bySession if ts.size > 1; w <- ts.sliding(2))
+        assert(w(1) - w(0) <= 100, s"intra-session gap ${w(0)}->${w(1)}")
+      if (bySession.size > 1)
+        for (w <- bySession.sliding(2)) {
+          val (ts1, ts2) = (w(0)._2, w(1)._2)
+          assert(ts2.head - ts1.last > 100,
+            s"inter-session gap ${ts1.last}->${ts2.head}")
+        }
+    }
+  }
+
+  test("minhash signature: permutation-min property on random sets") {
+    import spark.implicits._
+    // identical input sets yield identical signatures; disjoint large
+    // random sets rarely collide on many components
+    val base = Gen.listOfN(40, Gen.choose(Long.MinValue, Long.MaxValue))
+      .sample.get
+    val df = Seq(
+      (1L, base), (2L, base),
+      (3L, base.map(_ ^ 0x5DEECE66DL))).toDF("id", "hs")
+    val sigs = df.select($"id",
+      graft.functions.VectorExpressions.minhashLongs($"hs", 62).as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val agree = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(agree < 10, s"disjoint sets agreed on $agree/62 components")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.reference.{Fixtures, Schemas}
+import graft.sources.TopicSource
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Output-mode legality, checkpointed exactly-once restart, and
+  * partition-pruned writes (SURVEY §2.8 mode/sort pairing, §2.12
+  * checkpointing). */
+class SinkSemanticsSpec extends SparkSuite {
+
+  test("global sort is legal in complete mode, illegal in append") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val agg = StreamingQueries.bikeShelterAgg(
+      TopicSource.lift(ms.toDF(), Schemas.bikeStation, asArray = true))
+      .orderBy($"window_start", $"name")
+    // complete: starts and emits the sorted full table (ref Q4 pairing)
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("sorted_complete").start()
+    ms.addData(Fixtures.bikeJson: _*)
+    q.processAllAvailable()
+    val names = spark.table("sorted_complete").collect()
+      .map(_.getAs[String]("name"))
+    q.stop()
+    assert(names.toSeq == names.sorted.toSeq && names.nonEmpty)
+    // append: global sort must be rejected up front
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      agg.writeStream.outputMode("append").format("memory")
+        .queryName("sorted_append").start()
+    }
+    assert(ex.getMessage.toLowerCase.contains("sort"))
+  }
+
+  test("checkpointed parquet sink: restart processes only new input") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_in").toString
+    val out = Files.createTempDirectory("graft_out").toString
+    val chk = Files.createTempDirectory("graft_chk").toString
+    def writeFile(name: String, rows: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(in, name),
+        String.join("\n", rows: _*).getBytes)
+
+    writeFile("batch1.json", Fixtures.busReadingsJson.take(5))
+    val parsed = TopicSource.fileStream(spark, in, Schemas.busPosition)
+      .filter($"tempsReel" === "true")
+    StreamingQueries.toParquet(parsed, out, chk).awaitTermination()
+    val n1 = spark.read.parquet(out).count()
+
+    writeFile("batch2.json", Fixtures.busReadingsJson.slice(5, 9))
+    StreamingQueries.toParquet(parsed, out, chk).awaitTermination()
+    val n2 = spark.read.parquet(out).count()
+
+    // 5 rows in batch1 (all tempsReel=true), 3 of 4 in batch2
+    assert(n1 == 5L, s"first run wrote $n1")
+    assert(n2 == 8L, s"after restart total $n2 (no reprocessing)")
+  }
+
+  test("partitioned parquet write enables partition pruning on read") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_part").toString
+    graft.sources.Tables(spark, sf0001, "events")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter($"event_type" === "click")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    assert(pruned.count() > 0)
+  }
+}
