@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "scala_udf")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.FuseFloatVecDot)
     e.injectFunction((FunctionIdentifier("fvec_dot"),
       info("fvec_dot", "fvec_dot(a, b) - dot product of two float vectors"),
       (args: Seq[Expression]) => FloatVecDot(args(0), args(1))))
