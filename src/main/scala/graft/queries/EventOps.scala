@@ -249,6 +249,29 @@ object EventOps {
       |      FROM events) t
       |GROUP BY event_type""".stripMargin
 
+  /** Exact interpolated percentiles (sort-based `percentile`, matching
+    * SQL-standard PERCENTILE_CONT semantics — DuckDB's quantile_cont
+    * uses the same definition, and both interpolate the same two order
+    * statistics, so the doubles agree bit-for-bit). approx_percentile
+    * is the sketch alternative at scale; like approx_count_distinct it
+    * can't be hash-compared and is exercised in tests. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        min($"value").as("min_v"), max($"value").as("max_v"))
+  }
+
+  private val percentilesSql =
+    """SELECT event_type,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.9) AS p90,
+      |  MIN(value) AS min_v, MAX(value) AS max_v
+      |FROM events GROUP BY event_type""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q10_hourly_event_counts", hourlyCounts, Some(hourlyCountsSql),
       "hour-of-day histogram (ref Q2 affluence shape)"),
@@ -268,5 +291,7 @@ object EventOps {
     Q("q18_event_type_matrix", eventTypeMatrix, Some(eventTypeMatrixSql),
       "pivot with explicit values (single-pass)"),
     Q("q19_json_extract", jsonExtract, Some(jsonExtractSql),
-      "JSON path extraction + agg"))
+      "JSON path extraction + agg"),
+    Q("q34_percentiles", percentiles, Some(percentilesSql),
+      "exact interpolated percentiles (PERCENTILE_CONT semantics)"))
 }
