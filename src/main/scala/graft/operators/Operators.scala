@@ -24,6 +24,8 @@ object Operators {
   def asofForward(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
       resultCol: String = "asof_time"): DataFrame = {
+    require(!Seq("_side", "_t", "_rt").exists(left.columns.contains),
+      "asofForward reserves columns _side/_t/_rt")
     val l = left.withColumn("_side", lit(0))
       .withColumn("_t", col(leftTime).cast("long"))
     val r = right.select(col(key), col(rightTime).cast("long").as("_t"))

@@ -249,6 +249,27 @@ object EventOps {
       |      FROM events) t
       |GROUP BY event_type""".stripMargin
 
+  /** lead(): seconds until the user's NEXT event — the forward-looking
+    * twin of [[eventGaps]] (completes the lag/lead pair flagged absent
+    * in SURVEY §2.7). */
+  def eventLead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables(spark, dir, "events")
+      .withColumn("ts_s", epochS($"ts"))
+      .withColumn("next_gap_s", lead($"ts_s", 1).over(w) - $"ts_s")
+      .filter($"next_gap_s".isNotNull)
+      .select($"event_id", $"user_id", $"next_gap_s")
+  }
+
+  private val eventLeadSql =
+    """SELECT event_id, user_id, next_gap_s FROM (
+      |  SELECT event_id, user_id,
+      |    LEAD(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER (
+      |        PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |      - CAST(floor(epoch(ts)) AS BIGINT) AS next_gap_s
+      |  FROM events) t WHERE next_gap_s IS NOT NULL""".stripMargin
+
   /** Exact interpolated percentiles (sort-based `percentile`, matching
     * SQL-standard PERCENTILE_CONT semantics — DuckDB's quantile_cont
     * uses the same definition, and both interpolate the same two order
@@ -293,5 +314,7 @@ object EventOps {
     Q("q19_json_extract", jsonExtract, Some(jsonExtractSql),
       "JSON path extraction + agg"),
     Q("q34_percentiles", percentiles, Some(percentilesSql),
-      "exact interpolated percentiles (PERCENTILE_CONT semantics)"))
+      "exact interpolated percentiles (PERCENTILE_CONT semantics)"),
+    Q("q36_event_lead", eventLead, Some(eventLeadSql),
+      "lead() forward gap (completes lag/lead pair)"))
 }

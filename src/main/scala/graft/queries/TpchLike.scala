@@ -214,6 +214,22 @@ object TpchLike {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** CUBE over two dimensions — all grouping-set combinations in one
+    * pass (with ROLLUP in q26, completes the grouping-sets family the
+    * reference lacks). */
+  def cubeSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"o_totalprice")).cast("double").as("total"))
+  }
+
+  private val cubeSummarySql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
   /** Exact distinct counts (the approx_count_distinct twin is asserted
     * within tolerance in ScalaTest — an approximate value can't be
     * hash-compared across engines). */
@@ -295,6 +311,8 @@ object TpchLike {
       "regexp_replace/lpad/concat/upper (ref: SURVEY §2.10)"),
     Q("q26_rollup_summary", rollupSummary, Some(rollupSummarySql),
       "ROLLUP hierarchy totals"),
+    Q("q35_cube_summary", cubeSummary, Some(cubeSummarySql),
+      "CUBE grouping sets"),
     Q("q27_distinct_counts", distinctCounts, Some(distinctCountsSql),
       "exact COUNT DISTINCT per group"),
     Q("q28_price_bands", priceBands, Some(priceBandsSql),
