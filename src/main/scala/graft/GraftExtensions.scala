@@ -32,7 +32,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("minhash_longs"),
       info("minhash_longs",
         "minhash_longs(hashes, k) - k minhash minima in one pass"),
-      (args: Seq[Expression]) => MinHashLongs(args.head,
-        args(1).eval().asInstanceOf[Number].intValue())))
+      (args: Seq[Expression]) => {
+        // k must be a literal: it sizes the generated loop. Guarded so
+        // SQL misuse surfaces as an analysis error, not an internal one.
+        if (args.length != 2) throw new IllegalArgumentException(
+          "minhash_longs(hashes, k) takes exactly 2 arguments")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(v: java.lang.Number, _) => v.intValue()
+          case other => throw new IllegalArgumentException(
+            s"minhash_longs: k must be an integer literal, got $other")
+        }
+        MinHashLongs(args.head, k)
+      }))
   }
 }

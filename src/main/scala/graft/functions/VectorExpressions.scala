@@ -22,20 +22,29 @@ object VectorExpressions {
   /** dot(array<float>, array<float>) → double.
     * Products in float (matching what an engine computing over float
     * vectors produces), accumulation in double, element order
-    * left-to-right — deterministic across runs and partitions. */
+    * left-to-right — deterministic across runs and partitions.
+    *
+    * NULL semantics mirror the composable HOF form it can replace
+    * (`aggregate(zip_with(a,b,*),0D,+)`): unequal lengths or any null
+    * element yield NULL — zip_with pads the short side with nulls and
+    * a null product nullifies the running sum, so the optimizer fusion
+    * rule is a true semantic identity. */
   case class FloatVecDot(left: Expression, right: Expression)
       extends BinaryExpression {
     override def nullIntolerant: Boolean = true
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def prettyName: String = "fvec_dot"
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) return null
       var acc = 0.0d
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         acc += (x.getFloat(i) * y.getFloat(i)).toDouble
         i += 1
       }
@@ -47,12 +56,16 @@ object VectorExpressions {
         val n = ctx.freshName("n")
         val i = ctx.freshName("i")
         val acc = ctx.freshName("acc")
+        val bad = ctx.freshName("bad")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
            |double $acc = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
+           |boolean $bad = ($n != $b.numElements());
+           |for (int $i = 0; !$bad && $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
            |  $acc += (double)($a.getFloat($i) * $b.getFloat($i));
            |}
+           |${ev.isNull} = $bad;
            |${ev.value} = $acc;
          """.stripMargin
       })

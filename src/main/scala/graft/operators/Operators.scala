@@ -34,7 +34,11 @@ object Operators {
     val w = Window.partitionBy(col(key)).orderBy(col("_t"))
       .rangeBetween(1L, Window.unboundedFollowing)
     l.unionByName(r, allowMissingColumns = true)
-      .withColumn(resultCol, min(col("_rt")).over(w))
+      // join semantics for NULL keys: no match. Without the mask the
+      // window would group every NULL key into one partition and hand
+      // left rows an asof time from unrelated NULL-key right rows.
+      .withColumn(resultCol,
+        when(col(key).isNull, lit(null)).otherwise(min(col("_rt")).over(w)))
       .filter(col("_side") === 0)
       .drop("_side", "_t", "_rt")
   }

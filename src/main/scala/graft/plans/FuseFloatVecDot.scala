@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, Decimal, DoubleType, FloatType}
 import graft.functions.VectorExpressions.FloatVecDot
 
 /** Optimizer rule: recognize the interpreted higher-order-function dot
@@ -31,7 +31,10 @@ object FuseFloatVecDot extends Rule[LogicalPlan] {
   private def isZeroD(e: Expression): Boolean = e match {
     case Literal(v, DoubleType) => v == 0.0d
     case c: Cast => isZeroD(c.child) || (c.child match {
-      case Literal(v, _) => v != null && v.toString.toDouble == 0.0
+      // numeric literal kinds only — toString.toDouble on an arbitrary
+      // literal (e.g. a string) would throw inside the optimizer
+      case Literal(v: java.lang.Number, _) => v.doubleValue() == 0.0
+      case Literal(d: Decimal, _) => d.toDouble == 0.0
       case _ => false
     })
     case _ => false

@@ -209,7 +209,7 @@ object DedupOps {
     Q("q41_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql),
       "exact token-set Jaccard near-dup, source-blocked"),
     Q("q42_minhash_lsh", minhashLsh, Some(minhashLshSql),
-      "MinHash 63-hash / 21-band LSH + exact verification == global J>=0.8"),
+      "MinHash 62-hash/31-band LSH + exact verification == global shingle J>=0.5"),
     Q("q43_simhash_signatures", simhashSignatures, None,
       "codegen simhash64 signatures (rows-only; ScalaTest golden)"),
     Q("q44_simhash_pairs", simhashPairs, None,

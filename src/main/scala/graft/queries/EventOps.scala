@@ -192,7 +192,9 @@ object EventOps {
       |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
       |    CAST(floor(epoch(ts)) AS BIGINT)
       |      - LAG(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER (
-      |          PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_s
+      |          PARTITION BY user_id
+      |          ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC)
+      |      AS gap_s
       |  FROM events),
       |s AS (
       |  SELECT user_id, ts_s,

@@ -101,36 +101,51 @@ object StreamingQueries {
   final case class SEvent(user_id: Long, ts_s: Long, event_id: Long)
   final case class SessionOut(user_id: Long, session_idx: Long,
       n_events: Long, session_start_s: Long, duration_s: Long)
-  private final case class SessState(idx: Long, start: Long, last: Long,
-      n: Long)
+  /** Open-session state (public: the streaming state encoder's generated
+    * deserializer must construct it; a private class compiles in batch —
+    * which never serializes state — then fails at stream runtime). */
+  final case class SessState(idx: Long, startS: Long,
+      lastS: Long, nEvents: Long)
 
   /** Gap-based sessionization via flatMapGroupsWithState — the custom
     * stateful operator the reference lacks (SURVEY §2.12 "none"); the
     * batch twin is EventOps.sessionize and a ScalaTest asserts they
-    * produce identical sessions on the same data. Emits every closed
-    * session plus the currently-open one (so bounded inputs yield the
-    * complete session list). */
-  def sessionize(events: Dataset[SEvent], gapS: Long): Dataset[SessionOut] = {
+    * produce identical sessions on the same data.
+    *
+    * State holds ONLY the currently-open session per key (bounded at
+    * any input size); sessions emit exactly once, when a later event
+    * closes them. With `emitOpen=true` (the bounded/batch-parity mode)
+    * the still-open session is also emitted each batch — a snapshot
+    * that may be superseded by a later batch, so production streams
+    * should use `emitOpen=false` for exact-once session rows. */
+  def sessionize(events: Dataset[SEvent], gapS: Long,
+      emitOpen: Boolean = true): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[SessState], SessionOut](
+      .flatMapGroupsWithState[SessState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[SEvent], state: GroupState[List[SessState]]) =>
+        (user: Long, it: Iterator[SEvent], state: GroupState[SessState]) =>
           val sorted = it.toSeq.sortBy(e => (e.ts_s, e.event_id))
-          var sessions = state.getOption.getOrElse(Nil)
+          val closed = scala.collection.mutable.ListBuffer.empty[SessState]
+          var open = state.getOption.orNull
           for (e <- sorted) {
-            sessions = sessions match {
-              case cur :: rest if e.ts_s - cur.last <= gapS =>
-                cur.copy(last = math.max(cur.last, e.ts_s), n = cur.n + 1) :: rest
-              case cur :: rest =>
-                SessState(cur.idx + 1, e.ts_s, e.ts_s, 1) :: cur :: rest
-              case Nil => SessState(1, e.ts_s, e.ts_s, 1) :: Nil
+            open match {
+              case null =>
+                open = SessState(1, e.ts_s, e.ts_s, 1)
+              case cur if e.ts_s - cur.lastS <= gapS =>
+                open = cur.copy(lastS = math.max(cur.lastS, e.ts_s),
+                  nEvents = cur.nEvents + 1)
+              case cur =>
+                closed += cur
+                open = SessState(cur.idx + 1, e.ts_s, e.ts_s, 1)
             }
           }
-          state.update(sessions)
-          sessions.reverse.iterator.map(s =>
-            SessionOut(user, s.idx, s.n, s.start, s.last - s.start))
+          if (open != null) state.update(open)
+          val out = closed.toList ++ (if (emitOpen && open != null)
+            List(open) else Nil)
+          out.iterator.map(s =>
+            SessionOut(user, s.idx, s.nEvents, s.startS, s.lastS - s.startS))
       }
   }
 

@@ -30,6 +30,17 @@ class VectorExpressionsSpec extends SparkSuite {
     assert(df.select(fvecDot($"a", $"b")).head.isNullAt(0))
   }
 
+  test("FloatVecDot ragged lengths yield NULL, matching zip_with semantics") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f))).toDF("a", "b")
+    assert(df.select(fvecDot($"a", $"b")).head.isNullAt(0))
+    // the HOF form it fuses from is also NULL here (zip_with pads)
+    val hof = df.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0.0 as double), " +
+        "(acc, p) -> acc + p)"))
+    assert(hof.head.isNullAt(0))
+  }
+
   test("cosine of identical vectors is 1") {
     import spark.implicits._
     val df = Seq((Array(0.3f, 0.4f, 1.2f), Array(0.3f, 0.4f, 1.2f)))

@@ -97,6 +97,30 @@ class StreamingSpec extends SparkSuite {
     assert(!last.exists(_._1 == "Zenith"))
   }
 
+  test("sessionize streaming: closed sessions emit once across batches, " +
+    "state stays bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[StreamingQueries.SEvent]
+    val q = StreamingQueries.sessionize(ms.toDS(), gapS = 100L,
+      emitOpen = false)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    // batch 1: one session forming for user 7
+    ms.addData(StreamingQueries.SEvent(7L, 1000L, 1L),
+      StreamingQueries.SEvent(7L, 1050L, 2L))
+    q.processAllAvailable()
+    assert(spark.table("sess_out").count() == 0) // still open, not emitted
+    // batch 2: a far-future event closes session 1, opens session 2
+    ms.addData(StreamingQueries.SEvent(7L, 5000L, 3L))
+    q.processAllAvailable()
+    val rows = spark.table("sess_out").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    q.stop()
+    // exactly one emission of the closed session (idx 1, 2 events, 50 s)
+    assert(rows.toSeq == Seq((1L, 2L, 1000L, 50L)))
+  }
+
   test("sessionize: flatMapGroupsWithState equals the batch window form") {
     import spark.implicits._
     val batch = graft.queries.EventOps.sessionize(spark, sf0001).collect()

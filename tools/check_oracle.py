@@ -33,7 +33,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def h(df: pd.DataFrame) -> str:
-    return hashlib.md5(df.to_csv(index=False, float_format="%.9g").encode()).hexdigest()
+    return hashlib.md5(df.to_csv(index=False, float_format="%.17g").encode()).hexdigest()
 
 
 def main(sf_dir, out_dir):
