@@ -43,7 +43,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // stdout alone is buried in sbt [info] noise (round-1 BENCH had
+    // "parsed": null) — also write the bare JSON line where a parser
+    // can't miss it.
+    for (p <- Seq("bench_out.json", "/tmp/bench_out.json")) {
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }

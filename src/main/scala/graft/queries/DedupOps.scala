@@ -49,7 +49,14 @@ object DedupOps {
     * Scale lever: J ≥ 0.8 requires |A|/|B| ≥ 0.8 (since J ≤ min/max of
     * the set sizes), so a cheap size-ratio prefilter prunes most pairs
     * before the expensive intersect/union — semantics unchanged, the
-    * oracle needs no such filter. */
+    * oracle needs no such filter.
+    *
+    * SCALE CONTRACT: this is the exact-verification SPEC form. Its
+    * candidate step enumerates all same-source pairs — O(block²) join
+    * output at a 100 TB source block. Production paths at scale are
+    * [[jaccardPairsPrefix]] (identical output, candidates bounded by
+    * token-frequency prefix blocks — proven equal via the same oracle)
+    * and [[minhashLsh]] (sub-quadratic candidates at any block size). */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // sort+dedup ONCE per document (amortized over every pair the doc
@@ -88,6 +95,56 @@ object DedupOps {
       |    / len(list_distinct(list_concat(
       |      list_distinct(string_split(a.text, ' ')),
       |      list_distinct(string_split(b.text, ' '))))) >= 0.8""".stripMargin
+
+  /** The 100 TB form of [[jaccardPairs]] — same output, candidates via
+    * PPJoin-style prefix filtering instead of all-pairs-in-block:
+    *
+    * Under ANY global token order, J(A,B) ≥ t implies the
+    * (|X| - ⌈t·|X|⌉ + 1)-prefixes of A and B share a token (prefix
+    * filtering principle, Chaudhuri/Bayardo: |A∩B| ≥ ⌈t·max(|A|,|B|)⌉,
+    * and a set disjoint from its partner's prefix fits the whole
+    * intersection into its last ⌈t·|X|⌉ - 1 elements — contradiction).
+    * Ordering tokens by ascending global document frequency makes those
+    * prefixes the RAREST tokens, so candidate blocks are keyed by
+    * (source, rare-token): bounded by token selectivity, not by source
+    * size, and Zipfian corpora make rare-token blocks tiny. Costs one
+    * extra DF aggregation + one doc_id-partitioned window vs q41;
+    * replaces the O(block²) pair enumeration with equi-join candidate
+    * generation. Hash-checked against the SAME oracle as q41, which
+    * proves the equivalence on real data every round. */
+  def jaccardPairsPrefix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+      .select($"doc_id", $"source",
+        array_sort(distinctTokens($"text")).as("tok"))
+    val toks = docs.select($"doc_id", $"source", size($"tok").as("n"),
+      explode($"tok").as("token"))
+    val dfreq = toks.groupBy($"token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"df".asc, $"token".asc)
+    val prefixes = toks.join(dfreq, "token")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= $"n" - ceil($"n" * 0.8) + 1)
+      .select($"doc_id", $"source", $"token")
+    val candidates = prefixes.as("x")
+      .join(prefixes.as("y"),
+        col("x.token") === col("y.token") &&
+          col("x.source") === col("y.source") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val side = docs.select($"doc_id", $"tok")
+    candidates
+      .join(side.select($"doc_id".as("a_id"), $"tok".as("a_tok")), "a_id")
+      .join(side.select($"doc_id".as("b_id"), $"tok".as("b_tok")), "b_id")
+      .filter(size($"a_tok") * 5 >= size($"b_tok") * 4 &&
+        size($"b_tok") * 5 >= size($"a_tok") * 4)
+      .withColumn("inter", graft.functions.VectorExpressions
+        .sortedIntersectSize($"a_tok", $"b_tok"))
+      .withColumn("jaccard", $"inter".cast("double") /
+        (size($"a_tok") + size($"b_tok") - $"inter"))
+      .filter($"jaccard" >= 0.8)
+      .select($"a_id", $"b_id", $"jaccard")
+  }
 
   /** Distinct 3-token shingles over the RAW token sequence (same
     * definition as TextOps.shingleStats and the oracle). */
@@ -207,7 +264,10 @@ object DedupOps {
     Q("q40_exact_dedup", exactDedup, Some(exactDedupSql),
       "normalize+md5 exact dedup, deterministic survivor"),
     Q("q41_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql),
-      "exact token-set Jaccard near-dup, source-blocked"),
+      "exact token-set Jaccard near-dup, source-blocked (verification spec)"),
+    Q("q38_jaccard_prefix", jaccardPairsPrefix, Some(jaccardPairsSql),
+      "same pairs via PPJoin prefix filtering — the 100 TB candidate path, " +
+        "hash-proven equal to q41's oracle"),
     Q("q42_minhash_lsh", minhashLsh, Some(minhashLshSql),
       "MinHash 62-hash/31-band LSH + exact verification == global shingle J>=0.5"),
     Q("q43_simhash_signatures", simhashSignatures, None,

@@ -198,10 +198,10 @@ object EventOps {
       |  FROM events),
       |s AS (
       |  SELECT user_id, ts_s,
-      |    SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+      |    CAST(SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
       |      OVER (PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |      AS session_idx
+      |      AS BIGINT) AS session_idx
       |  FROM g)
       |SELECT user_id, session_idx, COUNT(*) AS n_events,
       |  MIN(ts_s) AS session_start_s,
@@ -244,7 +244,7 @@ object EventOps {
 
   private val jsonExtractSql =
     """SELECT event_type,
-      |  COUNT(k) AS n_with_k, SUM(CAST(k AS BIGINT)) AS sum_k,
+      |  COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
       |  MIN(k) AS min_k, MAX(k) AS max_k
       |FROM (SELECT event_type,
       |        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

@@ -17,6 +17,25 @@ import graft.sources.Tables
   */
 object VectorOps {
 
+  /** Scale-safe exact top-k: `orderBy(...).limit(k)` plans as
+    * TakeOrderedAndProject — each partition keeps only its local top-k
+    * and the driver merges numPartitions×k rows — versus a global
+    * `Window.orderBy`, which shuffles the ENTIRE candidate set to one
+    * partition to rank it (the 100× scale-killer). Ranks are assigned
+    * AFTER the limit: the window's AllTuples requirement is already met
+    * by TakeOrderedAndProject's SinglePartition output, so no exchange
+    * is added and the window sees ≤ k rows. */
+  private def rankedTopK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val w = Window.orderBy($"sim".desc, $"vec_id".asc)
+    scored
+      .orderBy($"sim".desc, $"vec_id".asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select($"rank", $"vec_id")
+  }
+
   /** Brute-force top-k: the 5 nearest vectors to vec_id 0 by cosine.
     * The single query row is broadcast; the scan side never shuffles.
     * This is the correctness baseline ANN variants are judged against. */
@@ -24,14 +43,12 @@ object VectorOps {
     import spark.implicits._
     val emb = Tables(spark, dir, "embeddings")
     val query = emb.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
-    val w = Window.orderBy($"sim".desc, $"vec_id".asc)
-    emb.filter($"vec_id" =!= 0)
-      .crossJoin(broadcast(query))
-      .withColumn("sim", cosine($"embedding", $"q_emb"))
-      .select($"vec_id", $"sim")
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= 5)
-      .select($"rank", $"vec_id")
+    rankedTopK(
+      emb.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(query))
+        .withColumn("sim", cosine($"embedding", $"q_emb"))
+        .select($"vec_id", $"sim"),
+      k = 5)
   }
 
   private val knnTopKSql =
@@ -132,18 +149,24 @@ object VectorOps {
 
     val query = assigned.filter($"vec_id" === 0)
       .select($"embedding".as("q_emb"))
-    val w = Window.orderBy($"sim".desc, $"vec_id".asc)
-    assigned
-      .filter($"vec_id" =!= 0 && $"cell".isin(probeCells: _*))
-      .crossJoin(broadcast(query))
-      .withColumn("sim", cosine($"embedding", $"q_emb"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= k)
-      .select($"rank", $"vec_id")
+    rankedTopK(
+      assigned
+        .filter($"vec_id" =!= 0 && $"cell".isin(probeCells: _*))
+        .crossJoin(broadcast(query))
+        .withColumn("sim", cosine($"embedding", $"q_emb"))
+        .select($"vec_id", $"sim"),
+      k = k)
   }
 
   def ivfKnn(spark: SparkSession, dir: String): DataFrame =
     ivfSearch(spark, dir, nCells = 16, probes = 4)
+
+  /** Probe-ALL IVF: with probes == nCells every cell is scanned, so the
+    * result is provably the exact brute-force top-k — which makes the
+    * whole IVF path (quantizer assignment, probe routing, top-k merge)
+    * checkable against q30's DuckDB oracle, not just rows-only. */
+  def ivfKnnProbeAll(spark: SparkSession, dir: String): DataFrame =
+    ivfSearch(spark, dir, nCells = 16, probes = 16)
 
   def queries: Seq[Q] = Seq(
     Q("q30_knn_topk", knnTopK, Some(knnTopKSql),
@@ -154,5 +177,8 @@ object VectorOps {
       "embedding near-dup pairs above cosine threshold"),
     Q("q33_ivf_knn", ivfKnn, None,
       "IVF ANN: KMeans coarse quantizer, probe 4/16 cells (rows-only; " +
-        "probes==cells exactness asserted in ScalaTest)"))
+        "probes==cells exactness asserted in ScalaTest)"),
+    Q("q37_ivf_probe_all", ivfKnnProbeAll, Some(knnTopKSql),
+      "IVF ANN with probes==cells: exactness contract hash-checked " +
+        "against the brute-force oracle"))
 }

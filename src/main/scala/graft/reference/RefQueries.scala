@@ -188,6 +188,8 @@ object RefQueries {
         max($"bike_stands").as("st"),
         min($"position.lat").as("lat"), min($"position.lon").as("lon"))
       .withColumn("window_start_s", unix_timestamp($"w.start"))
+      // the reference prints BOTH window bounds (bike_consumer.py:134-135)
+      .withColumn("window_end_s", unix_timestamp($"w.end"))
       .withColumn("dist", TransitFunctions.haversineMeters(
         $"lat", $"lon", lit(q4Lat), lit(q4Lon)))
 
@@ -196,7 +198,7 @@ object RefQueries {
     agg
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 5)
-      .select($"name", $"address", $"window_start_s",
+      .select($"name", $"address", $"window_start_s", $"window_end_s",
         floor($"ab" + 0.5).cast("int").as("bikes_r"),
         floor($"af" + 0.5).cast("int").as("free_r"),
         TransitFunctions.occupancyBar($"ab", $"st", $"af").as("bar"),
@@ -221,6 +223,7 @@ object RefQueries {
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY window_start_s
        |    ORDER BY dist ASC, name ASC) AS BIGINT) AS rank FROM d)
        |SELECT name, address, window_start_s,
+       |  window_start_s + 60 AS window_end_s,
        |  CAST(floor(ab + 0.5) AS INTEGER) AS bikes_r,
        |  CAST(floor(af + 0.5) AS INTEGER) AS free_r,
        |  CASE WHEN ab IS NULL OR st IS NULL OR af IS NULL THEN '[No data]'

@@ -32,16 +32,32 @@ object TopicSource {
       raw.select(from_json(str, schema).as("data")).select(col("data.*"))
   }
 
+  /** The exact option map both Kafka readers pass to `format("kafka")`.
+    * Factored out (and unit-tested against the connector's documented
+    * option names) because the offline image lacks the
+    * `spark-sql-kafka-0-10` jar — a typo'd key here would otherwise
+    * ship unnoticed. `endingOffsets` is batch-only: the streaming
+    * source rejects it, so the stream map must not carry one. */
+  def kafkaOptions(bootstrap: String, topic: String,
+      startingOffsets: String,
+      endingOffsets: Option[String]): Map[String, String] = {
+    require(bootstrap.nonEmpty, "kafka.bootstrap.servers must be non-empty")
+    require(topic.nonEmpty, "subscribe topic must be non-empty")
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets) ++
+      endingOffsets.map("endingOffsets" -> _)
+  }
+
   /** Bounded Kafka snapshot — `src/plane_naolib_consumer.py:50-54`. */
   def kafkaBatch(spark: SparkSession, bootstrap: String, topic: String,
       schema: StructType, asArray: Boolean = false,
       startingOffsets: String = "earliest",
       endingOffsets: String = "latest"): DataFrame =
     lift(spark.read.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-      .option("endingOffsets", endingOffsets)
+      .options(kafkaOptions(bootstrap, topic, startingOffsets,
+        Some(endingOffsets)))
       .load(), schema, asArray = asArray)
 
   /** Live Kafka stream — `src/bike_consumer.py:62-68`. */
@@ -49,9 +65,7 @@ object TopicSource {
       schema: StructType, asArray: Boolean = false,
       startingOffsets: String = "latest"): DataFrame =
     lift(spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
+      .options(kafkaOptions(bootstrap, topic, startingOffsets, None))
       .load(), schema, asArray = asArray)
 
   /** Hermetic streaming source: JSON-lines files under `path`, same

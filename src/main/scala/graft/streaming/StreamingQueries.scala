@@ -37,6 +37,7 @@ object StreamingQueries {
         max($"bike_stands").as("st"),
         min($"position.lat").as("lat"), min($"position.lon").as("lon"))
       .select($"name", $"address", $"w.start".as("window_start"),
+        $"w.end".as("window_end"),
         $"ab", $"af", $"st", $"lat", $"lon",
         TransitFunctions.occupancyBar($"ab", $"st", $"af").as("bar"))
   }

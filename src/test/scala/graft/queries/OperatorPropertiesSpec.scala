@@ -68,6 +68,18 @@ class OperatorPropertiesSpec extends SparkSuite {
     assert(brute.nonEmpty)
   }
 
+  test("prefix-filtered Jaccard pairs == all-pairs verification spec") {
+    // q38's PPJoin prefix blocking must lose NO pair vs the O(block²)
+    // spec form; sf0.01 is the smallest SF where near-dup pairs exist.
+    val sf001 = "/root/testdata/sf0.01"
+    val spec = DedupOps.jaccardPairs(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pref = DedupOps.jaccardPairsPrefix(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pref == spec)
+    assert(spec.nonEmpty)
+  }
+
   test("exact dedup keeps every doc exactly once when all texts distinct") {
     assert(DedupOps.exactDedup(spark, sf0001).count() == 500)
   }

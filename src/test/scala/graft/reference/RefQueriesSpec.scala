@@ -39,7 +39,7 @@ class RefQueriesSpec extends SparkSuite {
 
   test("Q4: bars, [No data], discrepancy, top-5 excludes Zenith") {
     val rows = RefQueries.bikeShelters(spark, sf0001)
-      .collect().map(r => (r.getString(0), r.getString(5), r.getLong(6)))
+      .collect().map(r => (r.getString(0), r.getString(6), r.getLong(7)))
       .sortBy(_._3).toSeq
     assert(rows.map(_._1) ==
       Seq("Lieu Unique", "Gare Nord", "CRCY", "Commerce", "Beaulieu"))

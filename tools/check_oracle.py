@@ -60,8 +60,20 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         gc, wc = canon(got), canon(want)
+        # dtype-kind gate: DuckDB SUM(int) yields HUGEINT which lands here as
+        # float64 while Spark writes int64 — CSV hashing with %.17g renders
+        # both as "1" and masks it, but the DRIVER's comparator does not.
+        # Comparing numpy kinds ('i' vs 'f' vs 'O' vs 'M' vs 'b') catches the
+        # class without flagging benign width diffs (int32 vs int64).
+        kinds_g = {c: gc[c].dtype.kind for c in gc.columns}
+        kinds_w = {c: wc[c].dtype.kind for c in wc.columns}
         if sorted(gc.columns) != sorted(wc.columns):
             print(f"  [FAIL-cols] {name}: spark={list(gc.columns)} duck={list(wc.columns)}")
+            n_fail += 1
+        elif kinds_g != kinds_w:
+            bad = {c: (kinds_g.get(c), kinds_w.get(c))
+                   for c in kinds_g if kinds_g.get(c) != kinds_w.get(c)}
+            print(f"  [FAIL-dtyp] {name}: spark-vs-duck kind mismatch {bad}")
             n_fail += 1
         elif len(gc) != len(wc):
             print(f"  [FAIL-rows] {name}: spark={len(gc)} duck={len(wc)}")
