@@ -228,6 +228,77 @@ object DedupOps {
       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
       |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5""".stripMargin
 
+  /** Duplicate-cluster assignment: connected components over the
+    * verified near-dup pair graph ([[minhashLsh]] output == exact
+    * shingle J ≥ 0.5), every document labeled with the minimum doc_id
+    * of its component (singletons label themselves). This is the
+    * survivor-selection step a dedup pipeline runs after pair mining —
+    * keep `doc_id == cluster_id`, drop the rest.
+    *
+    * Algorithm: iterative min-label propagation — each round is one
+    * equi-join (labels onto edge endpoints) plus a partial-aggregatable
+    * `min` groupBy, so a round shuffles at most |V|+|E| rows and labels
+    * converge to the component minimum in O(diameter) rounds. Near-dup
+    * components are tiny quasi-cliques (diameter 1-2 in practice), so
+    * the round count stays small at any corpus size; the driver touches
+    * only the per-round convergence COUNT, never row data. The
+    * large-star/small-star variant (Kiveris et al.) is the drop-in
+    * upgrade if a pathological long-chain graph ever appears. */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashLsh(spark, dir).select($"a_id", $"b_id")
+    val edges = pairs.union(pairs.select($"b_id", $"a_id"))
+      .toDF("u", "v").persist()
+    var labels = Tables(spark, dir, "documents")
+      .select($"doc_id", $"doc_id".as("cluster_id")).persist()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val viaEdges = edges
+        .join(labels.select($"doc_id".as("u"), $"cluster_id"), "u")
+        .select($"v".as("doc_id"), $"cluster_id")
+      val next = labels.union(viaEdges)
+        .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id"))
+        .persist()
+      val changed = next.select($"doc_id", $"cluster_id".as("new_c"))
+        .join(labels, "doc_id")
+        .filter($"new_c" =!= $"cluster_id").count()
+      converged = changed == 0
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Oracle: transitive closure by recursive CTE over the same exact
+    * J ≥ 0.5 pair set, min reachable id per node. */
+  private val dupClustersSql =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(1, len(string_split(text, ' ')) - 1),
+      |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS s
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+      |e AS (SELECT a_id AS u, b_id AS v FROM p
+      |      UNION SELECT b_id, a_id FROM p),
+      |reach AS (
+      |  SELECT u, v FROM e
+      |  UNION
+      |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+      |m AS (SELECT u AS doc_id, MIN(v) AS mn FROM reach GROUP BY u)
+      |SELECT d.doc_id,
+      |  CAST(LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS BIGINT)
+      |    AS cluster_id
+      |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id""".stripMargin
+
   /** SimHash signatures via the codegen [[simhash64]] expression over
     * xxhash64 term hashes. xxhash64 isn't portable to the oracle →
     * rows-only check; determinism is covered by a ScalaTest golden. */
@@ -270,6 +341,9 @@ object DedupOps {
         "hash-proven equal to q41's oracle"),
     Q("q42_minhash_lsh", minhashLsh, Some(minhashLshSql),
       "MinHash 62-hash/31-band LSH + exact verification == global shingle J>=0.5"),
+    Q("q45_dup_clusters", dupClusters, Some(dupClustersSql),
+      "connected components over the verified dup-pair graph: min-label " +
+        "propagation vs a recursive-CTE oracle"),
     Q("q43_simhash_signatures", simhashSignatures, None,
       "codegen simhash64 signatures (rows-only; ScalaTest golden)"),
     Q("q44_simhash_pairs", simhashPairs, None,

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Corpus-preparation operators a training-data pipeline runs between
+  * dedup and tokenization: reproducible sampling, text cleaning, and
+  * fixed-size sequence packing. Like the rest of the north-star suite
+  * these are beyond the reference's surface (its pipeline stops at
+  * consumer queries) but are exactly the ops its data model would need
+  * at corpus scale.
+  *
+  * Every op here is stateless and partition-local (zero shuffles except
+  * where noted), which is the property that makes them safe to run as
+  * the first pass over 100 TB.
+  */
+object PipelineOps {
+
+  /** Deterministic ~10% sample: keep doc_ids whose md5 hex prefix falls
+    * below a threshold ('1a' = 26/256 ≈ 10.2%). The scalable
+    * replacement for ORDER BY random() LIMIT n: no shuffle, no RNG
+    * state, reproducible across runs/engines, and stratifiable by
+    * hashing (key, salt) instead. md5-of-decimal-string is engine-
+    * portable, so the exact membership is hash-checked — unlike
+    * Spark's `sample()`, whose RNG is private to Spark. */
+  def hashSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .withColumn("sample_key", substring(md5($"doc_id".cast("string")), 1, 2))
+      .filter($"sample_key" < "1a")
+      .select($"doc_id", $"sample_key")
+  }
+
+  private val hashSampleSql =
+    """SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS sample_key
+      |FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'""".stripMargin
+
+  /** Cleaning pass: lowercase, strip emails then URLs, collapse
+    * whitespace, trim. Pure per-row regexp chain — whole-stage codegen,
+    * no UDF, no shuffle. Patterns stay in the regex subset Java and
+    * RE2 interpret identically (no backrefs, no lookaround). */
+  def textClean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cleaned = trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower($"text"),
+          "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", " "),
+        "https?://\\S+", " "),
+      "\\s+", " "))
+    Tables(spark, dir, "documents")
+      .select($"doc_id", cleaned.as("clean_text"),
+        size(split(cleaned, " ")).cast("long").as("n_tokens"))
+  }
+
+  private val textCleanSql =
+    """SELECT doc_id, clean_text,
+      |  CAST(len(string_split(clean_text, ' ')) AS BIGINT) AS n_tokens
+      |FROM (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', ' ', 'g'),
+      |      'https?://\S+', ' ', 'g'),
+      |      '\s+', ' ', 'g')) AS clean_text
+      |  FROM documents) t""".stripMargin
+
+  /** Sequence packing: chunk each document's token stream into
+    * fixed-size segments (here 16 tokens — stands in for a 2k/8k
+    * context length) and emit (doc_id, seg_idx, seg_tokens). The
+    * explode multiplies rows ~n/16× but stays partition-local — the
+    * segment table inherits the scan's partitioning, which is what lets
+    * a tokenizer stage run map-side afterwards. */
+  def tokenPack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seg = 16
+    Tables(spark, dir, "documents")
+      .select($"doc_id", size(split($"text", " ")).as("n"))
+      .select($"doc_id", $"n",
+        explode(sequence(lit(0), expr(s"(n - 1) div $seg").cast("int")))
+          .as("seg_idx"))
+      .select($"doc_id", $"seg_idx".cast("long").as("seg_idx"),
+        least(lit(seg), $"n" - $"seg_idx" * seg).cast("long").as("seg_tokens"))
+  }
+
+  private val tokenPackSql =
+    """SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+      |  CAST(LEAST(16, n - i * 16) AS BIGINT) AS seg_tokens
+      |FROM (
+      |  SELECT doc_id, n, unnest(range(0, (n - 1) // 16 + 1)) AS i
+      |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n
+      |        FROM documents) t) u""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+    Q("q46_hash_sample", hashSample, Some(hashSampleSql),
+      "deterministic md5-prefix sampling (reproducible, shuffle-free)"),
+    Q("q47_text_clean", textClean, Some(textCleanSql),
+      "email/URL/whitespace cleaning via codegen regexp chain"),
+    Q("q48_token_pack", tokenPack, Some(tokenPackSql),
+      "fixed-size sequence packing: doc tokens -> context-window segments"))
+}

@@ -80,6 +80,28 @@ class OperatorPropertiesSpec extends SparkSuite {
     assert(spec.nonEmpty)
   }
 
+  test("dup clusters == driver-side union-find over the same pair graph") {
+    val sf001 = "/root/testdata/sf0.01"
+    val pairs = DedupOps.minhashLsh(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = DedupOps.dupClusters(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 500)
+    for ((doc, c) <- got) assert(c == find(doc), s"doc $doc")
+    // at least one real multi-doc cluster exists at this SF
+    assert(got.exists { case (d, c) => d != c })
+  }
+
   test("exact dedup keeps every doc exactly once when all texts distinct") {
     assert(DedupOps.exactDedup(spark, sf0001).count() == 500)
   }
