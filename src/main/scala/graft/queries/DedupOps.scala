@@ -244,16 +244,23 @@ object DedupOps {
     * only the per-round convergence COUNT, never row data. The
     * large-star/small-star variant (Kiveris et al.) is the drop-in
     * upgrade if a pathological long-chain graph ever appears. */
-  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dupClusters(spark: SparkSession, dir: String,
+      maxRounds: Int = 50): DataFrame = {
     import spark.implicits._
-    val pairs = minhashLsh(spark, dir).select($"a_id", $"b_id")
-    val edges = pairs.union(pairs.select($"b_id", $"a_id"))
-      .toDF("u", "v").persist()
+    // both edge directions from ONE scan of the pair pipeline — a
+    // self-union would materialize the whole LSH candidate+verify
+    // lineage twice (only identical exchanges get ReuseExchange'd)
+    val edges = minhashLsh(spark, dir)
+      .select(explode(array(
+        struct($"a_id".as("u"), $"b_id".as("v")),
+        struct($"b_id".as("u"), $"a_id".as("v")))).as("e"))
+      .select($"e.u".as("u"), $"e.v".as("v"))
+      .persist()
     var labels = Tables(spark, dir, "documents")
       .select($"doc_id", $"doc_id".as("cluster_id")).persist()
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) {
+    while (!converged && rounds < maxRounds) {
       val viaEdges = edges
         .join(labels.select($"doc_id".as("u"), $"cluster_id"), "u")
         .select($"v".as("doc_id"), $"cluster_id")
@@ -269,6 +276,20 @@ object DedupOps {
       rounds += 1
     }
     edges.unpersist()
+    // never ship silently-wrong labels: a component with diameter >
+    // maxRounds means this graph isn't the tiny-quasi-clique shape dup
+    // mining produces — fail loudly and point at the right algorithm
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxRounds rounds — component " +
+          "diameter exceeds the cap; use large-star/small-star for " +
+          "long-chain graphs or raise maxRounds")
+    }
+    // the returned frame stays cached so downstream actions don't replay
+    // the whole iteration; Spark's ContextCleaner reclaims the blocks
+    // once the consumer drops the reference (standard cached-result
+    // contract — recomputing every round per action would cost more)
     labels
   }
 
@@ -341,7 +362,7 @@ object DedupOps {
         "hash-proven equal to q41's oracle"),
     Q("q42_minhash_lsh", minhashLsh, Some(minhashLshSql),
       "MinHash 62-hash/31-band LSH + exact verification == global shingle J>=0.5"),
-    Q("q45_dup_clusters", dupClusters, Some(dupClustersSql),
+    Q("q45_dup_clusters", dupClusters(_, _), Some(dupClustersSql),
       "connected components over the verified dup-pair graph: min-label " +
         "propagation vs a recursive-CTE oracle"),
     Q("q43_simhash_signatures", simhashSignatures, None,

@@ -37,18 +37,24 @@ object PipelineOps {
       |FROM documents
       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'""".stripMargin
 
-  /** Cleaning pass: lowercase, strip emails then URLs, collapse
-    * whitespace, trim. Pure per-row regexp chain — whole-stage codegen,
-    * no UDF, no shuffle. Patterns stay in the regex subset Java and
-    * RE2 interpret identically (no backrefs, no lookaround). */
-  def textClean(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val cleaned = trim(regexp_replace(
+  /** The cleaning expression itself: lowercase, strip emails then
+    * URLs, collapse whitespace, trim. Pure per-row regexp chain —
+    * whole-stage codegen, no UDF, no shuffle. Patterns stay in the
+    * regex subset Java and RE2 interpret identically (no backrefs, no
+    * lookaround). Public because the corpus contains no emails/URLs —
+    * the oracle hash only proves the identity path, so PipelineOpsSpec
+    * exercises the matching branches on synthetic dirty strings. */
+  def cleanExpr(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(
       regexp_replace(
-        regexp_replace(lower($"text"),
+        regexp_replace(lower(text),
           "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", " "),
         "https?://\\S+", " "),
       "\\s+", " "))
+
+  def textClean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cleaned = cleanExpr($"text")
     Tables(spark, dir, "documents")
       .select($"doc_id", cleaned.as("clean_text"),
         size(split(cleaned, " ")).cast("long").as("n_tokens"))

@@ -1,0 +1,57 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the corpus-prep operators, in particular the q47
+  * cleaning branches the synthetic corpus never triggers (it contains
+  * no '@' or 'http' at all — the oracle hash only proves the identity
+  * path there). */
+class PipelineOpsSpec extends SparkSuite {
+
+  test("cleanExpr strips emails, URLs, and collapses whitespace") {
+    import spark.implicits._
+    val in = Seq(
+      "Contact Bob.Smith+spam@Example-Host.co.uk  for   details",
+      "see https://example.com/a?b=c&d=e and http://x.io/path, ok",
+      "  plain   text  stays  ",
+      "MIXED Case And\tTabs",
+      "no-at-sign user.name@ incomplete @domain.com").toDF("text")
+    val got = in.select(PipelineOps.cleanExpr($"text").as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got(0) == "contact for details")
+    assert(got(1) == "see and ok")           // trailing ',' glued to URL: \S+
+    assert(got(2) == "plain text stays")
+    assert(got(3) == "mixed case and tabs")
+    // '@' without a valid local/domain shape is NOT an email — left alone
+    assert(got(4) == "no-at-sign user.name@ incomplete @domain.com")
+  }
+
+  test("hash sample rate lands near the 26/256 design point") {
+    val n = graft.sources.Tables(spark, sf0001, "documents").count()
+    val s = PipelineOps.hashSample(spark, sf0001).count()
+    assert(s > 0 && s < n)
+    val rate = s.toDouble / n
+    assert(rate > 0.04 && rate < 0.18, s"rate=$rate")
+  }
+
+  test("token pack conserves token counts and caps segments at 16") {
+    import spark.implicits._
+    val packed = PipelineOps.tokenPack(spark, sf0001)
+    val bySeg = packed.groupBy($"doc_id")
+      .agg(sum($"seg_tokens").as("total"), max($"seg_tokens").as("mx"),
+        count(lit(1)).as("nseg"), max($"seg_idx").as("maxidx"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val truth = graft.sources.Tables(spark, sf0001, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bySeg.keySet == truth.keySet)
+    for ((d, (total, mx, nseg, maxidx)) <- bySeg) {
+      assert(total == truth(d), s"doc $d loses tokens")
+      assert(mx <= 16)
+      assert(nseg == (truth(d) + 15) / 16)   // ceil(n/16) segments
+      assert(maxidx == nseg - 1)             // contiguous 0..nseg-1
+    }
+  }
+}
