@@ -170,6 +170,70 @@ object TextOps {
       |    i -> array_to_string(t[i:i+2], ' ')))) AS n_distinct_shingles
       |FROM tok""".stripMargin
 
+  /** Characteristic terms per document: top-3 by (term frequency desc,
+    * document frequency asc, term asc). This is the TF-IDF ranking made
+    * float-free: for a FIXED document, ordering by df ascending is
+    * order-equivalent to idf = ln(N/df) descending (ln is monotone), so
+    * rarest-first tie-breaking surfaces the same "characteristic" terms
+    * without ever computing a logarithm — which matters because libm ln
+    * low bits differ across engines and would poison the hash gate. The
+    * plan is two partial-aggregatable counts (tf, then df over tf) and
+    * one per-doc window — every shuffle is key-partitioned, nothing
+    * global. */
+  def topTerms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = Tables(spark, dir, "documents")
+      .select($"doc_id", explode(toks($"text")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"doc_id", $"token")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id")
+      .orderBy($"tf".desc, $"df".asc, $"token".asc)
+    tf.join(dfreq, "token")
+      .withColumn("term_rank", row_number().over(w).cast("long"))
+      .filter($"term_rank" <= 3)
+      .select($"doc_id", $"term_rank", $"token", $"tf", $"df")
+  }
+
+  private val topTermsSql =
+    """WITH tf AS (
+      |  SELECT doc_id, u.t AS token, COUNT(*) AS tf
+      |  FROM documents, unnest(string_split(text, ' ')) u(t)
+      |  WHERE u.t <> '' GROUP BY 1, 2),
+      |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1)
+      |SELECT doc_id, CAST(rn AS BIGINT) AS term_rank, token, tf, df FROM (
+      |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.token ASC) AS rn
+      |  FROM tf JOIN dfreq ON tf.token = dfreq.token) t
+      |WHERE rn <= 3""".stripMargin
+
+  /** Per-source corpus stats: vocabulary size (exact distinct tokens),
+    * document count, total token occurrences — the numbers a corpus
+    * card reports per slice. Exact COUNT(DISTINCT) is the oracle-
+    * checkable spec; at 100 TB the drop-in is approx_count_distinct
+    * (HLL sketch, partial-aggregatable), asserted within tolerance in
+    * ScalaTest since sketches can't hash-match across engines. */
+  def sourceVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"doc_id", $"source", explode(toks($"text")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"source")
+      .agg(countDistinct($"token").as("vocab"),
+        countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_token_occurrences"))
+  }
+
+  private val sourceVocabSql =
+    """SELECT source, COUNT(DISTINCT u.t) AS vocab,
+      |  COUNT(DISTINCT doc_id) AS n_docs,
+      |  COUNT(*) AS n_token_occurrences
+      |FROM documents, unnest(string_split(text, ' ')) u(t)
+      |WHERE u.t <> '' GROUP BY source""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q20_token_stats", tokenStats, Some(tokenStatsSql),
       "whitespace + subword-chunk token counting"),
@@ -182,5 +246,9 @@ object TextOps {
     Q("q24_fingerprint", fingerprint, Some(fingerprintSql),
       "normalize+md5 document fingerprint"),
     Q("q25_shingle_stats", shingleStats, Some(shingleStatsSql),
-      "3-token shingles via higher-order functions"))
+      "3-token shingles via higher-order functions"),
+    Q("q39_top_terms", topTerms, Some(topTermsSql),
+      "float-free TF-IDF-style characteristic terms (tf desc, df asc)"),
+    Q("q49_source_vocab", sourceVocab, Some(sourceVocabSql),
+      "per-source corpus card: exact vocab / docs / occurrences"))
 }

@@ -35,6 +35,23 @@ class PipelineOpsSpec extends SparkSuite {
     assert(rate > 0.04 && rate < 0.18, s"rate=$rate")
   }
 
+  test("HLL sketch vocab (the 100 TB path) tracks exact vocab within 5%") {
+    import spark.implicits._
+    val exact = TextOps.sourceVocab(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.sources.Tables(spark, sf0001, "documents")
+      .select($"source", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"source")
+      .agg(approx_count_distinct($"token").as("vocab"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((s, v) <- exact) {
+      val a = approx(s).toDouble
+      assert(math.abs(a - v) / v <= 0.05, s"source $s: exact=$v approx=$a")
+    }
+  }
+
   test("token pack conserves token counts and caps segments at 16") {
     import spark.implicits._
     val packed = PipelineOps.tokenPack(spark, sf0001)
