@@ -272,6 +272,74 @@ object EventOps {
       |      - CAST(floor(epoch(ts)) AS BIGINT) AS next_gap_s
       |  FROM events) t WHERE next_gap_s IS NOT NULL""".stripMargin
 
+  /** Sliding (hopping) windows — 2-minute windows every 1 minute, so
+    * each event lands in exactly two windows. The reference only ever
+    * uses tumbling windows; the sliding form is the same one-shuffle
+    * groupBy, with the window replication happening map-side (Spark
+    * expands window() to an explode over the containing windows before
+    * the exchange — no extra pass, ~2× shuffle rows by construction).
+    * Oracle: each event's two containing window starts are
+    * floor_minute(ts) and floor_minute(ts) - 1 min. */
+  def slidingWindowStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .groupBy(window($"ts", "2 minutes", "1 minute"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"value")).cast("double").as("total_value"))
+      .select($"window.start".as("window_start"), $"event_type", $"n",
+        $"total_value")
+  }
+
+  private val slidingWindowStatsSql =
+    """SELECT ws AS window_start, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM (
+      |  SELECT date_trunc('minute', ts) AS ws, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT date_trunc('minute', ts) - INTERVAL 1 MINUTE, event_type, value
+      |  FROM events) t
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Native session windows: Spark's `session_window` stateful operator
+    * over pre-floored second timestamps, proving the built-in gives the
+    * same sessions as the manual window-function sessionizer (q17).
+    * Boundary semantics differ deliberately: session_window treats a
+    * gap of EXACTLY the gap duration as a split (interval is
+    * [start, last+gap)), while q17's lag-based form splits only on
+    * gap > 1800 — the oracle here uses >= to match the native rule.
+    * Pre-flooring via timestamp_seconds keeps membership decisions in
+    * the same integer-second domain as the oracle (raw micros could
+    * disagree exactly at the boundary). */
+  def sessionWindowNative(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .withColumn("tss", timestamp_seconds(epochS($"ts")))
+      .groupBy($"user_id", session_window($"tss", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        unix_timestamp($"session_window.start").as("session_start_s"),
+        $"n_events")
+  }
+
+  private val sessionWindowNativeSql =
+    """WITH g AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+      |    CAST(floor(epoch(ts)) AS BIGINT)
+      |      - LAG(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER (
+      |          PARTITION BY user_id
+      |          ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC)
+      |      AS gap_s
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts_s,
+      |    CAST(SUM(CASE WHEN gap_s IS NULL OR gap_s >= 1800 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS session_idx
+      |  FROM g)
+      |SELECT user_id, MIN(ts_s) AS session_start_s, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, session_idx""".stripMargin
+
   /** Exact interpolated percentiles (sort-based `percentile`, matching
     * SQL-standard PERCENTILE_CONT semantics — DuckDB's quantile_cont
     * uses the same definition, and both interpolate the same two order
@@ -317,6 +385,10 @@ object EventOps {
       "JSON path extraction + agg"),
     Q("q34_percentiles", percentiles, Some(percentilesSql),
       "exact interpolated percentiles (PERCENTILE_CONT semantics)"),
+    Q("q52_sliding_window", slidingWindowStats, Some(slidingWindowStatsSql),
+      "2-min/1-min hopping windows (map-side replication, one shuffle)"),
+    Q("q53_session_window", sessionWindowNative, Some(sessionWindowNativeSql),
+      "native session_window == manual sessionizer under >= gap rule"),
     Q("q36_event_lead", eventLead, Some(eventLeadSql),
       "lead() forward gap (completes lag/lead pair)"))
 }
