@@ -97,7 +97,50 @@ object PipelineOps {
       |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n
       |        FROM documents) t) u""".stripMargin
 
+  /** Cross-source contamination report: how many verified near-dup
+    * pairs (exact shingle J ≥ 0.5, the [[DedupOps.minhashLsh]] output)
+    * connect each unordered source pair — the decontamination check a
+    * training pipeline runs between its train shards and held-out
+    * benchmark sets. (Exact-fingerprint contamination is the trivial
+    * special case, and this corpus has zero exact dups — q40 — so the
+    * near-dup graph is the meaningful report.) Candidate volume is
+    * bounded by true duplicate mass via LSH, never by source size; the
+    * source-pair rollup is partial-aggregatable. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables(spark, dir, "documents").select($"doc_id", $"source")
+    DedupOps.minhashLsh(spark, dir).select($"a_id", $"b_id")
+      .join(src.select($"doc_id".as("a_id"), $"source".as("sa")), "a_id")
+      .join(src.select($"doc_id".as("b_id"), $"source".as("sb")), "b_id")
+      .groupBy(least($"sa", $"sb").as("source_a"),
+        greatest($"sa", $"sb").as("source_b"))
+      .agg(count(lit(1)).as("n_near_dup_pairs"))
+  }
+
+  private val contaminationSql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(1, len(string_split(text, ' ')) - 1),
+      |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS s
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5)
+      |SELECT LEAST(da.source, db.source) AS source_a,
+      |  GREATEST(da.source, db.source) AS source_b,
+      |  COUNT(*) AS n_near_dup_pairs
+      |FROM p
+      |JOIN documents da ON da.doc_id = p.a_id
+      |JOIN documents db ON db.doc_id = p.b_id
+      |GROUP BY 1, 2""".stripMargin
+
   def queries: Seq[Q] = Seq(
+    Q("q54_contamination", contamination, Some(contaminationSql),
+      "cross-source duplicate/contamination report via fingerprint join"),
     Q("q46_hash_sample", hashSample, Some(hashSampleSql),
       "deterministic md5-prefix sampling (reproducible, shuffle-free)"),
     Q("q47_text_clean", textClean, Some(textCleanSql),

@@ -121,6 +121,62 @@ class StreamingSpec extends SparkSuite {
     assert(rows.toSeq == Seq((1L, 2L, 1000L, 50L)))
   }
 
+  test("sliding windows stream == batch on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = ms.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window($"ts", "2 minutes", "1 minute"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("ws"), $"event_type", $"n")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("slide_out").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    ms.addData(
+      (t("2025-01-25 16:00:10"), "click", 1.0),
+      (t("2025-01-25 16:01:20"), "click", 1.0))
+    q.processAllAvailable()
+    ms.addData((t("2025-01-25 16:30:00"), "view", 1.0)) // advance watermark
+    q.processAllAvailable()
+    val got = spark.table("slide_out").collect()
+      .map(r => (r.getTimestamp(0).toString.substring(0, 19), r.getString(1),
+        r.getLong(2))).toSet
+    q.stop()
+    // event@16:00 -> windows 15:59+16:00; event@16:01 -> 16:00+16:01
+    assert(got == Set(
+      ("2025-01-25 15:59:00", "click", 1L),
+      ("2025-01-25 16:00:00", "click", 2L),
+      ("2025-01-25 16:01:00", "click", 1L)))
+  }
+
+  test("native session_window streams with watermark and matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = ms.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 seconds")
+      .groupBy($"user_id", session_window($"ts", "100 seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_window.start".as("s"), $"n_events")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sw_out").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 7: two events 50 s apart merge; user 8 overlaps independently
+    ms.addData((t("2025-01-25 16:00:00"), 7L), (t("2025-01-25 16:00:50"), 7L),
+      (t("2025-01-25 16:00:30"), 8L))
+    q.processAllAvailable()
+    ms.addData((t("2025-01-25 16:30:00"), 9L)) // watermark closes sessions
+    q.processAllAvailable()
+    val got = spark.table("sw_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString.substring(0, 19),
+        r.getLong(2))).toSet
+    q.stop()
+    assert(got == Set(
+      (7L, "2025-01-25 16:00:00", 2L),
+      (8L, "2025-01-25 16:00:30", 1L)))
+  }
+
   test("sessionize: flatMapGroupsWithState equals the batch window form") {
     import spark.implicits._
     val batch = graft.queries.EventOps.sessionize(spark, sf0001).collect()
