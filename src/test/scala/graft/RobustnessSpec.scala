@@ -20,6 +20,21 @@ class RobustnessSpec extends SparkSuite {
       s"exact=$exact approx=$approx")
   }
 
+  test("approx_percentile (sketch path) brackets the exact percentile") {
+    import spark.implicits._
+    val rows = Tables(spark, sf0001, "events")
+      .agg(expr("percentile(value, 0.5)").as("exact_p50"),
+        expr("approx_percentile(value, 0.5, 1000)").as("approx_p50"),
+        min($"value").as("lo"), max($"value").as("hi"))
+      .head
+    val (exact, approx) = (rows.getDouble(0), rows.getDouble(1))
+    val span = rows.getDouble(3) - rows.getDouble(2)
+    // sketch guarantees rank error <= 1/accuracy; value-space check is a
+    // loose but deterministic bracket on this distribution
+    assert(math.abs(approx - exact) <= span * 0.05,
+      s"exact=$exact approx=$approx span=$span")
+  }
+
   test("corrupt JSON records parse to null rows, not query failure") {
     import spark.implicits._
     val rows = Seq(
