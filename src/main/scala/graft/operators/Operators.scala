@@ -103,4 +103,18 @@ object Operators {
       loCol: String, hiCol: String): DataFrame =
     facts.join(broadcast(bands),
       col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol), "inner")
+
+  /** Persist a table bucketed (and sorted) by its join key — the
+    * repeated-join lever at 100 TB: two tables bucketed into the same
+    * `buckets` count on their join keys sort-merge-join with NO
+    * exchange and NO per-query sort, because the on-disk layout already
+    * satisfies the join's required distribution and ordering. Pay one
+    * write-time shuffle, skip a shuffle in every subsequent join
+    * (BucketingSpec asserts the exchange-free plan). Spark buckets are
+    * metastore-backed (`saveAsTable`) — plain `.parquet(path)` writes
+    * cannot carry bucket metadata. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").format("parquet").saveAsTable(table)
 }

@@ -1,0 +1,40 @@
+package graft.queries
+
+import graft.SparkSuite
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** The bucketed-layout contract: co-bucketed tables join with no
+  * exchange (and no per-query sort) — one write-time shuffle bought a
+  * shuffle-free join for every downstream query. This is the repeated-
+  * join lever at 100 TB; local[4] proves the plan shape. */
+class BucketingSpec extends SparkSuite {
+
+  test("co-bucketed tables sort-merge-join without any exchange") {
+    import spark.implicits._
+    graft.operators.Operators.writeBucketed(
+      Tables(spark, sf0001, "orders").select($"o_orderkey", $"o_custkey"),
+      "orders_bkt", "o_custkey", buckets = 4)
+    graft.operators.Operators.writeBucketed(
+      Tables(spark, sf0001, "customer").select($"c_custkey", $"c_name"),
+      "customer_bkt", "c_custkey", buckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force SMJ so the assertion targets the exchange, not broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_bkt")
+        .join(spark.table("customer_bkt"), $"o_custkey" === $"c_custkey")
+      val n = joined.count()
+      assert(n == Tables(spark, sf0001, "orders").count())
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$p")
+      assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    }
+  }
+}
