@@ -78,9 +78,51 @@ object MultimodalOps {
       |  CAST(f * (n_bytes // n_frames) AS BIGINT) AS byte_offset
       |FROM m, unnest(generate_series(0, n_frames - 1)) t(f)""".stripMargin
 
+  /** Per-asset extracted features. `thumb_md5` is the "resize" stand-in:
+    * the hash of the leading 64-byte thumbnail slice. */
+  final case class AssetFeatures(doc_id: Long, n_bytes: Long,
+      n_space: Long, n_lower: Long, thumb_md5: String)
+
+  /** Feature extraction inside the decode pass: byte-level stats and a
+    * thumbnail digest computed per asset in the same one-instance-per-
+    * partition batch map a real codec would use (the MessageDigest here
+    * plays the role of the expensive per-partition handle). The payload
+    * is ASCII text bytes, so every feature is reproducible char-wise in
+    * the oracle — the byte math is real, only the codec is stubbed. */
+  def featureExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"doc_id", encode($"text", "utf-8").as("payload"))
+      .as[Asset]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { a =>
+          md.reset()
+          val thumbMd5 = md.digest(a.payload.take(64))
+            .map("%02x".format(_)).mkString
+          AssetFeatures(a.doc_id, a.payload.length.toLong,
+            a.payload.count(_ == 32).toLong,
+            a.payload.count(b => b >= 97 && b <= 122).toLong,
+            thumbMd5)
+        }
+      }
+      .toDF()
+  }
+
+  private val featureExtractSql =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(len(text) - len(replace(text, ' ', '')) AS BIGINT) AS n_space,
+      |  CAST(len(text) - len(regexp_replace(text, '[a-z]', '', 'g'))
+      |    AS BIGINT) AS n_lower,
+      |  md5(substr(text, 1, 64)) AS thumb_md5
+      |FROM documents""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q50_binary_meta", binaryMeta, Some(binaryMetaSql),
       "binary payload metadata via typed mapPartitions (stub decoder)"),
     Q("q51_frame_sample", frameSample, Some(frameSampleSql),
-      "per-frame explode with byte offsets"))
+      "per-frame explode with byte offsets"),
+    Q("q55_feature_extract", featureExtract, Some(featureExtractSql),
+      "in-decoder feature extraction: byte stats + thumbnail digest"))
 }
