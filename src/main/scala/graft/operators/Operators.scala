@@ -104,17 +104,27 @@ object Operators {
     facts.join(broadcast(bands),
       col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol), "inner")
 
-  /** Persist a table bucketed (and sorted) by its join key — the
+  /** Persist a table bucketed and sorted by its join key — the
     * repeated-join lever at 100 TB: two tables bucketed into the same
     * `buckets` count on their join keys sort-merge-join with NO
-    * exchange and NO per-query sort, because the on-disk layout already
-    * satisfies the join's required distribution and ordering. Pay one
-    * write-time shuffle, skip a shuffle in every subsequent join
-    * (BucketingSpec asserts the exchange-free plan). Spark buckets are
-    * metastore-backed (`saveAsTable`) — plain `.parquet(path)` writes
-    * cannot carry bucket metadata. */
+    * exchange, because the on-disk layout already satisfies the join's
+    * required distribution. Pay one write-time shuffle, skip a shuffle
+    * in every subsequent join.
+    *
+    * The per-query SORT is a separate, smaller win: since Spark 3 the
+    * scan reports bucket sort order only under
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true`, and that
+    * is only safe when each bucket is a single file. The repartition
+    * below aligns write tasks with bucket hashing (both are Murmur3
+    * `hashpartitioning` on the key), so each task holds exactly one
+    * bucket and writes exactly one file — making the flag safe for
+    * tables written here. BucketingSpec asserts the exchange-free plan
+    * unconditionally and the sort-free plan under the flag. Spark
+    * buckets are metastore-backed (`saveAsTable`) — plain
+    * `.parquet(path)` writes cannot carry bucket metadata. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit =
-    df.write.bucketBy(buckets, key).sortBy(key)
+    df.repartition(buckets, col(key))
+      .write.bucketBy(buckets, key).sortBy(key)
       .mode("overwrite").format("parquet").saveAsTable(table)
 }

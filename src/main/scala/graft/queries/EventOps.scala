@@ -43,19 +43,27 @@ object EventOps {
       |  COUNT(*) AS n_events
       |FROM events GROUP BY 1""".stripMargin
 
-  /** 1-minute tumbling window stats — the reference's windowed avg
-    * (`src/bike_consumer.py:93-100`, `src/previous_tp_code.py:157-165`).
-    * window().start is an exact minute boundary, so emitting it raw is
-    * cross-engine safe. */
-  def tumblingWindowStats(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared body of the tumbling/sliding window twins: same agg (count
+    * + decimal-disciplined sum, the cross-engine determinism rule) and
+    * same output shape, parameterized only by the window spec — so the
+    * decimal rule can never diverge between the twins. */
+  private def windowedStats(spark: SparkSession, dir: String,
+      win: Column): DataFrame = {
     import spark.implicits._
     Tables(spark, dir, "events")
-      .groupBy(window($"ts", "1 minute"), $"event_type")
+      .groupBy(win.as("window"), $"event_type")
       .agg(count(lit(1)).as("n"),
         sum(dec($"value")).cast("double").as("total_value"))
       .select($"window.start".as("window_start"), $"event_type", $"n",
         $"total_value")
   }
+
+  /** 1-minute tumbling window stats — the reference's windowed avg
+    * (`src/bike_consumer.py:93-100`, `src/previous_tp_code.py:157-165`).
+    * window().start is an exact minute boundary, so emitting it raw is
+    * cross-engine safe. */
+  def tumblingWindowStats(spark: SparkSession, dir: String): DataFrame =
+    windowedStats(spark, dir, window(col("ts"), "1 minute"))
 
   private val tumblingWindowStatsSql =
     """SELECT date_trunc('minute', ts) AS window_start, event_type,
@@ -280,15 +288,8 @@ object EventOps {
     * the exchange — no extra pass, ~2× shuffle rows by construction).
     * Oracle: each event's two containing window starts are
     * floor_minute(ts) and floor_minute(ts) - 1 min. */
-  def slidingWindowStats(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables(spark, dir, "events")
-      .groupBy(window($"ts", "2 minutes", "1 minute"), $"event_type")
-      .agg(count(lit(1)).as("n"),
-        sum(dec($"value")).cast("double").as("total_value"))
-      .select($"window.start".as("window_start"), $"event_type", $"n",
-        $"total_value")
-  }
+  def slidingWindowStats(spark: SparkSession, dir: String): DataFrame =
+    windowedStats(spark, dir, window(col("ts"), "2 minutes", "1 minute"))
 
   private val slidingWindowStatsSql =
     """SELECT ws AS window_start, event_type, COUNT(*) AS n,

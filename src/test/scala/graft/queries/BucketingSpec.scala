@@ -10,28 +10,39 @@ import org.apache.spark.sql.functions._
   * join lever at 100 TB; local[4] proves the plan shape. */
 class BucketingSpec extends SparkSuite {
 
-  test("co-bucketed tables sort-merge-join without any exchange") {
+  test("co-bucketed tables sort-merge-join without exchange OR sort") {
     import spark.implicits._
-    graft.operators.Operators.writeBucketed(
-      Tables(spark, sf0001, "orders").select($"o_orderkey", $"o_custkey"),
-      "orders_bkt", "o_custkey", buckets = 4)
-    graft.operators.Operators.writeBucketed(
-      Tables(spark, sf0001, "customer").select($"c_custkey", $"c_name"),
-      "customer_bkt", "c_custkey", buckets = 4)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
+      graft.operators.Operators.writeBucketed(
+        Tables(spark, sf0001, "orders").select($"o_orderkey", $"o_custkey"),
+        "orders_bkt", "o_custkey", buckets = 4)
+      graft.operators.Operators.writeBucketed(
+        Tables(spark, sf0001, "customer").select($"c_custkey", $"c_name"),
+        "customer_bkt", "c_custkey", buckets = 4)
       // force SMJ so the assertion targets the exchange, not broadcast
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val joined = spark.table("orders_bkt")
-        .join(spark.table("customer_bkt"), $"o_custkey" === $"c_custkey")
-      val n = joined.count()
-      assert(n == Tables(spark, sf0001, "orders").count())
-      val p = joined.queryExecution.executedPlan.toString
+      def joinPlan(): String = {
+        val joined = spark.table("orders_bkt")
+          .join(spark.table("customer_bkt"), $"o_custkey" === $"c_custkey")
+        assert(joined.count() == Tables(spark, sf0001, "orders").count())
+        joined.queryExecution.executedPlan.toString
+      }
+      val p = joinPlan()
       assert(p.contains("SortMergeJoin"), p)
       assert(!p.contains("Exchange hashpartitioning"),
         s"bucketed join must not shuffle:\n$p")
       assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"), p)
+      // sort elision needs the legacy scan-ordering flag, which is safe
+      // here because writeBucketed guarantees one file per bucket
+      spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val ps = joinPlan()
+      assert(!ps.contains("Exchange hashpartitioning"), ps)
+      assert(!ps.contains("Sort "),
+        s"single-file buckets under the ordering flag must not re-sort:\n$ps")
     } finally {
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS orders_bkt")
       spark.sql("DROP TABLE IF EXISTS customer_bkt")
