@@ -70,6 +70,26 @@ class RobustnessSpec extends SparkSuite {
     assert(out == Seq(1L))
   }
 
+  test("stream-static join: streaming facts enrich against a batch dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Tables(spark, sf0001, "nation")
+      .select($"n_nationkey", $"n_name")
+    val facts = MemoryStream[(Long, Double)]
+    val q = facts.toDF().toDF("nationkey", "amount")
+      .join(broadcast(dim), $"nationkey" === $"n_nationkey")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ss_static").start()
+    facts.addData((0L, 10.0), (1L, 20.0), (9999L, 5.0)) // 9999: no dim row
+    q.processAllAvailable()
+    val out = spark.table("ss_static").collect()
+      .map(r => (r.getAs[Long]("nationkey"), r.getAs[String]("n_name")))
+      .toSet
+    q.stop()
+    assert(out.map(_._1) == Set(0L, 1L)) // inner join drops the orphan
+    assert(out.forall(_._2.nonEmpty))
+  }
+
   test("salted join result identical to plain join") {
     import spark.implicits._
     val plain = Tables(spark, sf0001, "orders")
