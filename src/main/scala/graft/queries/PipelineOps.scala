@@ -37,6 +37,52 @@ object PipelineOps {
       |FROM documents
       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'""".stripMargin
 
+  /** Stratified deterministic sampling: per-language rates (here en at
+    * ~25%, everything else at ~10%) via the same md5-prefix device as
+    * [[hashSample]] — the training-mix lever: re-weight corpus slices
+    * reproducibly, shuffle-free, with membership decided row-locally
+    * from (id, stratum) alone. Changing the mix is a threshold-map
+    * edit, not a new shuffle. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .withColumn("sample_key", substring(md5($"doc_id".cast("string")), 1, 2))
+      .filter($"sample_key" <
+        when($"lang" === "en", "40").otherwise("1a"))
+      .select($"doc_id", $"lang", $"sample_key")
+  }
+
+  private val stratifiedSampleSql =
+    """SELECT doc_id, lang,
+      |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS sample_key
+      |FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      |  CASE WHEN lang = 'en' THEN '40' ELSE '1a' END""".stripMargin
+
+  /** BPE-ish subword token counting via a GPT-style pre-tokenizer
+    * regex (contractions | space?-letters | space?-digits |
+    * space?-other) — the counting stage a tokenizer-budget estimate
+    * runs before actual BPE merges. The pattern stays in the common
+    * Java/RE2 subset (alternation + character classes only), so the
+    * match count is engine-identical and hash-checked. */
+  def bpeTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
+    Tables(spark, dir, "documents")
+      .select($"doc_id",
+        size(regexp_extract_all($"text", lit(pat), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
+        size(split($"text", " ")).cast("long").as("n_ws_tokens"))
+  }
+
+  private val bpeTokenCountSql =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text,
+      |    '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+'))
+      |    AS BIGINT) AS n_bpe_tokens,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+      |FROM documents""".stripMargin
+
   /** The cleaning expression itself: lowercase, strip emails then
     * URLs, collapse whitespace, trim. Pure per-row regexp chain —
     * whole-stage codegen, no UDF, no shuffle. Patterns stay in the
@@ -143,6 +189,10 @@ object PipelineOps {
       "cross-source duplicate/contamination report via fingerprint join"),
     Q("q46_hash_sample", hashSample, Some(hashSampleSql),
       "deterministic md5-prefix sampling (reproducible, shuffle-free)"),
+    Q("q56_stratified_sample", stratifiedSample, Some(stratifiedSampleSql),
+      "per-stratum deterministic sampling rates (training-mix lever)"),
+    Q("q57_bpe_token_count", bpeTokenCount, Some(bpeTokenCountSql),
+      "GPT-style pre-tokenizer regex token counting (Java/RE2-common subset)"),
     Q("q47_text_clean", textClean, Some(textCleanSql),
       "email/URL/whitespace cleaning via codegen regexp chain"),
     Q("q48_token_pack", tokenPack, Some(tokenPackSql),
