@@ -155,7 +155,7 @@ object PipelineOps {
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val src = Tables(spark, dir, "documents").select($"doc_id", $"source")
-    DedupOps.minhashLsh(spark, dir).select($"a_id", $"b_id")
+    DedupOps.verifiedPairs(spark, dir).select($"a_id", $"b_id")
       .join(src.select($"doc_id".as("a_id"), $"source".as("sa")), "a_id")
       .join(src.select($"doc_id".as("b_id"), $"source".as("sb")), "b_id")
       .groupBy(least($"sa", $"sb").as("source_a"),
