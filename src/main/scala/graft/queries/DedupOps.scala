@@ -234,13 +234,17 @@ object DedupOps {
     * result in its own right (q42) — exactly the artifact a deployment
     * writes to storage once and joins repeatedly. Caching here is that
     * materialization, in-session: the first consumer pays the mining
-    * cost, later consumers read the persisted pairs. Spark's
-    * ContextCleaner reclaims the blocks when the session drops them. */
+    * cost, later consumers read the persisted pairs. Entries for
+    * stopped contexts are evicted on access (their cached blocks died
+    * with the executor anyway), so the memo cannot pin dead sessions
+    * or their block-manager state in a long-lived JVM. */
   private val pairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-  def verifiedPairs(spark: SparkSession, dir: String): DataFrame =
+  def verifiedPairs(spark: SparkSession, dir: String): DataFrame = {
+    pairsMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     pairsMemo.computeIfAbsent((spark, dir),
       _ => minhashLsh(spark, dir).persist())
+  }
 
   /** Duplicate-cluster assignment: connected components over the
     * verified near-dup pair graph ([[minhashLsh]] output == exact

@@ -83,12 +83,15 @@ object MultimodalOps {
   final case class AssetFeatures(doc_id: Long, n_bytes: Long,
       n_space: Long, n_lower: Long, thumb_md5: String)
 
-  /** Feature extraction inside the decode pass: byte-level stats and a
+  /** Feature extraction inside the decode pass: content stats and a
     * thumbnail digest computed per asset in the same one-instance-per-
     * partition batch map a real codec would use (the MessageDigest here
-    * plays the role of the expensive per-partition handle). The payload
-    * is ASCII text bytes, so every feature is reproducible char-wise in
-    * the oracle — the byte math is real, only the codec is stubbed. */
+    * plays the role of the expensive per-partition handle). The decoder
+    * "decodes" the payload back to its character stream and computes
+    * every feature CHAR-wise (thumbnail = first 64 chars, re-encoded
+    * for hashing) so the semantics are well-defined — and oracle-
+    * identical — for non-ASCII payloads too, not just the current
+    * ASCII corpus. n_bytes stays a true byte count. */
   def featureExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir, "documents")
@@ -97,12 +100,14 @@ object MultimodalOps {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { a =>
+          val decoded = new String(a.payload, java.nio.charset.StandardCharsets.UTF_8)
           md.reset()
-          val thumbMd5 = md.digest(a.payload.take(64))
+          val thumbMd5 = md.digest(decoded.take(64)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
             .map("%02x".format(_)).mkString
           AssetFeatures(a.doc_id, a.payload.length.toLong,
-            a.payload.count(_ == 32).toLong,
-            a.payload.count(b => b >= 97 && b <= 122).toLong,
+            decoded.count(_ == ' ').toLong,
+            decoded.count(c => c >= 'a' && c <= 'z').toLong,
             thumbMd5)
         }
       }
