@@ -102,6 +102,16 @@ class OperatorPropertiesSpec extends SparkSuite {
     assert(got.exists { case (d, c) => d != c })
   }
 
+  test("dup clusters fail loudly when the round cap precludes convergence") {
+    // any non-empty edge set needs >= 2 rounds (one to propagate, one to
+    // observe quiescence), so maxRounds = 1 must throw, never return
+    // possibly-unconverged labels
+    val e = intercept[IllegalStateException] {
+      DedupOps.dupClusters(spark, "/root/testdata/sf0.01", maxRounds = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("exact dedup keeps every doc exactly once when all texts distinct") {
     assert(DedupOps.exactDedup(spark, sf0001).count() == 500)
   }
