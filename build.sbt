@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 61 queries' worth of whole-stage-codegen classes in one JVM can
+  // exhaust the default 240 MB JIT code cache, silently disabling
+  // compilation for later (compute-dense) queries — the prime suspect
+  // for round-2's in-suite-only q43/q44 inflation
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
 )

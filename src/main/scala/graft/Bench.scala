@@ -30,28 +30,51 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }.toSeq
+    // Registry order note: queries run name-sorted, so q42 (the first
+    // consumer of the shared verified-pair table) pays its mining cost
+    // and q45/q54 ride the materialization — the per-query numbers
+    // reflect that documented attribution (ADVICE r2).
     val results = selected.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
+      val r = try {
+        val df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        val t = name -> (System.nanoTime() - t0) / 1e9
+        // release each query's persisted result once consumed (q45's
+        // cluster labels etc.) so cached blocks don't accumulate across
+        // 61 queries in one JVM — but never the memoized pair table,
+        // whose whole point is cross-query reuse
+        if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+            && !graft.queries.DedupOps.isSharedArtifact(df))
+          df.unpersist(blocking = false)
+        t
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: " + e.getMessage)
         name -> -1.0
       }
+      r
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // a second, short total-only line AFTER the full one: the round-2
+    // driver tail-captured its own stdout and truncated the ~4 KB full
+    // line mid-JSON ("parsed": null) — a trailing <120-byte line
+    // survives any tail window, and a last-parseable-line parser picks
+    // it up
+    val shortLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
     println(line)
-    // stdout alone is buried in sbt [info] noise (round-1 BENCH had
-    // "parsed": null) — also write the bare JSON line where a parser
-    // can't miss it.
+    println(shortLine)
+    // stdout alone is buried in sbt [info] noise — also write the bare
+    // JSON where a parser can't miss it. The cwd copy is canonical;
+    // /tmp is best-effort convenience (shared path, may be stale or
+    // contended — ADVICE r2).
     for (p <- Seq("bench_out.json", "/tmp/bench_out.json")) {
       try java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        (line + "\n").getBytes("UTF-8"))
+        (line + "\n" + shortLine + "\n").getBytes("UTF-8"))
       catch { case e: Exception =>
         System.err.println(s"[bench] could not write $p: ${e.getMessage}") }
     }

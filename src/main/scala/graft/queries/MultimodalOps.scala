@@ -88,10 +88,11 @@ object MultimodalOps {
     * partition batch map a real codec would use (the MessageDigest here
     * plays the role of the expensive per-partition handle). The decoder
     * "decodes" the payload back to its character stream and computes
-    * every feature CHAR-wise (thumbnail = first 64 chars, re-encoded
-    * for hashing) so the semantics are well-defined — and oracle-
-    * identical — for non-ASCII payloads too, not just the current
-    * ASCII corpus. n_bytes stays a true byte count. */
+    * every feature in the CHARACTER domain (thumbnail = first 64 CODE
+    * POINTS — `offsetByCodePoints`, not UTF-16 units, so supplementary-
+    * plane payloads slice exactly where the oracle's code-point substr
+    * does; the space/lowercase counts are single-unit predicates, safe
+    * char-wise). n_bytes stays a true byte count. */
   def featureExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir, "documents")
@@ -102,7 +103,9 @@ object MultimodalOps {
         it.map { a =>
           val decoded = new String(a.payload, java.nio.charset.StandardCharsets.UTF_8)
           md.reset()
-          val thumbMd5 = md.digest(decoded.take(64)
+          val thumbEnd = decoded.offsetByCodePoints(0,
+            math.min(64, decoded.codePointCount(0, decoded.length)))
+          val thumbMd5 = md.digest(decoded.substring(0, thumbEnd)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
             .map("%02x".format(_)).mkString
           AssetFeatures(a.doc_id, a.payload.length.toLong,

@@ -98,6 +98,25 @@ object StreamingQueries {
       .select($"w.start".as("window_start"), $"avg_wind_speed", $"n")
   }
 
+  /** Streaming twin of the q40 exact dedup
+    * ([[graft.queries.DedupOps.exactDedup]]): identical normalize→md5
+    * fingerprint, survivors chosen by `dropDuplicatesWithinWatermark` —
+    * dedup state is BOUNDED by the watermark delay (a fingerprint is
+    * held only while a duplicate could still arrive), which is the
+    * contract that lets exact dedup run on a continuous 100 TB ingest
+    * where batch dedup would need the full corpus per run. Batch keeps
+    * the MINIMUM doc_id per fingerprint; the stream keeps the
+    * FIRST-ARRIVING doc — the same row whenever arrival order follows
+    * doc_id (StreamingSpec feeds it so and asserts stream == batch). */
+  def exactDedupStream(docs: DataFrame, eventTime: String = "ingest_ts",
+      delay: String = "10 seconds"): DataFrame =
+    docs
+      .withColumn("fingerprint",
+        graft.queries.DedupOps.fingerprintExpr(col("text")))
+      .withWatermark(eventTime, delay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .select(col("doc_id"), col("fingerprint"))
+
   // ------------------------------------------------------- sessionizer
   final case class SEvent(user_id: Long, ts_s: Long, event_id: Long)
   final case class SessionOut(user_id: Long, session_idx: Long,

@@ -51,6 +51,22 @@ class PlanAndEntrySpec extends SparkSuite {
     }
   }
 
+  test("q44 filters refutable pairs BELOW the pair-dedup aggregate") {
+    // round-2 verdict: hamming is a pure function of the pair, so the
+    // hamming <= 3 filter must sit under the distinct's HashAggregate/
+    // Exchange — refutable candidates (most, on a correlated-vocab
+    // corpus) die before the shuffle instead of riding it
+    val p = planOf(graft.queries.DedupOps.simhashPairs(spark, sf0001))
+    val filterAt = p.indexOf("Filter")
+    val aggAt = p.indexOf("HashAggregate")
+    assert(filterAt >= 0 && aggAt >= 0, p)
+    // executedPlan prints top-down: the aggregate (distinct) must appear
+    // BEFORE (above) the hamming filter
+    val hammingFilterAt = p.indexOf("<= 3")
+    assert(hammingFilterAt > aggAt,
+      s"hamming filter not below the distinct aggregate:\n$p")
+  }
+
   test("driver contract: entry returns rows; oracle keys match queries") {
     assert(SparkEntry.entry(spark).count() > 0)
     val qk = SparkEntry.queries.keySet

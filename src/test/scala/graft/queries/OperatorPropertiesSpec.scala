@@ -116,6 +116,20 @@ class OperatorPropertiesSpec extends SparkSuite {
     assert(DedupOps.exactDedup(spark, sf0001).count() == 500)
   }
 
+  test("verifiedPairs memo: newSession clones share one materialization") {
+    DedupOps.invalidatePairs()
+    val first = DedupOps.verifiedPairs(spark, sf0001)
+    // a session clone shares the SparkContext (and thus the cached
+    // blocks) — it must get the SAME memoized frame, not re-mine
+    val clone = spark.newSession()
+    assert(DedupOps.verifiedPairs(clone, sf0001) eq first)
+    assert(DedupOps.verifiedPairs(spark, sf0001) eq first)
+    DedupOps.invalidatePairs()
+    val fresh = DedupOps.verifiedPairs(spark, sf0001)
+    assert(!(fresh eq first))
+    DedupOps.invalidatePairs()
+  }
+
   test("knn top-5 ranking is consistent with a driver-side brute force") {
     import spark.implicits._
     val vecs = graft.sources.Tables(spark, sf0001, "embeddings")

@@ -150,6 +150,47 @@ class StreamingSpec extends SparkSuite {
       ("2025-01-25 16:01:00", "click", 1L)))
   }
 
+  test("streaming exact dedup == batch q40 survivors on the same docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // three unique texts + two normalization-equal duplicates (case /
+    // punctuation differences must collapse to the same fingerprint)
+    val rows = Seq(
+      (1L, "the quick brown fox", t("2025-01-25 16:00:01")),
+      (2L, "lazy dogs sleep all day", t("2025-01-25 16:00:02")),
+      (3L, "an entirely different text", t("2025-01-25 16:00:03")),
+      // dup of 1: case + interior punctuation collapse to one space
+      // (trailing punctuation would NOT be a dup — it normalizes to a
+      // trailing space; the fingerprint deliberately does not trim)
+      (4L, "The QUICK,  brown fox", t("2025-01-25 16:00:04")),
+      (5L, "lazy dogs... sleep ALL day", t("2025-01-25 16:00:05")), // dup of 2
+      (6L, "one more unique document", t("2025-01-25 16:00:06")))
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingQueries.exactDedupStream(
+        ms.toDF().toDF("doc_id", "text", "ingest_ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    // two micro-batches, arrival order = doc_id order (the equivalence
+    // precondition documented on exactDedupStream)
+    ms.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    ms.addData(rows.drop(3): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("dedup_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    q.stop()
+    // batch twin: identical fingerprint expression, min doc_id survivor
+    val batch = rows.toDF("doc_id", "text", "ingest_ts")
+      .withColumn("fingerprint",
+        graft.queries.DedupOps.fingerprintExpr($"text"))
+      .groupBy($"fingerprint").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id", $"fingerprint").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == Set(1L, 2L, 3L, 6L))
+  }
+
   test("native session_window streams with watermark and matches batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -65,8 +65,13 @@ def main(sf_dir, out_dir):
         # both as "1" and masks it, but the DRIVER's comparator does not.
         # Comparing numpy kinds ('i' vs 'f' vs 'O' vs 'M' vs 'b') catches the
         # class without flagging benign width diffs (int32 vs int64).
-        kinds_g = {c: gc[c].dtype.kind for c in gc.columns}
-        kinds_w = {c: wc[c].dtype.kind for c in wc.columns}
+        # all-NULL columns surface as object on one engine and float64 on
+        # the other depending on round-trip — values still match, so the
+        # kind gate skips them (ADVICE r2)
+        shared = [c for c in gc.columns if c in wc.columns]
+        kinds_g = {c: gc[c].dtype.kind for c in shared
+                   if not (gc[c].isna().all() or wc[c].isna().all())}
+        kinds_w = {c: wc[c].dtype.kind for c in kinds_g}
         if sorted(gc.columns) != sorted(wc.columns):
             print(f"  [FAIL-cols] {name}: spark={list(gc.columns)} duck={list(wc.columns)}")
             n_fail += 1
