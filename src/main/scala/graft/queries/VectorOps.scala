@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorExpressions.cosine
@@ -168,6 +168,95 @@ object VectorOps {
   def ivfKnnProbeAll(spark: SparkSession, dir: String): DataFrame =
     ivfSearch(spark, dir, nCells = 16, probes = 16)
 
+  /** SRP-LSH (signed-random-projection) approximate top-k — the
+    * LSH-bucketed ANN scale path beside IVF (q33). Each vector gets an
+    * `nbits`-bit bucket: bit b = sign of the dot product with
+    * hyperplane b. Search scans only buckets within hamming 1 of the
+    * query's bucket (multi-probe), i.e. (nbits+1)/2^nbits of the
+    * corpus; at scale nbits grows as log2(corpus/target-bucket-size)
+    * and the bucket column doubles as a clustering/partitioning key so
+    * a probe touches only its partitions.
+    *
+    * Everything upstream of the final ranking is INTEGER-exact, which
+    * is the design point: embeddings quantize by floor(v×1024) (float→
+    * double cast and ×2^10 are exact, floor is unambiguous), hyperplane
+    * components are md5-derived integers — so both engines compute
+    * bit-identical buckets and the oracle checks the RESTRICTED-probe
+    * result itself, not just a probe-all degenerate. IVF can't do that
+    * (KMeans isn't oracle-portable; q33 is rows-only). The hyperplane
+    * matrix is parameters, not data (nbits×dim longs, driver-built like
+    * q33's centroids); dim=64 is pinned by the static oracle SQL and
+    * asserted against the data in VectorSearchSpec. */
+  def srpAnn(spark: SparkSession, dir: String, nbits: Int = 4,
+      k: Int = 5, maxHamming: Int = 1): DataFrame = {
+    import spark.implicits._
+    val dim = 64
+    val w: IndexedSeq[IndexedSeq[Long]] = (0 until nbits).map { b =>
+      (0 until dim).map { d =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$b:$d".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        java.lang.Long.parseLong(hex, 16) - 2147483648L
+      }
+    }
+    val emb = Tables(spark, dir, "embeddings")
+    val qv = transform($"embedding",
+      v => floor(v.cast("double") * lit(1024)))
+    // flat multiply-add chain per bit (no lambda aggregate): 64 codegen
+    // terms against literal weights; |qv|<2^20, |w|<2^31 → sums fit long
+    def bitCol(b: Int): Column = {
+      val dot = (0 until dim)
+        .map(d => element_at($"qv", d + 1) * lit(w(b)(d)))
+        .reduce(_ + _)
+      when(dot > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    val sigs = emb.withColumn("qv", qv)
+      .withColumn("bucket", (0 until nbits).map(bitCol).reduce(_ + _))
+      .select($"vec_id", $"embedding", $"bucket")
+    val query = sigs.filter($"vec_id" === 0)
+      .select($"embedding".as("q_emb"), $"bucket".as("q_bucket"))
+    rankedTopK(
+      sigs.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(query))
+        .filter(bit_count($"bucket".bitwiseXOR($"q_bucket")) <= maxHamming)
+        .withColumn("sim", cosine($"embedding", $"q_emb"))
+        .select($"vec_id", $"sim"),
+      k = k)
+  }
+
+  /** Oracle: the identical integer bucket pipeline in DuckDB — same
+    * md5-derived hyperplanes, same floor(v×1024) quantization, same
+    * hamming-1 multi-probe — then the same rank/ids-only cosine top-k
+    * ranking contract as q30. */
+  private val srpAnnSql =
+    """WITH dims AS (SELECT unnest(range(64)) AS d),
+      |bits AS (SELECT unnest(range(4)) AS b),
+      |w AS (SELECT b, d,
+      |    CAST(concat('0x', substr(md5(concat(b, ':', d)), 1, 8)) AS BIGINT)
+      |      - 2147483648 AS wt
+      |  FROM bits, dims),
+      |qv AS (SELECT vec_id, d,
+      |    CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 1024) AS BIGINT) AS q
+      |  FROM embeddings, dims),
+      |sig AS (SELECT vec_id, b,
+      |    CASE WHEN SUM(wt * q) > 0 THEN (1::BIGINT << b)
+      |      ELSE 0::BIGINT END AS bitval
+      |  FROM qv JOIN w USING (d) GROUP BY vec_id, b),
+      |buckets AS (SELECT vec_id, CAST(SUM(bitval) AS BIGINT) AS bucket
+      |  FROM sig GROUP BY vec_id),
+      |q AS (SELECT e.embedding AS q_emb, bk.bucket AS q_bucket
+      |  FROM embeddings e JOIN buckets bk ON e.vec_id = bk.vec_id
+      |  WHERE e.vec_id = 0)
+      |SELECT rank, vec_id FROM (
+      |  SELECT CAST(ROW_NUMBER() OVER (
+      |      ORDER BY list_cosine_similarity(e.embedding, q.q_emb) DESC,
+      |               e.vec_id ASC) AS BIGINT) AS rank,
+      |    e.vec_id
+      |  FROM embeddings e JOIN buckets bk ON e.vec_id = bk.vec_id, q
+      |  WHERE e.vec_id <> 0
+      |    AND bit_count(xor(bk.bucket, q.q_bucket)) <= 1) t
+      |WHERE rank <= 5""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q30_knn_topk", knnTopK, Some(knnTopKSql),
       "brute-force cosine top-5 (broadcast query, codegen dot)"),
@@ -180,5 +269,8 @@ object VectorOps {
         "probes==cells exactness asserted in ScalaTest)"),
     Q("q37_ivf_probe_all", ivfKnnProbeAll, Some(knnTopKSql),
       "IVF ANN with probes==cells: exactness contract hash-checked " +
-        "against the brute-force oracle"))
+        "against the brute-force oracle"),
+    Q("q58_srp_ann", srpAnn(_, _), Some(srpAnnSql),
+      "SRP-LSH bucketed ANN, hamming-1 multi-probe — integer-exact " +
+        "buckets make the restricted-probe result itself oracle-checked"))
 }

@@ -27,6 +27,32 @@ class VectorSearchSpec extends SparkSuite {
                           // probes==cells case above
   }
 
+  test("embeddings dim is 64 — the constant the SRP oracle SQL pins") {
+    val d = graft.sources.Tables(spark, sf0001, "embeddings")
+      .selectExpr("size(embedding) AS d").distinct().collect()
+    assert(d.map(_.getInt(0)).toSeq == Seq(64))
+  }
+
+  test("SRP probe-all (maxHamming == nbits) equals brute-force top-5") {
+    val brute = VectorOps.knnTopK(spark, sf0001).orderBy("rank")
+      .collect().map(_.getLong(1)).toSeq
+    val all = VectorOps.srpAnn(spark, sf0001, nbits = 4, maxHamming = 4)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(all == brute)
+  }
+
+  test("SRP hamming-1 multi-probe recall is measured and nonzero") {
+    val brute = VectorOps.knnTopK(spark, sf0001)
+      .collect().map(_.getLong(1)).toSet
+    val approx = VectorOps.srpAnn(spark, sf0001)
+      .collect().map(_.getLong(1)).toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    info(s"SRP nbits=4 hamming<=1 recall@5 = $recall")
+    assert(approx.size == 5)
+    assert(recall >= 0.2) // random vectors scatter across hyperplanes;
+                          // exactness is the probe-all case above
+  }
+
   test("extensions register fvec_dot/simhash64/minhash_longs for SQL") {
     // inject into the existing session the way withExtensions would
     new graft.GraftExtensions()
