@@ -170,25 +170,40 @@ object DedupOps {
     * J≥0.5 pair set, which is precisely what the oracle computes. An
     * approximate algorithm hash-checked against exact semantics.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val numHashes = 62
-    val rowsPerBand = 2
-    val numBands = numHashes / rowsPerBand
+  private val numHashes = 62
+  private val rowsPerBand = 2
+  private val numBands = numHashes / rowsPerBand
 
-    val docs = Tables(spark, dir, "documents")
-      .select($"doc_id", split($"text", " ").as("tok"))
-      .filter(size($"tok") >= 3)
+  /** Shingle + MinHash lift of any frame bearing (doc_id, text, ...):
+    * adds `sh` (distinct 3-token shingles) and `mh` (62 minhash longs),
+    * drops docs with fewer than 3 tokens. Pure stateless expressions,
+    * so the SAME lift runs on batch frames here and on streaming frames
+    * in [[graft.streaming.StreamingQueries.nearDupFlagStream]]. */
+  private[graft] def withShinglesAndMinhash(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("tok", split(col("text"), " "))
+      .filter(size(col("tok")) >= 3)
       .withColumn("sh", shingleCol)
       .withColumn("bh", expr("transform(sh, s -> xxhash64(s))"))
+      .withColumn("mh",
+        graft.functions.VectorExpressions.minhashLongs(col("bh"), numHashes))
+      .drop("tok", "bh")
 
-    val withMinhash = docs.withColumn("mh",
-      graft.functions.VectorExpressions.minhashLongs($"bh", numHashes))
-
-    val bandKeys = withMinhash.select($"doc_id", explode(array(
+  /** Band-key explosion of a [[withShinglesAndMinhash]]-lifted frame:
+    * one row per (doc, band), every other column carried through. The
+    * (doc_id, band_key) projection IS the LSH index table an ingest
+    * path joins against. */
+  private[graft] def explodeBandKeys(lifted: DataFrame): DataFrame =
+    lifted.withColumn("band_key", explode(array(
       (0 until numBands).map(j =>
-        expr(s"xxhash64(${j}L, mh[${j * 2}], mh[${j * 2 + 1}])")): _*))
-      .as("band_key"))
+        expr(s"xxhash64(${j}L, mh[${j * 2}], mh[${j * 2 + 1}])")): _*)))
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = withShinglesAndMinhash(
+      Tables(spark, dir, "documents").select($"doc_id", $"text"))
+
+    val bandKeys = explodeBandKeys(docs).select($"doc_id", $"band_key")
 
     // Self-join strategy is left to the planner deliberately: at small
     // corpus size band keys broadcast and the minhash pipeline computes

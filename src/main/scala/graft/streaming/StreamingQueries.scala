@@ -117,6 +117,44 @@ object StreamingQueries {
       .dropDuplicatesWithinWatermark("fingerprint")
       .select(col("doc_id"), col("fingerprint"))
 
+  /** Ingest-time near-dup flagging: each arriving document is checked
+    * against the STATIC historical corpus through the same MinHash/LSH
+    * banding as batch q42 — shingle+minhash the stream (stateless
+    * expressions), equi-join band keys against the corpus's band-key
+    * index (a stream-static join: no state, the static side is the
+    * 100 TB-scale artifact a deployment keeps bucketed on band_key),
+    * then verify candidates by exact shingle Jaccard against the static
+    * shingle table. Band collisions produce the same (doc, corpus-doc)
+    * pair once per matching band; `dropDuplicatesWithinWatermark`
+    * bounds the dedup state by the watermark delay. Emits
+    * (doc_id, b_id, jaccard) for every stream doc whose J ≥ 0.5 with a
+    * corpus doc — StreamingSpec proves stream == batch pair mining on
+    * re-ingested corpus docs. */
+  def nearDupFlagStream(docs: DataFrame, corpus: DataFrame,
+      eventTime: String = "ingest_ts",
+      delay: String = "10 seconds"): DataFrame = {
+    import graft.queries.DedupOps
+    val corpusLift = DedupOps.withShinglesAndMinhash(
+      corpus.select(col("doc_id"), col("text")))
+    val corpusBands = DedupOps.explodeBandKeys(corpusLift)
+      .select(col("doc_id").as("b_id"), col("band_key"))
+    val corpusShingles = corpusLift
+      .select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val streamBands = DedupOps.explodeBandKeys(
+        DedupOps.withShinglesAndMinhash(docs.withWatermark(eventTime, delay)))
+      .select(col("doc_id"), col(eventTime), col("sh"), col("band_key"))
+    streamBands
+      .join(corpusBands, "band_key")
+      .filter(col("doc_id") =!= col("b_id"))
+      .join(corpusShingles, "b_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("sh"), col("b_sh"))))
+      .filter(col("jaccard") >= 0.5)
+      .dropDuplicatesWithinWatermark("doc_id", "b_id")
+      .select(col("doc_id"), col("b_id"), col("jaccard"))
+  }
+
   // ------------------------------------------------------- sessionizer
   final case class SEvent(user_id: Long, ts_s: Long, event_id: Long)
   final case class SessionOut(user_id: Long, session_idx: Long,

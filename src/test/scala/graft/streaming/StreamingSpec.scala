@@ -191,6 +191,49 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.map(_._1) == Set(1L, 2L, 3L, 6L))
   }
 
+  test("streaming near-dup flagger == batch LSH pairs on re-ingested docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf0001 = "/root/testdata/sf0.001"
+    val corpus = graft.sources.Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text")
+    // batch truth: the verified J>=0.5 pair set over the corpus
+    val batchPairs = graft.queries.DedupOps.minhashLsh(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(batchPairs.nonEmpty, "corpus has no near-dup pairs to re-ingest")
+    // re-ingest: the a-side docs of the first three pairs (each must be
+    // flagged against its surviving corpus twin) plus one doc that is
+    // nobody's near-dup (must NOT be flagged)
+    val dupIds = batchPairs.take(3).map(_._1).distinct.toSeq
+    val pairedIds = batchPairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val loneId = corpus.select($"doc_id").collect().map(_.getLong(0))
+      .find(!pairedIds.contains(_)).get
+    val streamIds = (dupIds :+ loneId).toSet
+    val feed = corpus.filter($"doc_id".isin(streamIds.toSeq: _*))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingQueries.nearDupFlagStream(
+        ms.toDF().toDF("doc_id", "text", "ingest_ts"), corpus)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_out").start()
+    ms.addData(feed.map { case (id, txt) =>
+      (id, txt, java.sql.Timestamp.valueOf("2025-01-25 16:00:01")) }: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("neardup_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    // expectation from the batch pair set: for each re-ingested doc s,
+    // every corpus doc c != s with J >= 0.5 — pairs are stored (min,max),
+    // so read them in both directions
+    val expected = batchPairs.flatMap { case (a, b, j) =>
+      (if (streamIds.contains(a)) Seq((a, b, j)) else Nil) ++
+        (if (streamIds.contains(b)) Seq((b, a, j)) else Nil)
+    }.toSet
+    assert(streamed == expected)
+    assert(!streamed.exists(_._1 == loneId))
+    assert(streamed.nonEmpty)
+  }
+
   test("native session_window streams with watermark and matches batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
