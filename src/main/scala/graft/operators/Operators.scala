@@ -127,4 +127,25 @@ object Operators {
     df.repartition(buckets, col(key))
       .write.bucketBy(buckets, key).sortBy(key)
       .mode("overwrite").format("parquet").saveAsTable(table)
+
+  /** Persist a table partitioned by a low-cardinality column — the
+    * scan-elimination lever at 100 TB: a filter on the partition column
+    * prunes whole directories at PLANNING time (PartitionFilters in the
+    * scan node), so a query over one source/day/language reads only its
+    * slice of a 100 TB table, no matter how wide the table grows. The
+    * complement of [[writeBucketed]]: partitioning prunes SCANS on a
+    * coarse key, bucketing removes SHUFFLES on a fine join key — a
+    * production corpus table typically uses both
+    * (`partitionBy(source).bucketBy(n, doc_id)`).
+    *
+    * The pre-repartition on the partition column keeps writers to one
+    * open file per partition value per task batch instead of
+    * numTasks×numPartitions small files — the small-files failure mode
+    * that kills 100 TB scans. Skewed partition values are the known
+    * cost (one value = one task's output); mitigate by salting the
+    * repartition when a single partition dominates. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.repartition(col(partitionCol))
+      .write.partitionBy(partitionCol)
+      .mode("overwrite").parquet(path)
 }

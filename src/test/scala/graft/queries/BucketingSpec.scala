@@ -48,4 +48,37 @@ class BucketingSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS customer_bkt")
     }
   }
+
+  test("partitioned layout prunes non-matching partitions at planning time") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docs_part").toString
+    try {
+      graft.operators.Operators.writePartitioned(
+        Tables(spark, sf0001, "documents").select($"doc_id", $"source"),
+        dir, "source")
+      // one directory per source value, no stray top-level part files
+      val sources = Tables(spark, sf0001, "documents")
+        .select($"source").distinct().as[String].collect().toSet
+      val children = new java.io.File(dir).listFiles()
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(_.getName).toSet
+      assert(children == sources.map(s => s"source=$s"), children)
+      // a partition-column filter must prune at the scan: the plan's
+      // scan node reads ONE partition and carries the partition filter
+      val one = sources.head
+      val df = spark.read.parquet(dir).filter($"source" === one)
+      assert(df.count() ==
+        Tables(spark, sf0001, "documents").filter($"source" === one).count())
+      // the equality predicate inside PartitionFilters IS planning-time
+      // pruning: those filters run against the file index before any
+      // file is opened (a data filter would appear under PushedFilters
+      // instead and still read every directory)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters: [isnotnull(source"), p)
+      assert(p.replaceAll("#\\d+", "")
+        .contains(s"(source = $one)"), p)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
