@@ -75,6 +75,21 @@ class PlanAndEntrySpec extends SparkSuite {
     assert(Registry.all.map(_.name).distinct.size == Registry.all.size)
   }
 
+  test("registry-wide plan sweep: no cartesian product, no single-partition exchange") {
+    // mechanizes the PLANS.md audit claim so it can't silently rot: a
+    // CartesianProduct is the all-pairs scale-killer, and an
+    // Exchange SinglePartition funnels the whole dataset through one
+    // task. BroadcastNestedLoopJoins are separately audited in PLANS.md
+    // (every one is an intentional tiny-side broadcast).
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val p = fn(spark, sf0001).queryExecution.executedPlan.toString
+        Seq("CartesianProduct", "Exchange SinglePartition")
+          .filter(p.contains).map(bad => s"$name: $bad")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("every declared query runs and returns rows on sf0.001") {
     val empties = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val n = fn(spark, sf0001).count()

@@ -107,4 +107,22 @@ class PropertySpec extends SparkSuite {
     val agree = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
     assert(agree < 10, s"disjoint sets agreed on $agree/62 components")
   }
+
+  test("simhash 16-bit chunk blocking is lossless for hamming <= 3") {
+    // the pigeonhole contract q44's candidate join relies on: flipping
+    // at most 3 bits of a 64-bit signature cannot touch all 4 16-bit
+    // chunks, so every true near-dup pair shares at least one (j, chunk)
+    // blocking key — blocking never drops a qualifying pair
+    def chunks(x: Long): Seq[Long] =
+      (0 until 4).map(j => (x >>> (j * 16)) & 0xFFFFL)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 2000) {
+      val a = rnd.nextLong()
+      val nFlips = rnd.nextInt(4) // 0..3
+      val b = (1 to nFlips).foldLeft(a)((v, _) => v ^ (1L << rnd.nextInt(64)))
+      assert(java.lang.Long.bitCount(a ^ b) <= 3)
+      assert(chunks(a).zip(chunks(b)).exists { case (x, y) => x == y },
+        s"no shared chunk for a=$a b=$b")
+    }
+  }
 }
