@@ -28,12 +28,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // Insurance against JIT code-cache exhaustion as the query suite
-  // grows (61 queries of whole-stage-codegen classes in one JVM).
+  // grows (60+ queries of whole-stage-codegen classes in one JVM).
   // Measured round 3: NOT the cause of round-2's in-suite q43/q44
   // inflation — the full-suite total is identical with and without
-  // these flags (55.9 vs 55.3 s); the inflation was eliminated by the
-  // q44 filter-before-distinct reorder and Bench's per-query
-  // unpersist policy instead. Kept because a larger suite will
+  // these flags (55.9 vs 55.3 s). Kept because a larger suite will
   // eventually hit the default 240 MB cap, and flushing degrades
   // gracefully where exhaustion silently disables compilation.
   "-XX:ReservedCodeCacheSize=512m",

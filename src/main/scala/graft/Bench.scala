@@ -64,8 +64,12 @@ object Bench {
     // line mid-JSON ("parsed": null) — a trailing <120-byte line
     // survives any tail window, and a last-parseable-line parser picks
     // it up
+    // n/failed travel with the short line so a crashed query (recorded
+    // as -1 and excluded from the sum) can't masquerade as a
+    // faster-looking total when only this line survives truncation
+    val nFailed = results.count(_._2 < 0)
     val shortLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$nFailed,"sf":"$sfDir"}"""
     println(line)
     println(shortLine)
     // stdout alone is buried in sbt [info] noise — also write the bare

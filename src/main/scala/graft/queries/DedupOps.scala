@@ -424,9 +424,14 @@ object DedupOps {
           shiftrightunsigned($"simhash", j * 16).bitwiseAND(lit(0xFFFFL))
             .as("chunk"))): _*)).as("c"))
       .select($"doc_id", $"simhash", $"c.j", $"c.chunk")
-    // filter BEFORE distinct: hamming is a pure function of the pair, so
-    // the refutable candidates (most of them, on a correlated-vocab
-    // corpus) die before the distinct's exchange instead of riding it
+    // filter written BEFORE distinct to declare intent: refutable
+    // candidates must die before the distinct's exchange. Catalyst
+    // reaches the same physical plan from either ordering (the
+    // deterministic predicate on a grouping column is pushed below the
+    // aggregate — verified by comparing both forms' executedPlans, which
+    // are identical: the hamming test lands in the JOIN condition); the
+    // plan test pins the invariant so neither ordering nor optimizer
+    // behavior can regress it silently
     chunked.as("x")
       .join(chunked.as("y"),
         col("x.j") === col("y.j") && col("x.chunk") === col("y.chunk") &&

@@ -136,10 +136,17 @@ object StreamingQueries {
     import graft.queries.DedupOps
     val corpusLift = DedupOps.withShinglesAndMinhash(
       corpus.select(col("doc_id"), col("text")))
+    // persist the static index sides: without it EVERY micro-batch
+    // re-scans and re-minhashes the whole corpus — twice (band and
+    // shingle branches are separate lineages). These cached frames are
+    // the in-session stand-in for the band-key/shingle tables a
+    // deployment writes to storage once; blocks are reclaimed when the
+    // caller's session drops them (or unpersist explicitly for
+    // long-lived JVMs).
     val corpusBands = DedupOps.explodeBandKeys(corpusLift)
-      .select(col("doc_id").as("b_id"), col("band_key"))
+      .select(col("doc_id").as("b_id"), col("band_key")).persist()
     val corpusShingles = corpusLift
-      .select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+      .select(col("doc_id").as("b_id"), col("sh").as("b_sh")).persist()
     val streamBands = DedupOps.explodeBandKeys(
         DedupOps.withShinglesAndMinhash(docs.withWatermark(eventTime, delay)))
       .select(col("doc_id"), col(eventTime), col("sh"), col("band_key"))

@@ -52,10 +52,13 @@ class PlanAndEntrySpec extends SparkSuite {
   }
 
   test("q44 filters refutable pairs BELOW the pair-dedup aggregate") {
-    // round-2 verdict: hamming is a pure function of the pair, so the
-    // hamming <= 3 filter must sit under the distinct's HashAggregate/
-    // Exchange — refutable candidates (most, on a correlated-vocab
-    // corpus) die before the shuffle instead of riding it
+    // hamming is a pure function of the pair, so the hamming <= 3 test
+    // must sit under the distinct's HashAggregate/Exchange — refutable
+    // candidates (most, on a correlated-vocab corpus) die before the
+    // shuffle instead of riding it. Catalyst already guarantees this
+    // for either source ordering (the predicate pushes below the
+    // aggregate into the join condition); this test exists so no
+    // rewrite or optimizer change can silently lose the property.
     val p = planOf(graft.queries.DedupOps.simhashPairs(spark, sf0001))
     val filterAt = p.indexOf("Filter")
     val aggAt = p.indexOf("HashAggregate")

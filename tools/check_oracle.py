@@ -67,10 +67,14 @@ def main(sf_dir, out_dir):
         # class without flagging benign width diffs (int32 vs int64).
         # all-NULL columns surface as object on one engine and float64 on
         # the other depending on round-trip — values still match, so the
-        # kind gate skips them (ADVICE r2)
+        # kind gate skips them (ADVICE r2). Only when rows EXIST, though:
+        # on a 0-row frame isna().all() is vacuously True for every
+        # column, which would disable the gate exactly where schema kinds
+        # are the only signal left.
         shared = [c for c in gc.columns if c in wc.columns]
         kinds_g = {c: gc[c].dtype.kind for c in shared
-                   if not (gc[c].isna().all() or wc[c].isna().all())}
+                   if not ((len(gc) > 0 and gc[c].isna().all()) or
+                           (len(wc) > 0 and wc[c].isna().all()))}
         kinds_w = {c: wc[c].dtype.kind for c in kinds_g}
         if sorted(gc.columns) != sorted(wc.columns):
             print(f"  [FAIL-cols] {name}: spark={list(gc.columns)} duck={list(wc.columns)}")
