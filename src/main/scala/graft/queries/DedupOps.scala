@@ -269,18 +269,34 @@ object DedupOps {
       _ => minhashLsh(spark, dir).persist())
   }
 
-  /** Whether `df` IS a live memoized pair table (reference identity).
-    * Bench uses this to release each query's persisted result without
-    * dropping the artifact q42/q45/q54 deliberately share. */
-  private[graft] def isSharedArtifact(df: DataFrame): Boolean =
-    pairsMemo.containsValue(df)
+  /** Cluster labels, memoized like [[verifiedPairs]]: q45 emits them
+    * and q59's survivor selection consumes them — the second shared
+    * dedup artifact (a deployment writes the label table once and joins
+    * it from every downstream policy). */
+  private val clustersMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), DataFrame]
+  def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    clustersMemo.keySet.removeIf(k => k._1.isStopped)
+    clustersMemo.computeIfAbsent((spark.sparkContext, dir),
+      _ => dupClusters(spark, dir))
+  }
 
-  /** Drop every memoized pair table and unpersist its blocks — for tests
-    * and long-lived JVMs done with dedup artifacts. */
+  /** Whether `df` IS a live memoized shared artifact (reference
+    * identity): the pair table (q42/q45/q54) or the cluster-label table
+    * (q45/q59). Bench uses this to release each query's persisted
+    * result without dropping what later queries deliberately reuse. */
+  private[graft] def isSharedArtifact(df: DataFrame): Boolean =
+    pairsMemo.containsValue(df) || clustersMemo.containsValue(df)
+
+  /** Drop every memoized shared artifact and unpersist its blocks — for
+    * tests and long-lived JVMs done with dedup artifacts. */
   def invalidatePairs(): Unit = {
     pairsMemo.values.forEach(df =>
       try df.unpersist() catch { case _: Exception => () })
     pairsMemo.clear()
+    clustersMemo.values.forEach(df =>
+      try df.unpersist() catch { case _: Exception => () })
+    clustersMemo.clear()
   }
 
   /** Duplicate-cluster assignment: connected components over the
@@ -348,9 +364,11 @@ object DedupOps {
     labels
   }
 
-  /** Oracle: transitive closure by recursive CTE over the same exact
-    * J ≥ 0.5 pair set, min reachable id per node. */
-  private val dupClustersSql =
+  /** The recursive-CTE cluster computation, shared by the q45 and q59
+    * oracles: transitive closure over the same exact J ≥ 0.5 pair set,
+    * min reachable id per node. Ends with the `m` CTE; callers append
+    * their final select (and further CTEs after a comma). */
+  private val clusterCtes =
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(
@@ -369,11 +387,45 @@ object DedupOps {
       |  SELECT u, v FROM e
       |  UNION
       |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
-      |m AS (SELECT u AS doc_id, MIN(v) AS mn FROM reach GROUP BY u)
-      |SELECT d.doc_id,
+      |m AS (SELECT u AS doc_id, MIN(v) AS mn FROM reach GROUP BY u)""".stripMargin
+
+  private val dupClustersSql = clusterCtes + "\n" +
+    """SELECT d.doc_id,
       |  CAST(LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS BIGINT)
       |    AS cluster_id
       |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id""".stripMargin
+
+  /** The dedup pipeline's end artifact: the deduplicated corpus. One
+    * survivor per cluster by an explicit POLICY — keep the longest
+    * document (n_chars desc), doc_id ascending as the deterministic
+    * tie-break — rather than the min-id label, because real pipelines
+    * keep the best copy, not the first one. Rides the memoized
+    * [[clusterLabels]]; the per-cluster rank is a keyed window (one
+    * shuffle on cluster_id, no global ordering anywhere). */
+  def dedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"cluster_id")
+      .orderBy($"n_chars".desc, $"doc_id".asc)
+    Tables(spark, dir, "documents")
+      .select($"doc_id", $"n_chars")
+      .join(clusterLabels(spark, dir), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"cluster_id")
+  }
+
+  private val dedupCorpusSql = clusterCtes + ",\n" +
+    """cl AS (
+      |  SELECT d.doc_id, d.n_chars,
+      |    CAST(LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS BIGINT)
+      |      AS cluster_id
+      |  FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id)
+      |SELECT doc_id, cluster_id FROM (
+      |  SELECT doc_id, cluster_id,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+      |  FROM cl) t
+      |WHERE rn = 1""".stripMargin
 
   /** SimHash signatures via the codegen [[simhash64]] expression.
     * Term hash = first 15 hex chars of md5 (60 bits, fits signed int64
@@ -463,9 +515,12 @@ object DedupOps {
         "hash-proven equal to q41's oracle"),
     Q("q42_minhash_lsh", verifiedPairs, Some(minhashLshSql),
       "MinHash 62-hash/31-band LSH + exact verification == global shingle J>=0.5"),
-    Q("q45_dup_clusters", dupClusters(_, _), Some(dupClustersSql),
+    Q("q45_dup_clusters", clusterLabels, Some(dupClustersSql),
       "connected components over the verified dup-pair graph: min-label " +
         "propagation vs a recursive-CTE oracle"),
+    Q("q59_dedup_corpus", dedupCorpus, Some(dedupCorpusSql),
+      "the deduplicated corpus: one survivor per cluster by keep-longest " +
+        "policy (n_chars desc, doc_id tie-break) over the shared labels"),
     Q("q43_simhash_signatures", simhashSignatures, Some(simhashSignaturesSql),
       "codegen simhash64 over portable md5-derived 60-bit term hashes — " +
         "signature bits oracle-checked exactly"),

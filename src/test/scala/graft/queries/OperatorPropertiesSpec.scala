@@ -130,6 +130,27 @@ class OperatorPropertiesSpec extends SparkSuite {
     DedupOps.invalidatePairs()
   }
 
+  test("dedupCorpus keeps exactly one survivor per cluster, the longest doc") {
+    import spark.implicits._
+    val labels = DedupOps.clusterLabels(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chars = graft.sources.Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val survivors = DedupOps.dedupCorpus(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // one survivor per cluster, covering every cluster
+    assert(survivors.map(_._2).distinct.length == survivors.length)
+    assert(survivors.map(_._2).toSet == labels.values.toSet)
+    // the survivor is its cluster's longest doc (min id on ties)
+    val byCluster = labels.groupBy(_._2)
+    survivors.foreach { case (doc, c) =>
+      val best = byCluster(c).keys.toSeq
+        .sortBy(d => (-chars(d), d)).head
+      assert(doc == best, s"cluster $c kept $doc, expected $best")
+    }
+  }
+
   test("knn top-5 ranking is consistent with a driver-side brute force") {
     import spark.implicits._
     val vecs = graft.sources.Tables(spark, sf0001, "embeddings")
