@@ -187,9 +187,13 @@ object VectorOps {
     * matrix is parameters, not data (nbits×dim longs, driver-built like
     * q33's centroids); dim=64 is pinned by the static oracle SQL and
     * asserted against the data in VectorSearchSpec. */
-  def srpAnn(spark: SparkSession, dir: String, nbits: Int = 4,
-      k: Int = 5, maxHamming: Int = 1): DataFrame = {
-    import spark.implicits._
+  /** Adds the integer-exact SRP `bucket` column to any frame bearing an
+    * `embedding` array<float> column. Pure stateless expressions (a flat
+    * 64-term codegen multiply-add chain per bit against literal
+    * md5-derived weights; |qv|<2^20, |w|<2^31 → sums fit long), so the
+    * SAME lift runs on the batch corpus here and on streaming query
+    * frames in [[graft.streaming.StreamingQueries.annLookupStream]]. */
+  private[graft] def withSrpBucket(df: DataFrame, nbits: Int = 4): DataFrame = {
     val dim = 64
     val w: IndexedSeq[IndexedSeq[Long]] = (0 until nbits).map { b =>
       (0 until dim).map { d =>
@@ -199,19 +203,23 @@ object VectorOps {
         java.lang.Long.parseLong(hex, 16) - 2147483648L
       }
     }
-    val emb = Tables(spark, dir, "embeddings")
-    val qv = transform($"embedding",
+    val qv = transform(col("embedding"),
       v => floor(v.cast("double") * lit(1024)))
-    // flat multiply-add chain per bit (no lambda aggregate): 64 codegen
-    // terms against literal weights; |qv|<2^20, |w|<2^31 → sums fit long
     def bitCol(b: Int): Column = {
       val dot = (0 until dim)
-        .map(d => element_at($"qv", d + 1) * lit(w(b)(d)))
+        .map(d => element_at(col("qv"), d + 1) * lit(w(b)(d)))
         .reduce(_ + _)
       when(dot > 0, lit(1L << b)).otherwise(lit(0L))
     }
-    val sigs = emb.withColumn("qv", qv)
+    df.withColumn("qv", qv)
       .withColumn("bucket", (0 until nbits).map(bitCol).reduce(_ + _))
+      .drop("qv")
+  }
+
+  def srpAnn(spark: SparkSession, dir: String, nbits: Int = 4,
+      k: Int = 5, maxHamming: Int = 1): DataFrame = {
+    import spark.implicits._
+    val sigs = withSrpBucket(Tables(spark, dir, "embeddings"), nbits)
       .select($"vec_id", $"embedding", $"bucket")
     val query = sigs.filter($"vec_id" === 0)
       .select($"embedding".as("q_emb"), $"bucket".as("q_bucket"))

@@ -162,6 +162,42 @@ object StreamingQueries {
       .select(col("doc_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Streaming ANN lookup: a stream of query vectors answered against
+    * the STATIC corpus through the q58 SRP bucket index. The stream
+    * side computes its integer-exact bucket (stateless expressions),
+    * explodes it into the nbits+1 probe buckets of hamming radius 1
+    * (the bucket itself plus each single-bit flip) so the stream-static
+    * join is EQUI on bucket — the shuffle-shaped form that scales,
+    * where a `bit_count(xor) <= 1` join condition would force a
+    * nested-loop — then scores candidates with the codegen cosine and
+    * takes the per-query argmax with a watermarked windowed aggregate
+    * (partial-aggregatable max(struct), bounded state, append mode).
+    * Emits (query_id, window_start, nn_id). */
+  def annLookupStream(queries: DataFrame, corpus: DataFrame,
+      nbits: Int = 4, eventTime: String = "event_ts",
+      delay: String = "10 seconds"): DataFrame = {
+    import graft.queries.VectorOps
+    import graft.functions.VectorExpressions.cosine
+    // the static bucket index — persisted for the same reason as the
+    // near-dup flagger's band index: micro-batches must not re-derive it
+    val index = VectorOps.withSrpBucket(corpus, nbits)
+      .select(col("vec_id"), col("embedding").as("c_emb"), col("bucket"))
+      .persist()
+    val probed = VectorOps.withSrpBucket(queries, nbits)
+      .withColumn("bucket", explode(array(
+        col("bucket") +: (0 until nbits).map(b =>
+          col("bucket").bitwiseXOR(lit(1L << b))): _*)))
+    probed
+      .join(index, "bucket")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("sim", cosine(col("embedding"), col("c_emb")))
+      .withWatermark(eventTime, delay)
+      .groupBy(col("query_id"), window(col(eventTime), "1 minute"))
+      .agg(max(struct(col("sim"), (-col("vec_id")).as("neg"))).as("m"))
+      .select(col("query_id"), col("window.start").as("window_start"),
+        (-col("m.neg")).cast("long").as("nn_id"))
+  }
+
   // ------------------------------------------------------- sessionizer
   final case class SEvent(user_id: Long, ts_s: Long, event_id: Long)
   final case class SessionOut(user_id: Long, session_idx: Long,

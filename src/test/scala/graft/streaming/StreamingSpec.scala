@@ -234,6 +234,55 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming ANN lookup == driver-side SRP probe argmax") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf0001 = "/root/testdata/sf0.001"
+    val corpus = graft.sources.Tables(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding")
+    // driver-side expectation: buckets from the SAME integer-exact lift,
+    // candidates = probe buckets within hamming 1, argmax by cosine
+    val buckets = graft.queries.VectorOps.withSrpBucket(corpus)
+      .select($"vec_id", $"bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += (a(i) * b(i)).toDouble
+        na += (a(i) * a(i)).toDouble; nb += (b(i) * b(i)).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qIds = Seq(0L, 7L, 13L)
+    val expected = qIds.map { qid =>
+      val nn = vecs.keys.toSeq
+        .filter(c => c != qid &&
+          java.lang.Long.bitCount(buckets(c) ^ buckets(qid)) <= 1)
+        .map(c => (c, cos(vecs(qid), vecs(c))))
+        .sortBy { case (id, s) => (-s, id) }.head._1
+      qid -> nn
+    }.toMap
+    val ms = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+    val q = StreamingQueries.annLookupStream(
+        ms.toDF().toDF("query_id", "embedding", "event_ts"), corpus)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ann_out").start()
+    val t0 = java.sql.Timestamp.valueOf("2025-01-25 16:00:01")
+    ms.addData(qIds.map(id => (id, vecs(id).toSeq, t0)): _*)
+    q.processAllAvailable()
+    // advance the watermark past the window so append mode emits it
+    ms.addData((999999L, vecs(0L).toSeq,
+      java.sql.Timestamp.valueOf("2025-01-25 16:05:00")))
+    q.processAllAvailable()
+    val got = spark.table("ann_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    q.stop()
+    assert(qIds.forall(id => got.get(id) == expected.get(id)),
+      s"got=$got expected=$expected")
+  }
+
   test("native session_window streams with watermark and matches batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
