@@ -414,18 +414,25 @@ object DedupOps {
       .select($"doc_id", $"cluster_id")
   }
 
-  private val dedupCorpusSql = clusterCtes + ",\n" +
+  /** q59's whole computation as a CTE chain ending with
+    * `surv(doc_id, cluster_id)` — downstream oracles (q64) filter the
+    * deduplicated corpus by extending this chain. */
+  private[graft] val survivorCtes = clusterCtes + ",\n" +
     """cl AS (
       |  SELECT d.doc_id, d.n_chars,
       |    CAST(LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS BIGINT)
       |      AS cluster_id
-      |  FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id)
-      |SELECT doc_id, cluster_id FROM (
-      |  SELECT doc_id, cluster_id,
-      |    ROW_NUMBER() OVER (PARTITION BY cluster_id
-      |      ORDER BY n_chars DESC, doc_id ASC) AS rn
-      |  FROM cl) t
-      |WHERE rn = 1""".stripMargin
+      |  FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id),
+      |surv AS (
+      |  SELECT doc_id, cluster_id FROM (
+      |    SELECT doc_id, cluster_id,
+      |      ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |        ORDER BY n_chars DESC, doc_id ASC) AS rn
+      |    FROM cl) t
+      |  WHERE rn = 1)""".stripMargin
+
+  private val dedupCorpusSql =
+    survivorCtes + "\nSELECT doc_id, cluster_id FROM surv"
 
   /** SimHash signatures via the codegen [[simhash64]] expression.
     * Term hash = first 15 hex chars of md5 (60 bits, fits signed int64

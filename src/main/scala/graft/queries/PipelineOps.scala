@@ -184,7 +184,45 @@ object PipelineOps {
       |JOIN documents db ON db.doc_id = p.b_id
       |GROUP BY 1, 2""".stripMargin
 
+  /** The pipeline's end-to-end composition: the training-ready corpus.
+    * Deduplicated survivors (q59's shared keep-longest selection) ∩
+    * language gate ∩ quality gates — the filter chain a data team
+    * actually ships. Every quality gate is INTEGER-exact (cross-
+    * multiplied ratio: `n_stop * 20 >= n_tokens` is "stopword ratio ≥
+    * 5%" with no float compare anywhere), so the whole end artifact is
+    * oracle-checkable bit-for-bit. Scale shape: the survivor set rides
+    * the memoized cluster labels; everything else is one scan of
+    * documents with stateless expressions. */
+  def trainingCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val survivors = DedupOps.dedupCorpus(spark, dir).select($"doc_id")
+    Tables(spark, dir, "documents")
+      .join(survivors, "doc_id")
+      .withColumn("tok", split($"text", " "))
+      .withColumn("n_tokens", size($"tok"))
+      .withColumn("n_stop", size(expr(
+        "filter(tok, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))")))
+      .filter($"lang" === "en" &&
+        $"n_tokens" >= 5 && $"n_tokens" <= 10000 &&
+        $"n_stop" * 20 >= $"n_tokens")
+      .select($"doc_id", $"n_tokens".cast("long").as("n_tokens"))
+  }
+
+  private val trainingCorpusSql = DedupOps.survivorCtes + ",\n" +
+    """tk AS (
+      |  SELECT d.doc_id, d.lang, string_split(d.text, ' ') AS tok
+      |  FROM documents d JOIN surv s ON s.doc_id = d.doc_id)
+      |SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens
+      |FROM tk
+      |WHERE lang = 'en' AND len(tok) BETWEEN 5 AND 10000
+      |  AND len(list_filter(tok,
+      |    x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) * 20
+      |      >= len(tok)""".stripMargin
+
   def queries: Seq[Q] = Seq(
+    Q("q64_training_corpus", trainingCorpus, Some(trainingCorpusSql),
+      "the training-ready corpus: dedup survivors x language x integer-" +
+        "exact quality gates — the shipped end artifact"),
     Q("q54_contamination", contamination, Some(contaminationSql),
       "cross-source duplicate/contamination report via fingerprint join"),
     Q("q46_hash_sample", hashSample, Some(hashSampleSql),
