@@ -30,6 +30,10 @@ object VectorOps {
     import spark.implicits._
     val w = Window.orderBy($"sim".desc, $"vec_id".asc)
     scored
+      // Spark orders NaN ABOVE every real number, so one zero-norm
+      // embedding (cosine 0/0 = NaN) would rank as everyone's best
+      // match; drop such candidates instead of reporting them
+      .filter(!isnan($"sim"))
       .orderBy($"sim".desc, $"vec_id".asc)
       .limit(k)
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -76,6 +80,7 @@ object VectorOps {
       $"label".as("b_label"))
     a.join(b, $"label" === $"b_label" && $"a_id" =!= $"b_id")
       .withColumn("sim", cosine($"a_emb", $"b_emb"))
+      .filter(!isnan($"sim")) // see rankedTopK: NaN would win the argmax
       // argmax via max(struct): lexicographic (sim desc, b_id asc through
       // negation) — a partial-aggregatable form, so the shuffle moves one
       // row per (a_id, partition) instead of every candidate pair. The
@@ -106,7 +111,10 @@ object VectorOps {
     val b = emb.select($"vec_id".as("b_id"), $"embedding".as("b_emb"),
       $"label".as("b_label"))
     a.join(b, $"label" === $"b_label" && $"a_id" < $"b_id")
-      .filter(cosine($"a_emb", $"b_emb") > 0.35)
+      // Spark treats NaN as greater than any number, so the threshold
+      // alone would ADMIT zero-norm pairs — require a real similarity
+      .filter(!isnan(cosine($"a_emb", $"b_emb")) &&
+        cosine($"a_emb", $"b_emb") > 0.35)
       .select($"a_id", $"b_id")
   }
 

@@ -172,10 +172,17 @@ object StreamingQueries {
     * nested-loop — then scores candidates with the codegen cosine and
     * takes the per-query argmax with a watermarked windowed aggregate
     * (partial-aggregatable max(struct), bounded state, append mode).
-    * Emits (query_id, window_start, nn_id). */
+    * Emits (query_id, window_start, nn_id).
+    *
+    * `excludeMatchingId` (default true) drops the corpus vector whose
+    * vec_id EQUALS the query_id — correct when the stream replays
+    * corpus vectors (self is trivially nearest). Set it false for
+    * external queries whose ids live in a different namespace, where
+    * an accidental id collision must not suppress a real neighbor. */
   def annLookupStream(queries: DataFrame, corpus: DataFrame,
       nbits: Int = 4, eventTime: String = "event_ts",
-      delay: String = "10 seconds"): DataFrame = {
+      delay: String = "10 seconds",
+      excludeMatchingId: Boolean = true): DataFrame = {
     import graft.queries.VectorOps
     import graft.functions.VectorExpressions.cosine
     // the static bucket index — persisted for the same reason as the
@@ -187,10 +194,13 @@ object StreamingQueries {
       .withColumn("bucket", explode(array(
         col("bucket") +: (0 until nbits).map(b =>
           col("bucket").bitwiseXOR(lit(1L << b))): _*)))
-    probed
-      .join(index, "bucket")
-      .filter(col("query_id") =!= col("vec_id"))
+    val joined = probed.join(index, "bucket")
+    val candidates =
+      if (excludeMatchingId) joined.filter(col("query_id") =!= col("vec_id"))
+      else joined
+    candidates
       .withColumn("sim", cosine(col("embedding"), col("c_emb")))
+      .filter(!isnan(col("sim"))) // NaN (zero-norm vector) would win max(struct)
       .withWatermark(eventTime, delay)
       .groupBy(col("query_id"), window(col(eventTime), "1 minute"))
       .agg(max(struct(col("sim"), (-col("vec_id")).as("neg"))).as("m"))

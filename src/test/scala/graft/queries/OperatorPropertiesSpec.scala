@@ -117,17 +117,17 @@ class OperatorPropertiesSpec extends SparkSuite {
   }
 
   test("verifiedPairs memo: newSession clones share one materialization") {
-    DedupOps.invalidatePairs()
+    DedupOps.invalidateSharedArtifacts()
     val first = DedupOps.verifiedPairs(spark, sf0001)
     // a session clone shares the SparkContext (and thus the cached
     // blocks) — it must get the SAME memoized frame, not re-mine
     val clone = spark.newSession()
     assert(DedupOps.verifiedPairs(clone, sf0001) eq first)
     assert(DedupOps.verifiedPairs(spark, sf0001) eq first)
-    DedupOps.invalidatePairs()
+    DedupOps.invalidateSharedArtifacts()
     val fresh = DedupOps.verifiedPairs(spark, sf0001)
     assert(!(fresh eq first))
-    DedupOps.invalidatePairs()
+    DedupOps.invalidateSharedArtifacts()
   }
 
   test("dedupCorpus keeps exactly one survivor per cluster, the longest doc") {
