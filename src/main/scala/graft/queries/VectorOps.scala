@@ -169,6 +169,62 @@ object VectorOps {
   def ivfKnn(spark: SparkSession, dir: String): DataFrame =
     ivfSearch(spark, dir, nCells = 16, probes = 4)
 
+  /** Persist the IVF index as a PHYSICAL layout: cell assignments
+    * written partitioned by cell (one directory per cell, via
+    * [[graft.operators.Operators.writePartitioned]]) plus the centroid
+    * table as a sibling parquet. This is the on-disk form of the q33
+    * index — at 100 TB the build is a one-off batch job, and a probe-P
+    * search READS only P of nCells directories (planning-time partition
+    * pruning), so search I/O is probes/nCells of the corpus no matter
+    * how large the table grows. */
+  def ivfWriteIndex(spark: SparkSession, dir: String, path: String,
+      nCells: Int = 16): Unit = {
+    import spark.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("v", array_to_vector($"embedding"))
+    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("v").setPredictionCol("cell").fit(emb)
+    graft.operators.Operators.writePartitioned(
+      model.transform(emb).select($"vec_id", $"embedding", $"cell"),
+      path, "cell")
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path.centroids")
+  }
+
+  /** Search a persisted IVF index: centroids (parameters) choose the
+    * probe cells driver-side, then the scan carries `cell IN (...)` as
+    * a PARTITION filter — only the probed directories are listed and
+    * read. Query = the index row with vec_id 0, as in [[ivfSearch]];
+    * probes == nCells degenerates to exact brute force (tested). */
+  def ivfSearchIndexed(spark: SparkSession, path: String,
+      probes: Int, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val index = spark.read.parquet(path)
+    val qRow = index.filter($"vec_id" === 0)
+      .select($"embedding").head.getSeq[Float](0).toArray
+    val probeCells = spark.read.parquet(s"$path.centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .map { case (i, c) =>
+        val d = c.zip(qRow).map { case (x, y) => val t = x - y; t * t }.sum
+        (i, d)
+      }
+      .sortBy(_._2).take(probes).map(_._1).toSeq
+    val query = index.filter($"vec_id" === 0)
+      .select($"embedding".as("q_emb"))
+    rankedTopK(
+      index
+        .filter($"vec_id" =!= 0 && $"cell".isin(probeCells: _*))
+        .crossJoin(broadcast(query))
+        .withColumn("sim", cosine($"embedding", $"q_emb"))
+        .select($"vec_id", $"sim"),
+      k = k)
+  }
+
   /** Probe-ALL IVF: with probes == nCells every cell is scanned, so the
     * result is provably the exact brute-force top-k — which makes the
     * whole IVF path (quantizer assignment, probe routing, top-k merge)

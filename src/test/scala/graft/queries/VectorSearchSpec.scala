@@ -53,6 +53,30 @@ class VectorSearchSpec extends SparkSuite {
                           // exactness is the probe-all case above
   }
 
+  test("persisted IVF index: probe-all == brute force, scan prunes to probed cells") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf").toString + "/idx"
+    try {
+      VectorOps.ivfWriteIndex(spark, sf0001, tmp)
+      // probes == nCells over the on-disk index must equal brute force —
+      // the same exactness contract as q37, now through the write path
+      val brute = VectorOps.knnTopK(spark, sf0001).orderBy("rank")
+        .collect().map(_.getLong(1)).toSeq
+      val all = VectorOps.ivfSearchIndexed(spark, tmp, probes = 16)
+        .orderBy("rank").collect().map(_.getLong(1)).toSeq
+      assert(all == brute)
+      // probe-4: the cell IN (...) predicate must be a PARTITION filter —
+      // only the probed directories are listed and read
+      val p4 = VectorOps.ivfSearchIndexed(spark, tmp, probes = 4)
+      val plan = p4.queryExecution.executedPlan.toString
+        .replaceAll("#\\d+", "")
+      assert(plan.contains("PartitionFilters: [cell IN ("), plan)
+      assert(p4.collect().length == 5)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(tmp).getParentFile)
+    }
+  }
+
   test("extensions register fvec_dot/simhash64/minhash_longs for SQL") {
     // inject into the existing session the way withExtensions would
     new graft.GraftExtensions()
