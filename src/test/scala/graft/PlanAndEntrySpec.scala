@@ -78,6 +78,32 @@ class PlanAndEntrySpec extends SparkSuite {
     assert(Registry.all.map(_.name).distinct.size == Registry.all.size)
   }
 
+  test("LSH band join past the broadcast threshold: SMJ + ReusedExchange, same pairs") {
+    // PLANS.md's scale claim for q42, pinned: when band keys outgrow the
+    // broadcast threshold the planner switches to sort-merge, whose
+    // identical per-side exchanges deduplicate via ReuseExchange — the
+    // expensive minhash pipeline runs ONCE at exactly the scale where
+    // that matters. Forcing threshold -1 simulates the large-corpus
+    // regime on test data; results must not change with the strategy.
+    val sf001 = "/root/testdata/sf0.01"
+    val expected = graft.queries.DedupOps.minhashLsh(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.queries.DedupOps.minhashLsh(spark, sf001)
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+      assert(expected.nonEmpty)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("ReusedExchange"),
+        s"band self-join sides must share one exchange:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("registry-wide plan sweep: no cartesian product, no single-partition exchange") {
     // mechanizes the PLANS.md audit claim so it can't silently rot: a
     // CartesianProduct is the all-pairs scale-killer, and an
