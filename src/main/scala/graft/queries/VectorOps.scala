@@ -28,13 +28,17 @@ object VectorOps {
   private def rankedTopK(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
-    val w = Window.orderBy($"sim".desc, $"vec_id".asc)
+    // Spark orders NaN ABOVE every real number, so one zero-norm
+    // embedding (cosine 0/0 = NaN) would rank as everyone's best match.
+    // Guard in the SORT KEY (NaN → -∞, ranks last) rather than with an
+    // isnan filter: a filter on `sim` gets predicate-pushed through the
+    // projection into the join condition, where the dot product would
+    // be recomputed per row — doubling the flops of the scan-dominant
+    // stage. nanvl over the already-materialized column is free.
+    val key = nanvl($"sim", lit(Double.NegativeInfinity))
+    val w = Window.orderBy(key.desc, $"vec_id".asc)
     scored
-      // Spark orders NaN ABOVE every real number, so one zero-norm
-      // embedding (cosine 0/0 = NaN) would rank as everyone's best
-      // match; drop such candidates instead of reporting them
-      .filter(!isnan($"sim"))
-      .orderBy($"sim".desc, $"vec_id".asc)
+      .orderBy(key.desc, $"vec_id".asc)
       .limit(k)
       .withColumn("rank", row_number().over(w).cast("long"))
       .select($"rank", $"vec_id")
@@ -79,8 +83,11 @@ object VectorOps {
     val b = emb.select($"vec_id".as("b_id"), $"embedding".as("b_emb"),
       $"label".as("b_label"))
     a.join(b, $"label" === $"b_label" && $"a_id" =!= $"b_id")
-      .withColumn("sim", cosine($"a_emb", $"b_emb"))
-      .filter(!isnan($"sim")) // see rankedTopK: NaN would win the argmax
+      // NaN guard inside the aggregation key (see rankedTopK: a filter
+      // would push into the join condition and recompute the dot); a
+      // zero-norm neighbor ranks last instead of winning the argmax
+      .withColumn("sim", nanvl(cosine($"a_emb", $"b_emb"),
+        lit(Double.NegativeInfinity)))
       // argmax via max(struct): lexicographic (sim desc, b_id asc through
       // negation) — a partial-aggregatable form, so the shuffle moves one
       // row per (a_id, partition) instead of every candidate pair. The
@@ -111,10 +118,10 @@ object VectorOps {
     val b = emb.select($"vec_id".as("b_id"), $"embedding".as("b_emb"),
       $"label".as("b_label"))
     a.join(b, $"label" === $"b_label" && $"a_id" < $"b_id")
-      // Spark treats NaN as greater than any number, so the threshold
-      // alone would ADMIT zero-norm pairs — require a real similarity
-      .filter(!isnan(cosine($"a_emb", $"b_emb")) &&
-        cosine($"a_emb", $"b_emb") > 0.35)
+      // Spark treats NaN as greater than any number, so a bare
+      // threshold would ADMIT zero-norm pairs; nanvl(-1) fails them in
+      // the same single cosine evaluation
+      .filter(nanvl(cosine($"a_emb", $"b_emb"), lit(-1d)) > 0.35)
       .select($"a_id", $"b_id")
   }
 

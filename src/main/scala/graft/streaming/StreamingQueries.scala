@@ -199,8 +199,10 @@ object StreamingQueries {
       if (excludeMatchingId) joined.filter(col("query_id") =!= col("vec_id"))
       else joined
     candidates
-      .withColumn("sim", cosine(col("embedding"), col("c_emb")))
-      .filter(!isnan(col("sim"))) // NaN (zero-norm vector) would win max(struct)
+      // nanvl: a zero-norm corpus vector (cosine NaN, which Spark
+      // orders above all reals) must lose the argmax, not win it
+      .withColumn("sim", nanvl(cosine(col("embedding"), col("c_emb")),
+        lit(Double.NegativeInfinity)))
       .withWatermark(eventTime, delay)
       .groupBy(col("query_id"), window(col(eventTime), "1 minute"))
       .agg(max(struct(col("sim"), (-col("vec_id")).as("neg"))).as("m"))
