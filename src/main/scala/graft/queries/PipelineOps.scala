@@ -219,7 +219,55 @@ object PipelineOps {
       |    x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) * 20
       |      >= len(tok)""".stripMargin
 
+  /** Training-mix sampler with TARGET PROPORTIONS: unlike q56's fixed
+    * per-stratum thresholds, the per-language keep-rate here is DERIVED
+    * from the data — target mix (basis points) × an ABSOLUTE output
+    * budget (how deployments actually specify training mixes: "sample
+    * 50B tokens in these proportions", a parameter, not a corpus
+    * fraction — which also means no global count and no single-
+    * partition aggregate anywhere in the plan) ÷ observed stratum
+    * count. Membership stays deterministic and integer-exact end to
+    * end: u16 = first 16 md5 bits of doc_id, keep iff
+    * u16·10⁴·cnt < 65536·w_bp·budget (the cross-multiplied form of
+    * u16/65536 < rate, no float anywhere; strata at/under budget keep
+    * everything, since the inequality then holds for every u16). Scale
+    * shape: the per-stratum counts are a tiny broadcast side; the
+    * corpus gets one scan and a map-side filter. Product terms stay
+    * under 2⁶³ up to ~10⁹ docs per stratum; switch the comparison to
+    * DECIMAL beyond. */
+  def mixtureSample(spark: SparkSession, dir: String,
+      budgetDocs: Long = 200L): DataFrame = {
+    import spark.implicits._
+    val weightsBp = Seq("en" -> 5000L, "zh" -> 1250L, "es" -> 1250L,
+      "de" -> 1250L, "fr" -> 1250L)
+    val docs = Tables(spark, dir, "documents")
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("cnt"))
+    docs
+      .withColumn("u16",
+        conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("long"))
+      .join(broadcast(counts), "lang")
+      .join(broadcast(weightsBp.toDF("lang", "w_bp")), "lang")
+      .filter($"u16" * lit(10000L) * $"cnt" <
+        lit(65536L) * $"w_bp" * lit(budgetDocs))
+      .select($"doc_id", $"lang")
+  }
+
+  private val mixtureSampleSql =
+    """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+      |w(lang, w_bp) AS (VALUES ('en', 5000), ('zh', 1250), ('es', 1250),
+      |                         ('de', 1250), ('fr', 1250))
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN c USING (lang) JOIN w USING (lang)
+      |WHERE CAST(concat('0x',
+      |      substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+      |    * 10000 * c.cnt
+      |  < 65536::BIGINT * w.w_bp * 200""".stripMargin
+
   def queries: Seq[Q] = Seq(
+    Q("q65_mixture_sample", mixtureSample(_, _), Some(mixtureSampleSql),
+      "target-proportion training-mix sampler: data-derived per-stratum " +
+        "rates, integer-exact deterministic membership"),
     Q("q64_training_corpus", trainingCorpus, Some(trainingCorpusSql),
       "the training-ready corpus: dedup survivors x language x integer-" +
         "exact quality gates — the shipped end artifact"),

@@ -52,6 +52,39 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("mixture sampler matches a driver-side recomputation and the mix") {
+    import spark.implicits._
+    val docs = graft.sources.Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val cnt = docs.groupBy(_._2).map { case (l, d) => l -> d.length.toLong }
+    val wBp = Map("en" -> 5000L, "zh" -> 1250L, "es" -> 1250L,
+      "de" -> 1250L, "fr" -> 1250L)
+    def u16(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val budget = 200L
+    val expected = docs.filter { case (id, l) =>
+      wBp.get(l).exists(w => u16(id) * 10000L * cnt(l) < 65536L * w * budget)
+    }.map(_._1).toSet
+    val got = PipelineOps.mixtureSample(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.map(_._1).toSet == expected)
+    // the realized mix tracks the target: en twice the budget share of
+    // the others combined halves — coarse bounds, data-independent-ish
+    val byLang = got.groupBy(_._2).map { case (l, d) => l -> d.length }
+    val want = budget.toDouble
+    assert(math.abs(byLang("en") - want * 0.5) <= want * 0.15,
+      s"en share off target: $byLang")
+    wBp.keys.filterNot(_ == "en").foreach { l =>
+      assert(math.abs(byLang(l) - want * 0.125) <= want * 0.08,
+        s"$l share off target: $byLang")
+    }
+  }
+
   test("token pack conserves token counts and caps segments at 16") {
     import spark.implicits._
     val packed = PipelineOps.tokenPack(spark, sf0001)
