@@ -267,13 +267,25 @@ object DedupOps {
     * cluster building executes whole Spark jobs — seconds of work a
     * ConcurrentHashMap compute lambda must not hold a bin lock for. */
   private final class ArtifactMemo {
-    private final class Cell(build: () => DataFrame) {
+    private final class Cell(build0: () => DataFrame) {
+      // the thunk is nulled once the value exists so the cell doesn't
+      // pin the first caller's session/closure for the memo's lifetime
+      private var b: () => DataFrame = build0
       @volatile private var v: DataFrame = _
       def value: DataFrame = {
-        if (v == null) synchronized { if (v == null) v = build() }
+        if (v == null) synchronized { if (v == null) { v = b(); b = null } }
         v
       }
       def peek: Option[DataFrame] = Option(v)
+      /** Unpersist-if-built. Synchronizing on the cell serializes with
+        * an in-flight build (which holds the same lock), so a racing
+        * invalidate waits for the build and then releases its blocks
+        * instead of orphaning them; the builder still gets a valid
+        * (merely uncached) frame back. */
+      def release(): Unit = synchronized {
+        peek.foreach(df =>
+          try df.unpersist() catch { case _: Exception => () })
+      }
     }
     private val m = new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.SparkContext, String), Cell]
@@ -288,8 +300,7 @@ object DedupOps {
       false
     }
     def invalidate(): Unit = {
-      m.values.forEach(_.peek.foreach(df =>
-        try df.unpersist() catch { case _: Exception => () }))
+      m.values.forEach(_.release())
       m.clear()
     }
   }

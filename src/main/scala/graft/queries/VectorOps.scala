@@ -59,10 +59,17 @@ object VectorOps {
       k = 5)
   }
 
+  /** Oracle-side mirror of the engine's nanvl(sim, -∞) ranking guard:
+    * both engines order NaN above all reals, so the twins must demote
+    * NaN the same way the engine does or a zero-norm row would diverge. */
+  private def duckNanvl(simExpr: String): String =
+    s"CASE WHEN isnan($simExpr) THEN CAST('-infinity' AS DOUBLE) " +
+      s"ELSE $simExpr END"
+
   private val knnTopKSql =
-    """SELECT rank, vec_id FROM (
+    s"""SELECT rank, vec_id FROM (
       |  SELECT CAST(ROW_NUMBER() OVER (
-      |      ORDER BY list_cosine_similarity(b.embedding, q.embedding) DESC,
+      |      ORDER BY ${duckNanvl("list_cosine_similarity(b.embedding, q.embedding)")} DESC,
       |               b.vec_id ASC) AS BIGINT) AS rank,
       |    b.vec_id
       |  FROM embeddings b,
@@ -98,10 +105,10 @@ object VectorOps {
   }
 
   private val nnPerVectorSql =
-    """SELECT vec_id, nn_id FROM (
+    s"""SELECT vec_id, nn_id FROM (
       |  SELECT a.vec_id, b.vec_id AS nn_id,
       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
-      |      ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+      |      ORDER BY ${duckNanvl("list_cosine_similarity(a.embedding, b.embedding)")} DESC,
       |               b.vec_id ASC) AS rn
       |  FROM embeddings a JOIN embeddings b
       |    ON a.label = b.label AND a.vec_id <> b.vec_id) t
@@ -126,10 +133,11 @@ object VectorOps {
   }
 
   private val similarPairsSql =
-    """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+    s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id
       |FROM embeddings a JOIN embeddings b
       |  ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.35""".stripMargin
+      |WHERE ${duckNanvl("list_cosine_similarity(a.embedding, b.embedding)")}
+      |  > 0.35""".stripMargin
 
   /** IVF (inverted-file) approximate top-k: KMeans centroids act as the
     * coarse quantizer (index build), search probes only the `probes`
@@ -138,39 +146,58 @@ object VectorOps {
     * only driver-side data are the query row and the centroid table
     * (parameters, not data). With probes == nCells this degenerates to
     * exact brute force — the equivalence is asserted in ScalaTest. */
-  def ivfSearch(spark: SparkSession, dir: String, nCells: Int,
-      probes: Int, k: Int = 5): DataFrame = {
-    import spark.implicits._
+  /** Few iterations: the quantizer only partitions space; cell-boundary
+    * quality barely moves recall, and the probe-all == brute-force
+    * contract holds for ANY assignment. Index build time halves. */
+  private def fitQuantizer(emb: DataFrame, nCells: Int) = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    val emb = Tables(spark, dir, "embeddings")
-      .withColumn("v", array_to_vector($"embedding"))
-    // few iterations: the quantizer only partitions space; cell-boundary
-    // quality barely moves recall, and the probe-all == brute-force
-    // contract holds for ANY assignment. Index build time halves.
-    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(5)
+    new KMeans().setK(nCells).setSeed(42).setMaxIter(5)
       .setFeaturesCol("v").setPredictionCol("cell").fit(emb)
-    val assigned = model.transform(emb)
+  }
 
-    val qRow = assigned.filter($"vec_id" === 0)
-      .select($"embedding").head.getSeq[Float](0).toArray
-    val probeCells = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        val d = c.toArray.zip(qRow).map { case (x, y) => val t = x - y; t * t }.sum
-        (i, d)
-      }
-      .sortBy(_._2).take(probes).map(_._1).toSeq
+  /** Probe-cell choice by squared L2 — pure driver math over the
+    * centroid PARAMETERS (nCells rows) and the collected query row. */
+  private def nearestCells(centers: Seq[(Int, Array[Double])],
+      qRow: Array[Float], probes: Int): Seq[Int] =
+    centers.map { case (i, c) =>
+      val d = c.zip(qRow).map { case (x, y) => val t = x - y; t * t }.sum
+      (i, d)
+    }.sortBy(_._2).take(probes).map(_._1).toSeq
 
-    val query = assigned.filter($"vec_id" === 0)
-      .select($"embedding".as("q_emb"))
+  /** Score (vec_id, embedding) candidates against a driver-held query
+    * vector and rank the top-k. The query side is a one-row
+    * LocalRelation from the already-collected parameter — re-deriving
+    * it from the corpus/index would cost a second full, UNPRUNED scan
+    * just to fetch a row the driver already holds. */
+  private def rankAgainstQuery(candidates: DataFrame, qRow: Array[Float],
+      k: Int): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val query = Seq(qRow.toSeq).toDF("q_emb")
     rankedTopK(
-      assigned
-        .filter($"vec_id" =!= 0 && $"cell".isin(probeCells: _*))
-        .crossJoin(broadcast(query))
+      candidates.crossJoin(broadcast(query))
         .withColumn("sim", cosine($"embedding", $"q_emb"))
         .select($"vec_id", $"sim"),
       k = k)
+  }
+
+  def ivfSearch(spark: SparkSession, dir: String, nCells: Int,
+      probes: Int, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("v", array_to_vector($"embedding"))
+    val model = fitQuantizer(emb, nCells)
+    val assigned = model.transform(emb)
+    val qRow = assigned.filter($"vec_id" === 0)
+      .select($"embedding").head.getSeq[Float](0).toArray
+    val probeCells = nearestCells(
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) },
+      qRow, probes)
+    rankAgainstQuery(
+      assigned.filter($"vec_id" =!= 0 && $"cell".isin(probeCells: _*))
+        .select($"vec_id", $"embedding"),
+      qRow, k)
   }
 
   def ivfKnn(spark: SparkSession, dir: String): DataFrame =
@@ -187,12 +214,10 @@ object VectorOps {
   def ivfWriteIndex(spark: SparkSession, dir: String, path: String,
       nCells: Int = 16): Unit = {
     import spark.implicits._
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables(spark, dir, "embeddings")
       .withColumn("v", array_to_vector($"embedding"))
-    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(5)
-      .setFeaturesCol("v").setPredictionCol("cell").fit(emb)
+    val model = fitQuantizer(emb, nCells)
     graft.operators.Operators.writePartitioned(
       model.transform(emb).select($"vec_id", $"embedding", $"cell"),
       path, "cell")
@@ -211,25 +236,19 @@ object VectorOps {
       probes: Int, k: Int = 5): DataFrame = {
     import spark.implicits._
     val index = spark.read.parquet(path)
+    // ONE unpruned pass to fetch the query row — a parameter access
+    // (like q33's); production callers pass the query vector directly
+    // and skip even this. The scoring scan below is the pruned one.
     val qRow = index.filter($"vec_id" === 0)
       .select($"embedding").head.getSeq[Float](0).toArray
-    val probeCells = spark.read.parquet(s"$path.centroids")
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .map { case (i, c) =>
-        val d = c.zip(qRow).map { case (x, y) => val t = x - y; t * t }.sum
-        (i, d)
-      }
-      .sortBy(_._2).take(probes).map(_._1).toSeq
-    val query = index.filter($"vec_id" === 0)
-      .select($"embedding".as("q_emb"))
-    rankedTopK(
-      index
-        .filter($"vec_id" =!= 0 && $"cell".isin(probeCells: _*))
-        .crossJoin(broadcast(query))
-        .withColumn("sim", cosine($"embedding", $"q_emb"))
-        .select($"vec_id", $"sim"),
-      k = k)
+    val probeCells = nearestCells(
+      spark.read.parquet(s"$path.centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq,
+      qRow, probes)
+    rankAgainstQuery(
+      index.filter($"vec_id" =!= 0 && $"cell".isin(probeCells: _*))
+        .select($"vec_id", $"embedding"),
+      qRow, k)
   }
 
   /** Probe-ALL IVF: with probes == nCells every cell is scanned, so the
@@ -308,7 +327,7 @@ object VectorOps {
     * hamming-1 multi-probe — then the same rank/ids-only cosine top-k
     * ranking contract as q30. */
   private val srpAnnSql =
-    """WITH dims AS (SELECT unnest(range(64)) AS d),
+    s"""WITH dims AS (SELECT unnest(range(64)) AS d),
       |bits AS (SELECT unnest(range(4)) AS b),
       |w AS (SELECT b, d,
       |    CAST(concat('0x', substr(md5(concat(b, ':', d)), 1, 8)) AS BIGINT)
@@ -328,7 +347,7 @@ object VectorOps {
       |  WHERE e.vec_id = 0)
       |SELECT rank, vec_id FROM (
       |  SELECT CAST(ROW_NUMBER() OVER (
-      |      ORDER BY list_cosine_similarity(e.embedding, q.q_emb) DESC,
+      |      ORDER BY ${duckNanvl("list_cosine_similarity(e.embedding, q.q_emb)")} DESC,
       |               e.vec_id ASC) AS BIGINT) AS rank,
       |    e.vec_id
       |  FROM embeddings e JOIN buckets bk ON e.vec_id = bk.vec_id, q
