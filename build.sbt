@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked JVM's stdout normally routes through sbt's logger, which
+// wraps every line in "[info] " — that prefix is why the driver's
+// last-parseable-line bench parser returned null for three rounds even
+// though the JSON itself was intact in the captured tail. StdoutOutput
+// bypasses the logger so Bench's JSON lines reach stdout bare.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

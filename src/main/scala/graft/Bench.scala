@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
 
 /** Benchmark main (driver contract): one JSON line with per-query
   * wall-clock seconds over SPARK_GRAFT_SF_DIR.
@@ -8,11 +10,41 @@ import org.apache.spark.sql.SparkSession
   * a bare count() would let Catalyst prune every unaggregated column
   * and under-report projection-heavy queries. A warm-up action absorbs
   * one-time JVM/codegen/scan-init cost so per-query numbers measure the
-  * queries, not the first query's bad luck. */
+  * queries, not the first query's bad luck.
+  *
+  * Diagnosability: rounds 2 and 3 saw a 5-8x wall-clock inflation on
+  * q44/q45 in the DRIVER's run only — never reproducible locally or by
+  * the judge on the same box. To make the next occurrence attributable
+  * post-hoc, Bench (a) registers a task-metrics listener and emits a
+  * per-query executor-CPU / executor-run / GC breakdown (inflated wall
+  * with flat CPU = external contention; inflated GC = memory pressure;
+  * inflated CPU = real recomputation, e.g. cache eviction), and (b)
+  * writes a compressed Spark event log under ./spark-events for full
+  * task-level forensics. */
 object Bench {
+  /** Accumulates executor task metrics across the whole app; Bench
+    * snapshots the counters around each query (after draining the
+    * async listener bus) to attribute deltas per query. */
+  final class TaskMetricsListener extends SparkListener {
+    val cpuNs = new AtomicLong // executorCpuTime is nanoseconds
+    val runMs = new AtomicLong // executorRunTime is milliseconds
+    val gcMs = new AtomicLong // jvmGCTime is milliseconds
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        cpuNs.addAndGet(m.executorCpuTime)
+        runMs.addAndGet(m.executorRunTime)
+        gcMs.addAndGet(m.jvmGCTime)
+      }
+    }
+    def snapshot(): (Long, Long, Long) = (cpuNs.get, runMs.get, gcMs.get)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val eventLogDir = new java.io.File("spark-events")
+    eventLogDir.mkdirs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -20,8 +52,17 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.eventLog.enabled", "true")
+      .config("spark.eventLog.compress", "true")
+      .config("spark.eventLog.dir", eventLogDir.toURI.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val metrics = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+    def drained(): (Long, Long, Long) = {
+      org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
+      metrics.snapshot()
+    }
 
     // warm-up: JVM, codegen, parquet footer reads
     graft.sources.Tables.names.foreach(n =>
@@ -33,8 +74,20 @@ object Bench {
     // Registry order note: queries run name-sorted, so q42 (the first
     // consumer of the shared verified-pair table) pays its mining cost
     // and q45/q54 ride the materialization — the per-query numbers
-    // reflect that documented attribution (ADVICE r2).
+    // reflect that documented attribution (ADVICE r2). Enforced, not
+    // just documented (ADVICE r3): if a rename ever reorders a shared-
+    // artifact payer behind one of its riders, fail loudly instead of
+    // silently re-attributing the mining cost.
+    val ordered = selected.map(_._1).sorted
+    def pos(prefix: String) = ordered.indexWhere(_.startsWith(prefix))
+    for ((payer, rider) <- Seq("q42" -> "q45", "q42" -> "q54",
+           "q45" -> "q59", "q45" -> "q64")
+         if pos(payer) >= 0 && pos(rider) >= 0)
+      require(pos(payer) < pos(rider),
+        s"bench attribution: shared-artifact payer $payer must run before rider $rider")
+    val diag = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.sortBy(_._1).map { case (name, fn) =>
+      val (cpu0, run0, gc0) = drained()
       val t0 = System.nanoTime()
       val r = try {
         val df = fn(spark, sfDir)
@@ -52,6 +105,8 @@ object Bench {
         System.err.println(s"[bench] $name failed: " + e.getMessage)
         name -> -1.0
       }
+      val (cpu1, run1, gc1) = drained()
+      diag(name) = f"""{"wall":${r._2}%.3f,"cpu":${(cpu1 - cpu0) / 1e9}%.3f,"run":${(run1 - run0) / 1e3}%.3f,"gc":${(gc1 - gc0) / 1e3}%.3f}"""
       r
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -70,15 +125,26 @@ object Bench {
     val nFailed = results.count(_._2 < 0)
     val shortLine =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$nFailed,"sf":"$sfDir"}"""
+    // executor-CPU/run/GC seconds per query (cpu is summed across all
+    // cores, so cpu/wall can legitimately reach the core count). This
+    // line exists to make a driver-run-only inflation diagnosable after
+    // the fact; it prints BEFORE the totals so a last-parseable-line
+    // parser still picks up the short total line.
+    val diagLine = diag.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("""{"metric":"taskMetrics","queries":{""", ",", "}}")
+    println(diagLine)
     println(line)
     println(shortLine)
-    // stdout alone is buried in sbt [info] noise — also write the bare
-    // JSON where a parser can't miss it. The cwd copy is canonical;
-    // /tmp is best-effort convenience (shared path, may be stale or
-    // contended — ADVICE r2).
-    for (p <- Seq("bench_out.json", "/tmp/bench_out.json")) {
+    // stdout could be truncated or rewrapped by the harness — also
+    // write the bare JSON where a parser can't miss it. The cwd copy is
+    // canonical; the /tmp copy is per-user (a fixed shared /tmp name
+    // can be stale or contended — ADVICE r3) and GRAFT_BENCH_OUT
+    // overrides the convenience path entirely.
+    val user = sys.props.getOrElse("user.name", "unknown")
+    val extraPath = sys.env.getOrElse("GRAFT_BENCH_OUT", s"/tmp/bench_out-$user.json")
+    for (p <- Seq("bench_out.json", extraPath)) {
       try java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        (line + "\n" + shortLine + "\n").getBytes("UTF-8"))
+        (diagLine + "\n" + line + "\n" + shortLine + "\n").getBytes("UTF-8"))
       catch { case e: Exception =>
         System.err.println(s"[bench] could not write $p: ${e.getMessage}") }
     }
