@@ -348,6 +348,12 @@ object DedupOps {
     * only the per-round convergence COUNT, never row data. The
     * large-star/small-star variant (Kiveris et al.) is the drop-in
     * upgrade if a pathological long-chain graph ever appears. */
+  /** Round count of the most recent [[dupClusters]] convergence —
+    * observability for the 10× stress harness and tests (the algorithm
+    * contract is O(diameter) rounds; this makes the actual count
+    * checkable instead of asserted). */
+  @volatile private[graft] var lastClusterRounds: Int = -1
+
   def dupClusters(spark: SparkSession, dir: String,
       maxRounds: Int = 50): DataFrame = {
     import spark.implicits._
@@ -368,17 +374,30 @@ object DedupOps {
       val viaEdges = edges
         .join(labels.select($"doc_id".as("u"), $"cluster_id"), "u")
         .select($"v".as("doc_id"), $"cluster_id")
+      // localCheckpoint, not persist: it TRUNCATES lineage at each
+      // round. A merely-persisted round that loses blocks under memory
+      // pressure recomputes every prior round plus the whole LSH mining
+      // chain — the one mechanism found (VERDICT r3) by which a
+      // contended run could inflate q45 5-8x while uncontended runs
+      // never see it. Checkpoint blocks are MEMORY_AND_DISK, so under
+      // pressure they spill instead of being recomputed; non-eager
+      // because the convergence count below materializes it anyway.
       val next = labels.union(viaEdges)
         .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id"))
-        .persist()
+        .localCheckpoint(eager = false)
       val changed = next.select($"doc_id", $"cluster_id".as("new_c"))
         .join(labels, "doc_id")
         .filter($"new_c" =!= $"cluster_id").count()
       converged = changed == 0
+      // releases the initial persisted frame in round 1; for later
+      // (checkpointed) rounds it's a no-op and the ContextCleaner
+      // reclaims the superseded checkpoint blocks once the frame is
+      // dereferenced here
       labels.unpersist()
       labels = next
       rounds += 1
     }
+    lastClusterRounds = rounds
     edges.unpersist()
     // never ship silently-wrong labels: a component with diameter >
     // maxRounds means this graph isn't the tiny-quasi-clique shape dup
@@ -390,11 +409,19 @@ object DedupOps {
           "diameter exceeds the cap; use large-star/small-star for " +
           "long-chain graphs or raise maxRounds")
     }
-    // the returned frame stays cached so downstream actions don't replay
-    // the whole iteration; Spark's ContextCleaner reclaims the blocks
-    // once the consumer drops the reference (standard cached-result
-    // contract — recomputing every round per action would cost more)
-    labels
+    // the returned frame is checkpoint-backed (downstream actions can
+    // never replay the iteration), and ALSO persisted + materialized:
+    // a bare LogicalRDD reports the session default size, and that
+    // "huge" estimate makes consumers' planners inject runtime
+    // bloom-filter joins — whose sketch reduction is an
+    // Exchange SinglePartition, tripping the registry plan sweep — and
+    // lose broadcast opportunities. The materialized InMemoryRelation
+    // restores accurate (|docs| × 2 longs) stats; the count reads the
+    // checkpoint blocks, not the lineage. ContextCleaner reclaims both
+    // layers once the memo drops the reference.
+    val out = labels.persist()
+    out.count()
+    out
   }
 
   /** The recursive-CTE cluster computation, shared by the q45 and q59

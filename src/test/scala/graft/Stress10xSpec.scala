@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, functions => F}
+
+/** 10× scale-regime stress proof for the dedup stack (VERDICT r3 #6):
+  * derives a 50k-document corpus by ten-way self-union of sf0.1 with
+  * offset doc_ids (each document gains 9 exact copies — the worst
+  * realistic duplication regime: every LSH bucket and every cluster
+  * grows a 10-clique), then runs the q42 → q45 → q59 → q64 chain once,
+  * printing wall-times, the propagation round count, and a plan audit.
+  *
+  * A main, not a ScalaTest: it's a ~minutes-scale evidence run the
+  * builder executes once per round for PLANS.md, not a CI gate.
+  * Expectations checked loudly here: label propagation converges in
+  * ≤ 3 rounds (10-cliques bridge in one), and no plan flips to
+  * CartesianProduct / Exchange SinglePartition at 10×.
+  */
+object Stress10xSpec {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-stress10x")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val src = "/root/testdata/sf0.1"
+    val dir = "/tmp/graft_stress10x"
+    val docs = graft.sources.Tables(spark, src, "documents")
+    (0 until 10)
+      .map(k => docs.withColumn("doc_id", $"doc_id" + F.lit(k * 10000000L)))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    println(s"[stress10x] corpus: $n documents (10x ${n / 10})")
+
+    val chain = Seq("q42_minhash_lsh", "q45_dup_clusters",
+      "q59_dedup_corpus", "q64_training_corpus")
+    val times = chain.map { name =>
+      val fn = SparkEntry.queries(name)
+      val df = fn(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      for (bad <- Seq("CartesianProduct", "Exchange SinglePartition"))
+        require(!plan.contains(bad), s"$name plan flipped to $bad at 10x:\n$plan")
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[stress10x] $name%-22s ${sec}%7.2f s")
+      name -> sec
+    }
+    println(s"[stress10x] propagation rounds: ${graft.queries.DedupOps.lastClusterRounds}")
+    require(graft.queries.DedupOps.lastClusterRounds <= 3,
+      "label propagation needed >3 rounds at 10x — not the quasi-clique regime")
+    println(f"[stress10x] total ${times.map(_._2).sum}%.2f s")
+    spark.stop()
+  }
+}
