@@ -203,6 +203,100 @@ object VectorOps {
   def ivfKnn(spark: SparkSession, dir: String): DataFrame =
     ivfSearch(spark, dir, nCells = 16, probes = 4)
 
+  /** Deterministic grid-IVF (q33): identical IVF mechanics to
+    * [[ivfSearch]] — coarse-quantize the corpus, probe the cells
+    * nearest the query, rank only within probed cells — but the coarse
+    * quantizer is INTEGER-exact and engine-portable: centroid
+    * components are md5-derived integers in [-512, 512) (the corpus's
+    * floor(v×1024) quantization spans ≈[-538, 470], so the grid sits
+    * in-distribution) and assignment is argmin of squared-L2 between
+    * the quantized vector and each centroid, all long arithmetic
+    * (|q|,|ct| < 2^10 at this data; even |q| ≤ 2^20 keeps the 64-term
+    * sum under 2^49). Spark and DuckDB therefore agree bit-for-bit on
+    * every cell assignment AND on the probe set, which makes the
+    * RESTRICTED-probe result itself oracle-checkable — q58's
+    * integer-membership trick applied to IVF, retiring the registry's
+    * last rows-only query. Floats only rank the final candidates
+    * (rank/ids-only output, q30's contract). The KMeans quantizer
+    * stays as [[ivfSearch]]: q37 oracle-checks its probe-all degenerate
+    * and the physical-index path builds on it. */
+  private val ivfGridCells = 16
+  private[graft] def ivfGridCentroids(
+      nCells: Int = ivfGridCells): IndexedSeq[IndexedSeq[Long]] =
+    (0 until nCells).map { c =>
+      (0 until 64).map { d =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"c$c:$d".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        java.lang.Long.parseLong(hex, 16) % 1024 - 512
+      }
+    }
+
+  def ivfGridKnn(spark: SparkSession, dir: String,
+      probes: Int = 4, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val cents = ivfGridCentroids()
+    val emb = Tables(spark, dir, "embeddings")
+    val withQv = emb.withColumn("qv",
+      transform($"embedding", v => floor(v.cast("double") * lit(1024)).cast("long")))
+    // squared-L2 to each centroid as a columnar fold over the quantized
+    // vector; argmin via array_position(first occurrence) so cell ties
+    // break toward the lowest cell id, same as the oracle's (dist, c)
+    // ordering
+    def dist(c: Int): Column = aggregate(
+      zip_with($"qv", typedLit(cents(c)), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+    val distArr = array((0 until ivfGridCells).map(dist): _*)
+    val assigned = withQv
+      .withColumn("cell", (array_position(distArr, array_min(distArr)) - 1).cast("int"))
+      .drop("qv")
+    val qRow = emb.filter($"vec_id" === 0)
+      .select($"embedding").head.getSeq[Float](0).toArray
+    // probe-cell choice is the SAME integer math, over parameters
+    // (nCells centroid rows) and the one collected query row
+    val qQv = qRow.map(v => math.floor(v.toDouble * 1024).toLong)
+    val probeCells = cents.zipWithIndex.map { case (ct, i) =>
+      (i, ct.zip(qQv).map { case (cv, q) => val t = q - cv; t * t }.sum)
+    }.sortBy { case (i, d) => (d, i) }.take(probes).map(_._1)
+    rankAgainstQuery(
+      assigned.filter($"vec_id" =!= 0 && $"cell".isin(probeCells: _*))
+        .select($"vec_id", $"embedding"),
+      qRow, k)
+  }
+
+  /** Oracle: the identical integer quantizer in DuckDB — same
+    * md5-derived centroids, same floor(v×1024) quantization, same
+    * argmin assignment and probe choice — then q30's rank/ids-only
+    * cosine ranking over the probed cells. */
+  private val ivfGridKnnSql =
+    s"""WITH dims AS (SELECT unnest(range(64)) AS d),
+      |cells AS (SELECT unnest(range(16)) AS c),
+      |cent AS (SELECT c, d,
+      |    CAST(concat('0x', substr(md5(concat('c', c, ':', d)), 1, 8)) AS BIGINT)
+      |      % 1024 - 512 AS ct
+      |  FROM cells, dims),
+      |qv AS (SELECT vec_id, d,
+      |    CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 1024) AS BIGINT) AS q
+      |  FROM embeddings, dims),
+      |dist AS (SELECT vec_id, c, SUM((q - ct) * (q - ct)) AS dist
+      |  FROM qv JOIN cent USING (d) GROUP BY vec_id, c),
+      |assign AS (SELECT vec_id, c AS cell FROM (
+      |    SELECT vec_id, c,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+      |    FROM dist) t
+      |  WHERE rn = 1),
+      |probe AS (SELECT c AS cell FROM dist WHERE vec_id = 0
+      |  ORDER BY dist, c LIMIT 4),
+      |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+      |SELECT rank, vec_id FROM (
+      |  SELECT CAST(ROW_NUMBER() OVER (
+      |      ORDER BY ${duckNanvl("list_cosine_similarity(e.embedding, q.q_emb)")} DESC,
+      |               e.vec_id ASC) AS BIGINT) AS rank,
+      |    e.vec_id
+      |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id, q
+      |  WHERE e.vec_id <> 0 AND a.cell IN (SELECT cell FROM probe)) t
+      |WHERE rank <= 5""".stripMargin
+
   /** Persist the IVF index as a PHYSICAL layout: cell assignments
     * written partitioned by cell (one directory per cell, via
     * [[graft.operators.Operators.writePartitioned]]) plus the centroid
@@ -272,8 +366,10 @@ object VectorOps {
     * double cast and ×2^10 are exact, floor is unambiguous), hyperplane
     * components are md5-derived integers — so both engines compute
     * bit-identical buckets and the oracle checks the RESTRICTED-probe
-    * result itself, not just a probe-all degenerate. IVF can't do that
-    * (KMeans isn't oracle-portable; q33 is rows-only). The hyperplane
+    * result itself, not just a probe-all degenerate — the same trick
+    * [[ivfGridKnn]] (q33) plays with its integer grid quantizer; only
+    * the KMeans IVF variant (q37) needs the probe-all equivalence to be
+    * checkable. The hyperplane
     * matrix is parameters, not data (nbits×dim longs, driver-built like
     * q33's centroids); dim=64 is pinned by the static oracle SQL and
     * asserted against the data in VectorSearchSpec. */
@@ -362,9 +458,10 @@ object VectorOps {
       "IVF-style per-vector NN via label partition cells"),
     Q("q32_similar_pairs", similarPairs, Some(similarPairsSql),
       "embedding near-dup pairs above cosine threshold"),
-    Q("q33_ivf_knn", ivfKnn, None,
-      "IVF ANN: KMeans coarse quantizer, probe 4/16 cells (rows-only; " +
-        "probes==cells exactness asserted in ScalaTest)"),
+    Q("q33_ivf_knn", ivfGridKnn(_, _), Some(ivfGridKnnSql),
+      "IVF ANN, probe 4/16 cells: integer-exact md5-grid coarse " +
+        "quantizer makes the restricted-probe result itself " +
+        "oracle-checked (KMeans variant stays as q37/ivfSearch)"),
     Q("q37_ivf_probe_all", ivfKnnProbeAll, Some(knnTopKSql),
       "IVF ANN with probes==cells: exactness contract hash-checked " +
         "against the brute-force oracle"),
