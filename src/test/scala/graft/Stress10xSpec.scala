@@ -43,16 +43,23 @@ object Stress10xSpec {
       "q59_dedup_corpus", "q64_training_corpus")
     val times = chain.map { name =>
       val fn = SparkEntry.queries(name)
+      // t0 BEFORE fn(): the cluster query executes its propagation
+      // rounds while the frame is being BUILT (driver-side loop), so
+      // timing only the write would mis-attribute the iteration
+      val t0 = System.nanoTime()
       val df = fn(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
       val plan = df.queryExecution.executedPlan.toString
       for (bad <- Seq("CartesianProduct", "Exchange SinglePartition"))
         require(!plan.contains(bad), s"$name plan flipped to $bad at 10x:\n$plan")
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
       println(f"[stress10x] $name%-22s ${sec}%7.2f s")
       name -> sec
     }
+    // output volumes, for the wall-time-vs-work comparison in PLANS.md
+    // (reads ride the memoized artifacts, they don't re-run the chain)
+    println(s"[stress10x] pairs: ${graft.queries.DedupOps.verifiedPairs(spark, dir).count()}" +
+      s", survivors: ${SparkEntry.queries("q59_dedup_corpus")(spark, dir).count()}")
     println(s"[stress10x] propagation rounds: ${graft.queries.DedupOps.lastClusterRounds}")
     require(graft.queries.DedupOps.lastClusterRounds <= 3,
       "label propagation needed >3 rounds at 10x — not the quasi-clique regime")
