@@ -45,6 +45,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val eventLogDir = new java.io.File("spark-events")
     eventLogDir.mkdirs()
+    // keep the forensic window bounded: one log lands per run, nothing
+    // else cleans them — retain the 9 most recent, delete the rest
+    // (recursively: rolling logs are directories of part files)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete()
+    }
+    Option(eventLogDir.listFiles()).getOrElse(Array.empty)
+      .sortBy(-_.lastModified()).drop(9).foreach(rmTree)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -60,7 +69,13 @@ object Bench {
     val metrics = new TaskMetricsListener
     spark.sparkContext.addSparkListener(metrics)
     def drained(): (Long, Long, Long) = {
-      org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
+      // waitUntilEmpty throws TimeoutException after ~10 s; a lagging
+      // listener queue (compressed event-log writes on a contended box
+      // — the very scenario this instrumentation diagnoses) must cost
+      // attribution precision for one query, never the bench run
+      try org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
+      catch { case e: Exception =>
+        System.err.println(s"[bench] listener drain timed out: ${e.getMessage}") }
       metrics.snapshot()
     }
 
@@ -106,7 +121,10 @@ object Bench {
         name -> -1.0
       }
       val (cpu1, run1, gc1) = drained()
-      diag(name) = f"""{"wall":${r._2}%.3f,"cpu":${(cpu1 - cpu0) / 1e9}%.3f,"run":${(run1 - run0) / 1e3}%.3f,"gc":${(gc1 - gc0) / 1e3}%.3f}"""
+      // ms-rounded via Double.toString: locale-independent, unlike
+      // f"%.3f" (a comma-decimal default locale would corrupt the JSON)
+      def ms3(x: Double): String = (math.rint(x * 1000) / 1000).toString
+      diag(name) = s"""{"wall":${ms3(r._2)},"cpu":${ms3((cpu1 - cpu0) / 1e9)},"run":${ms3((run1 - run0) / 1e3)},"gc":${ms3((gc1 - gc0) / 1e3)}}"""
       r
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -220,16 +220,23 @@ object VectorOps {
     * (rank/ids-only output, q30's contract). The KMeans quantizer
     * stays as [[ivfSearch]]: q37 oracle-checks its probe-all degenerate
     * and the physical-index path builds on it. */
+  /** First 32 md5 bits of a seed string as a non-negative Long — the
+    * engine-portable parameter derivation both integer-exact ANN paths
+    * (q33 grid centroids, q58 SRP hyperplanes) share. DuckDB twin:
+    * `CAST(concat('0x', substr(md5(seed), 1, 8)) AS BIGINT)`. One
+    * definition on purpose: each site must stay bit-identical to its
+    * oracle SQL, so the derivation lives in exactly one place. */
+  private def md5Long8(seed: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(seed.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8), 16)
+
   private val ivfGridCells = 16
   private[graft] def ivfGridCentroids(
       nCells: Int = ivfGridCells): IndexedSeq[IndexedSeq[Long]] =
     (0 until nCells).map { c =>
-      (0 until 64).map { d =>
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"c$c:$d".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(8)
-        java.lang.Long.parseLong(hex, 16) % 1024 - 512
-      }
+      (0 until 64).map(d => md5Long8(s"c$c:$d") % 1024 - 512)
     }
 
   def ivfGridKnn(spark: SparkSession, dir: String,
@@ -382,12 +389,7 @@ object VectorOps {
   private[graft] def withSrpBucket(df: DataFrame, nbits: Int = 4): DataFrame = {
     val dim = 64
     val w: IndexedSeq[IndexedSeq[Long]] = (0 until nbits).map { b =>
-      (0 until dim).map { d =>
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$b:$d".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(8)
-        java.lang.Long.parseLong(hex, 16) - 2147483648L
-      }
+      (0 until dim).map(d => md5Long8(s"$b:$d") - 2147483648L)
     }
     val qv = transform(col("embedding"),
       v => floor(v.cast("double") * lit(1024)))
