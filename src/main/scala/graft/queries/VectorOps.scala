@@ -453,6 +453,138 @@ object VectorOps {
       |    AND bit_count(xor(bk.bucket, q.q_bucket)) <= 1) t
       |WHERE rank <= 5""".stripMargin
 
+  /** Product quantization (PQ) — the MEMORY-compression path of the ANN
+    * stack, complementing the probe-pruning paths (grid/KMeans IVF,
+    * SRP-LSH): each 64-dim float vector (256 B) compresses to an 8×4-bit
+    * code (one packed BIGINT) by quantizing each of 8 contiguous 8-dim
+    * subspaces to its nearest of 16 codewords. At 100 TB this is the
+    * difference between an index that fits in cluster memory and one
+    * that doesn't (~64× smaller than the raw vectors); search never
+    * touches the embedding column — it scans codes and sums 8 lookups
+    * per row against a 128-entry query-specific table (classic ADC).
+    * Composes with IVF: cell-partition the codes table and probe-prune
+    * the scan (q33's layout) while ADC replaces full dot products.
+    *
+    * Like [[ivfGridKnn]]/[[withSrpBucket]], every step is INTEGER —
+    * codewords are [[md5Long8]]-derived ints in [-512, 512) (the
+    * floor(v×1024) data scale), assignment is squared-L2 argmin with
+    * ties to the lowest codeword, and the ADC distance itself is a long
+    * — so Spark and DuckDB agree bit-for-bit on codes AND distances,
+    * and both PQ queries are full rows+schema+hash oracle checks (the
+    * strongest contract in the ANN suite: even q30/q58 only hash ranks,
+    * not scores). */
+  private val pqSub = 8
+  private val pqSubDim = 8
+  private val pqWords = 16
+  private[graft] def pqCodebook(): IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
+    (0 until pqSub).map(s => (0 until pqWords).map(w =>
+      (0 until pqSubDim).map(d => md5Long8(s"p$s:$w:$d") % 1024 - 512)))
+
+  /** Adds the packed PQ `code` column (stateless codegen expressions —
+    * the same lift pattern as [[withSrpBucket]], reusable on streaming
+    * frames). */
+  private[graft] def withPqCode(df: DataFrame): DataFrame = {
+    val cb = pqCodebook()
+    val qv = transform(col("embedding"),
+      v => floor(v.cast("double") * lit(1024)).cast("long"))
+    def subDist(s: Int, w: Int): Column =
+      (0 until pqSubDim).map { d =>
+        val x = element_at(col("qv"), s * pqSubDim + d + 1) - lit(cb(s)(w)(d))
+        x * x
+      }.reduce(_ + _)
+    // argmin via array_position(first occurrence): ties go to the
+    // lowest codeword, matching the oracle's ORDER BY dist, w
+    def subCode(s: Int): Column = {
+      val dists = array((0 until pqWords).map(w => subDist(s, w)): _*)
+      array_position(dists, array_min(dists)) - 1
+    }
+    df.withColumn("qv", qv)
+      .withColumn("code",
+        (0 until pqSub).map(s => subCode(s) * lit(1L << (4 * s))).reduce(_ + _))
+      .drop("qv")
+  }
+
+  /** The PQ index-build artifact: every vector's packed code. A
+    * deployment writes this table once (64× smaller than the vectors)
+    * and scans it for every query. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withPqCode(Tables(spark, dir, "embeddings"))
+      .select($"vec_id", $"code".cast("long").as("code"))
+  }
+
+  private val pqCodebookCtes =
+    """WITH subs AS (SELECT unnest(range(8)) AS s),
+      |words AS (SELECT unnest(range(16)) AS w),
+      |sdims AS (SELECT unnest(range(8)) AS d),
+      |cb AS (SELECT s, w, d,
+      |    CAST(concat('0x', substr(md5(concat('p', s, ':', w, ':', d)), 1, 8)) AS BIGINT)
+      |      % 1024 - 512 AS cw
+      |  FROM subs, words, sdims),
+      |qv AS (SELECT vec_id, su.s AS s, sd.d AS d,
+      |    CAST(floor(CAST(embedding[su.s * 8 + sd.d + 1] AS DOUBLE) * 1024)
+      |      AS BIGINT) AS q
+      |  FROM embeddings, subs su, sdims sd),
+      |dist AS (SELECT vec_id, s, w, SUM((q - cw) * (q - cw)) AS dist
+      |  FROM qv JOIN cb USING (s, d) GROUP BY vec_id, s, w),
+      |code AS (SELECT vec_id, s, w AS cw FROM (
+      |    SELECT vec_id, s, w,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, w) AS rn
+      |    FROM dist) t
+      |  WHERE rn = 1)""".stripMargin
+
+  private val pqCodesSql = pqCodebookCtes + "\n" +
+    """SELECT vec_id, CAST(SUM(cw * (1::BIGINT << (4 * s))) AS BIGINT) AS code
+      |FROM code GROUP BY vec_id""".stripMargin
+
+  /** PQ ADC top-k search: the query's 8×16 lookup table of subspace
+    * distances is driver-computed integer math over parameters (the
+    * codebook) and the one collected query row; the scan then sums 8
+    * `element_at` lookups per corpus code — no embedding bytes read at
+    * query time in a deployment with a precomputed codes table. The
+    * integer adc_dist is part of the output and of the hash check. */
+  def pqAnn(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val cb = pqCodebook()
+    val emb = Tables(spark, dir, "embeddings")
+    val qRow = emb.filter($"vec_id" === 0)
+      .select($"embedding").head.getSeq[Float](0).toArray
+    val qQv = qRow.map(v => math.floor(v.toDouble * 1024).toLong)
+    val lut: IndexedSeq[IndexedSeq[Long]] = (0 until pqSub).map(s =>
+      (0 until pqWords).map(w =>
+        (0 until pqSubDim).map { d =>
+          val t = qQv(s * pqSubDim + d) - cb(s)(w)(d); t * t
+        }.sum))
+    val adc = (0 until pqSub).map { s =>
+      element_at(typedLit(lut(s)),
+        (shiftright($"code", 4 * s).bitwiseAND(lit(15L)) + 1).cast("int"))
+    }.reduce(_ + _)
+    val scored = withPqCode(emb)
+      .filter($"vec_id" =!= 0)
+      .withColumn("adc_dist", adc)
+      .select($"vec_id", $"adc_dist")
+    // integer distances: no NaN guard needed; same TakeOrderedAndProject
+    // + rank-after-limit shape as rankedTopK
+    val w = Window.orderBy($"adc_dist".asc, $"vec_id".asc)
+    scored.orderBy($"adc_dist".asc, $"vec_id".asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select($"rank", $"vec_id", $"adc_dist")
+  }
+
+  /** Oracle: the ADC lookup table is exactly the query row's `dist`
+    * CTE rows — join each corpus code to the query's per-(subspace,
+    * codeword) distance and sum. */
+  private val pqAnnSql = pqCodebookCtes + "\n" +
+    """SELECT rank, vec_id, adc_dist FROM (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY t.adc ASC, t.vec_id ASC)
+      |      AS BIGINT) AS rank,
+      |    t.vec_id, t.adc AS adc_dist
+      |  FROM (SELECT c.vec_id, CAST(SUM(l.dist) AS BIGINT) AS adc
+      |        FROM code c JOIN dist l
+      |          ON l.vec_id = 0 AND l.s = c.s AND l.w = c.cw
+      |        WHERE c.vec_id <> 0 GROUP BY c.vec_id) t) u
+      |WHERE rank <= 5""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q30_knn_topk", knnTopK, Some(knnTopKSql),
       "brute-force cosine top-5 (broadcast query, codegen dot)"),
@@ -469,5 +601,11 @@ object VectorOps {
         "against the brute-force oracle"),
     Q("q58_srp_ann", srpAnn(_, _), Some(srpAnnSql),
       "SRP-LSH bucketed ANN, hamming-1 multi-probe — integer-exact " +
-        "buckets make the restricted-probe result itself oracle-checked"))
+        "buckets make the restricted-probe result itself oracle-checked"),
+    Q("q66_pq_codes", pqCodes, Some(pqCodesSql),
+      "PQ index build: 8x4-bit product-quantization codes (64x vector " +
+        "compression), integer-exact codebook, hash-checked per vector"),
+    Q("q67_pq_ann", pqAnn(_, _), Some(pqAnnSql),
+      "PQ ADC top-k: 128-entry integer lookup table, codes-only scan — " +
+        "even the distances are part of the hash check"))
 }

@@ -53,6 +53,45 @@ class VectorSearchSpec extends SparkSuite {
                           // exactness is the probe-all case above
   }
 
+  test("PQ codes and ADC ranking match an independent driver-side recompute") {
+    // independent path: raw embeddings read directly from parquet (not
+    // via withPqCode), quantized and coded in plain Scala against the
+    // same public codebook definition, then ADC-ranked — any Spark-side
+    // expression slip (element_at off-by-one, shift/mask, argmin tie)
+    // diverges from this
+    val cb = VectorOps.pqCodebook()
+    val rows = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(v =>
+        math.floor(v.toDouble * 1024).toLong).toArray).toMap
+    def codeOf(qv: Array[Long]): Array[Int] =
+      (0 until 8).map { s =>
+        (0 until 16).map { w =>
+          w -> (0 until 8).map { d =>
+            val t = qv(s * 8 + d) - cb(s)(w)(d); t * t
+          }.sum
+        }.minBy { case (w, dist) => (dist, w) }._1
+      }.toArray
+    val expectCodes = rows.map { case (id, qv) =>
+      id -> codeOf(qv).zipWithIndex.map { case (c, s) => c.toLong << (4 * s) }.sum
+    }
+    val gotCodes = VectorOps.pqCodes(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotCodes == expectCodes)
+    assert(gotCodes.values.toSet.size > 1, "quantizer must split the corpus")
+
+    val qQv = rows(0L)
+    val lut = (0 until 8).map(s => (0 until 16).map(w =>
+      (0 until 8).map { d => val t = qQv(s * 8 + d) - cb(s)(w)(d); t * t }.sum))
+    val expectTop = rows.toSeq.filter(_._1 != 0L).map { case (id, qv) =>
+      val c = codeOf(qv)
+      id -> (0 until 8).map(s => lut(s)(c(s))).sum
+    }.sortBy { case (id, d) => (d, id) }.take(5)
+    val gotTop = VectorOps.pqAnn(spark, sf0001).orderBy("rank").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toSeq
+    assert(gotTop == expectTop)
+  }
+
   test("persisted IVF index: probe-all == brute force, scan prunes to probed cells") {
     val tmp = java.nio.file.Files.createTempDirectory("ivf").toString + "/idx"
     try {
