@@ -239,34 +239,42 @@ object VectorOps {
       (0 until 64).map(d => md5Long8(s"c$c:$d") % 1024 - 512)
     }
 
+  /** Adds the integer-exact grid `cell` column: squared-L2 to each
+    * centroid as a columnar fold over the quantized vector; argmin via
+    * array_position(first occurrence) so cell ties break toward the
+    * lowest cell id, same as the oracle's (dist, c) ordering. Shared by
+    * the grid-IVF search (q33) and the IVF-PQ composition (q68). */
+  private[graft] def withGridCell(df: DataFrame): DataFrame = {
+    val cents = ivfGridCentroids()
+    def dist(c: Int): Column = aggregate(
+      zip_with(col("qv"), typedLit(cents(c)), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+    val distArr = array((0 until ivfGridCells).map(dist): _*)
+    df.withColumn("qv",
+        transform(col("embedding"), v => floor(v.cast("double") * lit(1024)).cast("long")))
+      .withColumn("cell", (array_position(distArr, array_min(distArr)) - 1).cast("int"))
+      .drop("qv")
+  }
+
+  /** Probe-cell choice for the grid quantizer: the SAME integer math,
+    * over parameters (nCells centroid rows) and the one collected
+    * query row — pure driver arithmetic. */
+  private def gridProbeCells(qQv: Array[Long], probes: Int): Seq[Int] =
+    ivfGridCentroids().zipWithIndex.map { case (ct, i) =>
+      (i, ct.zip(qQv).map { case (cv, q) => val t = q - cv; t * t }.sum)
+    }.sortBy { case (i, d) => (d, i) }.take(probes).map(_._1).toSeq
+
   def ivfGridKnn(spark: SparkSession, dir: String,
       probes: Int = 4, k: Int = 5): DataFrame = {
     import spark.implicits._
-    val cents = ivfGridCentroids()
     val emb = Tables(spark, dir, "embeddings")
-    val withQv = emb.withColumn("qv",
-      transform($"embedding", v => floor(v.cast("double") * lit(1024)).cast("long")))
-    // squared-L2 to each centroid as a columnar fold over the quantized
-    // vector; argmin via array_position(first occurrence) so cell ties
-    // break toward the lowest cell id, same as the oracle's (dist, c)
-    // ordering
-    def dist(c: Int): Column = aggregate(
-      zip_with($"qv", typedLit(cents(c)), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
-    val distArr = array((0 until ivfGridCells).map(dist): _*)
-    val assigned = withQv
-      .withColumn("cell", (array_position(distArr, array_min(distArr)) - 1).cast("int"))
-      .drop("qv")
     val qRow = emb.filter($"vec_id" === 0)
       .select($"embedding").head.getSeq[Float](0).toArray
-    // probe-cell choice is the SAME integer math, over parameters
-    // (nCells centroid rows) and the one collected query row
-    val qQv = qRow.map(v => math.floor(v.toDouble * 1024).toLong)
-    val probeCells = cents.zipWithIndex.map { case (ct, i) =>
-      (i, ct.zip(qQv).map { case (cv, q) => val t = q - cv; t * t }.sum)
-    }.sortBy { case (i, d) => (d, i) }.take(probes).map(_._1)
+    val probeCells = gridProbeCells(
+      qRow.map(v => math.floor(v.toDouble * 1024).toLong), probes)
     rankAgainstQuery(
-      assigned.filter($"vec_id" =!= 0 && $"cell".isin(probeCells: _*))
+      withGridCell(emb)
+        .filter($"vec_id" =!= 0 && $"cell".isin(probeCells: _*))
         .select($"vec_id", $"embedding"),
       qRow, k)
   }
@@ -543,32 +551,48 @@ object VectorOps {
     * `element_at` lookups per corpus code — no embedding bytes read at
     * query time in a deployment with a precomputed codes table. The
     * integer adc_dist is part of the output and of the hash check. */
-  def pqAnn(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    import spark.implicits._
+  /** The query's ADC lookup table — per (subspace, codeword) squared-L2
+    * to the quantized query. Driver integer math over parameters. */
+  private def adcLut(qQv: Array[Long]): IndexedSeq[IndexedSeq[Long]] = {
     val cb = pqCodebook()
-    val emb = Tables(spark, dir, "embeddings")
-    val qRow = emb.filter($"vec_id" === 0)
-      .select($"embedding").head.getSeq[Float](0).toArray
-    val qQv = qRow.map(v => math.floor(v.toDouble * 1024).toLong)
-    val lut: IndexedSeq[IndexedSeq[Long]] = (0 until pqSub).map(s =>
-      (0 until pqWords).map(w =>
-        (0 until pqSubDim).map { d =>
-          val t = qQv(s * pqSubDim + d) - cb(s)(w)(d); t * t
-        }.sum))
-    val adc = (0 until pqSub).map { s =>
+    (0 until pqSub).map(s => (0 until pqWords).map(w =>
+      (0 until pqSubDim).map { d =>
+        val t = qQv(s * pqSubDim + d) - cb(s)(w)(d); t * t
+      }.sum))
+  }
+
+  /** ADC distance over a packed `code` column: 8 literal-array lookups
+    * summed — the whole per-row query cost of a PQ scan. */
+  private def adcCol(lut: IndexedSeq[IndexedSeq[Long]]): Column =
+    (0 until pqSub).map { s =>
       element_at(typedLit(lut(s)),
-        (shiftright($"code", 4 * s).bitwiseAND(lit(15L)) + 1).cast("int"))
+        (shiftright(col("code"), 4 * s).bitwiseAND(lit(15L)) + 1).cast("int"))
     }.reduce(_ + _)
-    val scored = withPqCode(emb)
-      .filter($"vec_id" =!= 0)
-      .withColumn("adc_dist", adc)
-      .select($"vec_id", $"adc_dist")
-    // integer distances: no NaN guard needed; same TakeOrderedAndProject
-    // + rank-after-limit shape as rankedTopK
+
+  /** Integer top-k by (adc_dist asc, vec_id asc): no NaN guard needed;
+    * same TakeOrderedAndProject + rank-after-limit shape as
+    * [[rankedTopK]]. */
+  private def rankedAdcTopK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
     val w = Window.orderBy($"adc_dist".asc, $"vec_id".asc)
     scored.orderBy($"adc_dist".asc, $"vec_id".asc).limit(k)
       .withColumn("rank", row_number().over(w).cast("long"))
       .select($"rank", $"vec_id", $"adc_dist")
+  }
+
+  def pqAnn(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+    val qRow = emb.filter($"vec_id" === 0)
+      .select($"embedding").head.getSeq[Float](0).toArray
+    val lut = adcLut(qRow.map(v => math.floor(v.toDouble * 1024).toLong))
+    rankedAdcTopK(
+      withPqCode(emb)
+        .filter($"vec_id" =!= 0)
+        .withColumn("adc_dist", adcCol(lut))
+        .select($"vec_id", $"adc_dist"),
+      k)
   }
 
   /** Oracle: the ADC lookup table is exactly the query row's `dist`
@@ -583,6 +607,83 @@ object VectorOps {
       |        FROM code c JOIN dist l
       |          ON l.vec_id = 0 AND l.s = c.s AND l.w = c.cw
       |        WHERE c.vec_id <> 0 GROUP BY c.vec_id) t) u
+      |WHERE rank <= 5""".stripMargin
+
+  /** IVF-PQ — the production-shape composition (what FAISS deploys at
+    * billion-vector scale): the grid coarse quantizer prunes the scan
+    * to the probed cells (probes/nCells of the corpus; with the q33
+    * physical layout, partition pruning), and ADC over packed codes
+    * replaces full dot products inside them (64× less data read, 8
+    * lookups per row). Both stages are the integer-exact constructions
+    * proven separately (q33, q67), so the COMPOSED result — probe
+    * membership and distances — is one more full hash-checked oracle. */
+  def ivfPqAnn(spark: SparkSession, dir: String,
+      probes: Int = 4, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+    val qRow = emb.filter($"vec_id" === 0)
+      .select($"embedding").head.getSeq[Float](0).toArray
+    val qQv = qRow.map(v => math.floor(v.toDouble * 1024).toLong)
+    val probeCells = gridProbeCells(qQv, probes)
+    rankedAdcTopK(
+      withPqCode(withGridCell(emb))
+        .filter($"vec_id" =!= 0 && $"cell".isin(probeCells: _*))
+        .withColumn("adc_dist", adcCol(adcLut(qQv)))
+        .select($"vec_id", $"adc_dist"),
+      k)
+  }
+
+  /** Oracle: q33's grid CTEs (renamed g*) choose the probe set, q67's
+    * PQ CTEs score — self-contained like every other oracle, the
+    * component CTEs are shared with their twins by construction. */
+  private val ivfPqAnnSql =
+    """WITH subs AS (SELECT unnest(range(8)) AS s),
+      |words AS (SELECT unnest(range(16)) AS w),
+      |sdims AS (SELECT unnest(range(8)) AS d),
+      |cb AS (SELECT s, w, d,
+      |    CAST(concat('0x', substr(md5(concat('p', s, ':', w, ':', d)), 1, 8)) AS BIGINT)
+      |      % 1024 - 512 AS cw
+      |  FROM subs, words, sdims),
+      |pqv AS (SELECT vec_id, su.s AS s, sd.d AS d,
+      |    CAST(floor(CAST(embedding[su.s * 8 + sd.d + 1] AS DOUBLE) * 1024)
+      |      AS BIGINT) AS q
+      |  FROM embeddings, subs su, sdims sd),
+      |pdist AS (SELECT vec_id, s, w, SUM((q - cw) * (q - cw)) AS dist
+      |  FROM pqv JOIN cb USING (s, d) GROUP BY vec_id, s, w),
+      |code AS (SELECT vec_id, s, w AS cw FROM (
+      |    SELECT vec_id, s, w,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, w) AS rn
+      |    FROM pdist) t
+      |  WHERE rn = 1),
+      |gdims AS (SELECT unnest(range(64)) AS d),
+      |gcells AS (SELECT unnest(range(16)) AS c),
+      |gcent AS (SELECT c, d,
+      |    CAST(concat('0x', substr(md5(concat('c', c, ':', d)), 1, 8)) AS BIGINT)
+      |      % 1024 - 512 AS ct
+      |  FROM gcells, gdims),
+      |gqv AS (SELECT vec_id, d,
+      |    CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 1024) AS BIGINT) AS q
+      |  FROM embeddings, gdims),
+      |gdist AS (SELECT vec_id, c, SUM((q - ct) * (q - ct)) AS dist
+      |  FROM gqv JOIN gcent USING (d) GROUP BY vec_id, c),
+      |gassign AS (SELECT vec_id, c AS cell FROM (
+      |    SELECT vec_id, c,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+      |    FROM gdist) t
+      |  WHERE rn = 1),
+      |gprobe AS (SELECT c AS cell FROM gdist WHERE vec_id = 0
+      |  ORDER BY dist, c LIMIT 4)
+      |SELECT rank, vec_id, adc_dist FROM (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY t.adc ASC, t.vec_id ASC)
+      |      AS BIGINT) AS rank,
+      |    t.vec_id, t.adc AS adc_dist
+      |  FROM (SELECT c.vec_id, CAST(SUM(l.dist) AS BIGINT) AS adc
+      |        FROM code c JOIN pdist l
+      |          ON l.vec_id = 0 AND l.s = c.s AND l.w = c.cw
+      |        JOIN gassign a ON a.vec_id = c.vec_id
+      |        WHERE c.vec_id <> 0
+      |          AND a.cell IN (SELECT cell FROM gprobe)
+      |        GROUP BY c.vec_id) t) u
       |WHERE rank <= 5""".stripMargin
 
   def queries: Seq[Q] = Seq(
@@ -607,5 +708,8 @@ object VectorOps {
         "compression), integer-exact codebook, hash-checked per vector"),
     Q("q67_pq_ann", pqAnn(_, _), Some(pqAnnSql),
       "PQ ADC top-k: 128-entry integer lookup table, codes-only scan — " +
-        "even the distances are part of the hash check"))
+        "even the distances are part of the hash check"),
+    Q("q68_ivfpq_ann", ivfPqAnn(_, _), Some(ivfPqAnnSql),
+      "IVF-PQ composition: grid probe-pruning x ADC code scan (the " +
+        "FAISS deployment shape), probe set and distances hash-checked"))
 }

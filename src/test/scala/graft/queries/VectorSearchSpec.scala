@@ -92,6 +92,15 @@ class VectorSearchSpec extends SparkSuite {
     assert(gotTop == expectTop)
   }
 
+  test("IVF-PQ with probes == cells equals plain PQ ADC top-5") {
+    val pq = VectorOps.pqAnn(spark, sf0001).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val all = VectorOps.ivfPqAnn(spark, sf0001, probes = 16)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(all == pq)
+  }
+
   test("persisted IVF index: probe-all == brute force, scan prunes to probed cells") {
     val tmp = java.nio.file.Files.createTempDirectory("ivf").toString + "/idx"
     try {
