@@ -193,18 +193,25 @@ object PipelineOps {
     * oracle-checkable bit-for-bit. Scale shape: the survivor set rides
     * the memoized cluster labels; everything else is one scan of
     * documents with stateless expressions. */
+  /** The q64 quality gates as a reusable stateless lift over any frame
+    * bearing `text` and `lang`: English, 5–10000 whitespace tokens,
+    * stopword ratio ≥ 5 % (n_stop·20 ≥ n_tokens, integer-exact).
+    * Shared verbatim by the batch training corpus and the streaming
+    * ingest twin ([[graft.streaming.StreamingQueries.trainingIngestStream]])
+    * so the two paths cannot drift. */
+  private[graft] def qualityGate(df: DataFrame): DataFrame =
+    df.withColumn("tok", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("tok")))
+      .withColumn("n_stop", size(expr(
+        "filter(tok, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))")))
+      .filter(col("lang") === "en" &&
+        col("n_tokens") >= 5 && col("n_tokens") <= 10000 &&
+        col("n_stop") * 20 >= col("n_tokens"))
+
   def trainingCorpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val survivors = DedupOps.dedupCorpus(spark, dir).select($"doc_id")
-    Tables(spark, dir, "documents")
-      .join(survivors, "doc_id")
-      .withColumn("tok", split($"text", " "))
-      .withColumn("n_tokens", size($"tok"))
-      .withColumn("n_stop", size(expr(
-        "filter(tok, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))")))
-      .filter($"lang" === "en" &&
-        $"n_tokens" >= 5 && $"n_tokens" <= 10000 &&
-        $"n_stop" * 20 >= $"n_tokens")
+    qualityGate(Tables(spark, dir, "documents").join(survivors, "doc_id"))
       .select($"doc_id", $"n_tokens".cast("long").as("n_tokens"))
   }
 

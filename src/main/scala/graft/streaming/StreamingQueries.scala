@@ -162,6 +162,27 @@ object StreamingQueries {
       .select(col("doc_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Ingest-time training-corpus admission — the streaming twin of the
+    * q64 end artifact: arriving documents pass the SAME quality gates
+    * (the shared [[graft.queries.PipelineOps.qualityGate]] lift, so
+    * batch and stream cannot drift) and then exact-dedup within the
+    * watermark on the q40 fingerprint. Gates run FIRST: they are
+    * stateless and map-side, so rejected documents never enter dedup
+    * state — on a continuous 100 TB ingest the stateful operator only
+    * holds fingerprints of admissible documents, and only for the
+    * watermark delay. Batch keeps the minimum doc_id per fingerprint;
+    * the stream keeps the first-arriving doc (same row when arrival
+    * follows doc_id — the equivalence StreamingSpec asserts). Emits
+    * (doc_id, n_tokens), q64's schema. */
+  def trainingIngestStream(docs: DataFrame,
+      eventTime: String = "ingest_ts",
+      delay: String = "10 seconds"): DataFrame =
+    graft.queries.PipelineOps.qualityGate(docs.withWatermark(eventTime, delay))
+      .withColumn("fingerprint",
+        graft.queries.DedupOps.fingerprintExpr(col("text")))
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+
   /** Streaming ANN lookup: a stream of query vectors answered against
     * the STATIC corpus through the q58 SRP bucket index. The stream
     * side computes its integer-exact bucket (stateless expressions),

@@ -191,6 +191,52 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.map(_._1) == Set(1L, 2L, 3L, 6L))
   }
 
+  test("streaming training-corpus admission == batch gates + dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // admitted: en, 5 tokens, 1 stopword (20 >= 5)
+      (1L, "the quick brown fox jumps", "en", t("2025-01-25 16:00:01")),
+      // rejected: wrong language
+      (2L, "the quick brown fox jumps", "fr", t("2025-01-25 16:00:02")),
+      // rejected: under 5 tokens
+      (3L, "the brown fox", "en", t("2025-01-25 16:00:03")),
+      // rejected: zero stopwords
+      (4L, "quick brown foxes jump high", "en", t("2025-01-25 16:00:04")),
+      // admitted
+      (5L, "a lazy dog sleeps all day long", "en", t("2025-01-25 16:00:05")),
+      // rejected by DEDUP: normalization-equal to doc 1
+      (6L, "The QUICK,  brown fox jumps", "en", t("2025-01-25 16:00:06")),
+      // admitted, second micro-batch
+      (7L, "one more of the good documents", "en", t("2025-01-25 16:00:07")))
+    val ms = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val q = StreamingQueries.trainingIngestStream(
+        ms.toDF().toDF("doc_id", "text", "lang", "ingest_ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ingest_out").start()
+    ms.addData(rows.take(5): _*)
+    q.processAllAvailable()
+    ms.addData(rows.drop(5): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("ingest_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    // batch twin: same shared gate lift, min-doc_id fingerprint survivor
+    val batch = graft.queries.PipelineOps.qualityGate(
+        rows.toDF("doc_id", "text", "lang", "ingest_ts"))
+      .withColumn("fingerprint",
+        graft.queries.DedupOps.fingerprintExpr($"text"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"fingerprint").orderBy($"doc_id")))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"n_tokens".cast("long").as("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == Set(1L, 5L, 7L))
+  }
+
   test("streaming near-dup flagger == batch LSH pairs on re-ingested docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
