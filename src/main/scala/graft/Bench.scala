@@ -29,15 +29,18 @@ object Bench {
     val cpuNs = new AtomicLong // executorCpuTime is nanoseconds
     val runMs = new AtomicLong // executorRunTime is milliseconds
     val gcMs = new AtomicLong // jvmGCTime is milliseconds
+    val spillB = new AtomicLong // memory+disk bytes spilled
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
       if (m != null) {
         cpuNs.addAndGet(m.executorCpuTime)
         runMs.addAndGet(m.executorRunTime)
         gcMs.addAndGet(m.jvmGCTime)
+        spillB.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
       }
     }
-    def snapshot(): (Long, Long, Long) = (cpuNs.get, runMs.get, gcMs.get)
+    def snapshot(): (Long, Long, Long, Long) =
+      (cpuNs.get, runMs.get, gcMs.get, spillB.get)
   }
 
   def main(args: Array[String]): Unit = {
@@ -68,7 +71,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val metrics = new TaskMetricsListener
     spark.sparkContext.addSparkListener(metrics)
-    def drained(): (Long, Long, Long) = {
+    def drained(): (Long, Long, Long, Long) = {
       // waitUntilEmpty throws TimeoutException after ~10 s; a lagging
       // listener queue (compressed event-log writes on a contended box
       // — the very scenario this instrumentation diagnoses) must cost
@@ -96,13 +99,14 @@ object Bench {
     val ordered = selected.map(_._1).sorted
     def pos(prefix: String) = ordered.indexWhere(_.startsWith(prefix))
     for ((payer, rider) <- Seq("q42" -> "q45", "q42" -> "q54",
-           "q45" -> "q59", "q45" -> "q64")
+           "q45" -> "q59", "q45" -> "q64",
+           "q66" -> "q67", "q66" -> "q68")
          if pos(payer) >= 0 && pos(rider) >= 0)
       require(pos(payer) < pos(rider),
         s"bench attribution: shared-artifact payer $payer must run before rider $rider")
     val diag = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.sortBy(_._1).map { case (name, fn) =>
-      val (cpu0, run0, gc0) = drained()
+      val (cpu0, run0, gc0, sp0) = drained()
       val t0 = System.nanoTime()
       val r = try {
         val df = fn(spark, sfDir)
@@ -113,18 +117,19 @@ object Bench {
         // 61 queries in one JVM — but never the memoized pair table,
         // whose whole point is cross-query reuse
         if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-            && !graft.queries.DedupOps.isSharedArtifact(df))
+            && !graft.queries.DedupOps.isSharedArtifact(df)
+            && !graft.queries.VectorOps.isSharedArtifact(df))
           df.unpersist(blocking = false)
         t
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: " + e.getMessage)
         name -> -1.0
       }
-      val (cpu1, run1, gc1) = drained()
+      val (cpu1, run1, gc1, sp1) = drained()
       // ms-rounded via Double.toString: locale-independent, unlike
       // f"%.3f" (a comma-decimal default locale would corrupt the JSON)
       def ms3(x: Double): String = (math.rint(x * 1000) / 1000).toString
-      diag(name) = s"""{"wall":${ms3(r._2)},"cpu":${ms3((cpu1 - cpu0) / 1e9)},"run":${ms3((run1 - run0) / 1e3)},"gc":${ms3((gc1 - gc0) / 1e3)}}"""
+      diag(name) = s"""{"wall":${ms3(r._2)},"cpu":${ms3((cpu1 - cpu0) / 1e9)},"run":${ms3((run1 - run0) / 1e3)},"gc":${ms3((gc1 - gc0) / 1e3)},"spillMB":${ms3((sp1 - sp0) / 1048576.0)}}"""
       r
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -266,7 +266,7 @@ object DedupOps {
     * map's bin lock (a per-key cell synchronizes instead) because
     * cluster building executes whole Spark jobs — seconds of work a
     * ConcurrentHashMap compute lambda must not hold a bin lock for. */
-  private final class ArtifactMemo {
+  private[graft] final class ArtifactMemo {
     private final class Cell(build0: () => DataFrame) {
       // the thunk is nulled once the value exists so the cell doesn't
       // pin the first caller's session/closure for the memo's lifetime

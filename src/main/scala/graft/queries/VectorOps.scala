@@ -249,11 +249,17 @@ object VectorOps {
     def dist(c: Int): Column = aggregate(
       zip_with(col("qv"), typedLit(cents(c)), (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
-    val distArr = array((0 until ivfGridCells).map(dist): _*)
+    // the 16-distance array goes through a NAMED column: argmin
+    // references it twice (array_position + array_min), and a named
+    // non-cheap alias is kept by CollapseProject instead of re-inlined
+    // — halving the analyzed tree (driver planning cost; runtime was
+    // already deduped by codegen subexpression elimination)
     df.withColumn("qv",
         transform(col("embedding"), v => floor(v.cast("double") * lit(1024)).cast("long")))
-      .withColumn("cell", (array_position(distArr, array_min(distArr)) - 1).cast("int"))
-      .drop("qv")
+      .withColumn("grid_d", array((0 until ivfGridCells).map(dist): _*))
+      .withColumn("cell",
+        (array_position(col("grid_d"), array_min(col("grid_d"))) - 1).cast("int"))
+      .drop("qv", "grid_d")
   }
 
   /** Probe-cell choice for the grid quantizer: the SAME integer math,
@@ -500,25 +506,52 @@ object VectorOps {
         val x = element_at(col("qv"), s * pqSubDim + d + 1) - lit(cb(s)(w)(d))
         x * x
       }.reduce(_ + _)
-    // argmin via array_position(first occurrence): ties go to the
-    // lowest codeword, matching the oracle's ORDER BY dist, w
-    def subCode(s: Int): Column = {
-      val dists = array((0 until pqWords).map(w => subDist(s, w)): _*)
-      array_position(dists, array_min(dists)) - 1
+    // per-subspace distance arrays via NAMED columns (see withGridCell:
+    // argmin references each array twice, and a named non-cheap alias
+    // is kept by CollapseProject instead of re-inlined — halves the
+    // analyzed tree and with it driver planning cost); argmin via
+    // array_position(first occurrence): ties go to the lowest codeword,
+    // matching the oracle's ORDER BY dist, w
+    val withD = (0 until pqSub).foldLeft(df.withColumn("qv", qv)) {
+      (acc, s) => acc.withColumn(s"pq_d$s",
+        array((0 until pqWords).map(w => subDist(s, w)): _*))
     }
-    df.withColumn("qv", qv)
+    withD
       .withColumn("code",
-        (0 until pqSub).map(s => subCode(s) * lit(1L << (4 * s))).reduce(_ + _))
-      .drop("qv")
+        (0 until pqSub).map { s =>
+          (array_position(col(s"pq_d$s"), array_min(col(s"pq_d$s"))) - 1) *
+            lit(1L << (4 * s))
+        }.reduce(_ + _))
+      .drop("qv" +: (0 until pqSub).map(s => s"pq_d$s"): _*)
   }
 
-  /** The PQ index-build artifact: every vector's packed code. A
-    * deployment writes this table once (64× smaller than the vectors)
-    * and scans it for every query. */
+  /** The ANN index table — (vec_id, grid cell, packed PQ code) from ONE
+    * scan of the embeddings — memoized per (context, dataset) like
+    * [[DedupOps.verifiedPairs]]: a deployment writes this table once
+    * (64× smaller than the vectors) and every search scans IT, never
+    * the embeddings. q66 emits it; q67 (ADC) and q68 (IVF-PQ) ride the
+    * materialization — which also skips re-analyzing the large
+    * quantizer expression trees per query (driver-side planning cost
+    * measured at ~2 s each at sf0.1). */
+  private val indexMemo = new DedupOps.ArtifactMemo
+  private[graft] def annIndexTable(spark: SparkSession, dir: String): DataFrame =
+    indexMemo.get(spark, dir)(
+      withPqCode(withGridCell(Tables(spark, dir, "embeddings")))
+        .select(col("vec_id"), col("cell"), col("code")).persist())
+
+  /** Whether `df` IS the live memoized ANN index (reference identity) —
+    * Bench's release policy, same contract as
+    * [[DedupOps.isSharedArtifact]]. */
+  private[graft] def isSharedArtifact(df: DataFrame): Boolean =
+    indexMemo.holds(df)
+
+  /** Drop the memoized ANN index (tests / long-lived JVMs). */
+  def invalidateSharedArtifacts(): Unit = indexMemo.invalidate()
+
+  /** The PQ index-build artifact: every vector's packed code. */
   def pqCodes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    withPqCode(Tables(spark, dir, "embeddings"))
-      .select($"vec_id", $"code".cast("long").as("code"))
+    annIndexTable(spark, dir).select($"vec_id", $"code".cast("long").as("code"))
   }
 
   private val pqCodebookCtes =
@@ -583,12 +616,11 @@ object VectorOps {
 
   def pqAnn(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import spark.implicits._
-    val emb = Tables(spark, dir, "embeddings")
-    val qRow = emb.filter($"vec_id" === 0)
+    val qRow = Tables(spark, dir, "embeddings").filter($"vec_id" === 0)
       .select($"embedding").head.getSeq[Float](0).toArray
     val lut = adcLut(qRow.map(v => math.floor(v.toDouble * 1024).toLong))
     rankedAdcTopK(
-      withPqCode(emb)
+      annIndexTable(spark, dir)
         .filter($"vec_id" =!= 0)
         .withColumn("adc_dist", adcCol(lut))
         .select($"vec_id", $"adc_dist"),
@@ -620,13 +652,12 @@ object VectorOps {
   def ivfPqAnn(spark: SparkSession, dir: String,
       probes: Int = 4, k: Int = 5): DataFrame = {
     import spark.implicits._
-    val emb = Tables(spark, dir, "embeddings")
-    val qRow = emb.filter($"vec_id" === 0)
+    val qRow = Tables(spark, dir, "embeddings").filter($"vec_id" === 0)
       .select($"embedding").head.getSeq[Float](0).toArray
     val qQv = qRow.map(v => math.floor(v.toDouble * 1024).toLong)
     val probeCells = gridProbeCells(qQv, probes)
     rankedAdcTopK(
-      withPqCode(withGridCell(emb))
+      annIndexTable(spark, dir)
         .filter($"vec_id" =!= 0 && $"cell".isin(probeCells: _*))
         .withColumn("adc_dist", adcCol(adcLut(qQv)))
         .select($"vec_id", $"adc_dist"),
