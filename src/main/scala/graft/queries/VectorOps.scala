@@ -244,6 +244,18 @@ object VectorOps {
     * array_position(first occurrence) so cell ties break toward the
     * lowest cell id, same as the oracle's (dist, c) ordering. Shared by
     * the grid-IVF search (q33) and the IVF-PQ composition (q68). */
+  /** The floor(v×1024) integer quantization every integer-exact ANN
+    * path builds on (float→double cast and ×2^10 are exact, floor is
+    * unambiguous). Column and driver forms of the SAME definition —
+    * one place on purpose (see [[md5Long8]]): a scale tweak applied to
+    * one site but not another would desynchronize corpus assignment
+    * from probe choice. DuckDB twin:
+    * `CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)`. */
+  private[graft] def quantizeCol(emb: Column): Column =
+    transform(emb, v => floor(v.cast("double") * lit(1024)).cast("long"))
+  private def quantizeRow(v: Array[Float]): Array[Long] =
+    v.map(x => math.floor(x.toDouble * 1024).toLong)
+
   private[graft] def withGridCell(df: DataFrame): DataFrame = {
     val cents = ivfGridCentroids()
     def dist(c: Int): Column = aggregate(
@@ -254,8 +266,7 @@ object VectorOps {
     // non-cheap alias is kept by CollapseProject instead of re-inlined
     // — halving the analyzed tree (driver planning cost; runtime was
     // already deduped by codegen subexpression elimination)
-    df.withColumn("qv",
-        transform(col("embedding"), v => floor(v.cast("double") * lit(1024)).cast("long")))
+    df.withColumn("qv", quantizeCol(col("embedding")))
       .withColumn("grid_d", array((0 until ivfGridCells).map(dist): _*))
       .withColumn("cell",
         (array_position(col("grid_d"), array_min(col("grid_d"))) - 1).cast("int"))
@@ -276,8 +287,7 @@ object VectorOps {
     val emb = Tables(spark, dir, "embeddings")
     val qRow = emb.filter($"vec_id" === 0)
       .select($"embedding").head.getSeq[Float](0).toArray
-    val probeCells = gridProbeCells(
-      qRow.map(v => math.floor(v.toDouble * 1024).toLong), probes)
+    val probeCells = gridProbeCells(quantizeRow(qRow), probes)
     rankAgainstQuery(
       withGridCell(emb)
         .filter($"vec_id" =!= 0 && $"cell".isin(probeCells: _*))
@@ -285,37 +295,45 @@ object VectorOps {
       qRow, k)
   }
 
+  /** The grid quantizer's CTE block (g*-prefixed names so it composes
+    * with the PQ CTEs in q68's oracle without collisions): centroids,
+    * quantized vectors, per-(vector, cell) distances, argmin cell
+    * assignment, and the probe-4 set of the query row. Shared by q33's
+    * and q68's oracles — one definition, like [[md5Long8]]. */
+  private val gridCtes =
+    """gdims AS (SELECT unnest(range(64)) AS d),
+      |gcells AS (SELECT unnest(range(16)) AS c),
+      |gcent AS (SELECT c, d,
+      |    CAST(concat('0x', substr(md5(concat('c', c, ':', d)), 1, 8)) AS BIGINT)
+      |      % 1024 - 512 AS ct
+      |  FROM gcells, gdims),
+      |gqv AS (SELECT vec_id, d,
+      |    CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 1024) AS BIGINT) AS q
+      |  FROM embeddings, gdims),
+      |gdist AS (SELECT vec_id, c, SUM((q - ct) * (q - ct)) AS dist
+      |  FROM gqv JOIN gcent USING (d) GROUP BY vec_id, c),
+      |gassign AS (SELECT vec_id, c AS cell FROM (
+      |    SELECT vec_id, c,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+      |    FROM gdist) t
+      |  WHERE rn = 1),
+      |gprobe AS (SELECT c AS cell FROM gdist WHERE vec_id = 0
+      |  ORDER BY dist, c LIMIT 4)""".stripMargin
+
   /** Oracle: the identical integer quantizer in DuckDB — same
     * md5-derived centroids, same floor(v×1024) quantization, same
     * argmin assignment and probe choice — then q30's rank/ids-only
     * cosine ranking over the probed cells. */
   private val ivfGridKnnSql =
-    s"""WITH dims AS (SELECT unnest(range(64)) AS d),
-      |cells AS (SELECT unnest(range(16)) AS c),
-      |cent AS (SELECT c, d,
-      |    CAST(concat('0x', substr(md5(concat('c', c, ':', d)), 1, 8)) AS BIGINT)
-      |      % 1024 - 512 AS ct
-      |  FROM cells, dims),
-      |qv AS (SELECT vec_id, d,
-      |    CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 1024) AS BIGINT) AS q
-      |  FROM embeddings, dims),
-      |dist AS (SELECT vec_id, c, SUM((q - ct) * (q - ct)) AS dist
-      |  FROM qv JOIN cent USING (d) GROUP BY vec_id, c),
-      |assign AS (SELECT vec_id, c AS cell FROM (
-      |    SELECT vec_id, c,
-      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
-      |    FROM dist) t
-      |  WHERE rn = 1),
-      |probe AS (SELECT c AS cell FROM dist WHERE vec_id = 0
-      |  ORDER BY dist, c LIMIT 4),
+    s"""WITH $gridCtes,
       |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
       |SELECT rank, vec_id FROM (
       |  SELECT CAST(ROW_NUMBER() OVER (
       |      ORDER BY ${duckNanvl("list_cosine_similarity(e.embedding, q.q_emb)")} DESC,
       |               e.vec_id ASC) AS BIGINT) AS rank,
       |    e.vec_id
-      |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id, q
-      |  WHERE e.vec_id <> 0 AND a.cell IN (SELECT cell FROM probe)) t
+      |  FROM embeddings e JOIN gassign a ON e.vec_id = a.vec_id, q
+      |  WHERE e.vec_id <> 0 AND a.cell IN (SELECT cell FROM gprobe)) t
       |WHERE rank <= 5""".stripMargin
 
   /** Persist the IVF index as a PHYSICAL layout: cell assignments
@@ -405,8 +423,9 @@ object VectorOps {
     val w: IndexedSeq[IndexedSeq[Long]] = (0 until nbits).map { b =>
       (0 until dim).map(d => md5Long8(s"$b:$d") - 2147483648L)
     }
-    val qv = transform(col("embedding"),
-      v => floor(v.cast("double") * lit(1024)))
+    // same single quantize definition as the grid/PQ paths; long
+    // arithmetic end-to-end (the oracle's SUM(wt*q) is BIGINT too)
+    val qv = quantizeCol(col("embedding"))
     def bitCol(b: Int): Column = {
       val dot = (0 until dim)
         .map(d => element_at(col("qv"), d + 1) * lit(w(b)(d)))
@@ -499,8 +518,7 @@ object VectorOps {
     * frames). */
   private[graft] def withPqCode(df: DataFrame): DataFrame = {
     val cb = pqCodebook()
-    val qv = transform(col("embedding"),
-      v => floor(v.cast("double") * lit(1024)).cast("long"))
+    val qv = quantizeCol(col("embedding"))
     def subDist(s: Int, w: Int): Column =
       (0 until pqSubDim).map { d =>
         val x = element_at(col("qv"), s * pqSubDim + d + 1) - lit(cb(s)(w)(d))
@@ -578,12 +596,6 @@ object VectorOps {
     """SELECT vec_id, CAST(SUM(cw * (1::BIGINT << (4 * s))) AS BIGINT) AS code
       |FROM code GROUP BY vec_id""".stripMargin
 
-  /** PQ ADC top-k search: the query's 8×16 lookup table of subspace
-    * distances is driver-computed integer math over parameters (the
-    * codebook) and the one collected query row; the scan then sums 8
-    * `element_at` lookups per corpus code — no embedding bytes read at
-    * query time in a deployment with a precomputed codes table. The
-    * integer adc_dist is part of the output and of the hash check. */
   /** The query's ADC lookup table — per (subspace, codeword) squared-L2
     * to the quantized query. Driver integer math over parameters. */
   private def adcLut(qQv: Array[Long]): IndexedSeq[IndexedSeq[Long]] = {
@@ -614,18 +626,34 @@ object VectorOps {
       .select($"rank", $"vec_id", $"adc_dist")
   }
 
-  def pqAnn(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  /** PQ ADC top-k search over the memoized codes table: the query's
+    * 8×16 lookup table of subspace distances is driver-computed integer
+    * math over parameters (the codebook) and the one collected query
+    * row; the scan then sums 8 `element_at` lookups per corpus code —
+    * no embedding bytes read at query time. The integer adc_dist is
+    * part of the output and of the hash check. `probeCells` (IVF-PQ)
+    * additionally prunes the scan to the probed grid cells; plain PQ is
+    * the unpruned case — one body, so the two registry queries cannot
+    * drift (their probes==cells equality is also spec-asserted). */
+  private def adcSearch(spark: SparkSession, dir: String,
+      probes: Option[Int], k: Int): DataFrame = {
     import spark.implicits._
     val qRow = Tables(spark, dir, "embeddings").filter($"vec_id" === 0)
       .select($"embedding").head.getSeq[Float](0).toArray
-    val lut = adcLut(qRow.map(v => math.floor(v.toDouble * 1024).toLong))
+    val qQv = quantizeRow(qRow)
+    val index = annIndexTable(spark, dir).filter($"vec_id" =!= 0)
+    val pruned = probes match {
+      case Some(p) => index.filter($"cell".isin(gridProbeCells(qQv, p): _*))
+      case None => index
+    }
     rankedAdcTopK(
-      annIndexTable(spark, dir)
-        .filter($"vec_id" =!= 0)
-        .withColumn("adc_dist", adcCol(lut))
+      pruned.withColumn("adc_dist", adcCol(adcLut(qQv)))
         .select($"vec_id", $"adc_dist"),
       k)
   }
+
+  def pqAnn(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    adcSearch(spark, dir, probes = None, k = k)
 
   /** Oracle: the ADC lookup table is exactly the query row's `dist`
     * CTE rows — join each corpus code to the query's per-(subspace,
@@ -650,66 +678,20 @@ object VectorOps {
     * proven separately (q33, q67), so the COMPOSED result — probe
     * membership and distances — is one more full hash-checked oracle. */
   def ivfPqAnn(spark: SparkSession, dir: String,
-      probes: Int = 4, k: Int = 5): DataFrame = {
-    import spark.implicits._
-    val qRow = Tables(spark, dir, "embeddings").filter($"vec_id" === 0)
-      .select($"embedding").head.getSeq[Float](0).toArray
-    val qQv = qRow.map(v => math.floor(v.toDouble * 1024).toLong)
-    val probeCells = gridProbeCells(qQv, probes)
-    rankedAdcTopK(
-      annIndexTable(spark, dir)
-        .filter($"vec_id" =!= 0 && $"cell".isin(probeCells: _*))
-        .withColumn("adc_dist", adcCol(adcLut(qQv)))
-        .select($"vec_id", $"adc_dist"),
-      k)
-  }
+      probes: Int = 4, k: Int = 5): DataFrame =
+    adcSearch(spark, dir, probes = Some(probes), k = k)
 
-  /** Oracle: q33's grid CTEs (renamed g*) choose the probe set, q67's
-    * PQ CTEs score — self-contained like every other oracle, the
-    * component CTEs are shared with their twins by construction. */
-  private val ivfPqAnnSql =
-    """WITH subs AS (SELECT unnest(range(8)) AS s),
-      |words AS (SELECT unnest(range(16)) AS w),
-      |sdims AS (SELECT unnest(range(8)) AS d),
-      |cb AS (SELECT s, w, d,
-      |    CAST(concat('0x', substr(md5(concat('p', s, ':', w, ':', d)), 1, 8)) AS BIGINT)
-      |      % 1024 - 512 AS cw
-      |  FROM subs, words, sdims),
-      |pqv AS (SELECT vec_id, su.s AS s, sd.d AS d,
-      |    CAST(floor(CAST(embedding[su.s * 8 + sd.d + 1] AS DOUBLE) * 1024)
-      |      AS BIGINT) AS q
-      |  FROM embeddings, subs su, sdims sd),
-      |pdist AS (SELECT vec_id, s, w, SUM((q - cw) * (q - cw)) AS dist
-      |  FROM pqv JOIN cb USING (s, d) GROUP BY vec_id, s, w),
-      |code AS (SELECT vec_id, s, w AS cw FROM (
-      |    SELECT vec_id, s, w,
-      |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, w) AS rn
-      |    FROM pdist) t
-      |  WHERE rn = 1),
-      |gdims AS (SELECT unnest(range(64)) AS d),
-      |gcells AS (SELECT unnest(range(16)) AS c),
-      |gcent AS (SELECT c, d,
-      |    CAST(concat('0x', substr(md5(concat('c', c, ':', d)), 1, 8)) AS BIGINT)
-      |      % 1024 - 512 AS ct
-      |  FROM gcells, gdims),
-      |gqv AS (SELECT vec_id, d,
-      |    CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 1024) AS BIGINT) AS q
-      |  FROM embeddings, gdims),
-      |gdist AS (SELECT vec_id, c, SUM((q - ct) * (q - ct)) AS dist
-      |  FROM gqv JOIN gcent USING (d) GROUP BY vec_id, c),
-      |gassign AS (SELECT vec_id, c AS cell FROM (
-      |    SELECT vec_id, c,
-      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
-      |    FROM gdist) t
-      |  WHERE rn = 1),
-      |gprobe AS (SELECT c AS cell FROM gdist WHERE vec_id = 0
-      |  ORDER BY dist, c LIMIT 4)
-      |SELECT rank, vec_id, adc_dist FROM (
+  /** Oracle: composed verbatim from the shared CTE blocks — q67's PQ
+    * codebook/code CTEs score, q33's grid CTEs ([[gridCtes]]) choose
+    * the probe set — so a change to either quantizer's derivation
+    * cannot leave this oracle stale. */
+  private val ivfPqAnnSql = pqCodebookCtes + ",\n" + gridCtes + "\n" +
+    """SELECT rank, vec_id, adc_dist FROM (
       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY t.adc ASC, t.vec_id ASC)
       |      AS BIGINT) AS rank,
       |    t.vec_id, t.adc AS adc_dist
       |  FROM (SELECT c.vec_id, CAST(SUM(l.dist) AS BIGINT) AS adc
-      |        FROM code c JOIN pdist l
+      |        FROM code c JOIN dist l
       |          ON l.vec_id = 0 AND l.s = c.s AND l.w = c.cw
       |        JOIN gassign a ON a.vec_id = c.vec_id
       |        WHERE c.vec_id <> 0

@@ -206,8 +206,11 @@ class StreamingSpec extends SparkSuite {
       (4L, "quick brown foxes jump high", "en", t("2025-01-25 16:00:04")),
       // admitted
       (5L, "a lazy dog sleeps all day long", "en", t("2025-01-25 16:00:05")),
-      // rejected by DEDUP: normalization-equal to doc 1
-      (6L, "The QUICK,  brown fox jumps", "en", t("2025-01-25 16:00:06")),
+      // passes the gates (lowercase 'the' keeps the stopword count — a
+      // capitalized 'The' would be gate-rejected and never reach dedup
+      // state, leaving the dedup path untested) but is rejected by
+      // DEDUP: case/punctuation-normalization-equal to doc 1
+      (6L, "the QUICK,  brown fox jumps", "en", t("2025-01-25 16:00:06")),
       // admitted, second micro-batch
       (7L, "one more of the good documents", "en", t("2025-01-25 16:00:07")))
     val ms = MemoryStream[(Long, String, String, java.sql.Timestamp)]
@@ -235,6 +238,12 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamed == batch)
     assert(streamed.map(_._1) == Set(1L, 5L, 7L))
+    // the dedup stage must have done real work: doc 6 passes the gates
+    // (asserted here) and only the fingerprint dedup removes it
+    val gated = graft.queries.PipelineOps.qualityGate(
+        rows.toDF("doc_id", "text", "lang", "ingest_ts"))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(gated == Set(1L, 5L, 6L, 7L))
   }
 
   test("streaming near-dup flagger == batch LSH pairs on re-ingested docs") {
