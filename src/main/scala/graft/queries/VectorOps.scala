@@ -519,18 +519,27 @@ object VectorOps {
   private[graft] def withPqCode(df: DataFrame): DataFrame = {
     val cb = pqCodebook()
     val qv = quantizeCol(col("embedding"))
-    def subDist(s: Int, w: Int): Column =
-      (0 until pqSubDim).map { d =>
-        val x = element_at(col("qv"), s * pqSubDim + d + 1) - lit(cb(s)(w)(d))
-        x * x
-      }.reduce(_ + _)
-    // per-subspace distance arrays via NAMED columns (see withGridCell:
-    // argmin references each array twice, and a named non-cheap alias
-    // is kept by CollapseProject instead of re-inlined — halves the
-    // analyzed tree and with it driver planning cost); argmin via
-    // array_position(first occurrence): ties go to the lowest codeword,
-    // matching the oracle's ORDER BY dist, w
-    val withD = (0 until pqSub).foldLeft(df.withColumn("qv", qv)) {
+    // squared-L2 per (subspace, codeword) as a zip_with/aggregate fold
+    // over the named per-subspace slice — the SAME compact form as
+    // withGridCell, and deliberately NOT an unrolled element_at chain:
+    // unrolled, the fused cell+code projection generated a ~19k-line
+    // Janino class that overflowed the compiler and silently fell back
+    // to interpreted eval (caught by the 10x stress harness); the fold
+    // form generates loops and compiles
+    def subDist(s: Int, w: Int): Column = aggregate(
+      zip_with(col(s"qv_s$s"), typedLit(cb(s)(w)), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+    // per-subspace slices and distance arrays via NAMED columns (see
+    // withGridCell: argmin references each array twice, and a named
+    // non-cheap alias is kept by CollapseProject instead of re-inlined
+    // — halves the analyzed tree and with it driver planning cost);
+    // argmin via array_position(first occurrence): ties go to the
+    // lowest codeword, matching the oracle's ORDER BY dist, w
+    val withSlices = (0 until pqSub).foldLeft(df.withColumn("qv", qv)) {
+      (acc, s) => acc.withColumn(s"qv_s$s",
+        slice(col("qv"), s * pqSubDim + 1, pqSubDim))
+    }
+    val withD = (0 until pqSub).foldLeft(withSlices) {
       (acc, s) => acc.withColumn(s"pq_d$s",
         array((0 until pqWords).map(w => subDist(s, w)): _*))
     }
@@ -540,7 +549,8 @@ object VectorOps {
           (array_position(col(s"pq_d$s"), array_min(col(s"pq_d$s"))) - 1) *
             lit(1L << (4 * s))
         }.reduce(_ + _))
-      .drop("qv" +: (0 until pqSub).map(s => s"pq_d$s"): _*)
+      .drop("qv" +: ((0 until pqSub).map(s => s"qv_s$s") ++
+        (0 until pqSub).map(s => s"pq_d$s")): _*)
   }
 
   /** The ANN index table — (vec_id, grid cell, packed PQ code) from ONE

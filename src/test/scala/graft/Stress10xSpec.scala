@@ -64,6 +64,25 @@ object Stress10xSpec {
     require(graft.queries.DedupOps.lastClusterRounds <= 3,
       "label propagation needed >3 rounds at 10x — not the quasi-clique regime")
     println(f"[stress10x] total ${times.map(_._2).sum}%.2f s")
+
+    // ANN stack at 10x: 20k vectors (10-way self-union), q66 pays the
+    // one-off index build, q68 searches the memoized codes — the
+    // build-once/search-many split the timings should show
+    val embs = graft.sources.Tables(spark, src, "embeddings")
+    (0 until 10)
+      .map(k => embs.withColumn("vec_id", F.col("vec_id") + F.lit(k * 10000000L)))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    for (name <- Seq("q66_pq_codes", "q68_ivfpq_ann")) {
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val plan = df.queryExecution.executedPlan.toString
+      for (bad <- Seq("CartesianProduct", "Exchange SinglePartition"))
+        require(!plan.contains(bad), s"$name plan flipped to $bad at 10x:\n$plan")
+      println(f"[stress10x] $name%-22s ${sec}%7.2f s")
+    }
     spark.stop()
   }
 }
