@@ -120,14 +120,24 @@ class PlanAndEntrySpec extends SparkSuite {
   }
 
   test("every declared query runs and returns rows on sf0.001") {
-    val empties = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
-      val n = fn(spark, sf0001).count()
-      if (n == 0) Some(name) else None
-    }
-    // near-dup pair sets (and reports derived from them) may legitimately
-    // be empty at tiny SF; everything else must produce rows
-    val mayBeEmpty = Set("q38", "q41", "q42", "q44", "q54")
-    assert(empties.forall(n => mayBeEmpty.exists(n.startsWith)),
-      s"unexpected empty: $empties")
+    // codegen fallback OFF: a whole-stage-codegen compilation failure
+    // (e.g. a generated class overflowing Janino, as the first unrolled
+    // PQ assignment did) normally degrades SILENTLY to interpreted
+    // eval — an ERROR log line nobody reads and a hot path 10x slower
+    // at scale. With fallback disabled the failure throws, so this
+    // run-everything test doubles as the compiles-cleanly guard.
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val empties = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+        val n = fn(spark, sf0001).count()
+        if (n == 0) Some(name) else None
+      }
+      // near-dup pair sets (and reports derived from them) may legitimately
+      // be empty at tiny SF; everything else must produce rows
+      val mayBeEmpty = Set("q38", "q41", "q42", "q44", "q54")
+      assert(empties.forall(n => mayBeEmpty.exists(n.startsWith)),
+        s"unexpected empty: $empties")
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 }
