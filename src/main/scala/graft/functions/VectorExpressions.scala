@@ -253,6 +253,154 @@ object VectorExpressions {
     GraftBridge.column(SortedIntersectSize(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** nearest_index(array<float>) → int: quantize the embedding slice
+    * [start, start+rowLen) by floor(v×scale) — exact: float→double cast
+    * and ×2^k are lossless, floor is unambiguous — then argmin over the
+    * rows of a LITERAL centroid table by squared-L2, ties to the LOWEST
+    * row index (strict `<` keeps the first minimum — the same tie-break
+    * as the oracles' `ORDER BY dist, idx`). This is the coarse/product
+    * quantizer assignment of the ANN index paths (grid-IVF cell, PQ
+    * codeword): the table rides the generated class as a reference
+    * object and the loop is tight generated Java. Why a native
+    * expression: the unrolled element_at form of the same math
+    * overflowed Janino at PQ size (~2k terms, silent interpreted
+    * fallback), a zip_with/aggregate fold is CodegenFallback
+    * (interpreted per row), and even a `transform` quantize lambda
+    * ejects its whole projection from whole-stage codegen — quantizing
+    * INSIDE the expression (hoisted into a per-row buffer) keeps the
+    * entire assignment compiled and compact. */
+  case class NearestIndex(child: Expression, table: Array[Array[Long]],
+      start: Int, scale: Long) extends UnaryExpression {
+    private val rows = table.length
+    private val rowLen = table(0).length
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def prettyName: String = "nearest_index"
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val q = new Array[Long](rowLen)
+      var d = 0
+      while (d < rowLen) {
+        q(d) = math.floor(v.getFloat(start + d).toDouble * scale).toLong
+        d += 1
+      }
+      var best = Long.MaxValue; var bi = 0; var w = 0
+      while (w < rows) {
+        var acc = 0L; d = 0
+        while (d < rowLen) {
+          val t = q(d) - table(w)(d); acc += t * t; d += 1
+        }
+        if (acc < best) { best = acc; bi = w }
+        w += 1
+      }
+      java.lang.Integer.valueOf(bi)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tbl = ctx.addReferenceObj("centroidTable", table, "long[][]")
+      val buf = ctx.addMutableState("long[]", "quantBuf",
+        v => s"$v = new long[$rowLen];")
+      nullSafeCodeGen(ctx, ev, a => {
+        val w = ctx.freshName("w")
+        val d = ctx.freshName("d")
+        val t = ctx.freshName("t")
+        val acc = ctx.freshName("acc")
+        val best = ctx.freshName("best")
+        val bi = ctx.freshName("bi")
+        s"""
+           |for (int $d = 0; $d < $rowLen; $d++) {
+           |  $buf[$d] = (long) Math.floor((double) $a.getFloat($start + $d) * ${scale}L);
+           |}
+           |long $best = Long.MAX_VALUE; int $bi = 0;
+           |for (int $w = 0; $w < $rows; $w++) {
+           |  long $acc = 0L;
+           |  for (int $d = 0; $d < $rowLen; $d++) {
+           |    long $t = $buf[$d] - $tbl[$w][$d];
+           |    $acc += $t * $t;
+           |  }
+           |  if ($acc < $best) { $best = $acc; $bi = $w; }
+           |}
+           |${ev.value} = $bi;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): NearestIndex =
+      copy(child = newChild)
+  }
+
+  def nearestIndex(emb: Column, table: IndexedSeq[IndexedSeq[Long]],
+      start: Int, scale: Long): Column =
+    GraftBridge.column(NearestIndex(GraftBridge.expression(emb),
+      table.map(_.toArray).toArray, start, scale))
+
+  /** srp_bucket(array<float>) → long: the signed-random-projection
+    * bucket — bit b set iff the dot product of the floor(v×scale)
+    * quantization with integer hyperplane b is strictly positive. Same
+    * integer-exact contract and same codegen rationale as
+    * [[NearestIndex]]; one quantize pass feeds all hyperplanes. */
+  case class SrpBucket(child: Expression, planes: Array[Array[Long]],
+      scale: Long) extends UnaryExpression {
+    private val nbits = planes.length
+    private val dim = planes(0).length
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = LongType
+    override def prettyName: String = "srp_bucket"
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val q = new Array[Long](dim)
+      var d = 0
+      while (d < dim) {
+        q(d) = math.floor(v.getFloat(d).toDouble * scale).toLong
+        d += 1
+      }
+      var bucket = 0L; var b = 0
+      while (b < nbits) {
+        var dot = 0L; d = 0
+        while (d < dim) { dot += q(d) * planes(b)(d); d += 1 }
+        if (dot > 0L) bucket |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(bucket)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tbl = ctx.addReferenceObj("hyperplanes", planes, "long[][]")
+      val buf = ctx.addMutableState("long[]", "srpQuantBuf",
+        v => s"$v = new long[$dim];")
+      nullSafeCodeGen(ctx, ev, a => {
+        val b = ctx.freshName("b")
+        val d = ctx.freshName("d")
+        val dot = ctx.freshName("dot")
+        val bucket = ctx.freshName("bucket")
+        s"""
+           |for (int $d = 0; $d < $dim; $d++) {
+           |  $buf[$d] = (long) Math.floor((double) $a.getFloat($d) * ${scale}L);
+           |}
+           |long $bucket = 0L;
+           |for (int $b = 0; $b < $nbits; $b++) {
+           |  long $dot = 0L;
+           |  for (int $d = 0; $d < $dim; $d++) {
+           |    $dot += $buf[$d] * $tbl[$b][$d];
+           |  }
+           |  if ($dot > 0L) $bucket |= (1L << $b);
+           |}
+           |${ev.value} = $bucket;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): SrpBucket =
+      copy(child = newChild)
+  }
+
+  def srpBucket(emb: Column, planes: IndexedSeq[IndexedSeq[Long]],
+      scale: Long): Column =
+    GraftBridge.column(SrpBucket(GraftBridge.expression(emb),
+      planes.map(_.toArray).toArray, scale))
+
   /** Column wrappers. */
   def fvecDot(a: Column, b: Column): Column =
     GraftBridge.column(FloatVecDot(

@@ -244,34 +244,21 @@ object VectorOps {
     * array_position(first occurrence) so cell ties break toward the
     * lowest cell id, same as the oracle's (dist, c) ordering. Shared by
     * the grid-IVF search (q33) and the IVF-PQ composition (q68). */
-  /** The floor(v×1024) integer quantization every integer-exact ANN
-    * path builds on (float→double cast and ×2^10 are exact, floor is
-    * unambiguous). Column and driver forms of the SAME definition —
-    * one place on purpose (see [[md5Long8]]): a scale tweak applied to
-    * one site but not another would desynchronize corpus assignment
-    * from probe choice. DuckDB twin:
+  /** The floor(v×QuantScale) integer quantization every integer-exact
+    * ANN path builds on (float→double cast and ×2^10 are exact, floor
+    * is unambiguous). ONE scale constant shared by the driver-side form
+    * here and the codegen expressions (NearestIndex/SrpBucket take it
+    * as a parameter) — see [[md5Long8]]: a scale tweak applied to one
+    * site but not another would desynchronize corpus assignment from
+    * probe choice. DuckDB twin:
     * `CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)`. */
-  private[graft] def quantizeCol(emb: Column): Column =
-    transform(emb, v => floor(v.cast("double") * lit(1024)).cast("long"))
+  private[graft] val QuantScale = 1024L
   private def quantizeRow(v: Array[Float]): Array[Long] =
-    v.map(x => math.floor(x.toDouble * 1024).toLong)
+    v.map(x => math.floor(x.toDouble * QuantScale).toLong)
 
-  private[graft] def withGridCell(df: DataFrame): DataFrame = {
-    val cents = ivfGridCentroids()
-    def dist(c: Int): Column = aggregate(
-      zip_with(col("qv"), typedLit(cents(c)), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
-    // the 16-distance array goes through a NAMED column: argmin
-    // references it twice (array_position + array_min), and a named
-    // non-cheap alias is kept by CollapseProject instead of re-inlined
-    // — halving the analyzed tree (driver planning cost; runtime was
-    // already deduped by codegen subexpression elimination)
-    df.withColumn("qv", quantizeCol(col("embedding")))
-      .withColumn("grid_d", array((0 until ivfGridCells).map(dist): _*))
-      .withColumn("cell",
-        (array_position(col("grid_d"), array_min(col("grid_d"))) - 1).cast("int"))
-      .drop("qv", "grid_d")
-  }
+  private[graft] def withGridCell(df: DataFrame): DataFrame =
+    df.withColumn("cell", graft.functions.VectorExpressions
+      .nearestIndex(col("embedding"), ivfGridCentroids(), 0, QuantScale))
 
   /** Probe-cell choice for the grid quantizer: the SAME integer math,
     * over parameters (nCells centroid rows) and the one collected
@@ -413,28 +400,19 @@ object VectorOps {
     * q33's centroids); dim=64 is pinned by the static oracle SQL and
     * asserted against the data in VectorSearchSpec. */
   /** Adds the integer-exact SRP `bucket` column to any frame bearing an
-    * `embedding` array<float> column. Pure stateless expressions (a flat
-    * 64-term codegen multiply-add chain per bit against literal
-    * md5-derived weights; |qv|<2^20, |w|<2^31 → sums fit long), so the
-    * SAME lift runs on the batch corpus here and on streaming query
-    * frames in [[graft.streaming.StreamingQueries.annLookupStream]]. */
+    * `embedding` array<float> column — one native [[graft.functions.VectorExpressions.SrpBucket]]
+    * expression (quantize + nbits×dim multiply-add as a compiled loop;
+    * |q|<2^20, |w|<2^31 → dots fit long, matching the oracle's BIGINT
+    * SUM(wt*q)). The SAME lift runs on the batch corpus here and on
+    * streaming query frames in
+    * [[graft.streaming.StreamingQueries.annLookupStream]]. */
   private[graft] def withSrpBucket(df: DataFrame, nbits: Int = 4): DataFrame = {
     val dim = 64
     val w: IndexedSeq[IndexedSeq[Long]] = (0 until nbits).map { b =>
       (0 until dim).map(d => md5Long8(s"$b:$d") - 2147483648L)
     }
-    // same single quantize definition as the grid/PQ paths; long
-    // arithmetic end-to-end (the oracle's SUM(wt*q) is BIGINT too)
-    val qv = quantizeCol(col("embedding"))
-    def bitCol(b: Int): Column = {
-      val dot = (0 until dim)
-        .map(d => element_at(col("qv"), d + 1) * lit(w(b)(d)))
-        .reduce(_ + _)
-      when(dot > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    df.withColumn("qv", qv)
-      .withColumn("bucket", (0 until nbits).map(bitCol).reduce(_ + _))
-      .drop("qv")
+    df.withColumn("bucket",
+      graft.functions.VectorExpressions.srpBucket(col("embedding"), w, QuantScale))
   }
 
   def srpAnn(spark: SparkSession, dir: String, nbits: Int = 4,
@@ -513,44 +491,24 @@ object VectorOps {
     (0 until pqSub).map(s => (0 until pqWords).map(w =>
       (0 until pqSubDim).map(d => md5Long8(s"p$s:$w:$d") % 1024 - 512)))
 
-  /** Adds the packed PQ `code` column (stateless codegen expressions —
-    * the same lift pattern as [[withSrpBucket]], reusable on streaming
-    * frames). */
+  /** Adds the packed PQ `code` column: one native nearest_index per
+    * subspace (the expression slices via its start offset and ties go
+    * to the lowest codeword, matching the oracle's ORDER BY dist, w) —
+    * a stateless lift, reusable on streaming frames like
+    * [[withSrpBucket]]. See NearestIndex's doc for why a native
+    * expression: unrolled element_at chains overflowed Janino at this
+    * size (silent interpreted fallback, caught by the stress harness),
+    * and both zip_with/aggregate folds and a transform-lambda quantize
+    * are CodegenFallback shapes that eject the projection from
+    * whole-stage codegen. */
   private[graft] def withPqCode(df: DataFrame): DataFrame = {
     val cb = pqCodebook()
-    val qv = quantizeCol(col("embedding"))
-    // squared-L2 per (subspace, codeword) as a zip_with/aggregate fold
-    // over the named per-subspace slice — the SAME compact form as
-    // withGridCell, and deliberately NOT an unrolled element_at chain:
-    // unrolled, the fused cell+code projection generated a ~19k-line
-    // Janino class that overflowed the compiler and silently fell back
-    // to interpreted eval (caught by the 10x stress harness); the fold
-    // form generates loops and compiles
-    def subDist(s: Int, w: Int): Column = aggregate(
-      zip_with(col(s"qv_s$s"), typedLit(cb(s)(w)), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
-    // per-subspace slices and distance arrays via NAMED columns (see
-    // withGridCell: argmin references each array twice, and a named
-    // non-cheap alias is kept by CollapseProject instead of re-inlined
-    // — halves the analyzed tree and with it driver planning cost);
-    // argmin via array_position(first occurrence): ties go to the
-    // lowest codeword, matching the oracle's ORDER BY dist, w
-    val withSlices = (0 until pqSub).foldLeft(df.withColumn("qv", qv)) {
-      (acc, s) => acc.withColumn(s"qv_s$s",
-        slice(col("qv"), s * pqSubDim + 1, pqSubDim))
-    }
-    val withD = (0 until pqSub).foldLeft(withSlices) {
-      (acc, s) => acc.withColumn(s"pq_d$s",
-        array((0 until pqWords).map(w => subDist(s, w)): _*))
-    }
-    withD
-      .withColumn("code",
-        (0 until pqSub).map { s =>
-          (array_position(col(s"pq_d$s"), array_min(col(s"pq_d$s"))) - 1) *
-            lit(1L << (4 * s))
-        }.reduce(_ + _))
-      .drop("qv" +: ((0 until pqSub).map(s => s"qv_s$s") ++
-        (0 until pqSub).map(s => s"pq_d$s")): _*)
+    df.withColumn("code",
+      (0 until pqSub).map { s =>
+        graft.functions.VectorExpressions
+          .nearestIndex(col("embedding"), cb(s), s * pqSubDim, QuantScale)
+          .cast("long") * lit(1L << (4 * s))
+      }.reduce(_ + _))
   }
 
   /** The ANN index table — (vec_id, grid cell, packed PQ code) from ONE

@@ -128,6 +128,13 @@ class PlanAndEntrySpec extends SparkSuite {
     // run-everything test doubles as the compiles-cleanly guard.
     val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
     spark.conf.set("spark.sql.codegen.fallback", "false")
+    // drop memoized shared artifacts (pair table, cluster labels, ANN
+    // index): earlier tests materialize them under default fallback, and
+    // a cached artifact would let its build pipeline — the heaviest
+    // codegen in the repo, and the exact code whose silent fallback
+    // motivated this guard — skip compilation here entirely
+    graft.queries.DedupOps.invalidateSharedArtifacts()
+    graft.queries.VectorOps.invalidateSharedArtifacts()
     try {
       val empties = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
         val n = fn(spark, sf0001).count()

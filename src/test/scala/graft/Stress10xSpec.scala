@@ -39,23 +39,23 @@ object Stress10xSpec {
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
     println(s"[stress10x] corpus: $n documents (10x ${n / 10})")
 
-    val chain = Seq("q42_minhash_lsh", "q45_dup_clusters",
-      "q59_dedup_corpus", "q64_training_corpus")
-    val times = chain.map { name =>
-      val fn = SparkEntry.queries(name)
-      // t0 BEFORE fn(): the cluster query executes its propagation
-      // rounds while the frame is being BUILT (driver-side loop), so
-      // timing only the write would mis-attribute the iteration
+    // t0 BEFORE fn(): the cluster query executes its propagation
+    // rounds while the frame is being BUILT (driver-side loop), so
+    // timing only the write would mis-attribute the iteration
+    def runAndAudit(name: String): Double = {
       val t0 = System.nanoTime()
-      val df = fn(spark, dir)
+      val df = SparkEntry.queries(name)(spark, dir)
       df.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       val plan = df.queryExecution.executedPlan.toString
       for (bad <- Seq("CartesianProduct", "Exchange SinglePartition"))
         require(!plan.contains(bad), s"$name plan flipped to $bad at 10x:\n$plan")
       println(f"[stress10x] $name%-22s ${sec}%7.2f s")
-      name -> sec
+      sec
     }
+    val chain = Seq("q42_minhash_lsh", "q45_dup_clusters",
+      "q59_dedup_corpus", "q64_training_corpus")
+    val times = chain.map(name => name -> runAndAudit(name))
     // output volumes, for the wall-time-vs-work comparison in PLANS.md
     // (reads ride the memoized artifacts, they don't re-run the chain)
     println(s"[stress10x] pairs: ${graft.queries.DedupOps.verifiedPairs(spark, dir).count()}" +
@@ -73,16 +73,7 @@ object Stress10xSpec {
       .map(k => embs.withColumn("vec_id", F.col("vec_id") + F.lit(k * 10000000L)))
       .reduce(_ union _)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    for (name <- Seq("q66_pq_codes", "q68_ivfpq_ann")) {
-      val t0 = System.nanoTime()
-      val df = SparkEntry.queries(name)(spark, dir)
-      df.write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      val plan = df.queryExecution.executedPlan.toString
-      for (bad <- Seq("CartesianProduct", "Exchange SinglePartition"))
-        require(!plan.contains(bad), s"$name plan flipped to $bad at 10x:\n$plan")
-      println(f"[stress10x] $name%-22s ${sec}%7.2f s")
-    }
+    Seq("q66_pq_codes", "q68_ivfpq_ann").foreach(runAndAudit)
     spark.stop()
   }
 }
