@@ -277,11 +277,18 @@ object VectorExpressions {
     override def dataType: DataType = org.apache.spark.sql.types.IntegerType
     override def prettyName: String = "nearest_index"
 
+    // short or null-element arrays yield NULL (the row drops out of
+    // assignment) — the same contract as the HOF pipeline this
+    // replaces and as FloatVecDot; reading past numElements on unsafe
+    // arrays would return garbage that LOOKS like a valid cell
+    override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
+      if (v.numElements() < start + rowLen) return null
       val q = new Array[Long](rowLen)
       var d = 0
       while (d < rowLen) {
+        if (v.isNullAt(start + d)) return null
         q(d) = math.floor(v.getFloat(start + d).toDouble * scale).toLong
         d += 1
       }
@@ -308,12 +315,15 @@ object VectorExpressions {
         val acc = ctx.freshName("acc")
         val best = ctx.freshName("best")
         val bi = ctx.freshName("bi")
+        val bad = ctx.freshName("bad")
         s"""
-           |for (int $d = 0; $d < $rowLen; $d++) {
+           |boolean $bad = $a.numElements() < ${start + rowLen};
+           |for (int $d = 0; !$bad && $d < $rowLen; $d++) {
+           |  if ($a.isNullAt($start + $d)) { $bad = true; break; }
            |  $buf[$d] = (long) Math.floor((double) $a.getFloat($start + $d) * ${scale}L);
            |}
            |long $best = Long.MAX_VALUE; int $bi = 0;
-           |for (int $w = 0; $w < $rows; $w++) {
+           |for (int $w = 0; !$bad && $w < $rows; $w++) {
            |  long $acc = 0L;
            |  for (int $d = 0; $d < $rowLen; $d++) {
            |    long $t = $buf[$d] - $tbl[$w][$d];
@@ -321,6 +331,7 @@ object VectorExpressions {
            |  }
            |  if ($acc < $best) { $best = $acc; $bi = $w; }
            |}
+           |${ev.isNull} = $bad;
            |${ev.value} = $bi;
          """.stripMargin
       })
@@ -348,11 +359,18 @@ object VectorExpressions {
     override def dataType: DataType = LongType
     override def prettyName: String = "srp_bucket"
 
+    // same NULL contract as NearestIndex: short or null-element arrays
+    // yield NULL, and the row drops out of every bucket join/probe
+    // (the oracle's unnest produces no rows for such vectors — same
+    // absence)
+    override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
+      if (v.numElements() < dim) return null
       val q = new Array[Long](dim)
       var d = 0
       while (d < dim) {
+        if (v.isNullAt(d)) return null
         q(d) = math.floor(v.getFloat(d).toDouble * scale).toLong
         d += 1
       }
@@ -375,18 +393,22 @@ object VectorExpressions {
         val d = ctx.freshName("d")
         val dot = ctx.freshName("dot")
         val bucket = ctx.freshName("bucket")
+        val bad = ctx.freshName("bad")
         s"""
-           |for (int $d = 0; $d < $dim; $d++) {
+           |boolean $bad = $a.numElements() < $dim;
+           |for (int $d = 0; !$bad && $d < $dim; $d++) {
+           |  if ($a.isNullAt($d)) { $bad = true; break; }
            |  $buf[$d] = (long) Math.floor((double) $a.getFloat($d) * ${scale}L);
            |}
            |long $bucket = 0L;
-           |for (int $b = 0; $b < $nbits; $b++) {
+           |for (int $b = 0; !$bad && $b < $nbits; $b++) {
            |  long $dot = 0L;
            |  for (int $d = 0; $d < $dim; $d++) {
            |    $dot += $buf[$d] * $tbl[$b][$d];
            |  }
            |  if ($dot > 0L) $bucket |= (1L << $b);
            |}
+           |${ev.isNull} = $bad;
            |${ev.value} = $bucket;
          """.stripMargin
       })

@@ -239,11 +239,12 @@ object VectorOps {
       (0 until 64).map(d => md5Long8(s"c$c:$d") % 1024 - 512)
     }
 
-  /** Adds the integer-exact grid `cell` column: squared-L2 to each
-    * centroid as a columnar fold over the quantized vector; argmin via
-    * array_position(first occurrence) so cell ties break toward the
-    * lowest cell id, same as the oracle's (dist, c) ordering. Shared by
-    * the grid-IVF search (q33) and the IVF-PQ composition (q68). */
+  /** Adds the integer-exact grid `cell` column via one native
+    * [[graft.functions.VectorExpressions.NearestIndex]] expression
+    * (quantize + squared-L2 argmin over the literal centroid table as
+    * a compiled loop; ties break to the lowest cell id, matching the
+    * oracle's (dist, c) ordering). Shared by the grid-IVF search (q33)
+    * and the IVF-PQ composition (q68). */
   /** The floor(v×QuantScale) integer quantization every integer-exact
     * ANN path builds on (float→double cast and ×2^10 are exact, floor
     * is unambiguous). ONE scale constant shared by the driver-side form
