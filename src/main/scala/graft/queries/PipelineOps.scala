@@ -271,7 +271,41 @@ object PipelineOps {
       |    * 10000 * c.cnt
       |  < 65536::BIGINT * w.w_bp * 200""".stripMargin
 
+  /** Hashing-trick (feature-hash) vectorization: every document becomes
+    * a sparse 64-dim term-count vector — dim = first 32 md5 bits of the
+    * token mod 64, weight = token count in that bucket — emitted in
+    * (doc_id, dim, w) long form. This is the text→vector bridge of the
+    * pipeline (cluster/near-dup/classify documents in a FIXED
+    * dimensional space without a learned vocabulary — the classic
+    * scalable vectorizer, Weinberger et al.'s feature hashing), and the
+    * natural input to the ANN index paths. Integer-exact end to end
+    * (md5-derived dims, integer counts), so membership AND weights are
+    * hash-checked. Scale shape: one scan, one partial-aggregatable
+    * count shuffle on (doc_id, dim); long-form output keeps the row
+    * width fixed at any dimensionality. */
+  def featureHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .withColumn("dim",
+        conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long") % 64)
+      .groupBy($"doc_id", $"dim")
+      .agg(count(lit(1)).as("w"))
+      .select($"doc_id", $"dim", $"w")
+  }
+
+  private val featureHashSql =
+    """SELECT doc_id, dim, CAST(COUNT(*) AS BIGINT) AS w FROM (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 64 AS dim
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |        FROM documents) u) v
+      |GROUP BY doc_id, dim""".stripMargin
+
   def queries: Seq[Q] = Seq(
+    Q("q69_feature_hash", featureHash, Some(featureHashSql),
+      "hashing-trick vectorization: sparse 64-dim term-count vectors, " +
+        "integer-exact dims and weights (long form)"),
     Q("q65_mixture_sample", mixtureSample(_, _), Some(mixtureSampleSql),
       "target-proportion training-mix sampler: data-derived per-stratum " +
         "rates, integer-exact deterministic membership"),

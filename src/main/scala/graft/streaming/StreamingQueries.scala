@@ -183,6 +183,20 @@ object StreamingQueries {
       .dropDuplicatesWithinWatermark("fingerprint")
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
 
+  /** Streaming ANN-index maintenance: arriving embedding rows get their
+    * grid cell and packed PQ code from the SAME native-expression lifts
+    * as the batch index build ([[graft.queries.VectorOps.annIndexTable]])
+    * — stateless, no watermark or state store, so a deployment appends
+    * (vec_id, cell, code) to the cell-partitioned index table as
+    * vectors arrive instead of rebuilding it in batch. Quantizers are
+    * parameters (md5-derived), so stream and batch assignments are
+    * bit-identical — asserted stream == batch in StreamingSpec. */
+  def annIndexStream(vectors: DataFrame): DataFrame = {
+    import graft.queries.VectorOps
+    VectorOps.withPqCode(VectorOps.withGridCell(vectors))
+      .select(col("vec_id"), col("cell"), col("code"))
+  }
+
   /** Streaming ANN lookup: a stream of query vectors answered against
     * the STATIC corpus through the q58 SRP bucket index. The stream
     * side computes its integer-exact bucket (stateless expressions),

@@ -246,6 +246,33 @@ class StreamingSpec extends SparkSuite {
     assert(gated == Set(1L, 5L, 6L, 7L))
   }
 
+  test("streaming ANN-index maintenance == batch index on the same vectors") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf0001 = "/root/testdata/sf0.001"
+    // real embeddings through the stream, batch twin over the same rows
+    val rows = graft.sources.Tables(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding").limit(7).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingQueries.annIndexStream(
+        ms.toDF().toDF("vec_id", "embedding"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("annidx_out").start()
+    ms.addData(rows.take(4): _*)
+    ms.addData(rows.drop(4): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("annidx_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    q.stop()
+    val ids = rows.map(_._1).toSet
+    val batch = graft.queries.VectorOps.annIndexTable(spark, sf0001)
+      .filter($"vec_id".isin(ids.toSeq: _*)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.size == 7)
+  }
+
   test("streaming near-dup flagger == batch LSH pairs on re-ingested docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
