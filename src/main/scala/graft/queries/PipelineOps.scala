@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -16,6 +16,18 @@ import graft.sources.Tables
   * the first pass over 100 TB.
   */
 object PipelineOps {
+
+  /** First `hexChars`×4 bits of md5 as a non-negative BIGINT — the
+    * engine-portable membership/bucketing hash (DuckDB twin:
+    * `CAST(concat('0x', substr(md5(x), 1, hexChars)) AS BIGINT)`). One
+    * Column-form definition for the same reason as VectorOps.md5Long8:
+    * a prefix-width tweak applied engine-side but not oracle-side
+    * desynchronizes membership. (The simhash term hash in DedupOps uses
+    * the same idiom at 15 chars inside a SQL transform-lambda, where a
+    * Column helper can't reach — its width is pinned by its own oracle
+    * and golden tests.) */
+  private[queries] def md5PrefixLong(c: Column, hexChars: Int): Column =
+    conv(substring(md5(c), 1, hexChars), 16, 10).cast("long")
 
   /** Deterministic ~10% sample: keep doc_ids whose md5 hex prefix falls
     * below a threshold ('1a' = 26/256 ≈ 10.2%). The scalable
@@ -251,8 +263,7 @@ object PipelineOps {
     val counts = docs.groupBy($"lang").agg(count(lit(1)).as("cnt"))
     docs
       .withColumn("u16",
-        conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
-          .cast("long"))
+        md5PrefixLong($"doc_id".cast("string"), 4))
       .join(broadcast(counts), "lang")
       .join(broadcast(weightsBp.toDF("lang", "w_bp")), "lang")
       .filter($"u16" * lit(10000L) * $"cnt" <
@@ -287,8 +298,7 @@ object PipelineOps {
     import spark.implicits._
     Tables(spark, dir, "documents")
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
-      .withColumn("dim",
-        conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long") % 64)
+      .withColumn("dim", md5PrefixLong($"tok", 8) % 64)
       .groupBy($"doc_id", $"dim")
       .agg(count(lit(1)).as("w"))
       .select($"doc_id", $"dim", $"w")
