@@ -278,9 +278,14 @@ object VectorExpressions {
     override def prettyName: String = "nearest_index"
 
     // short or null-element arrays yield NULL (the row drops out of
-    // assignment) — the same contract as the HOF pipeline this
-    // replaces and as FloatVecDot; reading past numElements on unsafe
-    // arrays would return garbage that LOOKS like a valid cell
+    // assignment) — same contract as FloatVecDot, and an INTENTIONAL
+    // change from the HOF form this replaced (ADVICE r4): element_at on
+    // a short array would have thrown under ANSI mode rather than
+    // degrading, and reading past numElements on unsafe arrays would
+    // return garbage that LOOKS like a valid cell. Degenerate vectors
+    // now drop out of the index instead of poisoning one cell; callers
+    // that rank on a NULL-able derived column must guard the sort
+    // (rankedTopK's nanvl / adcSearch's isNotNull filter).
     override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
@@ -362,7 +367,10 @@ object VectorExpressions {
     // same NULL contract as NearestIndex: short or null-element arrays
     // yield NULL, and the row drops out of every bucket join/probe
     // (the oracle's unnest produces no rows for such vectors — same
-    // absence)
+    // absence). NOT parity with the old HOF form (ADVICE r4): that
+    // when(dot > 0, ...).otherwise(0) kept null-element vectors in
+    // bucket 0 and element_at on a short array threw under ANSI —
+    // dropping the row matches the oracle better than either.
     override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]

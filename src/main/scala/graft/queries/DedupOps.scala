@@ -354,6 +354,21 @@ object DedupOps {
     * checkable instead of asserted). */
   @volatile private[graft] var lastClusterRounds: Int = -1
 
+  /** Release the block-manager blocks behind a localCheckpoint'd frame.
+    * `DataFrame.unpersist` cannot reach them (the persistence lives on
+    * the internal RDD inside the LogicalRDD node, not in the cache
+    * manager), so each superseded propagation round would otherwise
+    * hold |docs| rows of MEMORY_AND_DISK blocks until driver GC +
+    * ContextCleaner get around to it (ADVICE r4). Only call on frames
+    * that are never used again: the lineage is truncated, so dropped
+    * blocks are unrecoverable by design. */
+  private def releaseCheckpointBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+
   def dupClusters(spark: SparkSession, dir: String,
       maxRounds: Int = 50): DataFrame = {
     import spark.implicits._
@@ -389,11 +404,18 @@ object DedupOps {
         .join(labels, "doc_id")
         .filter($"new_c" =!= $"cluster_id").count()
       converged = changed == 0
-      // releases the initial persisted frame in round 1; for later
-      // (checkpointed) rounds it's a no-op and the ContextCleaner
-      // reclaims the superseded checkpoint blocks once the frame is
-      // dereferenced here
+      // releases the initial persisted frame in round 1. For later
+      // (checkpointed) rounds DataFrame.unpersist is a NO-OP on the
+      // checkpoint blocks (ADVICE r4) — without the explicit RDD
+      // unpersist below, up to maxRounds rounds of superseded label
+      // blocks would sit in the block manager until a driver GC lets
+      // the ContextCleaner reclaim them.
       labels.unpersist()
+      // safe to drop eagerly: `next` (already materialized by the
+      // `changed` count above) no longer references the superseded
+      // round — localCheckpoint TRUNCATED its lineage — and the frame
+      // is never touched again.
+      releaseCheckpointBlocks(labels)
       labels = next
       rounds += 1
     }
@@ -404,6 +426,7 @@ object DedupOps {
     // mining produces — fail loudly and point at the right algorithm
     if (!converged) {
       labels.unpersist()
+      releaseCheckpointBlocks(labels)
       throw new IllegalStateException(
         s"dupClusters did not converge in $maxRounds rounds — component " +
           "diameter exceeds the cap; use large-star/small-star for " +

@@ -583,9 +583,14 @@ object VectorOps {
         (shiftright(col("code"), 4 * s).bitwiseAND(lit(15L)) + 1).cast("int"))
     }.reduce(_ + _)
 
-  /** Integer top-k by (adc_dist asc, vec_id asc): no NaN guard needed;
-    * same TakeOrderedAndProject + rank-after-limit shape as
-    * [[rankedTopK]]. */
+  /** Integer top-k by (adc_dist asc, vec_id asc): no NaN guard needed
+    * (integer distances), but callers must exclude NULL codes first —
+    * NearestIndex's NULL contract gives a degenerate embedding a NULL
+    * code, hence NULL adc_dist, and Spark's default NULLS FIRST on an
+    * ascending sort would rank it ahead of every real candidate
+    * (ADVICE r4; [[adcSearch]] filters `code.isNotNull`, mirroring
+    * [[rankedTopK]]'s nanvl sort-key guard). Same TakeOrderedAndProject
+    * + rank-after-limit shape as [[rankedTopK]]. */
   private def rankedAdcTopK(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
@@ -610,7 +615,15 @@ object VectorOps {
     val qRow = Tables(spark, dir, "embeddings").filter($"vec_id" === 0)
       .select($"embedding").head.getSeq[Float](0).toArray
     val qQv = quantizeRow(qRow)
-    val index = annIndexTable(spark, dir).filter($"vec_id" =!= 0)
+    // code.isNotNull: a degenerate (short/null-element) embedding gets
+    // a NULL code under NearestIndex's NULL contract, and a NULL
+    // adc_dist would sort NULLS FIRST ahead of every real candidate in
+    // the ascending rank below (ADVICE r4). Unreachable divergence:
+    // dim=64 is spec-asserted on the data, so neither engine ever sees
+    // a short vector — the filter just keeps the engine's behavior
+    // well-defined (drop the row) if one ever appears.
+    val index = annIndexTable(spark, dir)
+      .filter($"vec_id" =!= 0 && $"code".isNotNull)
     val pruned = probes match {
       case Some(p) => index.filter($"cell".isin(gridProbeCells(qQv, p): _*))
       case None => index
