@@ -304,13 +304,24 @@ object PipelineOps {
       .select($"doc_id", $"dim", $"w")
   }
 
+  /** The q69 feature-hash derivation as a named CTE (`fh(doc_id, dim,
+    * w)`) — one definition shared by the q69 oracle and the q70
+    * doc-ANN oracle ([[VectorOps.docAnn]]), which densifies it into the
+    * vectors its index is built over; like [[VectorOps.md5Long8]], a
+    * drift between the two sites would silently desynchronize the
+    * vectors from the search. */
+  private[queries] val featureHashCte =
+    """fh AS (
+      |  SELECT doc_id, dim, CAST(COUNT(*) AS BIGINT) AS w FROM (
+      |    SELECT doc_id,
+      |      CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 64 AS dim
+      |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |          FROM documents) u) v
+      |  GROUP BY doc_id, dim)""".stripMargin
+
   private val featureHashSql =
-    """SELECT doc_id, dim, CAST(COUNT(*) AS BIGINT) AS w FROM (
-      |  SELECT doc_id,
-      |    CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 64 AS dim
-      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
-      |        FROM documents) u) v
-      |GROUP BY doc_id, dim""".stripMargin
+    s"""WITH $featureHashCte
+      |SELECT doc_id, dim, w FROM fh""".stripMargin
 
   def queries: Seq[Q] = Seq(
     Q("q69_feature_hash", featureHash, Some(featureHashSql),

@@ -283,23 +283,34 @@ object VectorOps {
       qRow, k)
   }
 
-  /** The grid quantizer's CTE block (g*-prefixed names so it composes
-    * with the PQ CTEs in q68's oracle without collisions): centroids,
-    * quantized vectors, per-(vector, cell) distances, argmin cell
-    * assignment, and the probe-4 set of the query row. Shared by q33's
-    * and q68's oracles — one definition, like [[md5Long8]]. */
-  private val gridCtes =
+  /** The grid quantizer's CTE blocks (g*-prefixed names so they compose
+    * with the PQ CTEs in q68's/q70's oracles without collisions),
+    * split so the quantized-vector source is pluggable: parameters
+    * (dims, cells, md5 centroids), then assignment/probe CTEs over ANY
+    * `(vec_id, d, q)` CTE — the embeddings table for q33/q68, the
+    * densified q69 vectors for q70. One definition of the centroid
+    * derivation, like [[md5Long8]]. */
+  private val gridParamCtes =
     """gdims AS (SELECT unnest(range(64)) AS d),
       |gcells AS (SELECT unnest(range(16)) AS c),
       |gcent AS (SELECT c, d,
       |    CAST(concat('0x', substr(md5(concat('c', c, ':', d)), 1, 8)) AS BIGINT)
       |      % 1024 - 512 AS ct
-      |  FROM gcells, gdims),
-      |gqv AS (SELECT vec_id, d,
+      |  FROM gcells, gdims)""".stripMargin
+
+  /** floor(v×1024) quantization of the embeddings table — the
+    * `(vec_id, d, q)` source the embedding-based grid oracles use. */
+  private val gridQvEmbeddings =
+    """gqv AS (SELECT vec_id, d,
       |    CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 1024) AS BIGINT) AS q
-      |  FROM embeddings, gdims),
-      |gdist AS (SELECT vec_id, c, SUM((q - ct) * (q - ct)) AS dist
-      |  FROM gqv JOIN gcent USING (d) GROUP BY vec_id, c),
+      |  FROM embeddings, gdims)""".stripMargin
+
+  /** Per-(vector, cell) distances, argmin cell assignment, and the
+    * probe-4 set of the query row (vec_id 0), over the quantized CTE
+    * named by `qv`. */
+  private def gridSearchCtes(qv: String): String =
+    s"""gdist AS (SELECT vec_id, c, SUM((q - ct) * (q - ct)) AS dist
+      |  FROM $qv JOIN gcent USING (d) GROUP BY vec_id, c),
       |gassign AS (SELECT vec_id, c AS cell FROM (
       |    SELECT vec_id, c,
       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
@@ -307,6 +318,9 @@ object VectorOps {
       |  WHERE rn = 1),
       |gprobe AS (SELECT c AS cell FROM gdist WHERE vec_id = 0
       |  ORDER BY dist, c LIMIT 4)""".stripMargin
+
+  private val gridCtes = Seq(gridParamCtes, gridQvEmbeddings,
+    gridSearchCtes("gqv")).mkString(",\n")
 
   /** Oracle: the identical integer quantizer in DuckDB — same
     * md5-derived centroids, same floor(v×1024) quantization, same
@@ -541,25 +555,38 @@ object VectorOps {
     annIndexTable(spark, dir).select($"vec_id", $"code".cast("long").as("code"))
   }
 
-  private val pqCodebookCtes =
-    """WITH subs AS (SELECT unnest(range(8)) AS s),
+  /** The PQ codebook's CTE blocks, split like the grid's: parameters
+    * (subspaces, codewords, md5 codebook), then distance/code CTEs over
+    * ANY `(vec_id, s, d, q)` CTE — embeddings for q66–q68, the
+    * densified q69 vectors for q70. */
+  private val pqParamCtes =
+    """subs AS (SELECT unnest(range(8)) AS s),
       |words AS (SELECT unnest(range(16)) AS w),
       |sdims AS (SELECT unnest(range(8)) AS d),
       |cb AS (SELECT s, w, d,
       |    CAST(concat('0x', substr(md5(concat('p', s, ':', w, ':', d)), 1, 8)) AS BIGINT)
       |      % 1024 - 512 AS cw
-      |  FROM subs, words, sdims),
-      |qv AS (SELECT vec_id, su.s AS s, sd.d AS d,
+      |  FROM subs, words, sdims)""".stripMargin
+
+  private val pqQvEmbeddings =
+    """qv AS (SELECT vec_id, su.s AS s, sd.d AS d,
       |    CAST(floor(CAST(embedding[su.s * 8 + sd.d + 1] AS DOUBLE) * 1024)
       |      AS BIGINT) AS q
-      |  FROM embeddings, subs su, sdims sd),
-      |dist AS (SELECT vec_id, s, w, SUM((q - cw) * (q - cw)) AS dist
-      |  FROM qv JOIN cb USING (s, d) GROUP BY vec_id, s, w),
+      |  FROM embeddings, subs su, sdims sd)""".stripMargin
+
+  /** Per-(vector, subspace, codeword) distances and argmin codeword
+    * assignment over the quantized CTE named by `qv`. */
+  private def pqCodeCtes(qv: String): String =
+    s"""dist AS (SELECT vec_id, s, w, SUM((q - cw) * (q - cw)) AS dist
+      |  FROM $qv JOIN cb USING (s, d) GROUP BY vec_id, s, w),
       |code AS (SELECT vec_id, s, w AS cw FROM (
       |    SELECT vec_id, s, w,
       |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, w) AS rn
       |    FROM dist) t
       |  WHERE rn = 1)""".stripMargin
+
+  private val pqCodebookCtes = "WITH " + Seq(pqParamCtes, pqQvEmbeddings,
+    pqCodeCtes("qv")).mkString(",\n")
 
   private val pqCodesSql = pqCodebookCtes + "\n" +
     """SELECT vec_id, CAST(SUM(cw * (1::BIGINT << (4 * s))) AS BIGINT) AS code
@@ -681,6 +708,96 @@ object VectorOps {
       |        GROUP BY c.vec_id) t) u
       |WHERE rank <= 5""".stripMargin
 
+  /** Densify q69's feature-hash long form into dense 64-dim
+    * `array<float>` term-count vectors — the text→vector bridge the
+    * ANN index paths consume. Shape: [[PipelineOps.featureHash]]'s
+    * (doc_id, dim, w) rows re-aggregate per doc_id as 64 conditional
+    * sums inside ONE hash aggregate (partial-aggregatable, fully
+    * codegen — no collect_list/map or HOF, which would eject the
+    * projection from whole-stage codegen), so the densify costs one
+    * small shuffle of ≤64 rows per doc on top of q69's. Counts are
+    * small integers, exactly representable in float, so the
+    * floor(v×1024) quantization downstream recovers count×1024
+    * bit-exactly in both engines. */
+  private[graft] def docVectors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    PipelineOps.featureHash(spark, dir)
+      .groupBy($"doc_id")
+      .agg(array((0 until 64).map(d =>
+        coalesce(sum(when($"dim" === d, $"w")), lit(0L)).cast("float")): _*)
+        .as("embedding"))
+      .select($"doc_id".as("vec_id"), $"embedding")
+  }
+
+  /** q70 — the text→vector→index→search loop closed end to end
+    * (VERDICT r4 #1): documents vectorize via the hashing trick (q69),
+    * densify ([[docVectors]]), get a grid cell and a packed PQ code
+    * from the SAME native-expression lifts as the embedding index
+    * (q66/q68's [[withGridCell]]/[[withPqCode]] — the quantizers are
+    * data-independent md5 parameters, so they apply to any 64-dim
+    * float vector), and the query document searches the corpus by
+    * probe-pruned ADC — near-dup/similar documents found via VECTOR
+    * search over text-derived vectors, the pipeline a training-data
+    * team actually runs. Every stage is integer-exact (integer counts
+    * → exact float → exact quantization → integer distances), so probe
+    * membership AND distances are part of the hash check.
+    *
+    * Scale note: ADC/grid distances over raw COUNT vectors stay in
+    * long range while count×1024 < ~2^26 (sum of 64 squares < 2^63);
+    * web-scale documents with million-count dims would l2-normalize or
+    * log-bucket the counts first — a stateless lift in the same spot,
+    * traded here for count-space exactness the oracle can check. */
+  def docAnn(spark: SparkSession, dir: String,
+      probes: Int = 4, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val vecs = docVectors(spark, dir)
+    // parameter access: the filter on the grouping column pushes below
+    // both aggregates to the documents scan, so this reads one doc
+    val qRow = vecs.filter($"vec_id" === 0)
+      .select($"embedding").head.getSeq[Float](0).toArray
+    val qQv = quantizeRow(qRow)
+    val index = withPqCode(withGridCell(vecs))
+      .filter($"vec_id" =!= 0 && $"code".isNotNull &&
+        $"cell".isin(gridProbeCells(qQv, probes): _*))
+    rankedAdcTopK(
+      index.withColumn("adc_dist", adcCol(adcLut(qQv)))
+        .select($"vec_id", $"adc_dist"),
+      k)
+      .select($"rank", $"vec_id".as("doc_id"), $"adc_dist")
+  }
+
+  /** Oracle: q69's shared `fh` CTE densifies to a quantized
+    * `(vec_id, d, q)` CTE (LEFT JOIN supplies the zero counts), which
+    * plugs into the SAME grid-assignment and PQ-code CTE builders as
+    * the q33/q66–q68 oracles — the whole loop re-derived in DuckDB
+    * from one definition of each quantizer. */
+  private val docAnnSql =
+    "WITH " + Seq(
+      gridParamCtes,
+      pqParamCtes,
+      PipelineOps.featureHashCte,
+      """dq AS (SELECT dd.doc_id AS vec_id, g.d AS d,
+        |    CAST(floor(CAST(CAST(COALESCE(fh.w, 0) AS FLOAT) AS DOUBLE) * 1024)
+        |      AS BIGINT) AS q
+        |  FROM (SELECT doc_id FROM documents) dd
+        |  CROSS JOIN gdims g
+        |  LEFT JOIN fh ON fh.doc_id = dd.doc_id AND fh.dim = g.d)""".stripMargin,
+      """dq8 AS (SELECT vec_id, d // 8 AS s, d % 8 AS d, q FROM dq)""",
+      gridSearchCtes("dq"),
+      pqCodeCtes("dq8")).mkString(",\n") + "\n" +
+      """SELECT rank, doc_id, adc_dist FROM (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY t.adc ASC, t.vec_id ASC)
+        |      AS BIGINT) AS rank,
+        |    t.vec_id AS doc_id, t.adc AS adc_dist
+        |  FROM (SELECT c.vec_id, CAST(SUM(l.dist) AS BIGINT) AS adc
+        |        FROM code c JOIN dist l
+        |          ON l.vec_id = 0 AND l.s = c.s AND l.w = c.cw
+        |        JOIN gassign a ON a.vec_id = c.vec_id
+        |        WHERE c.vec_id <> 0
+        |          AND a.cell IN (SELECT cell FROM gprobe)
+        |        GROUP BY c.vec_id) t) u
+        |WHERE rank <= 5""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q30_knn_topk", knnTopK, Some(knnTopKSql),
       "brute-force cosine top-5 (broadcast query, codegen dot)"),
@@ -706,5 +823,9 @@ object VectorOps {
         "even the distances are part of the hash check"),
     Q("q68_ivfpq_ann", ivfPqAnn(_, _), Some(ivfPqAnnSql),
       "IVF-PQ composition: grid probe-pruning x ADC code scan (the " +
-        "FAISS deployment shape), probe set and distances hash-checked"))
+        "FAISS deployment shape), probe set and distances hash-checked"),
+    Q("q70_doc_ann", docAnn(_, _), Some(docAnnSql),
+      "text->vector->index->search closed loop: q69 hashed vectors " +
+        "densified, grid+PQ indexed with the q66/q68 lifts, query doc " +
+        "ADC-searched — probe set and distances hash-checked"))
 }

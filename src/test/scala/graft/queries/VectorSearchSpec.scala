@@ -92,6 +92,56 @@ class VectorSearchSpec extends SparkSuite {
     assert(gotTop == expectTop)
   }
 
+  test("doc ANN (q70) matches an independent driver-side recompute of the full loop") {
+    // independent path: tokenize + feature-hash + densify + grid/PQ
+    // assign + ADC rank, all in plain Scala from the raw documents
+    // parquet — any slip anywhere in the composed engine pipeline
+    // (q69 aggregation, densify sums, quantizer offsets, probe choice)
+    // diverges from this
+    def md5Long8(seed: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(seed.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8), 16)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vecs = docs.map { case (id, text) =>
+      val v = new Array[Long](64)
+      text.split(" ", -1).foreach { t => v((md5Long8(t) % 64).toInt) += 1 }
+      id -> v.map(c => math.floor(c.toFloat.toDouble * 1024).toLong)
+    }
+    val cents = VectorOps.ivfGridCentroids()
+    def cellOf(q: Array[Long]): Int =
+      cents.zipWithIndex.map { case (ct, i) =>
+        (i, ct.zip(q).map { case (c, x) => val t = x - c; t * t }.sum)
+      }.minBy { case (i, d) => (d, i) }._1
+    val cb = VectorOps.pqCodebook()
+    def codeOf(q: Array[Long]): Array[Int] =
+      (0 until 8).map { s =>
+        (0 until 16).map { w =>
+          w -> (0 until 8).map { d =>
+            val t = q(s * 8 + d) - cb(s)(w)(d); t * t
+          }.sum
+        }.minBy { case (w, dist) => (dist, w) }._1
+      }.toArray
+    val qQv = vecs(0L)
+    val probeSet = cents.zipWithIndex.map { case (ct, i) =>
+      (i, ct.zip(qQv).map { case (c, x) => val t = x - c; t * t }.sum)
+    }.sortBy { case (i, d) => (d, i) }.take(4).map(_._1).toSet
+    val lut = (0 until 8).map(s => (0 until 16).map(w =>
+      (0 until 8).map { d => val t = qQv(s * 8 + d) - cb(s)(w)(d); t * t }.sum))
+    val expect = vecs.toSeq
+      .filter { case (id, q) => id != 0L && probeSet(cellOf(q)) }
+      .map { case (id, q) =>
+        val c = codeOf(q)
+        id -> (0 until 8).map(s => lut(s)(c(s))).sum
+      }.sortBy { case (id, d) => (d, id) }.take(5)
+    val got = VectorOps.docAnn(spark, sf0001).orderBy("rank").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toSeq
+    assert(got == expect)
+    assert(expect.nonEmpty)
+  }
+
   test("IVF-PQ with probes == cells equals plain PQ ADC top-5") {
     val pq = VectorOps.pqAnn(spark, sf0001).orderBy("rank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
