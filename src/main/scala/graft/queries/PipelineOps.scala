@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 
 /** Corpus-preparation operators a training-data pipeline runs between
@@ -94,6 +95,64 @@ object PipelineOps {
       |    AS BIGINT) AS n_bpe_tokens,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
       |FROM documents""".stripMargin
+
+  /** q71 — the first real step of BPE tokenizer TRAINING, past q57's
+    * budget counting (VERDICT r4 #5): mine the top-k most frequent
+    * adjacent symbol pairs — the first k BPE merges. Semantics match
+    * the classic algorithm's opening round exactly: the corpus
+    * pre-tokenizes with the GPT-style regex (pairs never cross
+    * pre-token boundaries), every pre-token contributes its adjacent
+    * character pairs, and counting occurrences directly equals the
+    * textbook per-word-count-weighted form (the sum distributes over
+    * occurrences). Subsequent rounds would re-segment by the chosen
+    * merge and repeat — same plan shape per round.
+    *
+    * Scale shape: one scan; the pair explode is partition-local; ONE
+    * partial-aggregatable count shuffle on a ≤|alphabet|² key space;
+    * top-k via orderBy+limit plans as TakeOrderedAndProject (per-
+    * partition top-k, no single-partition exchange — q30's contract).
+    * Engine-portability: pairing is substring-based — Spark's substring
+    * and DuckDB's substr both count CODE POINTS, so the pairs agree on
+    * any Unicode text without splitting strings into per-char arrays
+    * (Java split("") works on UTF-16 code units and would diverge on
+    * astral chars — the q55 byte/char lesson applied to chars/units). */
+  def bpeMerges(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
+    val counted = Tables(spark, dir, "documents")
+      .select(explode(regexp_extract_all($"text", lit(pat), lit(0))).as("t"))
+      // single-symbol pre-tokens contribute no pairs; the guard also
+      // keeps sequence() off the start>stop case (which Spark would
+      // fill DESCENDING, not leave empty)
+      .filter(length($"t") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
+        .as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy($"cnt".desc, $"pair".asc)
+    counted.orderBy($"cnt".desc, $"pair".asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select($"rank", $"pair", $"cnt")
+  }
+
+  /** Oracle: same substr pairing (code-point semantics both engines,
+    * bytewise UTF-8 string ordering both engines — ties at the k
+    * boundary resolve identically). */
+  private val bpeMergesSql =
+    """WITH pt AS (SELECT unnest(regexp_extract_all(text,
+      |    '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+'))
+      |    AS t
+      |  FROM documents),
+      |pr AS (SELECT substr(t, CAST(i AS INTEGER), 2) AS pair
+      |  FROM (SELECT t, unnest(range(1, length(t))) AS i
+      |        FROM pt WHERE length(t) >= 2) u),
+      |c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM pr GROUP BY pair)
+      |SELECT rank, pair, cnt FROM (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT)
+      |      AS rank,
+      |    pair, cnt
+      |  FROM c) t
+      |WHERE rank <= 20""".stripMargin
 
   /** The cleaning expression itself: lowercase, strip emails then
     * URLs, collapse whitespace, trim. Pure per-row regexp chain —
@@ -341,6 +400,9 @@ object PipelineOps {
       "per-stratum deterministic sampling rates (training-mix lever)"),
     Q("q57_bpe_token_count", bpeTokenCount, Some(bpeTokenCountSql),
       "GPT-style pre-tokenizer regex token counting (Java/RE2-common subset)"),
+    Q("q71_bpe_merges", bpeMerges(_, _), Some(bpeMergesSql),
+      "BPE merge mining round 1: adjacent-pair frequencies over the " +
+        "pre-tokenized corpus, top-20 merges via TakeOrderedAndProject"),
     Q("q47_text_clean", textClean, Some(textCleanSql),
       "email/URL/whitespace cleaning via codegen regexp chain"),
     Q("q48_token_pack", tokenPack, Some(tokenPackSql),

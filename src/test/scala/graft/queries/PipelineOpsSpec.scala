@@ -85,6 +85,37 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("BPE merge mining matches an independent driver-side recompute") {
+    // independent path: java.util.regex pre-tokenization + substring
+    // pairing in plain Scala (corpus is BMP-only, so code-unit
+    // substring == code-point substring here)
+    val pat = java.util.regex.Pattern.compile(
+      "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+")
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text").collect().map(_.getString(0)).foreach { text =>
+        val m = pat.matcher(text)
+        while (m.find()) {
+          val t = m.group()
+          var i = 1
+          while (i < t.length) {
+            val p = t.substring(i - 1, i + 1)
+            counts(p) = counts.getOrElse(p, 0L) + 1
+            i += 1
+          }
+        }
+      }
+    val expect = counts.toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(20)
+      .zipWithIndex.map { case ((p, c), i) => (i + 1L, p, c) }
+    val got = PipelineOps.bpeMerges(spark, sf0001).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // the corpus is Zipfian-ish English+friends: the top merge should
+    // be a real frequent bigram, not an artifact
+    assert(expect.head._3 > 100)
+  }
+
   test("token pack conserves token counts and caps segments at 16") {
     import spark.implicits._
     val packed = PipelineOps.tokenPack(spark, sf0001)
