@@ -175,6 +175,37 @@ class VectorSearchSpec extends SparkSuite {
     }
   }
 
+  test("compressed IVF-PQ index: indexed search == q68, partition-pruned, codes-only scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/idx"
+    try {
+      VectorOps.ivfPqWriteIndex(spark, sf0001, tmp)
+      val qRow = spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .filter("vec_id = 0").select("embedding")
+        .head.getSeq[Float](0).toArray
+      // the on-disk compressed index must answer the q68 IVF-PQ query
+      // identically — same probe set, same integer distances
+      val expect = VectorOps.ivfPqAnn(spark, sf0001, probes = 4)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val indexed = VectorOps.ivfPqSearchIndexed(spark, tmp, qRow,
+        probes = 4, excludeVecId = Some(0L))
+      val got = indexed.orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expect)
+      // plan contract: probes land as planning-time partition filters,
+      // and the scan reads ONLY (vec_id, code) — no embedding bytes
+      // exist in this layout, which is the memory-feasibility argument
+      val plan = indexed.queryExecution.executedPlan.toString
+        .replaceAll("#\\d+", "")
+      assert(plan.contains("PartitionFilters: [cell IN ("), plan)
+      assert(plan.contains("ReadSchema: struct<vec_id:bigint,code:bigint>"), plan)
+      assert(!plan.contains("embedding"), plan)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(tmp).getParentFile)
+    }
+  }
+
   test("extensions register fvec_dot/simhash64/minhash_longs for SQL") {
     // inject into the existing session the way withExtensions would
     new graft.GraftExtensions()
