@@ -734,9 +734,20 @@ object VectorOps {
     * variant; THIS is what a 100 TB deployment ships — the index fits
     * in cluster memory precisely because no embedding bytes are in it. */
   def ivfPqWriteIndex(spark: SparkSession, dir: String, path: String): Unit = {
-    import spark.implicits._
     graft.operators.Operators.writePartitioned(
       annIndexTable(spark, dir), path, "cell")
+    writeIndexParams(spark, path)
+  }
+
+  /** Write just the parameter siblings (centroid + codebook tables)
+    * next to a codes table at `path`. Split out of [[ivfPqWriteIndex]]
+    * because a STREAM-maintained index needs them too: the quantizers
+    * are data-independent, so the streaming appender
+    * ([[graft.streaming.StreamingQueries.annIndexStream]] →
+    * `toPartitionedParquet`) only ever writes codes rows, and the
+    * parameters are laid down once beside the growing table. */
+  def writeIndexParams(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
     ivfGridCentroids().zipWithIndex
       .map { case (ct, c) => (c, ct.toArray) }.toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path.centroids")

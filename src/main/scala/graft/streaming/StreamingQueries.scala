@@ -323,4 +323,29 @@ object StreamingQueries {
     df.writeStream.outputMode("append").format("parquet")
       .option("path", path).option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow()).start()
+
+  /** Partition-laid-out streaming parquet sink — the durable half of
+    * the streaming ANN-index maintenance story (VERDICT r4 #4): wire
+    * [[annIndexStream]]'s (vec_id, cell, code) rows here with
+    * `partitionCol = "cell"` and arriving vectors APPEND into the same
+    * cell-directory layout [[graft.queries.VectorOps.ivfPqWriteIndex]]
+    * writes in batch — `ivfPqSearchIndexed` keeps partition-pruning its
+    * probes over the growing table, no rebuild (parameters are
+    * data-independent; lay them down once via
+    * [[graft.queries.VectorOps.writeIndexParams]]).
+    *
+    * Small-files note: each micro-batch writes ≤1 file per touched
+    * cell, so a long-running appender accumulates files/cell ≈
+    * micro-batch count — at that point run the standard compaction job
+    * (read the codes table, [[graft.queries.VectorOps.ivfPqWriteIndex]]-
+    * style rewrite via `Operators.writePartitioned` into a fresh path,
+    * swap). Compaction is an I/O rewrite only: codes are stateless
+    * facts, so no recompute and no read downtime (readers stay on the
+    * old path until the swap). */
+  def toPartitionedParquet(df: DataFrame, path: String, checkpoint: String,
+      partitionCol: String): StreamingQuery =
+    df.writeStream.outputMode("append").format("parquet")
+      .partitionBy(partitionCol)
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
 }

@@ -36,6 +36,45 @@ class SinkSemanticsSpec extends SparkSuite {
     assert(ex.getMessage.toLowerCase.contains("sort"))
   }
 
+  test("stream-appended compressed ANN index == batch-written index (contents and search)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_annidx").toString
+    val batchIdx = s"$base/batch"
+    val streamIdx = s"$base/stream"
+    graft.queries.VectorOps.ivfPqWriteIndex(spark, sf0001, batchIdx)
+    // same vectors through the streaming maintenance path, in two
+    // checkpointed AvailableNow runs — appends, never a rebuild
+    val rows = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val ms = MemoryStream[(Long, Array[Float])]
+    val lifted = StreamingQueries.annIndexStream(
+      ms.toDF().toDF("vec_id", "embedding"))
+    ms.addData(rows.take(rows.length / 2): _*)
+    StreamingQueries.toPartitionedParquet(lifted, streamIdx,
+      s"$base/chk", "cell").awaitTermination()
+    ms.addData(rows.drop(rows.length / 2): _*)
+    StreamingQueries.toPartitionedParquet(lifted, streamIdx,
+      s"$base/chk", "cell").awaitTermination()
+    graft.queries.VectorOps.writeIndexParams(spark, streamIdx)
+    // bit-identical index rows (the quantizer lifts are stateless and
+    // shared verbatim with the batch build)
+    def contents(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Long]("code"))).toSet
+    assert(contents(streamIdx) == contents(batchIdx))
+    assert(contents(streamIdx).size == rows.length)
+    // and identical probe-pruned search answers over the two layouts
+    val q = rows.find(_._1 == 0L).get._2
+    def top(p: String) = graft.queries.VectorOps
+      .ivfPqSearchIndexed(spark, p, q, probes = 4, excludeVecId = Some(0L))
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(top(streamIdx) == top(batchIdx))
+    assert(top(streamIdx).size == 5)
+  }
+
   test("checkpointed parquet sink: restart processes only new input") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_in").toString
