@@ -118,6 +118,11 @@ object Bench {
     val diag = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.sortBy(_._1).map { case (name, fn) =>
       val (cpu0, run0, gc0, sp0) = drained()
+      // job group = query name: stamps every job/stage this query runs
+      // into the event log, so EventLogDigest can attribute stages to
+      // queries in a DRIVER-run log post-hoc (the r2-r4 q44/q45
+      // inflation hunts had to infer attribution from timing windows)
+      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = false)
       val t0 = System.nanoTime()
       val r = try {
         val df = fn(spark, sfDir)
@@ -136,6 +141,7 @@ object Bench {
         System.err.println(s"[bench] $name failed: " + e.getMessage)
         name -> -1.0
       }
+      spark.sparkContext.clearJobGroup()
       val (cpu1, run1, gc1, sp1) = drained()
       // ms-rounded via Double.toString: locale-independent, unlike
       // f"%.3f" (a comma-decimal default locale would corrupt the JSON)

@@ -846,8 +846,14 @@ object VectorOps {
     val qRow = vecs.filter($"vec_id" === 0)
       .select($"embedding").head.getSeq[Float](0).toArray
     val qQv = quantizeRow(qRow)
+    // no code.isNotNull here, deliberately: docVectors emits exactly 64
+    // non-null floats by construction, so NearestIndex can never return
+    // NULL on this path — and because this index is built inline (not
+    // persisted like annIndexTable), the guard would predicate-push all
+    // 8 PQ nearest_index evals into the filter CONDITION and double the
+    // quantizer work per row (the r3 isnan-pushdown lesson)
     val index = withPqCode(withGridCell(vecs))
-      .filter($"vec_id" =!= 0 && $"code".isNotNull &&
+      .filter($"vec_id" =!= 0 &&
         $"cell".isin(gridProbeCells(qQv, probes): _*))
     rankedAdcTopK(
       index.withColumn("adc_dist", adcCol(adcLut(qQv)))

@@ -13,4 +13,13 @@ package org.apache.spark
 object GraftSparkBridge {
   def drainListenerBus(sc: SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
+
+  /** Wrap a raw stream of a compressed Spark event log with the named
+    * codec (`zstd` is the event-log default). `CompressionCodec` is
+    * `private[spark]`; [[graft.tools.EventLogDigest]] needs it to read
+    * the bench forensics logs without a Spark history server. */
+  def eventLogInputStream(in: java.io.InputStream,
+      codecName: String): java.io.InputStream =
+    io.CompressionCodec.createCodec(new SparkConf(), codecName)
+      .compressedInputStream(in)
 }
