@@ -72,26 +72,35 @@ object PipelineOps {
       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
       |  CASE WHEN lang = 'en' THEN '40' ELSE '1a' END""".stripMargin
 
-  /** BPE-ish subword token counting via a GPT-style pre-tokenizer
-    * regex (contractions | space?-letters | space?-digits |
-    * space?-other) — the counting stage a tokenizer-budget estimate
-    * runs before actual BPE merges. The pattern stays in the common
-    * Java/RE2 subset (alternation + character classes only), so the
-    * match count is engine-identical and hash-checked. */
+  /** The GPT-style pre-tokenizer pattern (contractions |
+    * space?-letters | space?-digits | space?-other), in the common
+    * Java/RE2 subset (alternation + character classes only) so both
+    * engines match identically — ONE definition (plus its
+    * single-quote-doubled SQL twin) shared by q57's counting and q71's
+    * merge mining: a tweak to one copy but not the other would
+    * desynchronize merge mining from token counting, or an engine from
+    * its oracle. */
+  private val preTokenPat =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
+  private val preTokenPatSql = preTokenPat.replace("'", "''")
+
+  /** BPE-ish subword token counting via the shared [[preTokenPat]] —
+    * the counting stage a tokenizer-budget estimate runs before actual
+    * BPE merges (q71). Match counts are engine-identical and
+    * hash-checked. */
   def bpeTokenCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
     Tables(spark, dir, "documents")
       .select($"doc_id",
-        size(regexp_extract_all($"text", lit(pat), lit(0)))
+        size(regexp_extract_all($"text", lit(preTokenPat), lit(0)))
           .cast("long").as("n_bpe_tokens"),
         size(split($"text", " ")).cast("long").as("n_ws_tokens"))
   }
 
   private val bpeTokenCountSql =
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       |  CAST(len(regexp_extract_all(text,
-      |    '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+'))
+      |    '$preTokenPatSql'))
       |    AS BIGINT) AS n_bpe_tokens,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
       |FROM documents""".stripMargin
@@ -118,9 +127,9 @@ object PipelineOps {
     * astral chars — the q55 byte/char lesson applied to chars/units). */
   def bpeMerges(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     import spark.implicits._
-    val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
     val counted = Tables(spark, dir, "documents")
-      .select(explode(regexp_extract_all($"text", lit(pat), lit(0))).as("t"))
+      .select(explode(
+        regexp_extract_all($"text", lit(preTokenPat), lit(0))).as("t"))
       // single-symbol pre-tokens contribute no pairs; the guard also
       // keeps sequence() off the start>stop case (which Spark would
       // fill DESCENDING, not leave empty)
@@ -139,8 +148,8 @@ object PipelineOps {
     * bytewise UTF-8 string ordering both engines — ties at the k
     * boundary resolve identically). */
   private val bpeMergesSql =
-    """WITH pt AS (SELECT unnest(regexp_extract_all(text,
-      |    '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+'))
+    s"""WITH pt AS (SELECT unnest(regexp_extract_all(text,
+      |    '$preTokenPatSql'))
       |    AS t
       |  FROM documents),
       |pr AS (SELECT substr(t, CAST(i AS INTEGER), 2) AS pair

@@ -872,10 +872,17 @@ object VectorOps {
       gridParamCtes,
       pqParamCtes,
       PipelineOps.featureHashCte,
+      // dd derives from fh, NOT from documents: a NULL-text document
+      // produces no fh rows and is ABSENT from the engine's docVectors
+      // (explode of a null token array emits nothing) — deriving the
+      // vector universe from documents would give such a doc an
+      // all-zero oracle vector that could rank, a one-sided divergence
+      // (the q55/nanvl lesson: every engine-side absence needs its
+      // oracle mirror)
       """dq AS (SELECT dd.doc_id AS vec_id, g.d AS d,
         |    CAST(floor(CAST(CAST(COALESCE(fh.w, 0) AS FLOAT) AS DOUBLE) * 1024)
         |      AS BIGINT) AS q
-        |  FROM (SELECT doc_id FROM documents) dd
+        |  FROM (SELECT DISTINCT doc_id FROM fh) dd
         |  CROSS JOIN gdims g
         |  LEFT JOIN fh ON fh.doc_id = dd.doc_id AND fh.dim = g.d)""".stripMargin,
       """dq8 AS (SELECT vec_id, d // 8 AS s, d % 8 AS d, q FROM dq)""",

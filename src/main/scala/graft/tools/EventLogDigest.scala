@@ -27,9 +27,6 @@ object EventLogDigest {
           .filter(_.getName.startsWith("events_")).sortBy(_.getName)
       else Seq(target)
 
-    // stageId -> (name, numTasks, submission, completion)
-    final case class StageRow(name: String, numTasks: Long,
-        wallMs: Long, taskRunMs: Long, taskCpuMs: Long)
     val stageWall = scala.collection.mutable.LinkedHashMap
       .empty[Long, (String, Long, Long)] // id -> (name, tasks, wallMs)
     val stageTaskRun = scala.collection.mutable.Map
