@@ -361,7 +361,9 @@ object DedupOps {
     * hold |docs| rows of MEMORY_AND_DISK blocks until driver GC +
     * ContextCleaner get around to it (ADVICE r4). Only call on frames
     * that are never used again: the lineage is truncated, so dropped
-    * blocks are unrecoverable by design. */
+    * blocks are unrecoverable by design — Spark logs a WARN saying
+    * exactly that ("cannot be recomputed after unpersisting"), which is
+    * expected here, not a defect: the superseded round is dead. */
   private def releaseCheckpointBlocks(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>

@@ -391,10 +391,53 @@ object PipelineOps {
     s"""WITH $featureHashCte
       |SELECT doc_id, dim, w FROM fh""".stripMargin
 
+  /** q72 — linear-model INFERENCE over the q69 hashed features: the
+    * deployment shape of a trained quality/topic classifier at corpus
+    * scale (Weinberger et al.'s feature hashing is exactly what makes
+    * a fixed-width linear model applicable to unbounded vocabulary).
+    * score(doc) = Σ_dim count[dim]·w[dim]; `admit` is the decision
+    * function. Weights are md5-derived integer stand-ins for trained
+    * parameters — the SHAPE is the point: a 64-row broadcast weight
+    * table, one corpus scan, and a partial-aggregatable sum — swap the
+    * md5 weights for a model's and nothing else changes. Integer
+    * counts × integer weights keep score AND decision hash-checked
+    * (the heuristic twin is q22's quality score; this is the
+    * learned-model path beside it). Scale: the (doc, dim) pre-
+    * aggregation bounds the final shuffle at ≤64 rows/doc; products
+    * stay far under 2^63 (|w|≤1000, 64 dims). */
+  def hashedScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weights = spark.range(64)
+      .select($"id".cast("long").as("dim"),
+        (md5PrefixLong(concat(lit("w:"), $"id".cast("string")), 8)
+          % 2001 - 1000).as("wt"))
+    featureHash(spark, dir)
+      .join(broadcast(weights), "dim")
+      .groupBy($"doc_id")
+      .agg(sum($"w" * $"wt").cast("long").as("score"))
+      .select($"doc_id", $"score",
+        when($"score" > 0, 1L).otherwise(0L).as("admit"))
+  }
+
+  private val hashedScoreSql =
+    s"""WITH $featureHashCte,
+      |wt AS (SELECT CAST(d AS BIGINT) AS dim,
+      |    CAST(concat('0x', substr(md5(concat('w:', d)), 1, 8)) AS BIGINT)
+      |      % 2001 - 1000 AS wt
+      |  FROM (SELECT unnest(range(64)) AS d) u)
+      |SELECT fh.doc_id, CAST(SUM(fh.w * wt.wt) AS BIGINT) AS score,
+      |  CAST(CASE WHEN SUM(fh.w * wt.wt) > 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS admit
+      |FROM fh JOIN wt USING (dim)
+      |GROUP BY fh.doc_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q69_feature_hash", featureHash, Some(featureHashSql),
       "hashing-trick vectorization: sparse 64-dim term-count vectors, " +
         "integer-exact dims and weights (long form)"),
+    Q("q72_hashed_scorer", hashedScore, Some(hashedScoreSql),
+      "linear-classifier inference over hashed features: broadcast " +
+        "weight table, partial-aggregatable integer score + decision"),
     Q("q65_mixture_sample", mixtureSample(_, _), Some(mixtureSampleSql),
       "target-proportion training-mix sampler: data-derived per-stratum " +
         "rates, integer-exact deterministic membership"),

@@ -116,6 +116,27 @@ class PipelineOpsSpec extends SparkSuite {
     assert(expect.head._3 > 100)
   }
 
+  test("hashed-feature scorer matches an independent driver-side recompute") {
+    def md5Long8(seed: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(seed.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8), 16)
+    val wt = (0 until 64).map(d => d.toLong -> (md5Long8(s"w:$d") % 2001 - 1000))
+      .toMap
+    val expect = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val score = r.getString(1).split(" ", -1)
+          .map(t => wt(md5Long8(t) % 64)).sum
+        (r.getLong(0), score, if (score > 0) 1L else 0L)
+      }.toSet
+    val got = PipelineOps.hashedScore(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    // both decision classes occur — the threshold actually separates
+    assert(got.exists(_._3 == 1L) && got.exists(_._3 == 0L))
+  }
+
   test("token pack conserves token counts and caps segments at 16") {
     import spark.implicits._
     val packed = PipelineOps.tokenPack(spark, sf0001)
