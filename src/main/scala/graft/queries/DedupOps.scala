@@ -597,7 +597,66 @@ object DedupOps {
       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
+  /** q73 — SUB-document dedup: duplicated k-token spans across the
+    * corpus (rolling k-gram windows shared by >1 document), the
+    * granularity the whole-document suite (q40–q45) cannot see —
+    * boilerplate headers, license blocks, templated sentences
+    * replicated across otherwise-distinct documents. This is the
+    * distributed, fixed-k form of exact-substring training-data dedup
+    * (Lee et al. 2022 use suffix arrays to find ALL length-≥50
+    * duplicated byte spans; rolling k-token windows are the standard
+    * shuffle-friendly approximation — every duplicated span of ≥k
+    * tokens is covered by its duplicated k-windows). Report shape:
+    * each cross-document duplicated window with its occurrence and
+    * document counts — the input a span-removal pass consumes.
+    *
+    * Scale shape: the window explode is partition-local (~n_tokens
+    * rows per doc); aggregation is two-level hash (partial on
+    * (gram, doc) for the distinct, then on gram) — equi-shuffle only,
+    * no pairwise comparison anywhere, so cost is linear in corpus
+    * tokens regardless of how many documents share a span. At 100 TB
+    * group on a 64-bit gram hash instead of the text to shrink
+    * shuffle width (same plan; text kept here so the report is
+    * directly actionable and the oracle trivially portable). */
+  def dupNgramsOf(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select($"doc_id", split($"text", " ").as("tok"))
+      .filter(size($"tok") >= k)
+      .select($"doc_id", explode(expr(
+        s"transform(sequence(1, size(tok) - $k + 1), " +
+          s"i -> concat_ws(' ', slice(tok, i, $k)))")).as("gram"))
+      .groupBy($"gram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct($"doc_id").as("n_docs"))
+      .filter($"n_docs" > 1)
+  }
+
+  def dupNgrams(spark: SparkSession, dir: String): DataFrame =
+    dupNgramsOf(Tables(spark, dir, "documents"), k = 8)
+
+  /** Oracle: same 1-based inclusive window slicing (DuckDB list
+    * `[i : i+k-1]` == Spark `slice(tok, i, k)`), same cross-document
+    * HAVING. */
+  private val dupNgramsSql =
+    """WITH u AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tok,
+      |    unnest(range(1, len(string_split(text, ' ')) - 8 + 2)) AS i
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |g AS (SELECT doc_id, array_to_string(tok[i : i + 7], ' ') AS gram
+      |      FROM u)
+      |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM g
+      |GROUP BY gram
+      |HAVING COUNT(DISTINCT doc_id) > 1""".stripMargin
+
   def queries: Seq[Q] = Seq(
+    Q("q73_dup_ngrams", dupNgrams, Some(dupNgramsSql),
+      "sub-document dedup: cross-document duplicated 8-token spans " +
+        "(rolling windows, two-level hash agg — no pairwise compare)"),
     Q("q40_exact_dedup", exactDedup, Some(exactDedupSql),
       "normalize+md5 exact dedup, deterministic survivor"),
     Q("q41_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql),

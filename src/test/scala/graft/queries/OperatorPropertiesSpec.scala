@@ -8,6 +8,21 @@ import org.apache.spark.sql.functions._
   * agree; selected as-of rows must satisfy the minimality invariant. */
 class OperatorPropertiesSpec extends SparkSuite {
 
+  test("dup n-grams: cross-doc spans reported, within-doc repeats excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h x y"),          // shares the 8-run with doc 2
+      (2L, "z a b c d e f g h q"),
+      (3L, "m n m n m n m n m n"),          // repeats WITHIN itself only
+      (4L, "p q r s t u v")                 // 7 tokens: no 8-window at all
+    ).toDF("doc_id", "text")
+    val got = DedupOps.dupNgramsOf(docs, k = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // exactly the one shared window, seen once in each of two docs;
+    // doc 3's self-repeated windows have n_docs == 1 and must not leak
+    assert(got == Set(("a b c d e f g h", 2L, 2L)))
+  }
+
   test("as-of: theta-join strategy == windowed strategy") {
     val a = EventOps.asofThetaJoin(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
