@@ -636,6 +636,93 @@ object DedupOps {
   def dupNgrams(spark: SparkSession, dir: String): DataFrame =
     dupNgramsOf(Tables(spark, dir, "documents"), k = 8)
 
+  /** q74 — the span-removal pass q73's report feeds: rewrite each
+    * document with every token covered by a cross-document duplicated
+    * k-window REMOVED. This is decontamination-style scrubbing (mask
+    * ALL occurrences — the right call when the duplicated spans are
+    * benchmark/boilerplate contamination); the keep-one-copy variant
+    * of Lee et al. is the same plan with the canonical occurrence's
+    * positions anti-joined out of the removal set. Policy and overlap
+    * semantics are exact: a position is removed iff ≥1 duplicated
+    * window covers it, so overlapping windows compose by union.
+    *
+    * Scale shape: windows explode partition-local; the dup-gram set
+    * comes from [[dupNgramsOf]] (two-level hash agg); covered
+    * positions are an equi-join of windows against dup grams plus a
+    * position explode (≤k rows per covered window); the rebuild is one
+    * groupBy(doc) of (pos, token) rows with an order-preserving
+    * aggregate. Everything is equi-shuffle on doc_id or gram — no
+    * pairwise work, linear in corpus tokens. */
+  def scrubSpansOf(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs.select($"doc_id", split($"text", " ").as("tok"))
+    val wins = tok
+      .filter(size($"tok") >= k)
+      .select($"doc_id", explode(expr(
+        s"transform(sequence(1, size(tok) - $k + 1), " +
+          s"i -> struct(i AS i, concat_ws(' ', slice(tok, i, $k)) AS gram))"))
+        .as("w"))
+      .select($"doc_id", $"w.i".as("i"), $"w.gram".as("gram"))
+    val dup = dupNgramsOf(docs, k).select($"gram")
+    val covered = wins.join(dup, "gram")
+      .select($"doc_id", explode(sequence($"i", $"i" + (k - 1))).as("pos"))
+      .distinct()
+    val rebuilt = tok
+      .select($"doc_id", posexplode($"tok").as(Seq("pos0", "token")))
+      .select($"doc_id", ($"pos0" + 1).as("pos"), $"token")
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"pos", $"token"))).as("kept"))
+      .select($"doc_id",
+        concat_ws(" ", expr("transform(kept, x -> x.token)")).as("clean_text"),
+        size($"kept").cast("long").as("n_tokens_kept"))
+    // restore documents that vanished from the rebuild: a doc whose
+    // EVERY token is covered (or whose text is NULL) has no surviving
+    // (pos, token) rows, and an inner groupBy would silently drop it —
+    // the output contract is one row per input document, scrubbed docs
+    // surviving as empty text (the oracle's LEFT JOIN twin; the q70
+    // review lesson — engine absence and oracle absence must agree)
+    docs.select($"doc_id").join(rebuilt, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"clean_text", lit("")).as("clean_text"),
+        coalesce($"n_tokens_kept", lit(0L)).as("n_tokens_kept"))
+  }
+
+  def scrubSpans(spark: SparkSession, dir: String): DataFrame =
+    scrubSpansOf(Tables(spark, dir, "documents"), k = 8)
+
+  /** Oracle: identical window/coverage construction; the rebuild is
+    * `string_agg(token, ' ' ORDER BY pos)`, matching the engine's
+    * sorted-struct collect; the LEFT JOIN from documents + COALESCE('')
+    * mirrors the engine's restore join, so a fully-scrubbed (or
+    * NULL-text) document survives as an empty row on BOTH sides. */
+  private val scrubSpansSql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |w AS (
+      |  SELECT doc_id, i, array_to_string(tok[i : i + 7], ' ') AS gram
+      |  FROM (SELECT doc_id, tok,
+      |          unnest(range(1, len(tok) - 8 + 2)) AS i
+      |        FROM tok WHERE len(tok) >= 8) u),
+      |dup AS (
+      |  SELECT gram FROM w GROUP BY gram
+      |  HAVING COUNT(DISTINCT doc_id) > 1),
+      |cov AS (
+      |  SELECT DISTINCT w.doc_id, CAST(p AS BIGINT) AS pos
+      |  FROM w JOIN dup USING (gram), unnest(range(w.i, w.i + 8)) AS t(p)),
+      |kept AS (
+      |  SELECT t.doc_id, t.pos AS pos, t.token AS token FROM (
+      |    SELECT doc_id, CAST(p AS BIGINT) AS pos, tok[p] AS token
+      |    FROM tok, unnest(range(1, len(tok) + 1)) AS u(p)) t
+      |  LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.pos = t.pos
+      |  WHERE cov.pos IS NULL)
+      |SELECT d.doc_id,
+      |  COALESCE(string_agg(k.token, ' ' ORDER BY k.pos), '') AS clean_text,
+      |  CAST(COUNT(k.token) AS BIGINT) AS n_tokens_kept
+      |FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+      |GROUP BY d.doc_id""".stripMargin
+
   /** Oracle: same 1-based inclusive window slicing (DuckDB list
     * `[i : i+k-1]` == Spark `slice(tok, i, k)`), same cross-document
     * HAVING. */
@@ -657,6 +744,10 @@ object DedupOps {
     Q("q73_dup_ngrams", dupNgrams, Some(dupNgramsSql),
       "sub-document dedup: cross-document duplicated 8-token spans " +
         "(rolling windows, two-level hash agg — no pairwise compare)"),
+    Q("q74_span_scrub", scrubSpans, Some(scrubSpansSql),
+      "decontamination span scrubbing: rewrite every doc with " +
+        "cross-doc duplicated 8-windows removed (union coverage, " +
+        "order-preserving rebuild, one row per input doc)"),
     Q("q40_exact_dedup", exactDedup, Some(exactDedupSql),
       "normalize+md5 exact dedup, deterministic survivor"),
     Q("q41_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql),

@@ -23,6 +23,25 @@ class OperatorPropertiesSpec extends SparkSuite {
     assert(got == Set(("a b c d e f g h", 2L, 2L)))
   }
 
+  test("span scrub removes exactly the union of covered positions, keeps every doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h x y"),          // tokens 1-8 covered
+      (2L, "z a b c d e f g h q"),          // tokens 2-9 covered
+      (3L, "m n m n m n m n m n"),          // self-repeats only: untouched
+      (4L, "p q r s t u v"),                // too short for a window
+      (5L, "a b c d e f g h")               // ENTIRELY covered -> empty row
+    ).toDF("doc_id", "text")
+    val got = DedupOps.scrubSpansOf(docs, k = 8).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ("x y", 2L),
+      2L -> ("z q", 2L),
+      3L -> ("m n m n m n m n m n", 10L),
+      4L -> ("p q r s t u v", 7L),
+      5L -> ("", 0L)))
+  }
+
   test("as-of: theta-join strategy == windowed strategy") {
     val a = EventOps.asofThetaJoin(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
