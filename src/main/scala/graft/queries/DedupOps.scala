@@ -656,18 +656,34 @@ object DedupOps {
   def scrubSpansOf(docs: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val tok = docs.select($"doc_id", split($"text", " ").as("tok"))
-    val wins = tok
+    val covered = spanWindows(docs, k)
+      .join(dupNgramsOf(docs, k).select($"gram"), "gram")
+      .select($"doc_id", explode(sequence($"i", $"i" + (k - 1))).as("pos"))
+      .distinct()
+    rebuildExcluding(docs, covered)
+  }
+
+  /** Every k-window of every document with its 1-based start position —
+    * the shared candidate stream of the span-dedup pair (q74/q75). */
+  private def spanWindows(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select($"doc_id", split($"text", " ").as("tok"))
       .filter(size($"tok") >= k)
       .select($"doc_id", explode(expr(
         s"transform(sequence(1, size(tok) - $k + 1), " +
           s"i -> struct(i AS i, concat_ws(' ', slice(tok, i, $k)) AS gram))"))
         .as("w"))
       .select($"doc_id", $"w.i".as("i"), $"w.gram".as("gram"))
-    val dup = dupNgramsOf(docs, k).select($"gram")
-    val covered = wins.join(dup, "gram")
-      .select($"doc_id", explode(sequence($"i", $"i" + (k - 1))).as("pos"))
-      .distinct()
+  }
+
+  /** Rebuild each document's text without the `covered` (doc_id, pos)
+    * set, keeping every input document (fully-scrubbed → empty row) —
+    * the shared back half of q74/q75. */
+  private def rebuildExcluding(docs: DataFrame, covered: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs.select($"doc_id", split($"text", " ").as("tok"))
     val rebuilt = tok
       .select($"doc_id", posexplode($"tok").as(Seq("pos0", "token")))
       .select($"doc_id", ($"pos0" + 1).as("pos"), $"token")
@@ -691,6 +707,68 @@ object DedupOps {
 
   def scrubSpans(spark: SparkSession, dir: String): DataFrame =
     scrubSpansOf(Tables(spark, dir, "documents"), k = 8)
+
+  /** q75 — keep-ONE-copy span dedup, the Lee et al. 2022 form (q74's
+    * scrub removes every occurrence; training-data dedup keeps the
+    * corpus's one canonical copy of each span): per duplicated gram the
+    * canonical occurrence is the lexicographically least (doc_id, i) —
+    * a partial-aggregatable `min(struct)` — and only the OTHER
+    * occurrences' positions enter the removal set. Union semantics
+    * compose across grams exactly as q74: a canonical occurrence of one
+    * gram does not shield a position that another gram's non-canonical
+    * occurrence covers. Same shared window/rebuild lifts; one extra
+    * min-aggregate per gram, still equi-shuffle only. */
+  def dedupSpansOf(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dupWins = spanWindows(docs, k)
+      .join(dupNgramsOf(docs, k).select($"gram"), "gram")
+    val canon = dupWins.groupBy($"gram")
+      .agg(min(struct($"doc_id", $"i")).as("c"))
+    val covered = dupWins.join(canon, "gram")
+      .filter(!($"doc_id" === $"c.doc_id" && $"i" === $"c.i"))
+      .select($"doc_id", explode(sequence($"i", $"i" + (k - 1))).as("pos"))
+      .distinct()
+    rebuildExcluding(docs, covered)
+  }
+
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame =
+    dedupSpansOf(Tables(spark, dir, "documents"), k = 8)
+
+  /** Oracle: canonical occurrence via ROW_NUMBER ordered by
+    * (doc_id, i) — identical to the engine's lexicographic
+    * `min(struct)` — with coverage from rn > 1 rows only. */
+  private val dedupSpansSql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |w AS (
+      |  SELECT doc_id, i, array_to_string(tok[i : i + 7], ' ') AS gram
+      |  FROM (SELECT doc_id, tok,
+      |          unnest(range(1, len(tok) - 8 + 2)) AS i
+      |        FROM tok WHERE len(tok) >= 8) u),
+      |dup AS (
+      |  SELECT gram FROM w GROUP BY gram
+      |  HAVING COUNT(DISTINCT doc_id) > 1),
+      |wd AS (
+      |  SELECT w.doc_id, w.i,
+      |    ROW_NUMBER() OVER (PARTITION BY w.gram
+      |                       ORDER BY w.doc_id, w.i) AS rn
+      |  FROM w JOIN dup USING (gram)),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+      |  FROM wd, unnest(range(wd.i, wd.i + 8)) AS t(p)
+      |  WHERE rn > 1),
+      |kept AS (
+      |  SELECT t.doc_id, t.pos AS pos, t.token AS token FROM (
+      |    SELECT doc_id, CAST(p AS BIGINT) AS pos, tok[p] AS token
+      |    FROM tok, unnest(range(1, len(tok) + 1)) AS u(p)) t
+      |  LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.pos = t.pos
+      |  WHERE cov.pos IS NULL)
+      |SELECT d.doc_id,
+      |  COALESCE(string_agg(k.token, ' ' ORDER BY k.pos), '') AS clean_text,
+      |  CAST(COUNT(k.token) AS BIGINT) AS n_tokens_kept
+      |FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+      |GROUP BY d.doc_id""".stripMargin
 
   /** Oracle: identical window/coverage construction; the rebuild is
     * `string_agg(token, ' ' ORDER BY pos)`, matching the engine's
@@ -748,6 +826,10 @@ object DedupOps {
       "decontamination span scrubbing: rewrite every doc with " +
         "cross-doc duplicated 8-windows removed (union coverage, " +
         "order-preserving rebuild, one row per input doc)"),
+    Q("q75_span_dedup", dedupSpans, Some(dedupSpansSql),
+      "keep-one-copy span dedup (Lee et al. form): canonical " +
+        "min(doc_id, pos) occurrence survives per duplicated span, " +
+        "all others removed"),
     Q("q40_exact_dedup", exactDedup, Some(exactDedupSql),
       "normalize+md5 exact dedup, deterministic survivor"),
     Q("q41_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql),

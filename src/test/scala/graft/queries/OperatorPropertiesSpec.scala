@@ -42,6 +42,21 @@ class OperatorPropertiesSpec extends SparkSuite {
       5L -> ("", 0L)))
   }
 
+  test("span dedup keeps exactly the canonical (min doc_id, pos) occurrence") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h x y"),          // canonical copy: untouched
+      (2L, "z a b c d e f g h q"),          // non-canonical: loses pos 2-9
+      (5L, "a b c d e f g h")               // non-canonical: fully removed
+    ).toDF("doc_id", "text")
+    val got = DedupOps.dedupSpansOf(docs, k = 8).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ("a b c d e f g h x y", 10L),
+      2L -> ("z q", 2L),
+      5L -> ("", 0L)))
+  }
+
   test("as-of: theta-join strategy == windowed strategy") {
     val a = EventOps.asofThetaJoin(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
