@@ -618,21 +618,32 @@ object DedupOps {
     * group on a 64-bit gram hash instead of the text to shrink
     * shuffle width (same plan; text kept here so the report is
     * directly actionable and the oracle trivially portable). */
-  def dupNgramsOf(docs: DataFrame, k: Int): DataFrame = {
-    val spark = docs.sparkSession
+  def dupNgramsOf(docs: DataFrame, k: Int): DataFrame =
+    dupGramsFrom(spanWindows(docs, k))
+
+  /** Cross-document duplicated grams of a window stream: the q73
+    * aggregate, shared by the scrub/dedup coverage joins. */
+  private def dupGramsFrom(wins: DataFrame): DataFrame = {
+    val spark = wins.sparkSession
     import spark.implicits._
-    docs
-      .select($"doc_id", split($"text", " ").as("tok"))
-      .filter(size($"tok") >= k)
-      .select($"doc_id", explode(expr(
-        s"transform(sequence(1, size(tok) - $k + 1), " +
-          s"i -> concat_ws(' ', slice(tok, i, $k)))")).as("gram"))
-      .groupBy($"gram")
+    wins.groupBy($"gram")
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct($"doc_id").as("n_docs"))
       .filter($"n_docs" > 1)
   }
 
+  /** Span queries deliberately re-enumerate windows per consumer
+    * rather than memoize+persist them (unlike [[verifiedPairs]]): an
+    * A/B at sf0.1 showed NO win from cache-materializing the ~400k
+    * wide gram rows — the trio measured 9.1–9.9 s under BOTH forms,
+    * inside this box's run-to-run noise — because the window stream is
+    * compute-light and wide (a codegen explode), the opposite profile
+    * of the LSH pair table (compute-heavy and narrow). The streamed
+    * form wins the tie: no block-manager pressure carried across a
+    * 75-query suite. At 100 TB a deployment materializes a
+    * window-HASH table (narrow) to disk once and runs the report +
+    * rewrite passes against it — an `Operators.writePartitioned` call
+    * away, changing no plan shape here. */
   def dupNgrams(spark: SparkSession, dir: String): DataFrame =
     dupNgramsOf(Tables(spark, dir, "documents"), k = 8)
 
@@ -653,11 +664,14 @@ object DedupOps {
     * groupBy(doc) of (pos, token) rows with an order-preserving
     * aggregate. Everything is equi-shuffle on doc_id or gram — no
     * pairwise work, linear in corpus tokens. */
-  def scrubSpansOf(docs: DataFrame, k: Int): DataFrame = {
+  def scrubSpansOf(docs: DataFrame, k: Int): DataFrame =
+    scrubCore(docs, spanWindows(docs, k), k)
+
+  private def scrubCore(docs: DataFrame, wins: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val covered = spanWindows(docs, k)
-      .join(dupNgramsOf(docs, k).select($"gram"), "gram")
+    val covered = wins
+      .join(dupGramsFrom(wins).select($"gram"), "gram")
       .select($"doc_id", explode(sequence($"i", $"i" + (k - 1))).as("pos"))
       .distinct()
     rebuildExcluding(docs, covered)
@@ -718,11 +732,14 @@ object DedupOps {
     * gram does not shield a position that another gram's non-canonical
     * occurrence covers. Same shared window/rebuild lifts; one extra
     * min-aggregate per gram, still equi-shuffle only. */
-  def dedupSpansOf(docs: DataFrame, k: Int): DataFrame = {
+  def dedupSpansOf(docs: DataFrame, k: Int): DataFrame =
+    dedupCore(docs, spanWindows(docs, k), k)
+
+  private def dedupCore(docs: DataFrame, wins: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val dupWins = spanWindows(docs, k)
-      .join(dupNgramsOf(docs, k).select($"gram"), "gram")
+    val dupWins = wins
+      .join(dupGramsFrom(wins).select($"gram"), "gram")
     val canon = dupWins.groupBy($"gram")
       .agg(min(struct($"doc_id", $"i")).as("c"))
     val covered = dupWins.join(canon, "gram")
