@@ -678,17 +678,23 @@ object DedupOps {
   }
 
   /** Every k-window of every document with its 1-based start position —
-    * the shared candidate stream of the span-dedup pair (q74/q75). */
-  private def spanWindows(docs: DataFrame, k: Int): DataFrame = {
+    * the shared candidate stream of the span-dedup family (q73–q75 and
+    * the streaming flagger). Stateless (tokenize + explode), so it
+    * lifts streaming frames too; `extra` names columns to carry
+    * through (e.g. the event-time column a streaming caller's
+    * watermark rides on). */
+  private[graft] def spanWindows(docs: DataFrame, k: Int,
+      extra: Seq[String] = Nil): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select($"doc_id", split($"text", " ").as("tok"))
+    val carried = extra.map(col)
+    docs.select($"doc_id" +: carried :+ split($"text", " ").as("tok"): _*)
       .filter(size($"tok") >= k)
-      .select($"doc_id", explode(expr(
+      .select($"doc_id" +: carried :+ explode(expr(
         s"transform(sequence(1, size(tok) - $k + 1), " +
           s"i -> struct(i AS i, concat_ws(' ', slice(tok, i, $k)) AS gram))"))
-        .as("w"))
-      .select($"doc_id", $"w.i".as("i"), $"w.gram".as("gram"))
+        .as("w"): _*)
+      .select($"doc_id" +: carried :+ $"w.i".as("i") :+ $"w.gram".as("gram"): _*)
   }
 
   /** Rebuild each document's text without the `covered` (doc_id, pos)

@@ -162,6 +162,33 @@ object StreamingQueries {
       .select(col("doc_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Ingest-time duplicated-SPAN flagging — the streaming twin of the
+    * q73 sub-document report: each arriving document's 8-token windows
+    * are checked against the STATIC corpus's duplicated-window set
+    * (the q73 artifact; at deployment scale, the narrow window-hash
+    * table on disk) via the same stateless
+    * [[graft.queries.DedupOps.spanWindows]] lift as batch, a
+    * stream-static equi-join on gram, and a watermark-bounded dedup so
+    * each (doc, window) hit emits once. Complements
+    * [[nearDupFlagStream]] (whole-document similarity) at the finer
+    * granularity: a document that is globally novel but embeds a known
+    * boilerplate/benchmark span is flagged here, not there. Emits
+    * (doc_id, gram). */
+  def spanFlagStream(docs: DataFrame, corpus: DataFrame, k: Int = 8,
+      eventTime: String = "ingest_ts",
+      delay: String = "10 seconds"): DataFrame = {
+    import graft.queries.DedupOps
+    // static index persisted for the same reason as the near-dup
+    // flagger's band index: micro-batches must not re-mine the corpus
+    val dupIndex = DedupOps.dupNgramsOf(corpus, k)
+      .select(col("gram")).persist()
+    DedupOps.spanWindows(docs.withWatermark(eventTime, delay), k,
+        extra = Seq(eventTime))
+      .join(dupIndex, "gram")
+      .dropDuplicatesWithinWatermark("doc_id", "gram")
+      .select(col("doc_id"), col("gram"))
+  }
+
   /** Ingest-time training-corpus admission — the streaming twin of the
     * q64 end artifact: arriving documents pass the SAME quality gates
     * (the shared [[graft.queries.PipelineOps.qualityGate]] lift, so

@@ -273,6 +273,43 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.size == 7)
   }
 
+  test("streaming span flagger == batch window-join on re-ingested docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf0001 = "/root/testdata/sf0.001"
+    val corpus = graft.sources.Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text")
+    // batch truth: each corpus doc's windows hit against the corpus's
+    // cross-doc duplicated-gram set
+    val batchHits = graft.queries.DedupOps.spanWindows(corpus, 8)
+      .join(graft.queries.DedupOps.dupNgramsOf(corpus, 8).select($"gram"),
+        "gram")
+      .select($"doc_id", $"gram").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(batchHits.nonEmpty, "corpus has no duplicated spans to re-ingest")
+    // re-ingest a few docs that carry duplicated spans plus one that
+    // carries none (it must stay silent)
+    val spanDocIds = batchHits.map(_._1).take(3)
+    val loneId = corpus.select($"doc_id").collect().map(_.getLong(0))
+      .find(id => !batchHits.exists(_._1 == id)).get
+    val streamIds = spanDocIds + loneId
+    val feed = corpus.filter($"doc_id".isin(streamIds.toSeq: _*))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingQueries.spanFlagStream(
+        ms.toDF().toDF("doc_id", "text", "ingest_ts"), corpus)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("spanflag_out").start()
+    ms.addData(feed.map { case (id, txt) =>
+      (id, txt, java.sql.Timestamp.valueOf("2025-01-25 16:00:01")) }: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("spanflag_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    q.stop()
+    assert(streamed == batchHits.filter(h => streamIds.contains(h._1)))
+    assert(streamed.map(_._1) == spanDocIds)
+  }
+
   test("streaming near-dup flagger == batch LSH pairs on re-ingested docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
