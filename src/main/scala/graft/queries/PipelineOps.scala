@@ -419,6 +419,23 @@ object PipelineOps {
         when($"score" > 0, 1L).otherwise(0L).as("admit"))
   }
 
+  /** The q72 score as a STATELESS per-row fold — the streaming form
+    * ([[graft.streaming.StreamingQueries.scoreStream]]): score is
+    * additive over tokens, so folding per-token weights equals the
+    * batch join+aggregate exactly (asserted stream == batch in
+    * StreamingSpec). Weights come from the same [[VectorOps.md5Long8]]
+    * derivation as the batch weight table — one definition; the fold
+    * is an `aggregate` HOF (CodegenFallback), acceptable off the batch
+    * hot path where the partial-aggregatable join form stays. */
+  private[graft] def scoreExpr(text: Column): Column = {
+    val wts = (0 until 64).map(d => VectorOps.md5Long8(s"w:$d") % 2001 - 1000)
+    aggregate(
+      split(text, " "),
+      lit(0L),
+      (acc, t) => acc +
+        element_at(typedLit(wts), (md5PrefixLong(t, 8) % 64 + 1).cast("int")))
+  }
+
   private val hashedScoreSql =
     s"""WITH $featureHashCte,
       |wt AS (SELECT CAST(d AS BIGINT) AS dim,

@@ -226,7 +226,7 @@ object VectorOps {
     * `CAST(concat('0x', substr(md5(seed), 1, 8)) AS BIGINT)`. One
     * definition on purpose: each site must stay bit-identical to its
     * oracle SQL, so the derivation lives in exactly one place. */
-  private def md5Long8(seed: String): Long =
+  private[graft] def md5Long8(seed: String): Long =
     java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
         .digest(seed.getBytes("UTF-8"))
@@ -703,22 +703,28 @@ object VectorOps {
       probes: Int = 4, k: Int = 5): DataFrame =
     adcSearch(spark, dir, probes = Some(probes), k = k)
 
+  /** The probe-pruned ADC ranking as a subquery yielding
+    * (rank, vec_id, adc_dist) — shared by the q68 oracle and the q76
+    * rerank oracle's shortlist stage, one definition. */
+  private val ivfPqRankedAdc =
+    """SELECT CAST(ROW_NUMBER() OVER (ORDER BY t.adc ASC, t.vec_id ASC)
+      |    AS BIGINT) AS rank,
+      |  t.vec_id, t.adc AS adc_dist
+      |FROM (SELECT c.vec_id, CAST(SUM(l.dist) AS BIGINT) AS adc
+      |      FROM code c JOIN dist l
+      |        ON l.vec_id = 0 AND l.s = c.s AND l.w = c.cw
+      |      JOIN gassign a ON a.vec_id = c.vec_id
+      |      WHERE c.vec_id <> 0
+      |        AND a.cell IN (SELECT cell FROM gprobe)
+      |      GROUP BY c.vec_id) t""".stripMargin
+
   /** Oracle: composed verbatim from the shared CTE blocks — q67's PQ
     * codebook/code CTEs score, q33's grid CTEs ([[gridCtes]]) choose
     * the probe set — so a change to either quantizer's derivation
     * cannot leave this oracle stale. */
   private val ivfPqAnnSql = pqCodebookCtes + ",\n" + gridCtes + "\n" +
-    """SELECT rank, vec_id, adc_dist FROM (
-      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY t.adc ASC, t.vec_id ASC)
-      |      AS BIGINT) AS rank,
-      |    t.vec_id, t.adc AS adc_dist
-      |  FROM (SELECT c.vec_id, CAST(SUM(l.dist) AS BIGINT) AS adc
-      |        FROM code c JOIN dist l
-      |          ON l.vec_id = 0 AND l.s = c.s AND l.w = c.cw
-      |        JOIN gassign a ON a.vec_id = c.vec_id
-      |        WHERE c.vec_id <> 0
-      |          AND a.cell IN (SELECT cell FROM gprobe)
-      |        GROUP BY c.vec_id) t) u
+    s"""SELECT rank, vec_id, adc_dist FROM (
+      |$ivfPqRankedAdc) u
       |WHERE rank <= 5""".stripMargin
 
   /** Persist the COMPRESSED ANN index (VERDICT r4 #2) — the deployment
@@ -797,6 +803,49 @@ object VectorOps {
         .select($"vec_id", $"adc_dist"),
       k)
   }
+
+  /** q76 — IVF-PQ with exact RERANKING, the full two-stage retrieval
+    * deployments actually run (FAISS/ScaNN refinement): the compressed
+    * stage prunes and ranks cheaply (probe filter + ADC over codes —
+    * the proven q68 path, via [[adcSearch]] with k = `shortlist`), then
+    * ONLY the shortlist's raw vectors are fetched (a broadcast
+    * point-lookup join against the vector table — at 100 TB this reads
+    * `shortlist` rows, not the corpus) and exactly re-ranked by cosine.
+    * ADC's 64× compression costs ranking fidelity near the top; the
+    * rerank buys it back for `shortlist`/corpus of the exact-scan cost.
+    * Shortlist membership is integer-exact (same contract as q68), so
+    * the composed result stays fully oracle-checkable under q30's
+    * rank/ids-only output contract. */
+  def ivfPqRerank(spark: SparkSession, dir: String, probes: Int = 4,
+      shortlist: Int = 32, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val qRow = Tables(spark, dir, "embeddings").filter($"vec_id" === 0)
+      .select($"embedding").head.getSeq[Float](0).toArray
+    val short = adcSearch(spark, dir, Some(probes), shortlist)
+      .select($"vec_id")
+    rankedTopK(
+      Tables(spark, dir, "embeddings")
+        .join(broadcast(short), "vec_id")
+        .crossJoin(broadcast(Seq(qRow.toSeq).toDF("q_emb")))
+        .withColumn("sim", cosine($"embedding", $"q_emb"))
+        .select($"vec_id", $"sim"),
+      k)
+  }
+
+  /** Oracle: the shared ADC ranking subquery caps the shortlist, then
+    * q30's cosine ranking contract re-ranks it. */
+  private val ivfPqRerankSql = pqCodebookCtes + ",\n" + gridCtes + ",\n" +
+    s"""short AS (SELECT vec_id FROM (
+      |$ivfPqRankedAdc) u
+      |  WHERE rank <= 32),
+      |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+      |SELECT rank, vec_id FROM (
+      |  SELECT CAST(ROW_NUMBER() OVER (
+      |      ORDER BY ${duckNanvl("list_cosine_similarity(e.embedding, q.q_emb)")} DESC,
+      |               e.vec_id ASC) AS BIGINT) AS rank,
+      |    e.vec_id
+      |  FROM embeddings e JOIN short s ON e.vec_id = s.vec_id, q) t
+      |WHERE rank <= 5""".stripMargin
 
   /** Densify q69's feature-hash long form into dense 64-dim
     * `array<float>` term-count vectors — the text→vector bridge the
@@ -930,5 +979,8 @@ object VectorOps {
     Q("q70_doc_ann", docAnn(_, _), Some(docAnnSql),
       "text->vector->index->search closed loop: q69 hashed vectors " +
         "densified, grid+PQ indexed with the q66/q68 lifts, query doc " +
-        "ADC-searched — probe set and distances hash-checked"))
+        "ADC-searched — probe set and distances hash-checked"),
+    Q("q76_ivfpq_rerank", ivfPqRerank(_, _), Some(ivfPqRerankSql),
+      "two-stage retrieval: integer-exact ADC shortlist (q68 stage) + " +
+        "exact cosine rerank of only the shortlist's raw vectors"))
 }

@@ -210,6 +210,26 @@ object StreamingQueries {
       .dropDuplicatesWithinWatermark("fingerprint")
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
 
+  /** Ingest-time quality scoring — the streaming twin of q72's
+    * linear-classifier inference: the SAME md5-derived weight vector
+    * applied as a stateless per-row token fold
+    * ([[graft.queries.PipelineOps.scoreExpr]] — additive scores make
+    * the fold equal the batch join+aggregate form exactly; asserted
+    * stream == batch). No state, no watermark: at ingest every
+    * arriving document gets its score and admit decision map-side,
+    * which is the shape a gating classifier runs in front of the
+    * stateful admission pipeline. Emits (doc_id, score, admit),
+    * q72's schema. */
+  def scoreStream(docs: DataFrame): DataFrame =
+    // two-step select so the non-cheap fold is named before the admit
+    // projection references it — CollapseProject keeps single
+    // evaluation for non-cheap expressions referenced twice
+    docs
+      .select(col("doc_id"),
+        graft.queries.PipelineOps.scoreExpr(col("text")).as("score"))
+      .select(col("doc_id"), col("score"),
+        when(col("score") > 0, 1L).otherwise(0L).as("admit"))
+
   /** Streaming ANN-index maintenance: arriving embedding rows get their
     * grid cell and packed PQ code from the SAME native-expression lifts
     * as the batch index build ([[graft.queries.VectorOps.annIndexTable]])

@@ -175,6 +175,17 @@ class VectorSearchSpec extends SparkSuite {
     }
   }
 
+  test("IVF-PQ rerank with probe-all + full shortlist equals brute force") {
+    val brute = VectorOps.knnTopK(spark, sf0001).orderBy("rank")
+      .collect().map(_.getLong(1)).toSeq
+    val reranked = VectorOps.ivfPqRerank(spark, sf0001,
+      probes = 16, shortlist = 1000000).orderBy("rank")
+      .collect().map(_.getLong(1)).toSeq
+    assert(reranked == brute)
+    // and the default two-stage query returns a full top-5
+    assert(VectorOps.ivfPqRerank(spark, sf0001).collect().length == 5)
+  }
+
   test("compressed IVF-PQ index: indexed search == q68, partition-pruned, codes-only scan") {
     val tmp = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/idx"
     try {

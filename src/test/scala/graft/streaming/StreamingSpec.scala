@@ -273,6 +273,28 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.size == 7)
   }
 
+  test("streaming scorer fold == batch q72 join+aggregate on the same docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf0001 = "/root/testdata/sf0.001"
+    val batch = graft.queries.PipelineOps.hashedScore(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val feed = graft.sources.Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingQueries.scoreStream(ms.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("score_out").start()
+    ms.addData(feed: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("score_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(streamed == batch)
+    assert(streamed.size == feed.length)
+  }
+
   test("streaming span flagger == batch window-join on re-ingested docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
