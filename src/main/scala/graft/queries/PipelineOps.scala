@@ -405,12 +405,19 @@ object PipelineOps {
     * learned-model path beside it). Scale: the (doc, dim) pre-
     * aggregation bounds the final shuffle at ≤64 rows/doc; products
     * stay far under 2^63 (|w|≤1000, 64 dims). */
+  /** The q72 weight vector — ONE engine-side definition (driver
+    * integer math via the shared [[VectorOps.md5Long8]]) consumed by
+    * both the batch weight table ([[hashedScore]]) and the streaming
+    * fold ([[scoreExpr]]); the DuckDB twin re-derives it as
+    * `CAST(concat('0x', substr(md5(concat('w:', d)), 1, 8)) AS BIGINT)
+    * % 2001 - 1000`. */
+  private val scoreWeights: IndexedSeq[Long] =
+    (0 until 64).map(d => VectorOps.md5Long8(s"w:$d") % 2001 - 1000)
+
   def hashedScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val weights = spark.range(64)
-      .select($"id".cast("long").as("dim"),
-        (md5PrefixLong(concat(lit("w:"), $"id".cast("string")), 8)
-          % 2001 - 1000).as("wt"))
+    val weights = scoreWeights.zipWithIndex
+      .map { case (w, d) => (d.toLong, w) }.toDF("dim", "wt")
     featureHash(spark, dir)
       .join(broadcast(weights), "dim")
       .groupBy($"doc_id")
@@ -423,18 +430,17 @@ object PipelineOps {
     * ([[graft.streaming.StreamingQueries.scoreStream]]): score is
     * additive over tokens, so folding per-token weights equals the
     * batch join+aggregate exactly (asserted stream == batch in
-    * StreamingSpec). Weights come from the same [[VectorOps.md5Long8]]
-    * derivation as the batch weight table — one definition; the fold
-    * is an `aggregate` HOF (CodegenFallback), acceptable off the batch
-    * hot path where the partial-aggregatable join form stays. */
-  private[graft] def scoreExpr(text: Column): Column = {
-    val wts = (0 until 64).map(d => VectorOps.md5Long8(s"w:$d") % 2001 - 1000)
+    * StreamingSpec). Rides the SAME [[scoreWeights]] values as the
+    * batch weight table; the fold is an `aggregate` HOF
+    * (CodegenFallback), acceptable off the batch hot path where the
+    * partial-aggregatable join form stays. */
+  private[graft] def scoreExpr(text: Column): Column =
     aggregate(
       split(text, " "),
       lit(0L),
       (acc, t) => acc +
-        element_at(typedLit(wts), (md5PrefixLong(t, 8) % 64 + 1).cast("int")))
-  }
+        element_at(typedLit(scoreWeights),
+          (md5PrefixLong(t, 8) % 64 + 1).cast("int")))
 
   private val hashedScoreSql =
     s"""WITH $featureHashCte,

@@ -650,10 +650,14 @@ object VectorOps {
     * the unpruned case — one body, so the two registry queries cannot
     * drift (their probes==cells equality is also spec-asserted). */
   private def adcSearch(spark: SparkSession, dir: String,
-      probes: Option[Int], k: Int): DataFrame = {
+      probes: Option[Int], k: Int,
+      queryRow: Option[Array[Float]] = None): DataFrame = {
     import spark.implicits._
-    val qRow = Tables(spark, dir, "embeddings").filter($"vec_id" === 0)
-      .select($"embedding").head.getSeq[Float](0).toArray
+    // callers that already hold the query row pass it in (q76's rerank
+    // needs it for its own stage too) — one parameter fetch, not two
+    val qRow = queryRow.getOrElse(
+      Tables(spark, dir, "embeddings").filter($"vec_id" === 0)
+        .select($"embedding").head.getSeq[Float](0).toArray)
     val qQv = quantizeRow(qRow)
     // code.isNotNull: a degenerate (short/null-element) embedding gets
     // a NULL code under NearestIndex's NULL contract, and a NULL
@@ -821,8 +825,8 @@ object VectorOps {
     import spark.implicits._
     val qRow = Tables(spark, dir, "embeddings").filter($"vec_id" === 0)
       .select($"embedding").head.getSeq[Float](0).toArray
-    val short = adcSearch(spark, dir, Some(probes), shortlist)
-      .select($"vec_id")
+    val short = adcSearch(spark, dir, Some(probes), shortlist,
+      queryRow = Some(qRow)).select($"vec_id")
     rankedTopK(
       Tables(spark, dir, "embeddings")
         .join(broadcast(short), "vec_id")

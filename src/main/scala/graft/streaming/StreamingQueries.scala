@@ -221,10 +221,14 @@ object StreamingQueries {
     * stateful admission pipeline. Emits (doc_id, score, admit),
     * q72's schema. */
   def scoreStream(docs: DataFrame): DataFrame =
-    // two-step select so the non-cheap fold is named before the admit
-    // projection references it — CollapseProject keeps single
-    // evaluation for non-cheap expressions referenced twice
-    docs
+    // NULL-text docs are DROPPED, mirroring batch q72's absence (its
+    // explode of a null token array emits no rows) — without the
+    // filter the fold would emit a (doc_id, NULL, 0) row and break the
+    // stream==batch contract (the q70 review lesson)
+    docs.filter(col("text").isNotNull)
+      // two-step select so the non-cheap fold is named before the
+      // admit projection references it — CollapseProject keeps single
+      // evaluation for non-cheap expressions referenced twice
       .select(col("doc_id"),
         graft.queries.PipelineOps.scoreExpr(col("text")).as("score"))
       .select(col("doc_id"), col("score"),
