@@ -758,6 +758,53 @@ object DedupOps {
   def dedupSpans(spark: SparkSession, dir: String): DataFrame =
     dedupSpansOf(Tables(spark, dir, "documents"), k = 8)
 
+  /** q77 — per-document duplication stats: how much of each document
+    * is duplicated material (its window count and how many of those
+    * windows are cross-document duplicates). This is the per-doc
+    * QUALITY SIGNAL the span machinery feeds a filtering policy — "drop
+    * documents that are >x% boilerplate" gates on exactly these two
+    * integers, upstream of the heavier q74/q75 rewrites. Every document
+    * appears: docs shorter than k tokens (no windows) and docs with no
+    * duplicated windows report zeros via the restore left-join, the
+    * same one-row-per-input-doc contract as q74/q75. Integer counts
+    * end to end — fully hash-checked. */
+  def spanStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val wins = spanWindows(docs, 8)
+    val perDoc = wins
+      .join(dupGramsFrom(wins).select($"gram").withColumn("is_dup", lit(1L)),
+        Seq("gram"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce($"is_dup", lit(0L))).as("n_dup_windows"))
+    docs.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_windows", lit(0L)).as("n_windows"),
+        coalesce($"n_dup_windows", lit(0L)).as("n_dup_windows"))
+  }
+
+  private val spanStatsSql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |w AS (
+      |  SELECT doc_id, array_to_string(tok[i : i + 7], ' ') AS gram
+      |  FROM (SELECT doc_id, tok,
+      |          unnest(range(1, len(tok) - 8 + 2)) AS i
+      |        FROM tok WHERE len(tok) >= 8) u),
+      |dup AS (
+      |  SELECT gram FROM w GROUP BY gram
+      |  HAVING COUNT(DISTINCT doc_id) > 1),
+      |s AS (
+      |  SELECT w.doc_id, COUNT(*) AS n_windows,
+      |    COUNT(dup.gram) AS n_dup_windows
+      |  FROM w LEFT JOIN dup USING (gram)
+      |  GROUP BY w.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(s.n_windows, 0) AS BIGINT) AS n_windows,
+      |  CAST(COALESCE(s.n_dup_windows, 0) AS BIGINT) AS n_dup_windows
+      |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id""".stripMargin
+
   /** Oracle: canonical occurrence via ROW_NUMBER ordered by
     * (doc_id, i) — identical to the engine's lexicographic
     * `min(struct)` — with coverage from rn > 1 rows only. */
@@ -853,6 +900,9 @@ object DedupOps {
       "keep-one-copy span dedup (Lee et al. form): canonical " +
         "min(doc_id, pos) occurrence survives per duplicated span, " +
         "all others removed"),
+    Q("q77_span_stats", spanStats, Some(spanStatsSql),
+      "per-doc duplication quality signal: window count + cross-doc " +
+        "duplicated-window count, zeros preserved for every input doc"),
     Q("q40_exact_dedup", exactDedup, Some(exactDedupSql),
       "normalize+md5 exact dedup, deterministic survivor"),
     Q("q41_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql),

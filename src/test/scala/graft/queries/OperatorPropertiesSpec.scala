@@ -42,6 +42,29 @@ class OperatorPropertiesSpec extends SparkSuite {
       5L -> ("", 0L)))
   }
 
+  test("span stats count windows and cross-doc dup windows per doc, zeros kept") {
+    import spark.implicits._
+    // spanStats reads the documents table; verify the counting core on
+    // sf0.001 against an independent recompute of windows + dup set
+    val docs = graft.sources.Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val wins = docs.flatMap { case (id, text) =>
+      val t = text.split(" ", -1)
+      (0 to t.length - 8).map(i => (id, t.slice(i, i + 8).mkString(" ")))
+    }
+    val dupGrams = wins.groupBy(_._2)
+      .filter(_._2.map(_._1).distinct.length > 1).keySet
+    val expect = docs.map { case (id, _) =>
+      val mine = wins.filter(_._1 == id)
+      id -> (mine.length.toLong, mine.count(w => dupGrams(w._2)).toLong)
+    }.toMap
+    val got = DedupOps.spanStats(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect)
+    assert(got.values.exists(_._2 > 0), "corpus should have dup windows")
+  }
+
   test("span dedup keeps exactly the canonical (min doc_id, pos) occurrence") {
     import spark.implicits._
     val docs = Seq(
