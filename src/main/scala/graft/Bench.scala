@@ -110,7 +110,7 @@ object Bench {
     val ordered = selected.map(_._1).sorted
     def pos(prefix: String) = ordered.indexWhere(_.startsWith(prefix))
     for ((payer, rider) <- Seq("q42" -> "q45", "q42" -> "q54",
-           "q45" -> "q59", "q45" -> "q64",
+           "q45" -> "q59", "q45" -> "q64", "q45" -> "q78",
            "q66" -> "q67", "q66" -> "q68")
          if pos(payer) >= 0 && pos(rider) >= 0)
       require(pos(payer) < pos(rider),

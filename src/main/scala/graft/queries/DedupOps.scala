@@ -519,6 +519,27 @@ object DedupOps {
   private val dedupCorpusSql =
     survivorCtes + "\nSELECT doc_id, cluster_id FROM surv"
 
+  /** q78 — the dedup AUDIT report: duplicate-cluster size
+    * distribution (how many clusters of each size, singletons
+    * included). This is the number a data team reads before shipping a
+    * dedup pass — a sudden mass of large clusters means the threshold
+    * or the corpus changed. Rides the memoized q45 labels (payer
+    * before rider asserted in Bench); two partial-aggregatable
+    * shuffles over tiny keyspaces. */
+  def clusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    clusterLabels(spark, dir)
+      .groupBy($"cluster_id").agg(count(lit(1)).as("size"))
+      .groupBy($"size").agg(count(lit(1)).as("n_clusters"))
+      .select($"size", $"n_clusters")
+  }
+
+  private val clusterSizesSql = survivorCtes + "\n" +
+    """SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+      |FROM (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size
+      |      FROM cl GROUP BY cluster_id) s
+      |GROUP BY size""".stripMargin
+
   /** SimHash signatures via the codegen [[simhash64]] expression.
     * Term hash = first 15 hex chars of md5 (60 bits, fits signed int64
     * positive) — chosen because BOTH engines compute md5 identically, so
@@ -903,6 +924,9 @@ object DedupOps {
     Q("q77_span_stats", spanStats, Some(spanStatsSql),
       "per-doc duplication quality signal: window count + cross-doc " +
         "duplicated-window count, zeros preserved for every input doc"),
+    Q("q78_cluster_sizes", clusterSizes, Some(clusterSizesSql),
+      "dedup audit report: duplicate-cluster size distribution over " +
+        "the memoized q45 labels (singletons included)"),
     Q("q40_exact_dedup", exactDedup, Some(exactDedupSql),
       "normalize+md5 exact dedup, deterministic survivor"),
     Q("q41_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql),
