@@ -234,6 +234,88 @@ object TextOps {
       |FROM documents, unnest(string_split(text, ' ')) u(t)
       |WHERE u.t <> '' GROUP BY source""".stripMargin
 
+  /** q79 — WITHIN-document repetition statistics, the Gopher-style
+    * repetition quality filters (Rae et al. 2021 §A.1.1: "fraction of
+    * characters in the most common n-gram" / "in duplicated n-grams")
+    * that the cross-document span suite (q73–q77) cannot see: a doc
+    * that endlessly repeats its own phrase is low-quality even if no
+    * other document shares it. Per document, over adjacent 2-grams:
+    * the most frequent gram (ties broken lexicographically), the
+    * characters its occurrences cover, the characters covered by ALL
+    * grams occurring more than once, and the cross-multiplied
+    * integer-exact admission flag `dup_chars * 5 <= n_chars`
+    * (i.e. duplicated-2-gram char fraction ≤ 0.2) — floats never
+    * touch the gate, so every column is hash-checkable.
+    *
+    * Scale shape: gram explode is partition-local; two partial-
+    * aggregatable hash aggregations ((doc, gram) count, then per-doc
+    * min(struct)/conditional-sum — the argmax is a min over
+    * (-cnt, gram) structs, no window, no second shuffle beyond the
+    * doc_id agg); the restore left join keeps the one-row-per-input-
+    * document contract for sub-2-token docs (q74/q75 lesson). */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    repetitionStatsOf(Tables(spark, dir, "documents"))
+
+  private[graft] def repetitionStatsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select($"doc_id", toks($"text").as("tok"))
+      .filter(size($"tok") >= 2) // guard BEFORE sequence(): start>stop fills descending
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(tok) - 1), i -> concat_ws(' ', slice(tok, i, 2)))"))
+        .as("gram"))
+      .groupBy($"doc_id", $"gram")
+      .agg(count(lit(1)).as("cnt"))
+    val agg = counts.groupBy($"doc_id")
+      .agg(
+        min(struct((-$"cnt").as("nc"), $"gram".as("g"))).as("win"),
+        sum(when($"cnt" > 1, $"cnt" * length($"gram").cast("long")))
+          .as("dup_chars_raw"))
+    docs.select($"doc_id", length($"text").cast("long").as("n_chars"),
+        coalesce(size(toks($"text")), lit(0)).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_chars", $"n_tokens",
+        coalesce($"win.g", lit("")).as("top_gram"),
+        coalesce(-$"win.nc", lit(0L)).as("top_count"),
+        coalesce((-$"win.nc") * length($"win.g").cast("long"), lit(0L))
+          .as("top_chars"),
+        coalesce($"dup_chars_raw", lit(0L)).as("dup_chars"),
+        (coalesce($"dup_chars_raw", lit(0L)) * 5 <= $"n_chars").as("rep_ok"))
+  }
+
+  private val repetitionStatsSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(tok)),
+      |    i -> array_to_string(tok[i:i+1], ' '))) AS gram
+      |  FROM t),
+      |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+      |w AS (SELECT doc_id, gram, cnt,
+      |        ROW_NUMBER() OVER (PARTITION BY doc_id
+      |          ORDER BY cnt DESC, gram ASC) AS rn
+      |      FROM c),
+      |a AS (SELECT doc_id,
+      |        CAST(COALESCE(SUM(CASE WHEN cnt > 1
+      |          THEN cnt * length(gram) END), 0) AS BIGINT) AS dup_chars
+      |      FROM c GROUP BY 1),
+      |top AS (SELECT doc_id, gram AS top_gram, cnt AS top_count,
+      |          CAST(cnt * length(gram) AS BIGINT) AS top_chars
+      |        FROM w WHERE rn = 1)
+      |SELECT d.doc_id,
+      |  CAST(length(d.text) AS BIGINT) AS n_chars,
+      |  CAST(COALESCE(len(string_split(d.text, ' ')), 0) AS BIGINT) AS n_tokens,
+      |  COALESCE(top.top_gram, '') AS top_gram,
+      |  CAST(COALESCE(top.top_count, 0) AS BIGINT) AS top_count,
+      |  CAST(COALESCE(top.top_chars, 0) AS BIGINT) AS top_chars,
+      |  COALESCE(a.dup_chars, 0) AS dup_chars,
+      |  COALESCE(a.dup_chars, 0) * 5 <= CAST(length(d.text) AS BIGINT) AS rep_ok
+      |FROM documents d
+      |LEFT JOIN top ON d.doc_id = top.doc_id
+      |LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q20_token_stats", tokenStats, Some(tokenStatsSql),
       "whitespace + subword-chunk token counting"),
@@ -250,5 +332,7 @@ object TextOps {
     Q("q39_top_terms", topTerms, Some(topTermsSql),
       "float-free TF-IDF-style characteristic terms (tf desc, df asc)"),
     Q("q49_source_vocab", sourceVocab, Some(sourceVocabSql),
-      "per-source corpus card: exact vocab / docs / occurrences"))
+      "per-source corpus card: exact vocab / docs / occurrences"),
+    Q("q79_repetition_stats", repetitionStats, Some(repetitionStatsSql),
+      "Gopher-style within-doc repetition filters (top/duplicated 2-gram chars)"))
 }

@@ -23,6 +23,28 @@ class OperatorPropertiesSpec extends SparkSuite {
     assert(got == Set(("a b c d e f g h", 2L, 2L)))
   }
 
+  test("repetition stats: hand-computed Gopher filters, every doc kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),        // grams: "a b"x3, "b a"x2 -> all duplicated
+      (2L, "p q r s"),            // all grams unique
+      (3L, "solo")                // < 2 tokens: restored with zeros
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionStatsOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chars"), r.getAs[Long]("n_tokens"),
+          r.getAs[String]("top_gram"), r.getAs[Long]("top_count"),
+          r.getAs[Long]("top_chars"), r.getAs[Long]("dup_chars"),
+          r.getAs[Boolean]("rep_ok"))).toMap
+    // doc 1: n_chars=11, top gram "a b" count 3 covers 9 chars; dup grams
+    // cover 3*3 + 2*3 = 15 chars; 15*5 > 11 -> fails the 0.2 gate
+    assert(got(1L) == ((11L, 6L, "a b", 3L, 9L, 15L, false)))
+    // doc 2: unique grams; tie on cnt=1 broken lexicographically ("p q")
+    assert(got(2L) == ((7L, 4L, "p q", 1L, 3L, 0L, true)))
+    // doc 3: no 2-gram windows; restore row with empty top gram, passes
+    assert(got(3L) == ((4L, 1L, "", 0L, 0L, 0L, true)))
+  }
+
   test("span scrub removes exactly the union of covered positions, keeps every doc") {
     import spark.implicits._
     val docs = Seq(
