@@ -223,6 +223,94 @@ object PipelineOps {
       |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n
       |        FROM documents) t) u""".stripMargin
 
+  /** q80 — deterministic corpus shuffle into training shards: every
+    * document gets a reproducible (shard, position) from the md5 of a
+    * salted id, the scalable replacement for `ORDER BY random()` when
+    * writing a training corpus (shard = output file, position = read
+    * order within it; re-running the pipeline or re-ordering the input
+    * never changes the permutation, so a training run is exactly
+    * resumable). Inter-shard order is by construction uncorrelated with
+    * any input attribute — the "global shuffle" LLM training wants.
+    *
+    * Scale shape: the hash is row-local; the only shuffle is the
+    * position window keyed by shard, and nShards is the scale lever —
+    * a real deployment uses thousands of shards (= output files), so
+    * each window partition is one file's worth of rows. 60-bit keys
+    * make ties vanishingly rare; doc_id breaks them deterministically
+    * anyway. */
+  def shardAssign(spark: SparkSession, dir: String,
+      nShards: Int = 16): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"shard")
+      .orderBy($"shuffle_key".asc, $"doc_id".asc)
+    Tables(spark, dir, "documents")
+      .select($"doc_id",
+        md5PrefixLong(concat(lit("shard:"), $"doc_id".cast("string")), 15)
+          .as("shuffle_key"))
+      .withColumn("shard", ($"shuffle_key" % nShards).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
+  private val shardAssignSql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(concat('shard:',
+      |      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS shuffle_key
+      |  FROM documents)
+      |SELECT doc_id, shuffle_key, shuffle_key % 16 AS shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_key % 16
+      |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+      |FROM h""".stripMargin
+
+  /** q81 — benchmark decontamination report, the GPT-3-appendix-C /
+    * Llama-style n-gram overlap check: hold out a deterministic
+    * benchmark slice (md5 bucket on a salted id — in production, the
+    * actual eval sets) and flag every TRAINING document that shares at
+    * least one k-token window with any benchmark document, with the
+    * shared-window count and a sample gram as the evidence a triage
+    * pass reads. Differs from q54 (which counts whole-doc near-dup
+    * pairs between sources) and q74 (which scrubs all cross-doc spans):
+    * this is the targeted train-vs-heldout report run before release.
+    *
+    * Scale shape: rides [[DedupOps.spanWindows]] (partition-local
+    * explode); the benchmark gram set is bounded by benchmark size — at
+    * real scale it broadcasts (eval sets are tiny next to the corpus),
+    * here the planner picks; the per-doc rollup is a keyed two-level
+    * aggregate. Linear in corpus tokens, no pairwise work. */
+  def benchmarkDecon(spark: SparkSession, dir: String,
+      k: Int = 8): DataFrame = {
+    import spark.implicits._
+    val wins = DedupOps.spanWindows(Tables(spark, dir, "documents"), k)
+      .withColumn("bench",
+        substring(md5(concat(lit("bench:"), $"doc_id".cast("string"))), 1, 1)
+          === "0")
+    val benchGrams = wins.filter($"bench").select($"gram").distinct()
+    wins.filter(!$"bench")
+      .join(benchGrams, "gram")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"gram").as("n_shared_grams"),
+        min($"gram").as("sample_gram"))
+  }
+
+  private val benchmarkDeconSql =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    substr(md5(concat('bench:', CAST(doc_id AS VARCHAR))), 1, 1) = '0'
+      |      AS bench,
+      |    string_split(text, ' ') AS tok
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |w AS (
+      |  SELECT doc_id, bench, unnest(list_transform(range(1, len(tok) - 6),
+      |    i -> array_to_string(tok[i:i+7], ' '))) AS gram
+      |  FROM tok),
+      |bg AS (SELECT DISTINCT gram FROM w WHERE bench)
+      |SELECT w.doc_id, COUNT(DISTINCT w.gram) AS n_shared_grams,
+      |  min(w.gram) AS sample_gram
+      |FROM w JOIN bg USING (gram)
+      |WHERE NOT w.bench
+      |GROUP BY w.doc_id""".stripMargin
+
   /** Cross-source contamination report: how many verified near-dup
     * pairs (exact shingle J ≥ 0.5, the [[DedupOps.minhashLsh]] output)
     * connect each unordered source pair — the decontamination check a
@@ -481,5 +569,11 @@ object PipelineOps {
     Q("q47_text_clean", textClean, Some(textCleanSql),
       "email/URL/whitespace cleaning via codegen regexp chain"),
     Q("q48_token_pack", tokenPack, Some(tokenPackSql),
-      "fixed-size sequence packing: doc tokens -> context-window segments"))
+      "fixed-size sequence packing: doc tokens -> context-window segments"),
+    Q("q80_shard_assign", shardAssign(_, _), Some(shardAssignSql),
+      "deterministic corpus shuffle: reproducible (shard, position) " +
+        "per doc, the scalable ORDER BY random() replacement"),
+    Q("q81_benchmark_decon", benchmarkDecon(_, _), Some(benchmarkDeconSql),
+      "train-vs-heldout 8-gram overlap decontamination report " +
+        "(GPT-3 appendix-C style)"))
 }

@@ -316,6 +316,59 @@ object TextOps {
       |LEFT JOIN top ON d.doc_id = top.doc_id
       |LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin
 
+  /** q82 — unigram-LM document scoring, the classic corpus-likelihood
+    * quality signal (CCNet/KenLM-style filtering ranks docs by language-
+    * model likelihood; the unigram model is its distributed, float-free
+    * core): score each document by the mean corpus frequency of its
+    * tokens — the arithmetic-mean unigram probability ×(corpus tokens ×
+    * 10⁶). Rare-token/noise documents rank low, template-heavy ones
+    * high. Kept integer-exact end to end (`sum_freq × 10⁶ div
+    * n_tokens`, truncating division — identical in Spark `div` and
+    * DuckDB `//` for non-negatives) so the score itself is in the hash
+    * check; the geometric-mean (log-prob) variant is the same plan with
+    * a log1p sum but can't cross the oracle (libm low bits).
+    *
+    * Scale shape: one token explode, a partial-aggregatable frequency
+    * count on a vocabulary-bounded key space, a keyed join of tokens
+    * against that (vocab-sized, broadcastable) table, and a per-doc
+    * rollup — every shuffle keyed, nothing global. At 100 TB the scaled
+    * product wants DECIMAL headroom or a per-1M-token frequency scale;
+    * at any tested SF it fits a BIGINT with 6 orders to spare. */
+  def unigramScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val tokens = docs
+      .select($"doc_id", explode(toks($"text")).as("term"))
+      .filter($"term" =!= "")
+    val freq = tokens.groupBy($"term").agg(count(lit(1)).as("freq"))
+    val scored = tokens.join(freq, "term")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"freq").as("sum_freq"))
+      .withColumn("mean_freq_scaled",
+        expr("sum_freq * 1000000 div n_tokens"))
+    docs.select($"doc_id").join(scored, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+        coalesce($"sum_freq", lit(0L)).as("sum_freq"),
+        coalesce($"mean_freq_scaled", lit(0L)).as("mean_freq_scaled"))
+  }
+
+  private val unigramScoreSql =
+    """WITH tok AS (
+      |  SELECT doc_id, u.t AS term
+      |  FROM documents, unnest(string_split(text, ' ')) u(t)
+      |  WHERE u.t <> ''),
+      |freq AS (SELECT term, COUNT(*) AS freq FROM tok GROUP BY 1),
+      |s AS (
+      |  SELECT tok.doc_id, COUNT(*) AS n_tokens,
+      |    CAST(SUM(freq.freq) AS BIGINT) AS sum_freq
+      |  FROM tok JOIN freq USING (term) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(s.n_tokens, 0) AS n_tokens,
+      |  COALESCE(s.sum_freq, 0) AS sum_freq,
+      |  COALESCE(s.sum_freq * 1000000 // s.n_tokens, 0) AS mean_freq_scaled
+      |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q20_token_stats", tokenStats, Some(tokenStatsSql),
       "whitespace + subword-chunk token counting"),
@@ -334,5 +387,7 @@ object TextOps {
     Q("q49_source_vocab", sourceVocab, Some(sourceVocabSql),
       "per-source corpus card: exact vocab / docs / occurrences"),
     Q("q79_repetition_stats", repetitionStats, Some(repetitionStatsSql),
-      "Gopher-style within-doc repetition filters (top/duplicated 2-gram chars)"))
+      "Gopher-style within-doc repetition filters (top/duplicated 2-gram chars)"),
+    Q("q82_unigram_score", unigramScore, Some(unigramScoreSql),
+      "unigram-LM corpus-likelihood quality score, integer-exact"))
 }

@@ -156,4 +156,76 @@ class PipelineOpsSpec extends SparkSuite {
       assert(maxidx == nseg - 1)             // contiguous 0..nseg-1
     }
   }
+
+  test("shard assignment is a reproducible permutation with contiguous positions") {
+    import spark.implicits._
+    val docs = graft.sources.Tables(spark, sf0001, "documents")
+    val a = PipelineOps.shardAssign(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shuffle_key"),
+        r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    // one row per input doc
+    assert(a.map(_._1).toSet == docs.select($"doc_id").collect()
+      .map(_.getLong(0)).toSet)
+    // shard derived from the key; positions contiguous 1..n within shard
+    for ((_, key, shard, _) <- a) assert(shard == key % 16)
+    for ((_, rows) <- a.groupBy(_._3)) {
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length).map(_.toLong))
+      // positions follow (shuffle_key, doc_id) order exactly
+      assert(rows.sortBy(_._4).map(r => (r._2, r._1)).toSeq ==
+        rows.map(r => (r._2, r._1)).sorted.toSeq)
+    }
+    // deterministic across invocations
+    val b = PipelineOps.shardAssign(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"))).toSet
+    assert(b == a.map(r => (r._1, r._4)).toSet)
+  }
+
+  test("benchmark decon flags exactly the train docs sharing a bench 8-gram") {
+    import spark.implicits._
+    val docs = graft.sources.Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val isBench = docs.map { case (id, _) =>
+      id -> md5hex(s"bench:$id").startsWith("0") }.toMap
+    def grams(t: String): Set[String] = {
+      val tok = t.split(" ", -1)
+      if (tok.length < 8) Set.empty
+      else tok.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val benchGrams = docs.filter(d => isBench(d._1))
+      .flatMap(d => grams(d._2)).toSet
+    val expect = docs.filterNot(d => isBench(d._1))
+      .map { case (id, t) => id -> grams(t).intersect(benchGrams) }
+      .filter(_._2.nonEmpty)
+      .map { case (id, g) => id -> (g.size.toLong, g.min) }.toMap
+    val got = PipelineOps.benchmarkDecon(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shared_grams"), r.getAs[String]("sample_gram")))
+      .toMap
+    assert(got == expect)
+  }
+
+  test("unigram score matches a driver-side frequency recompute") {
+    import spark.implicits._
+    val docs = graft.sources.Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val freq = docs.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, o) => t -> o.length.toLong }
+    val got = TextOps.unigramScore(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_freq"),
+          r.getAs[Long]("mean_freq_scaled"))).toMap
+    assert(got.keySet == docs.map(_._1).toSet)
+    for ((id, t) <- docs) {
+      val tok = t.split(" ", -1).filter(_.nonEmpty)
+      val sf = tok.map(freq).sum
+      val expect = (tok.length.toLong, sf,
+        if (tok.isEmpty) 0L else sf * 1000000L / tok.length)
+      assert(got(id) == expect, s"doc $id")
+    }
+  }
 }
