@@ -126,11 +126,80 @@ object MultimodalOps {
       |  md5(substr(text, 1, 64)) AS thumb_md5
       |FROM documents""".stripMargin
 
+  /** Per-frame features. `frame_md5` is the per-frame content digest a
+    * frame-level dedup or embedding stage would key on. */
+  final case class FrameFeatures(doc_id: Long, frame_idx: Long,
+      n_chars_frame: Long, n_space: Long, frame_md5: String)
+
+  /** q84 — frame sampling + per-frame feature extraction in ONE decode
+    * pass: the video-pipeline shape (decode once, emit features for
+    * every sampled frame) rather than q51's metadata-only explode
+    * followed by a second decode. The flatMap inside `mapPartitions`
+    * is the explode; the per-partition MessageDigest again stands in
+    * for the expensive codec handle. Frame boundaries are computed in
+    * the CHARACTER domain (code points — the q55 lesson: byte-wise
+    * engine vs char-wise oracle diverges on the first non-ASCII
+    * payload), frame length = n_chars div n_frames, trailing remainder
+    * chars dropped by the stub's contract; `n_frames` stays the q50
+    * stub's byte-derived value so the asset model is consistent.
+    *
+    * Scale shape: stateless flatMap, rows multiply ≤5× and stay
+    * partition-local — the feature table inherits the scan's
+    * partitioning for the downstream per-frame stage. */
+  def frameFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"doc_id", encode($"text", "utf-8").as("payload"))
+      .as[Asset]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { a =>
+          val meta = FakeDecoder.decode(a)
+          val decoded = new String(a.payload,
+            java.nio.charset.StandardCharsets.UTF_8)
+          val nChars = decoded.codePointCount(0, decoded.length)
+          val flen = nChars / meta.n_frames.toInt
+          (0 until meta.n_frames.toInt).map { fi =>
+            val s = decoded.substring(
+              decoded.offsetByCodePoints(0, fi * flen),
+              decoded.offsetByCodePoints(0, fi * flen + flen))
+            md.reset()
+            FrameFeatures(a.doc_id, fi.toLong, flen.toLong,
+              s.count(_ == ' ').toLong,
+              md.digest(s.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+                .map("%02x".format(_)).mkString)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  private val frameFeaturesSql =
+    """WITH m AS (
+      |  SELECT doc_id, text,
+      |    1 + octet_length(encode(text)) % 5 AS n_frames,
+      |    len(text) AS n_chars
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, fi,
+      |    CAST(n_chars // n_frames AS BIGINT) AS n_chars_frame,
+      |    substr(text, 1 + CAST(fi * (n_chars // n_frames) AS INT),
+      |      CAST(n_chars // n_frames AS INT)) AS fr
+      |  FROM m, unnest(generate_series(0, n_frames - 1)) t(fi))
+      |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx, n_chars_frame,
+      |  CAST(len(fr) - len(replace(fr, ' ', '')) AS BIGINT) AS n_space,
+      |  md5(fr) AS frame_md5
+      |FROM f""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q50_binary_meta", binaryMeta, Some(binaryMetaSql),
       "binary payload metadata via typed mapPartitions (stub decoder)"),
     Q("q51_frame_sample", frameSample, Some(frameSampleSql),
       "per-frame explode with byte offsets"),
     Q("q55_feature_extract", featureExtract, Some(featureExtractSql),
-      "in-decoder feature extraction: byte stats + thumbnail digest"))
+      "in-decoder feature extraction: byte stats + thumbnail digest"),
+    Q("q84_frame_features", frameFeatures, Some(frameFeaturesSql),
+      "one-pass frame sample + per-frame featurize (digest, char stats) " +
+        "via flatMap in the decode partition map"))
 }

@@ -163,6 +163,84 @@ object PipelineOps {
       |  FROM c) t
       |WHERE rank <= 20""".stripMargin
 
+  /** q85 — BPE tokenizer training, round TWO: apply the #1 merge q71
+    * mined (greedy, left-to-right, non-overlapping — the classic BPE
+    * apply rule) to re-segment every pre-token, then recount adjacent
+    * SYMBOL pairs (symbols are now 1 or 2 chars). Together with q71
+    * this demonstrates the full iterative training loop; every further
+    * round repeats this exact plan with a longer merge list.
+    *
+    * The re-segmentation trick keeps everything columnar and engine-
+    * portable: `replace(pretoken, mergePair, chr(1))` IS the greedy
+    * non-overlapping merge (both engines' replace scans left-to-right),
+    * the sentinel becomes a 1-char stand-in for the merged symbol, so
+    * q71's code-point substring pairing applies unchanged, and the
+    * sentinel maps back to the merge text in the output. chr(1) cannot
+    * appear in the corpus (the pre-tokenizer only emits printable
+    * runs). The merge pair itself stays IN-PLAN — a broadcast 1-row
+    * frame from q71's ranking (cnt desc, pair asc — unique), exactly
+    * as the oracle derives it in SQL, not a driver-side constant that
+    * could drift.
+    *
+    * Scale shape: identical to q71 — partition-local explode, one
+    * partial-aggregatable count on a bounded symbol-pair key space,
+    * TakeOrderedAndProject top-k; the extra cost is one broadcast of a
+    * 1-row frame. */
+  def bpeMergesRound2(spark: SparkSession, dir: String,
+      k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val top1 = bpeMerges(spark, dir, 1).select($"pair".as("mp"))
+    val sentinel = expr("chr(1)")
+    val counted = Tables(spark, dir, "documents")
+      .select(explode(
+        regexp_extract_all($"text", lit(preTokenPat), lit(0))).as("t"))
+      .crossJoin(broadcast(top1))
+      .select(expr("replace(t, mp, chr(1))").as("seg"), $"mp")
+      .filter(length($"seg") >= 2) // guard sequence(); 1-symbol tokens pair nothing
+      .select($"mp", explode(expr(
+        "transform(sequence(1, length(seg) - 1), i -> substring(seg, i, 2))"))
+        .as("pr"))
+      .select(
+        when(substring($"pr", 1, 1) === sentinel, $"mp")
+          .otherwise(substring($"pr", 1, 1)).as("left_sym"),
+        when(substring($"pr", 2, 1) === sentinel, $"mp")
+          .otherwise(substring($"pr", 2, 1)).as("right_sym"))
+      .groupBy($"left_sym", $"right_sym").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy($"cnt".desc, $"left_sym".asc, $"right_sym".asc)
+    counted.orderBy($"cnt".desc, $"left_sym".asc, $"right_sym".asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select($"rank", $"left_sym", $"right_sym", $"cnt")
+  }
+
+  private val bpeMergesRound2Sql =
+    s"""WITH pt AS (SELECT unnest(regexp_extract_all(text,
+      |    '$preTokenPatSql'))
+      |    AS t
+      |  FROM documents),
+      |pr1 AS (SELECT substr(t, CAST(i AS INTEGER), 2) AS pair
+      |  FROM (SELECT t, unnest(range(1, length(t))) AS i
+      |        FROM pt WHERE length(t) >= 2) u),
+      |c1 AS (SELECT pair, COUNT(*) AS cnt FROM pr1 GROUP BY pair),
+      |m AS (SELECT pair AS mp FROM c1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+      |seg AS (SELECT replace(t, mp, chr(1)) AS seg, mp FROM pt, m),
+      |pr2 AS (SELECT substr(seg, CAST(i AS INTEGER), 2) AS pr, mp
+      |  FROM (SELECT seg, mp, unnest(range(1, length(seg))) AS i
+      |        FROM seg WHERE length(seg) >= 2) u),
+      |sym AS (SELECT
+      |    CASE WHEN substr(pr, 1, 1) = chr(1) THEN mp
+      |         ELSE substr(pr, 1, 1) END AS left_sym,
+      |    CASE WHEN substr(pr, 2, 1) = chr(1) THEN mp
+      |         ELSE substr(pr, 2, 1) END AS right_sym
+      |  FROM pr2),
+      |c2 AS (SELECT left_sym, right_sym, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM sym GROUP BY 1, 2)
+      |SELECT rank, left_sym, right_sym, cnt FROM (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, left_sym ASC,
+      |      right_sym ASC) AS BIGINT) AS rank,
+      |    left_sym, right_sym, cnt
+      |  FROM c2) t
+      |WHERE rank <= 20""".stripMargin
+
   /** The cleaning expression itself: lowercase, strip emails then
     * URLs, collapse whitespace, trim. Pure per-row regexp chain —
     * whole-stage codegen, no UDF, no shuffle. Patterns stay in the
@@ -566,6 +644,9 @@ object PipelineOps {
     Q("q71_bpe_merges", bpeMerges(_, _), Some(bpeMergesSql),
       "BPE merge mining round 1: adjacent-pair frequencies over the " +
         "pre-tokenized corpus, top-20 merges via TakeOrderedAndProject"),
+    Q("q85_bpe_round2", bpeMergesRound2(_, _), Some(bpeMergesRound2Sql),
+      "BPE training round 2: greedy apply of merge #1 via " +
+        "replace-with-sentinel re-segmentation, then symbol-pair recount"),
     Q("q47_text_clean", textClean, Some(textCleanSql),
       "email/URL/whitespace cleaning via codegen regexp chain"),
     Q("q48_token_pack", tokenPack, Some(tokenPackSql),

@@ -954,6 +954,49 @@ object VectorOps {
         |        GROUP BY c.vec_id) t) u
         |WHERE rank <= 5""".stripMargin
 
+  /** q83 — ANN index quality audit: per-rank recall of the IVF-PQ
+    * search (q68's probe-pruned ADC top-5) against the exact
+    * brute-force ranking (q30) — the recall@k report every ANN
+    * deployment runs before trusting an index, here as a first-class
+    * query: for each exact top-5 neighbor, whether the compressed
+    * index retrieved it. Both inputs are the already-proven
+    * constructions, so the audit itself is fully hash-checked (the
+    * oracle composes q30's ranking and q68's shared ADC subquery
+    * verbatim — neither side can drift from its source query).
+    *
+    * Scale shape: both inputs end in TakeOrderedAndProject (k rows);
+    * the comparison is a broadcast join of two k-row frames — audit
+    * cost is the two searches, the report is free. At 100 TB the same
+    * query runs per query-vector batch and aggregates recall over it. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = knnTopK(spark, dir)
+    val adc = ivfPqAnn(spark, dir).select($"vec_id", lit(true).as("in_adc"))
+    // q76's stage-1 depth: does the 32-deep ADC shortlist at least
+    // CONTAIN the true neighbor, so an exact rerank could recover it?
+    val short32 = ivfPqAnn(spark, dir, probes = 4, k = 32)
+      .select($"vec_id", lit(true).as("in_shortlist32"))
+    exact.join(adc, Seq("vec_id"), "left")
+      .join(short32, Seq("vec_id"), "left")
+      .select($"rank", $"vec_id",
+        coalesce($"in_adc", lit(false)).as("in_adc"),
+        coalesce($"in_shortlist32", lit(false)).as("in_shortlist32"))
+  }
+
+  private val annRecallSql = pqCodebookCtes + ",\n" + gridCtes + ",\n" +
+    s"""exact AS (
+      |$knnTopKSql),
+      |ranked_adc AS (
+      |$ivfPqRankedAdc)
+      |SELECT e.rank, e.vec_id,
+      |  a5.vec_id IS NOT NULL AS in_adc,
+      |  a32.vec_id IS NOT NULL AS in_shortlist32
+      |FROM exact e
+      |LEFT JOIN (SELECT vec_id FROM ranked_adc WHERE rank <= 5) a5
+      |  ON e.vec_id = a5.vec_id
+      |LEFT JOIN (SELECT vec_id FROM ranked_adc WHERE rank <= 32) a32
+      |  ON e.vec_id = a32.vec_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q30_knn_topk", knnTopK, Some(knnTopKSql),
       "brute-force cosine top-5 (broadcast query, codegen dot)"),
@@ -986,5 +1029,8 @@ object VectorOps {
         "ADC-searched — probe set and distances hash-checked"),
     Q("q76_ivfpq_rerank", ivfPqRerank(_, _), Some(ivfPqRerankSql),
       "two-stage retrieval: integer-exact ADC shortlist (q68 stage) + " +
-        "exact cosine rerank of only the shortlist's raw vectors"))
+        "exact cosine rerank of only the shortlist's raw vectors"),
+    Q("q83_ann_recall", annRecall, Some(annRecallSql),
+      "recall@5 audit of the IVF-PQ index vs the exact ranking — " +
+        "both sides hash-checked, the report is a k-row broadcast join"))
 }

@@ -116,6 +116,46 @@ class PipelineOpsSpec extends SparkSuite {
     assert(expect.head._3 > 100)
   }
 
+  test("BPE round 2 applies merge #1 greedily and matches a recompute") {
+    val pat = java.util.regex.Pattern.compile(
+      "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+")
+    val pretokens = scala.collection.mutable.ArrayBuffer.empty[String]
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text").collect().map(_.getString(0)).foreach { text =>
+        val m = pat.matcher(text)
+        while (m.find()) pretokens += m.group()
+      }
+    // round 1 winner (cnt desc, pair asc)
+    val c1 = scala.collection.mutable.Map.empty[String, Long]
+    for (t <- pretokens; i <- 1 until t.length) {
+      val p = t.substring(i - 1, i + 1)
+      c1(p) = c1.getOrElse(p, 0L) + 1
+    }
+    val mp = c1.toSeq.minBy { case (p, c) => (-c, p) }._1
+    // greedy left-to-right apply == String.replace with a sentinel
+    val c2 = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (t <- pretokens) {
+      val seg = t.replace(mp, "")
+      def sym(c: Char): String = if (c == '') mp else c.toString
+      for (i <- 1 until seg.length) {
+        val k = (sym(seg(i - 1)), sym(seg(i)))
+        c2(k) = c2.getOrElse(k, 0L) + 1
+      }
+    }
+    val expect = c2.toSeq
+      .sortBy { case ((l, r), c) => (-c, l, r) }.take(20)
+      .zipWithIndex.map { case (((l, r), c), i) => (i + 1L, l, r, c) }
+    val got = PipelineOps.bpeMergesRound2(spark, sf0001)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect)
+    // the applied merge must actually absorb occurrences: the round-1
+    // winner pair cannot survive as a (char, char) pair in round 2
+    assert(!got.exists(g => g._2 == mp.substring(0, 1) &&
+      g._3 == mp.substring(1, 2)))
+  }
+
   test("hashed-feature scorer matches an independent driver-side recompute") {
     def md5Long8(seed: String): Long = java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")

@@ -27,6 +27,24 @@ class VectorSearchSpec extends SparkSuite {
                           // probes==cells case above
   }
 
+  test("ANN recall audit (q83) flags exactly the driver-computed memberships") {
+    val exact = VectorOps.knnTopK(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val adc5 = VectorOps.ivfPqAnn(spark, sf0001).collect()
+      .map(_.getLong(1)).toSet
+    val adc32 = VectorOps.ivfPqAnn(spark, sf0001, 4, 32).collect()
+      .map(_.getLong(1)).toSet
+    val got = VectorOps.annRecall(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("rank") -> ((r.getAs[Long]("vec_id"),
+        r.getAs[Boolean]("in_adc"), r.getAs[Boolean]("in_shortlist32"))))
+      .toMap
+    assert(got.keySet == exact.map(_._1).toSet)
+    for ((rank, id) <- exact)
+      assert(got(rank) == ((id, adc5(id), adc32(id))), s"rank $rank")
+    // shortlist32 ⊇ adc5 membership-wise on the flagged rows
+    for ((_, (_, in5, in32)) <- got) assert(!in5 || in32)
+  }
+
   test("embeddings dim is 64 — the constant the SRP oracle SQL pins") {
     val d = graft.sources.Tables(spark, sf0001, "embeddings")
       .selectExpr("size(embedding) AS d").distinct().collect()
