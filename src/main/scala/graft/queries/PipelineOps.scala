@@ -301,6 +301,105 @@ object PipelineOps {
       |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n
       |        FROM documents) t) u""".stripMargin
 
+  /** q86 PII patterns — like [[cleanExpr]], each stays in the regex
+    * subset Java and RE2 interpret identically (no backrefs, no
+    * lookaround), so detection counts and the redacted string are
+    * bit-identical engine-side and oracle-side. */
+  private[graft] val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val phonePat = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  private[graft] val ipPat =
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII redaction lift: replace every email, then IPv4, then phone
+    * number with a typed sentinel. Order is load-bearing: email runs
+    * first because its local/domain parts contain digit-and-dot runs
+    * the IP pattern could bite into; the phone pattern is '+'-anchored
+    * and disjoint from both, so it can go last. Pure per-row codegen
+    * regexp chain — no UDF, no shuffle, safe as a first map-side pass
+    * over 100 TB (same scale shape as [[cleanExpr]]). */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPat, "<EMAIL>"),
+        ipPat, "<IP>"),
+      phonePat, "<PHONE>")
+
+  /** q86 — PII detection + redaction, the privacy pass (C4/CCNet-style
+    * scrubbing) every released training corpus runs. The synthetic
+    * corpus carries no PII-shaped tokens (q47's email branch is
+    * likewise identity there), so this query FIRST derives a
+    * deterministic contact-profile corpus from the `customer` table —
+    * emails/phones/IPs synthesized row-locally from (c_custkey,
+    * c_name) with engine-portable string ops, with presence varied by
+    * custkey residues so the 0/1/2-match branches are all exercised —
+    * then runs the generic detect+redact lifts over it. Counts are
+    * integers and the redacted text is a string, so the whole artifact
+    * is hash-checked end to end (unlike q47, whose matching branches
+    * only ScalaTest sees). Scale shape: stateless row-local regex
+    * chain, one scan, zero shuffles. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val handle = regexp_replace(lower($"c_name"), "#", ".")
+    val profile = concat(
+      lit("reach "), handle, lit(" at "), handle, lit("@mail.example.com"),
+      when($"c_custkey" % 5 === 0,
+        concat(lit(" cc backup"), $"c_custkey".cast("string"),
+          lit("@corp.example.org"))).otherwise(""),
+      when($"c_custkey" % 3 =!= 0,
+        concat(lit(" or +33-555-"),
+          lpad(($"c_custkey" % 10000).cast("string"), 4, "0")))
+        .otherwise(""),
+      when($"c_custkey" % 2 === 0,
+        concat(lit(" via 10.0."), ($"c_custkey" % 256).cast("string"),
+          lit("."), ($"c_custkey" * 7 % 256).cast("string")))
+        .otherwise(lit(" via vpn")),
+      lit(" segment "), lower($"c_mktsegment"))
+    Tables(spark, dir, "customer")
+      .select($"c_custkey".as("doc_id"), profile.as("profile"))
+      .select($"doc_id",
+        size(regexp_extract_all($"profile", lit(emailPat), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all($"profile", lit(phonePat), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all($"profile", lit(ipPat), lit(0)))
+          .cast("long").as("n_ips"),
+        piiRedact($"profile").as("redacted"))
+  }
+
+  private val piiScrubSql =
+    """WITH c AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    regexp_replace(lower(c_name), '#', '.', 'g') AS h
+      |  FROM customer),
+      |p AS (
+      |  SELECT c_custkey AS doc_id,
+      |    concat('reach ', h, ' at ', h, '@mail.example.com',
+      |      CASE WHEN c_custkey % 5 = 0 THEN concat(' cc backup',
+      |        CAST(c_custkey AS VARCHAR), '@corp.example.org')
+      |        ELSE '' END,
+      |      CASE WHEN c_custkey % 3 <> 0 THEN concat(' or +33-555-',
+      |        lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'))
+      |        ELSE '' END,
+      |      CASE WHEN c_custkey % 2 = 0 THEN concat(' via 10.0.',
+      |        CAST(c_custkey % 256 AS VARCHAR), '.',
+      |        CAST(c_custkey * 7 % 256 AS VARCHAR))
+      |        ELSE ' via vpn' END,
+      |      ' segment ', lower(c_mktsegment)) AS profile
+      |  FROM c)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(profile,
+      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(profile,
+      |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |  CAST(len(regexp_extract_all(profile,
+      |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT)
+      |    AS n_ips,
+      |  regexp_replace(regexp_replace(regexp_replace(profile,
+      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+      |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+      |FROM p""".stripMargin
+
   /** q80 — deterministic corpus shuffle into training shards: every
     * document gets a reproducible (shard, position) from the md5 of a
     * salted id, the scalable replacement for `ORDER BY random()` when
@@ -388,6 +487,88 @@ object PipelineOps {
       |FROM w JOIN bg USING (gram)
       |WHERE NOT w.bench
       |GROUP BY w.doc_id""".stripMargin
+
+  /** q88 — the per-source pipeline YIELD report: raw docs → quality
+    * gate → dedup survivors → decontamination, with a final clean
+    * count. This is the funnel a training-data team reads every day —
+    * "how much of each source survives the pipeline, and where does it
+    * fall out" — and it composes the shipped stages verbatim (the
+    * [[qualityGate]] lift, q59's survivor selection, q81's
+    * decontamination flags), so the report can never drift from what
+    * the pipeline actually does. n_flagged counts TRAIN docs q81 flags
+    * (bench docs themselves are excluded from flagging by q81's
+    * construction); n_final = n_train − n_flagged is what ships.
+    *
+    * Scale shape: every stage is a doc_id-keyed semi-join onto the
+    * (doc_id, source) projection plus a partial-aggregatable rollup on
+    * the ~20-key source domain; the heavy artifacts (cluster labels,
+    * span windows) are the memoized ones the component queries already
+    * pay for. Nothing here adds a new pairwise or global stage. */
+  def pipelineYield(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val base = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val qual = qualityGate(docs).groupBy($"source")
+      .agg(count(lit(1)).as("n_quality"))
+    val survivors = DedupOps.dedupCorpus(spark, dir).select($"doc_id")
+    val train = qualityGate(docs.join(survivors, "doc_id"))
+      .select($"doc_id", $"source")
+    val trainAgg = train.groupBy($"source").agg(count(lit(1)).as("n_train"))
+    val flaggedAgg = train
+      .join(benchmarkDecon(spark, dir).select($"doc_id"), "doc_id")
+      .groupBy($"source").agg(count(lit(1)).as("n_flagged"))
+    base.join(qual, Seq("source"), "left")
+      .join(trainAgg, Seq("source"), "left")
+      .join(flaggedAgg, Seq("source"), "left")
+      .select($"source", $"n_docs",
+        coalesce($"n_quality", lit(0L)).as("n_quality"),
+        coalesce($"n_train", lit(0L)).as("n_train"),
+        coalesce($"n_flagged", lit(0L)).as("n_flagged"),
+        (coalesce($"n_train", lit(0L)) - coalesce($"n_flagged", lit(0L)))
+          .as("n_final"))
+  }
+
+  private val pipelineYieldSql = DedupOps.survivorCtes + ",\n" +
+    """q AS (
+      |  SELECT doc_id, source FROM (
+      |    SELECT doc_id, source, lang, string_split(text, ' ') AS tok
+      |    FROM documents) t
+      |  WHERE lang = 'en' AND len(tok) BETWEEN 5 AND 10000
+      |    AND len(list_filter(tok,
+      |      x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) * 20
+      |        >= len(tok)),
+      |tr AS (SELECT q.doc_id, q.source FROM q
+      |       JOIN surv ON surv.doc_id = q.doc_id),
+      |tok8 AS (
+      |  SELECT doc_id,
+      |    substr(md5(concat('bench:', CAST(doc_id AS VARCHAR))), 1, 1) = '0'
+      |      AS bench,
+      |    string_split(text, ' ') AS tok
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |w8 AS (
+      |  SELECT doc_id, bench, unnest(list_transform(range(1, len(tok) - 6),
+      |    i -> array_to_string(tok[i:i+7], ' '))) AS gram
+      |  FROM tok8),
+      |bg8 AS (SELECT DISTINCT gram FROM w8 WHERE bench),
+      |fl AS (SELECT DISTINCT w8.doc_id FROM w8 JOIN bg8 USING (gram)
+      |       WHERE NOT w8.bench)
+      |SELECT d.source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) FILTER (WHERE q.doc_id IS NOT NULL) AS BIGINT)
+      |    AS n_quality,
+      |  CAST(COUNT(*) FILTER (WHERE tr.doc_id IS NOT NULL) AS BIGINT)
+      |    AS n_train,
+      |  CAST(COUNT(*) FILTER (WHERE tr.doc_id IS NOT NULL
+      |    AND fl.doc_id IS NOT NULL) AS BIGINT) AS n_flagged,
+      |  CAST(COUNT(*) FILTER (WHERE tr.doc_id IS NOT NULL)
+      |    - COUNT(*) FILTER (WHERE tr.doc_id IS NOT NULL
+      |        AND fl.doc_id IS NOT NULL) AS BIGINT) AS n_final
+      |FROM documents d
+      |LEFT JOIN q ON q.doc_id = d.doc_id
+      |LEFT JOIN tr ON tr.doc_id = d.doc_id
+      |LEFT JOIN fl ON fl.doc_id = d.doc_id
+      |GROUP BY d.source""".stripMargin
 
   /** Cross-source contamination report: how many verified near-dup
     * pairs (exact shingle J ≥ 0.5, the [[DedupOps.minhashLsh]] output)
@@ -649,6 +830,9 @@ object PipelineOps {
         "replace-with-sentinel re-segmentation, then symbol-pair recount"),
     Q("q47_text_clean", textClean, Some(textCleanSql),
       "email/URL/whitespace cleaning via codegen regexp chain"),
+    Q("q86_pii_scrub", piiScrub, Some(piiScrubSql),
+      "PII privacy pass: detect + redact emails/phones/IPs with typed " +
+        "sentinels, counts and redacted text hash-checked"),
     Q("q48_token_pack", tokenPack, Some(tokenPackSql),
       "fixed-size sequence packing: doc tokens -> context-window segments"),
     Q("q80_shard_assign", shardAssign(_, _), Some(shardAssignSql),
@@ -656,5 +840,8 @@ object PipelineOps {
         "per doc, the scalable ORDER BY random() replacement"),
     Q("q81_benchmark_decon", benchmarkDecon(_, _), Some(benchmarkDeconSql),
       "train-vs-heldout 8-gram overlap decontamination report " +
-        "(GPT-3 appendix-C style)"))
+        "(GPT-3 appendix-C style)"),
+    Q("q88_pipeline_yield", pipelineYield, Some(pipelineYieldSql),
+      "per-source pipeline yield funnel: raw -> quality -> dedup " +
+        "survivors -> decon-clean, composed from the shipped stages"))
 }

@@ -369,6 +369,50 @@ object TextOps {
       |  COALESCE(s.sum_freq * 1000000 // s.n_tokens, 0) AS mean_freq_scaled
       |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin
 
+  /** q87 — inverted-index build: the searchable posting-list table
+    * (term, doc_id, df, tf, first_pos) behind exact-phrase lookup,
+    * BM25-style ranking (df and tf are its sufficient statistics), and
+    * the q73–q75 span machinery's "which docs contain this gram"
+    * question. One posting row per (term, doc) keeps rows narrow and
+    * bounded — no collect_list of whole posting lists into one row,
+    * which is exactly what would NOT survive a stop-word term at
+    * 100 TB; a consumer reads a term's postings as a keyed scan.
+    *
+    * Scale shape: token posexplode (partition-local) → one partial-
+    * aggregatable shuffle on (term, doc_id) → per-term df from a
+    * second partial-aggregatable rollup whose output is vocabulary-
+    * sized (tiny → the planner broadcasts it back onto the postings,
+    * same shape as q82's frequency join). Term skew lands in the
+    * (term, doc_id) composite key, not a per-term partition, so a
+    * stop-word does not create a straggler partition. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val postings = Tables(spark, dir, "documents")
+      .select($"doc_id", posexplode(toks($"text")).as(Seq("pos", "term")))
+      .filter($"term" =!= "")
+      .groupBy($"term", $"doc_id")
+      .agg(count(lit(1)).as("tf"), min($"pos").cast("long").as("first_pos"))
+    val dfTab = postings.groupBy($"term").agg(count(lit(1)).as("df"))
+    postings.join(dfTab, "term")
+      .select($"term", $"doc_id", $"df", $"tf", $"first_pos")
+  }
+
+  private val invertedIndexSql =
+    """WITH s AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |t AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(tok) + 1),
+      |      i -> struct_pack(pos := i - 1, term := tok[i]))) AS u
+      |  FROM s),
+      |p AS (
+      |  SELECT u.term AS term, doc_id, COUNT(*) AS tf,
+      |    CAST(min(u.pos) AS BIGINT) AS first_pos
+      |  FROM t WHERE u.term <> '' GROUP BY 1, 2),
+      |d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1)
+      |SELECT p.term, p.doc_id, d.df, p.tf, p.first_pos
+      |FROM p JOIN d USING (term)""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q20_token_stats", tokenStats, Some(tokenStatsSql),
       "whitespace + subword-chunk token counting"),
@@ -389,5 +433,8 @@ object TextOps {
     Q("q79_repetition_stats", repetitionStats, Some(repetitionStatsSql),
       "Gopher-style within-doc repetition filters (top/duplicated 2-gram chars)"),
     Q("q82_unigram_score", unigramScore, Some(unigramScoreSql),
-      "unigram-LM corpus-likelihood quality score, integer-exact"))
+      "unigram-LM corpus-likelihood quality score, integer-exact"),
+    Q("q87_inverted_index", invertedIndex, Some(invertedIndexSql),
+      "inverted-index posting table (term, doc, df, tf, first_pos) — " +
+        "BM25 sufficient statistics, one narrow row per posting"))
 }

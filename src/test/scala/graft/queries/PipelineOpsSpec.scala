@@ -268,4 +268,82 @@ class PipelineOpsSpec extends SparkSuite {
       assert(got(id) == expect, s"doc $id")
     }
   }
+
+  test("piiRedact handles each PII type, mixtures, and non-matches") {
+    import spark.implicits._
+    val in = Seq(
+      "mail alice.b+x@host.example.org now",
+      "call +1-555-0137 or +358-555-9999",
+      "from 192.168.0.1 and 10.0.255.3",
+      "bob@x.io at 127.0.0.1 dials +44-201-4455",
+      "no pii here: version 1.2.3, a@b (bad), +12-34-56").toDF("text")
+    val got = in.select(PipelineOps.piiRedact($"text").as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got(0) == "mail <EMAIL> now")
+    assert(got(1) == "call <PHONE> or <PHONE>")
+    assert(got(2) == "from <IP> and <IP>")
+    assert(got(3) == "<EMAIL> at <IP> dials <PHONE>")
+    // 'version 1.2.3' has only 3 dotted groups, 'a@b' has no TLD, and
+    // '+12-34-56' has the wrong digit-group widths — all left alone
+    assert(got(4) == "no pii here: version 1.2.3, a@b (bad), +12-34-56")
+  }
+
+  test("q86 profiles exercise 0/1/2-match branches and redact fully") {
+    val rows = PipelineOps.piiScrub(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val byMod = rows.map { r =>
+      val id = r.getAs[Long]("doc_id")
+      (id, r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+        r.getAs[Long]("n_ips"), r.getAs[String]("redacted"))
+    }
+    for ((id, ne, np, ni, red) <- byMod) {
+      assert(ne == (if (id % 5 == 0) 2L else 1L), s"emails doc $id")
+      assert(np == (if (id % 3 != 0) 1L else 0L), s"phones doc $id")
+      assert(ni == (if (id % 2 == 0) 1L else 0L), s"ips doc $id")
+      // nothing PII-shaped survives redaction
+      assert(!red.contains("@"), s"doc $id: $red")
+      assert(!red.matches(".*[0-9]{1,3}\\.[0-9].*"), s"doc $id: $red")
+      assert(ne == "<EMAIL>".r.findAllIn(red).size, s"doc $id")
+      assert(np == "<PHONE>".r.findAllIn(red).size, s"doc $id")
+      assert(ni == "<IP>".r.findAllIn(red).size, s"doc $id")
+    }
+  }
+
+  test("q87 inverted index matches a driver-side posting recompute") {
+    import spark.implicits._
+    val docs = graft.sources.Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val postings = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).zipWithIndex.filter(_._1.nonEmpty)
+        .map { case (term, pos) => (term, id, pos) } }
+      .groupBy(p => (p._1, p._2))
+      .map { case ((term, id), occ) =>
+        (term, id) -> (occ.length.toLong, occ.map(_._3).min.toLong) }
+    val df = postings.keys.groupBy(_._1).map { case (t, ks) =>
+      t -> ks.size.toLong }
+    val got = TextOps.invertedIndex(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("df"), r.getAs[Long]("tf"),
+          r.getAs[Long]("first_pos"))).toMap
+    assert(got.keySet == postings.keySet)
+    for ((k, (tf, fp)) <- postings)
+      assert(got(k) == (df(k._1), tf, fp), s"posting $k")
+  }
+
+  test("q88 yield funnel is monotone and consistent with its stages") {
+    val rows = PipelineOps.pipelineYield(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    var totTrain = 0L
+    for (r <- rows) {
+      val (nd, nq, nt, nf, nc) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_quality"), r.getAs[Long]("n_train"),
+        r.getAs[Long]("n_flagged"), r.getAs[Long]("n_final"))
+      assert(nd >= nq && nq >= nt && nt >= nf && nc == nt - nf,
+        s"source ${r.getAs[String]("source")}")
+      totTrain += nt
+    }
+    assert(totTrain ==
+      PipelineOps.trainingCorpus(spark, sf0001).count())
+  }
 }
