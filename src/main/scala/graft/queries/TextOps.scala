@@ -397,7 +397,10 @@ object TextOps {
       .select($"term", $"doc_id", $"df", $"tf", $"first_pos")
   }
 
-  private val invertedIndexSql =
+  /** The q87 posting-table derivation as a WITH-body, shared by the
+    * q87 dump and the q89 retrieval oracle (same reuse idiom as
+    * DedupOps.survivorCtes). */
+  private val invertedIndexCtes =
     """WITH s AS (
       |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
       |t AS (
@@ -409,9 +412,51 @@ object TextOps {
       |  SELECT u.term AS term, doc_id, COUNT(*) AS tf,
       |    CAST(min(u.pos) AS BIGINT) AS first_pos
       |  FROM t WHERE u.term <> '' GROUP BY 1, 2),
-      |d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1)
-      |SELECT p.term, p.doc_id, d.df, p.tf, p.first_pos
+      |d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1)""".stripMargin
+
+  private val invertedIndexSql = invertedIndexCtes + "\n" +
+    """SELECT p.term, p.doc_id, d.df, p.tf, p.first_pos
       |FROM p JOIN d USING (term)""".stripMargin
+
+  /** q89 — ranked retrieval over the q87 posting table: the search
+    * query ("which documents best match these terms") that an inverted
+    * index exists to answer. Scoring is tf·idf with the integer-exact
+    * idf surrogate `10⁶ div df` — monotone in 1/df like BM25's idf but
+    * free of both logs (libm low bits can't cross the oracle) and the
+    * corpus-size constant N (a global count would plan the
+    * single-partition exchange the registry sweep forbids; dropping a
+    * constant factor cannot change ranking). Ties break on doc_id, so
+    * the top-20 set is deterministic and fully hash-checked.
+    *
+    * Scale shape: the term filter pushes below the posting aggregate
+    * into the token explode on BOTH the postings and the df branch, so
+    * only query-term postings shuffle; per-doc rollup is partial-
+    * aggregatable; top-k plans TakeOrderedAndProject (no global sort,
+    * no single-partition window) like q30. At 100 TB a deployment
+    * searches the materialized posting table — same plan minus the
+    * build. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val queryTerms = Seq("spark", "window", "merge")
+    invertedIndex(spark, dir)
+      .filter($"term".isin(queryTerms: _*))
+      .groupBy($"doc_id")
+      .agg(sum($"tf" * expr("1000000 div df")).cast("long").as("score"),
+        count(lit(1)).as("n_hit_terms"))
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(20)
+  }
+
+  private val bm25TopKSql = invertedIndexCtes + ",\n" +
+    """idx AS (
+      |  SELECT p.term, p.doc_id, d.df, p.tf FROM p JOIN d USING (term))
+      |SELECT doc_id,
+      |  CAST(SUM(tf * (1000000 // df)) AS BIGINT) AS score,
+      |  COUNT(*) AS n_hit_terms
+      |FROM idx WHERE term IN ('spark', 'window', 'merge')
+      |GROUP BY doc_id
+      |ORDER BY score DESC, doc_id ASC
+      |LIMIT 20""".stripMargin
 
   def queries: Seq[Q] = Seq(
     Q("q20_token_stats", tokenStats, Some(tokenStatsSql),
@@ -436,5 +481,8 @@ object TextOps {
       "unigram-LM corpus-likelihood quality score, integer-exact"),
     Q("q87_inverted_index", invertedIndex, Some(invertedIndexSql),
       "inverted-index posting table (term, doc, df, tf, first_pos) — " +
-        "BM25 sufficient statistics, one narrow row per posting"))
+        "BM25 sufficient statistics, one narrow row per posting"),
+    Q("q89_bm25_topk", bm25TopK, Some(bm25TopKSql),
+      "ranked retrieval over the posting table: tf x integer-exact idf " +
+        "surrogate, deterministic top-20 via TakeOrderedAndProject"))
 }

@@ -44,11 +44,17 @@ class PlanAndEntrySpec extends SparkSuite {
     // post-limit rank window rides its SinglePartition output, so no
     // single-partition Exchange may appear anywhere in the plan.
     for (df <- Seq(graft.queries.VectorOps.knnTopK(spark, sf0001),
-        graft.queries.VectorOps.ivfKnn(spark, sf0001))) {
+        graft.queries.VectorOps.ivfKnn(spark, sf0001),
+        graft.queries.TextOps.bm25TopK(spark, sf0001))) {
       val p = planOf(df)
       assert(p.contains("TakeOrderedAndProject"), p)
       assert(!p.contains("Exchange SinglePartition"), p)
     }
+    // q89 additionally promises the query-term filter reaches BOTH
+    // token explodes (postings and df branches) — only query-term
+    // postings ever shuffle
+    val p89 = planOf(graft.queries.TextOps.bm25TopK(spark, sf0001))
+    assert(p89.split("IN \\(spark,window,merge\\)").length - 1 >= 2, p89)
   }
 
   test("q44 filters refutable pairs BELOW the pair-dedup aggregate") {

@@ -331,6 +331,26 @@ class PipelineOpsSpec extends SparkSuite {
       assert(got(k) == (df(k._1), tf, fp), s"posting $k")
   }
 
+  test("q89 retrieval matches a driver-side tf-idf recompute") {
+    import spark.implicits._
+    val q = Seq("spark", "window", "merge")
+    val docs = graft.sources.Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val tf = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).filter(q.contains(_)).map(term => (term, id)) }
+      .groupBy(identity).map { case (k, o) => k -> o.length.toLong }
+    val df = tf.keys.groupBy(_._1).map { case (t, ks) => t -> ks.size.toLong }
+    val scores = tf.keys.groupBy(_._2).map { case (id, ks) =>
+      (id, ks.map(k => tf(k) * (1000000L / df(k._1))).sum, ks.size.toLong) }
+    val expect = scores.toSeq
+      .sortBy { case (id, s, _) => (-s, id) }.take(20)
+    val got = TextOps.bm25TopK(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"),
+        r.getAs[Long]("n_hit_terms"))).toSeq
+    assert(got == expect)
+  }
+
   test("q88 yield funnel is monotone and consistent with its stages") {
     val rows = PipelineOps.pipelineYield(spark, sf0001).collect()
     assert(rows.nonEmpty)
