@@ -324,6 +324,23 @@ object PipelineOps {
         ipPat, "<IP>"),
       phonePat, "<PHONE>")
 
+  /** The q86 detect+redact projection over any frame bearing `doc_id`
+    * and a text column — shared verbatim by the batch privacy pass and
+    * the streaming ingest twin
+    * ([[graft.streaming.StreamingQueries.redactStream]]) so the two
+    * paths cannot drift (the [[qualityGate]] idiom). Stateless and
+    * map-side: counts are computed on the raw text, then the redaction
+    * chain rewrites it. */
+  private[graft] def piiProjection(df: DataFrame, text: Column): DataFrame =
+    df.select(col("doc_id"),
+      size(regexp_extract_all(text, lit(emailPat), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(text, lit(phonePat), lit(0)))
+        .cast("long").as("n_phones"),
+      size(regexp_extract_all(text, lit(ipPat), lit(0)))
+        .cast("long").as("n_ips"),
+      piiRedact(text).as("redacted"))
+
   /** q86 — PII detection + redaction, the privacy pass (C4/CCNet-style
     * scrubbing) every released training corpus runs. The synthetic
     * corpus carries no PII-shaped tokens (q47's email branch is
@@ -354,16 +371,10 @@ object PipelineOps {
           lit("."), ($"c_custkey" * 7 % 256).cast("string")))
         .otherwise(lit(" via vpn")),
       lit(" segment "), lower($"c_mktsegment"))
-    Tables(spark, dir, "customer")
-      .select($"c_custkey".as("doc_id"), profile.as("profile"))
-      .select($"doc_id",
-        size(regexp_extract_all($"profile", lit(emailPat), lit(0)))
-          .cast("long").as("n_emails"),
-        size(regexp_extract_all($"profile", lit(phonePat), lit(0)))
-          .cast("long").as("n_phones"),
-        size(regexp_extract_all($"profile", lit(ipPat), lit(0)))
-          .cast("long").as("n_ips"),
-        piiRedact($"profile").as("redacted"))
+    piiProjection(
+      Tables(spark, dir, "customer")
+        .select($"c_custkey".as("doc_id"), profile.as("profile")),
+      $"profile")
   }
 
   private val piiScrubSql =
@@ -569,6 +580,46 @@ object PipelineOps {
       |LEFT JOIN tr ON tr.doc_id = d.doc_id
       |LEFT JOIN fl ON fl.doc_id = d.doc_id
       |GROUP BY d.source""".stripMargin
+
+  /** q90 — the token-budget report: per language over the DEDUPED
+    * corpus (q59's survivors), how many documents, whitespace tokens,
+    * context-window sequences (q48's 16-token segments), and padding
+    * tokens the packed corpus carries. "How many training tokens do we
+    * actually have, and how much context window does packing waste" is
+    * the number a training run is planned around — epochs, mixture
+    * weights (q65's budget parameter), and compute all derive from it.
+    * Padding is exact: a doc of n tokens packs into ceil(n/16)
+    * segments, wasting ceil(n/16)·16 − n slots (the greedy
+    * one-doc-per-sequence-tail policy q48 implements; a bin-packing
+    * variant would reduce it — this report is what tells you whether
+    * that's worth building).
+    *
+    * Scale shape: rides the memoized cluster labels; one documents
+    * scan, stateless per-row arithmetic, one partial-aggregatable
+    * rollup on the ~5-key lang domain. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val surv = DedupOps.dedupCorpus(spark, dir).select($"doc_id")
+    Tables(spark, dir, "documents").join(surv, "doc_id")
+      .select($"lang", size(split($"text", " ")).cast("long").as("n"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n").as("n_tokens"),
+        sum(expr("(n + 15) div 16")).as("n_sequences"))
+      .select($"lang", $"n_docs", $"n_tokens", $"n_sequences",
+        ($"n_sequences" * 16 - $"n_tokens").as("n_padding"))
+  }
+
+  private val tokenBudgetSql = DedupOps.survivorCtes + "\n" +
+    """SELECT d.lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(SUM((len(string_split(d.text, ' ')) + 15) // 16) AS BIGINT)
+      |    AS n_sequences,
+      |  CAST(SUM((len(string_split(d.text, ' ')) + 15) // 16) * 16
+      |    - SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_padding
+      |FROM documents d JOIN surv s ON s.doc_id = d.doc_id
+      |GROUP BY d.lang""".stripMargin
 
   /** Cross-source contamination report: how many verified near-dup
     * pairs (exact shingle J ≥ 0.5, the [[DedupOps.minhashLsh]] output)
@@ -843,5 +894,8 @@ object PipelineOps {
         "(GPT-3 appendix-C style)"),
     Q("q88_pipeline_yield", pipelineYield, Some(pipelineYieldSql),
       "per-source pipeline yield funnel: raw -> quality -> dedup " +
-        "survivors -> decon-clean, composed from the shipped stages"))
+        "survivors -> decon-clean, composed from the shipped stages"),
+    Q("q90_token_budget", tokenBudget, Some(tokenBudgetSql),
+      "per-language token/sequence/padding accounting over the deduped " +
+        "corpus — the number a training run is planned around"))
 }

@@ -210,6 +210,20 @@ object StreamingQueries {
       .dropDuplicatesWithinWatermark("fingerprint")
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
 
+  /** Ingest-time PII redaction — the streaming twin of q86's privacy
+    * pass: the SAME [[graft.queries.PipelineOps.piiProjection]] lift
+    * (detection counts + sentinel redaction) applied map-side to
+    * arriving documents, the shape a privacy gate runs BEFORE anything
+    * persists raw text. Stateless — no watermark, no state store — so
+    * on a continuous 100 TB ingest it adds only per-row regex cost.
+    * NULL-text docs are dropped (scoreStream's contract: batch q86
+    * synthesizes its corpus so never sees NULL; a stream must decide).
+    * Emits (doc_id, n_emails, n_phones, n_ips, redacted), q86's
+    * schema. */
+  def redactStream(docs: DataFrame): DataFrame =
+    graft.queries.PipelineOps.piiProjection(
+      docs.filter(col("text").isNotNull), col("text"))
+
   /** Ingest-time quality scoring — the streaming twin of q72's
     * linear-classifier inference: the SAME md5-derived weight vector
     * applied as a stateless per-row token fold

@@ -331,6 +331,20 @@ class PipelineOpsSpec extends SparkSuite {
       assert(got(k) == (df(k._1), tf, fp), s"posting $k")
   }
 
+  test("q90 token budget agrees with q48 packing over survivors") {
+    import spark.implicits._
+    val surv = DedupOps.dedupCorpus(spark, sf0001).select($"doc_id")
+    val segs = PipelineOps.tokenPack(spark, sf0001).join(surv, "doc_id")
+    val expSeqs = segs.count()
+    val expTok = segs.agg(sum($"seg_tokens")).collect()(0).getLong(0)
+    val got = PipelineOps.tokenBudget(spark, sf0001).collect()
+    assert(got.map(_.getAs[Long]("n_sequences")).sum == expSeqs)
+    assert(got.map(_.getAs[Long]("n_tokens")).sum == expTok)
+    for (r <- got)
+      assert(r.getAs[Long]("n_padding") ==
+        r.getAs[Long]("n_sequences") * 16 - r.getAs[Long]("n_tokens"))
+  }
+
   test("q89 retrieval matches a driver-side tf-idf recompute") {
     import spark.implicits._
     val q = Seq("spark", "window", "merge")

@@ -295,6 +295,33 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.size == feed.length)
   }
 
+  test("streaming PII redaction == batch projection on dirty docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val feed = Seq(
+      (1L, "mail alice.b+x@host.example.org or +1-555-0137 now"),
+      (2L, "from 192.168.0.1 nothing else"),
+      (3L, "clean text, no pii at all"),
+      (4L, "bob@x.io at 127.0.0.1 dials +44-201-4455"))
+    val batch = graft.queries.PipelineOps.piiProjection(
+        feed.toDF("doc_id", "text"), $"text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingQueries.redactStream(ms.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("redact_out").start()
+    ms.addData(feed: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("redact_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    q.stop()
+    assert(streamed == batch)
+    assert(streamed.size == feed.length)
+    assert(streamed.forall { case (_, _, _, _, red) => !red.contains("@") })
+  }
+
   test("streaming span flagger == batch window-join on re-ingested docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
