@@ -450,6 +450,87 @@ object PipelineOps {
       |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
       |FROM h""".stripMargin
 
+  /** q91 — contiguous token-stream packing, the GPT-style alternative
+    * to q48's one-doc-per-sequence-tail policy: within each q80
+    * training shard, documents are concatenated in shard order and the
+    * stream is cut every 16 tokens, so padding exists only at shard
+    * ends — the packing an LLM pretraining loader actually uses (q90
+    * is the report that says how much padding this saves). Emits each
+    * document's placement: its exclusive token offset in the shard
+    * stream and the first/last sequence it lands in (a doc spans
+    * sequences when it crosses a cut — the loader's attention-mask
+    * planning reads exactly this).
+    *
+    * Scale shape: rides q80's row-local shard hash; the only shuffle
+    * is the per-shard running-sum window, and nShards is the scale
+    * lever (thousands of shards = one output file's rows per window
+    * partition — q80's documented shape). Everything else is
+    * stateless integer arithmetic. */
+  def packedStream(spark: SparkSession, dir: String,
+      nShards: Int = 16): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"shard")
+      .orderBy($"shuffle_key".asc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    shardAssign(spark, dir, nShards)
+      .join(Tables(spark, dir, "documents")
+        .select($"doc_id", size(split($"text", " ")).cast("long").as("n")),
+        "doc_id")
+      .withColumn("start_off", sum($"n").over(w) - $"n")
+      .select($"doc_id", $"shard", $"pos",
+        $"n".as("n_tokens"), $"start_off",
+        expr("start_off div 16").as("start_seq"),
+        expr("(start_off + n - 1) div 16").as("end_seq"))
+  }
+
+  private val packedStreamSql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(concat('shard:',
+      |      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS shuffle_key,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |a AS (
+      |  SELECT doc_id, shuffle_key, shuffle_key % 16 AS shard, n,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_key % 16
+      |      ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos,
+      |    CAST(SUM(n) OVER (PARTITION BY shuffle_key % 16
+      |      ORDER BY shuffle_key, doc_id
+      |      ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS start_off
+      |  FROM h)
+      |SELECT doc_id, shard, pos, n AS n_tokens, start_off,
+      |  start_off // 16 AS start_seq,
+      |  (start_off + n - 1) // 16 AS end_seq
+      |FROM a""".stripMargin
+
+  /** q92 — leakage-safe train/validation split: the held-out side is
+    * chosen per DUP-CLUSTER (q45's labels), not per document, so two
+    * near-duplicate documents can never straddle the split — the
+    * classic eval-leakage hole that per-doc random splits leave open
+    * (one copy trains, its near-copy validates, the metric lies).
+    * Membership is the engine-portable md5 device on the salted
+    * cluster id: deterministic, reproducible, ~10% held out, and
+    * whole-cluster by construction.
+    *
+    * Scale shape: rides the memoized cluster labels; the split hash is
+    * row-local, no new shuffle at all. */
+  def leakSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    DedupOps.clusterLabels(spark, dir)
+      .withColumn("u",
+        md5PrefixLong(concat(lit("split:"), $"cluster_id".cast("string")), 4)
+          % 100)
+      .select($"doc_id", $"cluster_id",
+        when($"u" < 10, "valid").otherwise("train").as("split"))
+  }
+
+  private val leakSafeSplitSql = DedupOps.survivorCtes + "\n" +
+    """SELECT doc_id, cluster_id,
+      |  CASE WHEN CAST(concat('0x', substr(md5(concat('split:',
+      |      CAST(cluster_id AS VARCHAR))), 1, 4)) AS BIGINT) % 100 < 10
+      |    THEN 'valid' ELSE 'train' END AS split
+      |FROM cl""".stripMargin
+
   /** q81 — benchmark decontamination report, the GPT-3-appendix-C /
     * Llama-style n-gram overlap check: hold out a deterministic
     * benchmark slice (md5 bucket on a salted id — in production, the
@@ -897,5 +978,12 @@ object PipelineOps {
         "survivors -> decon-clean, composed from the shipped stages"),
     Q("q90_token_budget", tokenBudget, Some(tokenBudgetSql),
       "per-language token/sequence/padding accounting over the deduped " +
-        "corpus — the number a training run is planned around"))
+        "corpus — the number a training run is planned around"),
+    Q("q91_packed_stream", packedStream(_, _), Some(packedStreamSql),
+      "GPT-style contiguous token-stream packing within training " +
+        "shards: per-doc offset + sequence span, padding only at " +
+        "shard ends"),
+    Q("q92_leak_safe_split", leakSafeSplit, Some(leakSafeSplitSql),
+      "leakage-safe train/valid split: whole dup-clusters assigned to " +
+        "one side, deterministic md5 membership"))
 }

@@ -365,6 +365,42 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got == expect)
   }
 
+  test("q91 packed stream is contiguous per shard with exact offsets") {
+    val rows = PipelineOps.packedStream(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pos"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("start_off"),
+        r.getAs[Long]("start_seq"), r.getAs[Long]("end_seq")))
+    assert(rows.nonEmpty)
+    for ((_, g) <- rows.groupBy(_._1)) {
+      val ordered = g.sortBy(_._2)
+      var off = 0L
+      for ((_, _, n, so, ss, es) <- ordered) {
+        assert(so == off, s"offset gap at pos with start_off=$so")
+        assert(ss == so / 16 && es == (so + n - 1) / 16)
+        off += n
+      }
+    }
+    // padding only at shard ends: total slots - tokens < 16 per shard
+    for ((_, g) <- rows.groupBy(_._1)) {
+      val tok = g.map(_._3).sum
+      val seqs = g.map(_._6).max + 1
+      assert(seqs * 16 - tok < 16)
+    }
+  }
+
+  test("q92 split never separates a dup cluster and holds out ~10%") {
+    val rows = PipelineOps.leakSafeSplit(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[String]("split")))
+    val nDocs = graft.sources.Tables(spark, sf0001, "documents").count()
+    assert(rows.length.toLong == nDocs)
+    // whole-cluster assignment: one split value per cluster
+    for ((cid, g) <- rows.groupBy(_._2))
+      assert(g.map(_._3).distinct.length == 1, s"cluster $cid straddles")
+    val validFrac = rows.count(_._3 == "valid").toDouble / rows.length
+    assert(validFrac > 0.03 && validFrac < 0.25, s"validFrac=$validFrac")
+  }
+
   test("q88 yield funnel is monotone and consistent with its stages") {
     val rows = PipelineOps.pipelineYield(spark, sf0001).collect()
     assert(rows.nonEmpty)
