@@ -702,6 +702,88 @@ object PipelineOps {
       |FROM documents d JOIN surv s ON s.doc_id = d.doc_id
       |GROUP BY d.lang""".stripMargin
 
+  /** q93 — per-document lineage/disposition record: for EVERY corpus
+    * document, the flags that explain its fate through the pipeline —
+    * near-dup cluster id and whether the cluster is non-trivial,
+    * whether dedup kept this copy (q59's policy), whether it passes
+    * the quality gates, whether decontamination flagged it, and the
+    * final admitted bit (= q64 ∩ decon-clean; per-source sums equal
+    * q88's n_final by construction, asserted in the spec). This is the
+    * explainability artifact behind every "why was my document
+    * dropped" question and the provenance record an audited training
+    * run has to ship.
+    *
+    * Scale shape: doc_id-keyed left joins onto row-local flags; the
+    * heavy inputs (labels, decon grams) are the memoized/broadcast
+    * artifacts the component queries already pay for; the cluster-size
+    * rollup is one partial-aggregatable shuffle on cluster_id. */
+  def docLineage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val labels = DedupOps.clusterLabels(spark, dir)
+    val sizes = labels.groupBy($"cluster_id").agg(count(lit(1)).as("csize"))
+    val surv = DedupOps.dedupCorpus(spark, dir)
+      .select($"doc_id", lit(1L).as("s"))
+    val qual = qualityGate(docs).select($"doc_id", lit(1L).as("q"))
+    val flagged = benchmarkDecon(spark, dir)
+      .select($"doc_id", lit(1L).as("f"))
+    docs.select($"doc_id", $"source", $"lang")
+      .join(labels, "doc_id")
+      .join(sizes, "cluster_id")
+      .join(surv, Seq("doc_id"), "left")
+      .join(qual, Seq("doc_id"), "left")
+      .join(flagged, Seq("doc_id"), "left")
+      .select($"doc_id", $"source", $"lang", $"cluster_id",
+        ($"csize" > 1).cast("long").as("is_near_dup"),
+        coalesce($"s", lit(0L)).as("is_survivor"),
+        coalesce($"q", lit(0L)).as("passes_quality"),
+        coalesce($"f", lit(0L)).as("decon_flagged"),
+        (coalesce($"s", lit(0L)) * coalesce($"q", lit(0L)) *
+          (lit(1L) - coalesce($"f", lit(0L)))).as("admitted"))
+  }
+
+  private val docLineageSql = DedupOps.survivorCtes + ",\n" +
+    """cs AS (SELECT cluster_id, COUNT(*) AS csize FROM cl GROUP BY 1),
+      |qq AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, lang, string_split(text, ' ') AS tok
+      |    FROM documents) t
+      |  WHERE lang = 'en' AND len(tok) BETWEEN 5 AND 10000
+      |    AND len(list_filter(tok,
+      |      x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) * 20
+      |        >= len(tok)),
+      |tok8 AS (
+      |  SELECT doc_id,
+      |    substr(md5(concat('bench:', CAST(doc_id AS VARCHAR))), 1, 1) = '0'
+      |      AS bench,
+      |    string_split(text, ' ') AS tok
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |w8 AS (
+      |  SELECT doc_id, bench, unnest(list_transform(range(1, len(tok) - 6),
+      |    i -> array_to_string(tok[i:i+7], ' '))) AS gram
+      |  FROM tok8),
+      |bg8 AS (SELECT DISTINCT gram FROM w8 WHERE bench),
+      |fl AS (SELECT DISTINCT w8.doc_id FROM w8 JOIN bg8 USING (gram)
+      |       WHERE NOT w8.bench)
+      |SELECT d.doc_id, d.source, d.lang, cl.cluster_id,
+      |  CAST(CASE WHEN cs.csize > 1 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_near_dup,
+      |  CAST(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_survivor,
+      |  CAST(CASE WHEN qq.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS passes_quality,
+      |  CAST(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS decon_flagged,
+      |  CAST(CASE WHEN s.doc_id IS NOT NULL AND qq.doc_id IS NOT NULL
+      |    AND f.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS admitted
+      |FROM documents d
+      |JOIN cl ON cl.doc_id = d.doc_id
+      |JOIN cs ON cs.cluster_id = cl.cluster_id
+      |LEFT JOIN surv s ON s.doc_id = d.doc_id
+      |LEFT JOIN qq ON qq.doc_id = d.doc_id
+      |LEFT JOIN fl f ON f.doc_id = d.doc_id""".stripMargin
+
   /** Cross-source contamination report: how many verified near-dup
     * pairs (exact shingle J ≥ 0.5, the [[DedupOps.minhashLsh]] output)
     * connect each unordered source pair — the decontamination check a
@@ -985,5 +1067,9 @@ object PipelineOps {
         "shard ends"),
     Q("q92_leak_safe_split", leakSafeSplit, Some(leakSafeSplitSql),
       "leakage-safe train/valid split: whole dup-clusters assigned to " +
-        "one side, deterministic md5 membership"))
+        "one side, deterministic md5 membership"),
+    Q("q93_doc_lineage", docLineage, Some(docLineageSql),
+      "per-document provenance record: near-dup/survivor/quality/" +
+        "decon flags + the admitted bit — the pipeline's " +
+        "explainability artifact"))
 }

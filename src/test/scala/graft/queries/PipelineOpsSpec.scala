@@ -401,6 +401,25 @@ class PipelineOpsSpec extends SparkSuite {
     assert(validFrac > 0.03 && validFrac < 0.25, s"validFrac=$validFrac")
   }
 
+  test("q93 lineage covers every doc and its sums reconcile with q88") {
+    val rows = PipelineOps.docLineage(spark, sf0001).collect()
+    val nDocs = graft.sources.Tables(spark, sf0001, "documents").count()
+    assert(rows.length.toLong == nDocs)
+    for (r <- rows) {
+      val (s, q, f, a) = (r.getAs[Long]("is_survivor"),
+        r.getAs[Long]("passes_quality"), r.getAs[Long]("decon_flagged"),
+        r.getAs[Long]("admitted"))
+      assert(Seq(s, q, f, a).forall(b => b == 0L || b == 1L))
+      assert(a == s * q * (1 - f))
+    }
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+      .map { case (src, g) => src -> g.map(_.getAs[Long]("admitted")).sum }
+    val funnel = PipelineOps.pipelineYield(spark, sf0001).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_final")).toMap
+    for ((src, n) <- funnel)
+      assert(bySource.getOrElse(src, 0L) == n, s"source $src")
+  }
+
   test("q88 yield funnel is monotone and consistent with its stages") {
     val rows = PipelineOps.pipelineYield(spark, sf0001).collect()
     assert(rows.nonEmpty)
