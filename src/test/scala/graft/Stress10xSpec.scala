@@ -65,6 +65,14 @@ object Stress10xSpec {
       "label propagation needed >3 rounds at 10x — not the quasi-clique regime")
     println(f"[stress10x] total ${times.map(_._2).sum}%.2f s")
 
+    // round-5 families at 10x: sub-document spans, posting
+    // table + retrieval, contiguous packing — all linear-pass/keyed
+    // shapes whose worst enemy would be a plan flip, which the audit
+    // asserts against. (q74 is the heavyweight: 500k docs of window
+    // explode + coverage anti-join + rebuild.)
+    Seq("q74_span_scrub", "q87_inverted_index", "q89_bm25_topk",
+      "q91_packed_stream").foreach(runAndAudit)
+
     // ANN stack at 10x: 20k vectors (10-way self-union), q66 pays the
     // one-off index build, q68 searches the memoized codes — the
     // build-once/search-many split the timings should show
