@@ -303,9 +303,15 @@ object PipelineOps {
 
   /** q86 PII patterns — like [[cleanExpr]], each stays in the regex
     * subset Java and RE2 interpret identically (no backrefs, no
-    * lookaround), so detection counts and the redacted string are
-    * bit-identical engine-side and oracle-side. */
-  private[graft] val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    * lookaround; the `(?i)` inline flag is common to both), so
+    * detection counts and the redacted string are bit-identical
+    * engine-side and oracle-side. The email pattern is
+    * case-insensitive because — unlike [[cleanExpr]], which lowercases
+    * before stripping — redaction must preserve the surrounding text's
+    * case, so it cannot normalize first: without `(?i)`,
+    * `Bob@Example.COM` would sail through a privacy pass. */
+  private[graft] val emailPat =
+    "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private[graft] val phonePat = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
   private[graft] val ipPat =
     "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
@@ -399,14 +405,15 @@ object PipelineOps {
       |  FROM c)
       |SELECT doc_id,
       |  CAST(len(regexp_extract_all(profile,
-      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      |    '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT)
+      |    AS n_emails,
       |  CAST(len(regexp_extract_all(profile,
       |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
       |  CAST(len(regexp_extract_all(profile,
       |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT)
       |    AS n_ips,
       |  regexp_replace(regexp_replace(regexp_replace(profile,
-      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |    '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
       |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
       |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
       |FROM p""".stripMargin

@@ -276,7 +276,8 @@ class PipelineOpsSpec extends SparkSuite {
       "call +1-555-0137 or +358-555-9999",
       "from 192.168.0.1 and 10.0.255.3",
       "bob@x.io at 127.0.0.1 dials +44-201-4455",
-      "no pii here: version 1.2.3, a@b (bad), +12-34-56").toDF("text")
+      "no pii here: version 1.2.3, a@b (bad), +12-34-56",
+      "mixed Case: Bob.Smith@Example.COM stays redacted").toDF("text")
     val got = in.select(PipelineOps.piiRedact($"text").as("r"))
       .collect().map(_.getString(0)).toSeq
     assert(got(0) == "mail <EMAIL> now")
@@ -286,6 +287,9 @@ class PipelineOpsSpec extends SparkSuite {
     // 'version 1.2.3' has only 3 dotted groups, 'a@b' has no TLD, and
     // '+12-34-56' has the wrong digit-group widths — all left alone
     assert(got(4) == "no pii here: version 1.2.3, a@b (bad), +12-34-56")
+    // redaction cannot lowercase-then-match (it must preserve case),
+    // so the email pattern itself is (?i) — surrounding case survives
+    assert(got(5) == "mixed Case: <EMAIL> stays redacted")
   }
 
   test("q86 profiles exercise 0/1/2-match branches and redact fully") {
