@@ -210,6 +210,34 @@ object StreamingQueries {
       .dropDuplicatesWithinWatermark("fingerprint")
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
 
+  /** Ingest-time posting maintenance — the streaming twin of q87's
+    * inverted-index build. Per-(term, doc) statistics (tf, first_pos)
+    * depend on ONE document, so the stream computes them map-side with
+    * higher-order functions — no shuffle, no state store, no
+    * watermark: each arriving document appends its posting rows to the
+    * index, exactly how segment-based IR systems ingest. df is
+    * deliberately absent: it is a corpus-global statistic, maintained
+    * as a batch rollup over the posting table (q87's vocab-sized
+    * aggregate) — merging segment-local stats into global df is the
+    * standard split. The per-doc HOF recount is O(distinct·n) per
+    * document versus the batch explode's O(n); acceptable off the
+    * batch path, where the partial-aggregatable explode form stays.
+    * Emits (term, doc_id, tf, first_pos), q87's schema minus df
+    * (stream==batch asserted in StreamingSpec). */
+  def postingStream(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), expr(
+        """explode(transform(
+          |  array_distinct(filter(split(text, ' '), t -> t != '')),
+          |  term -> struct(
+          |    term AS term,
+          |    CAST(size(filter(split(text, ' '), t -> t = term)) AS BIGINT)
+          |      AS tf,
+          |    CAST(array_position(split(text, ' '), term) - 1 AS BIGINT)
+          |      AS first_pos)))""".stripMargin).as("p"))
+      .select(col("p.term").as("term"), col("doc_id"),
+        col("p.tf").as("tf"), col("p.first_pos").as("first_pos"))
+
   /** Ingest-time PII redaction — the streaming twin of q86's privacy
     * pass: the SAME [[graft.queries.PipelineOps.piiProjection]] lift
     * (detection counts + sentinel redaction) applied map-side to

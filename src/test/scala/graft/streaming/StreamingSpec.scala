@@ -295,6 +295,29 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.size == feed.length)
   }
 
+  test("streaming posting maintenance == batch q87 minus df") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf0001 = "/root/testdata/sf0.001"
+    val batch = graft.queries.TextOps.invertedIndex(spark, sf0001)
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("tf"), r.getAs[Long]("first_pos"))).toSet
+    val feed = graft.sources.Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingQueries.postingStream(ms.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("posting_out").start()
+    ms.addData(feed: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("posting_out").collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("tf"), r.getAs[Long]("first_pos"))).toSet
+    q.stop()
+    assert(streamed == batch)
+  }
+
   test("streaming PII redaction == batch projection on dirty docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
