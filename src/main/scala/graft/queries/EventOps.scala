@@ -364,6 +364,61 @@ object EventOps {
       |  MIN(value) AS min_v, MAX(value) AS max_v
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** q94 — ordered funnel analysis (view → click → purchase): per
+    * user, the earliest view, the earliest click strictly AFTER that
+    * view, and the earliest purchase strictly after that click, plus
+    * the funnel depth reached — the product-analytics staple that is
+    * genuinely SEQUENCE-dependent (q18's pivot counts types; this
+    * requires order). Times compare on floor-to-second epochs
+    * ([[epochS]] — the file's cross-engine timestamp discipline), so
+    * the stage rule is identical in Spark and DuckDB and every output
+    * column is hash-checked.
+    *
+    * Scale shape: three stage aggregates, each a partial-aggregatable
+    * min keyed by user_id, chained by user_id equi-joins — no windows,
+    * no per-user event collection, so a power user with millions of
+    * events costs map-side combines, not a straggler sort. Stages
+    * beyond three repeat the same join+min step. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+      .select($"user_id", $"event_type", epochS($"ts").as("t"))
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"t").as("t_view"))
+    val c = ev.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"t" > $"t_view")
+      .groupBy($"user_id").agg(min($"t").as("t_click"))
+    val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"t" > $"t_click")
+      .groupBy($"user_id").agg(min($"t").as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select($"user_id", $"t_view", $"t_click", $"t_purchase",
+        (lit(1L) + $"t_click".isNotNull.cast("long")
+          + $"t_purchase".isNotNull.cast("long")).as("depth"))
+  }
+
+  private val funnelSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t
+      |  FROM events),
+      |v AS (SELECT user_id, MIN(t) AS t_view FROM e
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(e.t) AS t_click
+      |      FROM e JOIN v ON v.user_id = e.user_id
+      |      WHERE e.event_type = 'click' AND e.t > v.t_view GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(e.t) AS t_purchase
+      |      FROM e JOIN c ON c.user_id = e.user_id
+      |      WHERE e.event_type = 'purchase' AND e.t > c.t_click
+      |      GROUP BY 1)
+      |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+      |  CAST(1 + CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END
+      |         + CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END
+      |    AS BIGINT) AS depth
+      |FROM v
+      |LEFT JOIN c ON c.user_id = v.user_id
+      |LEFT JOIN p ON p.user_id = v.user_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q10_hourly_event_counts", hourlyCounts, Some(hourlyCountsSql),
       "hour-of-day histogram (ref Q2 affluence shape)"),
@@ -391,5 +446,8 @@ object EventOps {
     Q("q53_session_window", sessionWindowNative, Some(sessionWindowNativeSql),
       "native session_window == manual sessionizer under >= gap rule"),
     Q("q36_event_lead", eventLead, Some(eventLeadSql),
-      "lead() forward gap (completes lag/lead pair)"))
+      "lead() forward gap (completes lag/lead pair)"),
+    Q("q94_funnel", funnel, Some(funnelSql),
+      "ordered view->click->purchase funnel: chained keyed min-joins, " +
+        "sequence-dependent, second-floored epochs both engines"))
 }

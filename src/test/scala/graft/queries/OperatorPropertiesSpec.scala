@@ -102,6 +102,33 @@ class OperatorPropertiesSpec extends SparkSuite {
       5L -> ("", 0L)))
   }
 
+  test("funnel matches a driver-side sequential scan per user") {
+    import spark.implicits._
+    val ev = graft.sources.Tables(spark, sf0001, "events")
+      .select($"user_id", $"event_type",
+        unix_timestamp($"ts".cast("timestamp")).cast("long").as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def stage(tp: String, after: Map[Long, Long]): Map[Long, Long] =
+      ev.filter(e => e._2 == tp && after.contains(e._1) &&
+          e._3 > after(e._1))
+        .groupBy(_._1).map { case (u, es) => u -> es.map(_._3).min }
+    val views = ev.filter(_._2 == "view").groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._3).min }
+    val clicks = stage("click", views)
+    val purchases = stage("purchase", clicks)
+    val got = graft.queries.EventOps.funnel(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getAs[Long]("depth"))).toMap
+    assert(got.keySet == views.keySet)
+    for ((u, tv) <- views) {
+      val expect = (tv, clicks.get(u), purchases.get(u),
+        1L + clicks.get(u).size + purchases.get(u).size)
+      assert(got(u) == expect, s"user $u")
+    }
+  }
+
   test("as-of: theta-join strategy == windowed strategy") {
     val a = EventOps.asofThetaJoin(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
