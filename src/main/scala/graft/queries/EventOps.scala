@@ -419,6 +419,40 @@ object EventOps {
       |LEFT JOIN c ON c.user_id = v.user_id
       |LEFT JOIN p ON p.user_id = v.user_id""".stripMargin
 
+  /** q95 — cohort retention: users grouped by the epoch-week of their
+    * FIRST event (the cohort), counted per subsequent active week
+    * offset — the retention triangle every growth dashboard renders.
+    * Weeks are integer epoch-weeks (floor-second epoch div 604800):
+    * calendar-week functions differ subtly across engines (week start,
+    * ISO rules), integer division does not.
+    *
+    * Scale shape: one per-user min (partial-aggregatable), one
+    * (user, week) distinct, a user-keyed equi-join, and a rollup on
+    * the tiny (cohort, offset) domain — every shuffle keyed, nothing
+    * global, the same chain shape as q94. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weeks = Tables(spark, dir, "events")
+      .select($"user_id", epochS($"ts").as("t"))
+      .select($"user_id", expr("t div 604800").as("w"))
+    val first = weeks.groupBy($"user_id").agg(min($"w").as("cohort_week"))
+    weeks.distinct()
+      .join(first, "user_id")
+      .groupBy($"cohort_week", ($"w" - $"cohort_week").as("week_offset"))
+      .agg(count(lit(1)).as("n_active_users"))
+  }
+
+  private val cohortRetentionSql =
+    """WITH w AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w
+      |  FROM events),
+      |f AS (SELECT user_id, MIN(w) AS cohort_week FROM w GROUP BY 1)
+      |SELECT f.cohort_week, w.w - f.cohort_week AS week_offset,
+      |  CAST(COUNT(*) AS BIGINT) AS n_active_users
+      |FROM w JOIN f ON f.user_id = w.user_id
+      |GROUP BY 1, 2""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q10_hourly_event_counts", hourlyCounts, Some(hourlyCountsSql),
       "hour-of-day histogram (ref Q2 affluence shape)"),
@@ -449,5 +483,8 @@ object EventOps {
       "lead() forward gap (completes lag/lead pair)"),
     Q("q94_funnel", funnel, Some(funnelSql),
       "ordered view->click->purchase funnel: chained keyed min-joins, " +
-        "sequence-dependent, second-floored epochs both engines"))
+        "sequence-dependent, second-floored epochs both engines"),
+    Q("q95_cohort_retention", cohortRetention, Some(cohortRetentionSql),
+      "first-event-week cohorts x active-week offsets (retention " +
+        "triangle), integer epoch-weeks for engine portability"))
 }

@@ -129,6 +129,18 @@ class OperatorPropertiesSpec extends SparkSuite {
     }
   }
 
+  test("cohort retention: offset-0 counts every user exactly once") {
+    import spark.implicits._
+    val rows = graft.queries.EventOps.cohortRetention(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.forall(_._2 >= 0))
+    // a user is by definition active in their cohort week, so the
+    // offset-0 diagonal sums to the distinct-user count
+    val nUsers = graft.sources.Tables(spark, sf0001, "events")
+      .select($"user_id").distinct().count()
+    assert(rows.filter(_._2 == 0L).map(_._3).sum == nUsers)
+  }
+
   test("as-of: theta-join strategy == windowed strategy") {
     val a = EventOps.asofThetaJoin(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
