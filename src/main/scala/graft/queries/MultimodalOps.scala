@@ -56,6 +56,52 @@ object MultimodalOps {
       |  1 + octet_length(encode(text)) % 5 AS n_frames
       |FROM documents""".stripMargin
 
+  /** q96 — stub RESIZE (the north-star multimodal op set is decode /
+    * feature-extract / resize / frame-sample; this completes it):
+    * 4× byte-stride decimation of the payload stands in for pixel
+    * decimation — a real deployment swaps the stride loop for the
+    * image-library resample without touching the Spark shape. What is
+    * REAL here: binary-in/binary-out columnar processing (pure
+    * engine-side byte ops via the hex encoding — both engines compute
+    * hex() identically, so the resized payload's md5 is IN the hash
+    * check), the metadata recompute (new dims from the q50 stub-decode
+    * arithmetic), and the stateless one-scan shape that makes the op a
+    * safe first pass over 100 TB of media. No decoder handle needed —
+    * byte decimation is arithmetic, so this stays whole-stage codegen
+    * instead of paying q55's per-partition mapPartitions pattern. */
+  def resizeThumbs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // n >= 1 is assumed (corpus has no empty docs): at n = 0 the
+    // (n - 1) div 4 term diverges between engines (Spark div truncates
+    // toward zero, DuckDB // floors) — the guard the doc block states
+    Tables(spark, dir, "documents")
+      .withColumn("hexstr", hex(encode($"text", "utf-8")))
+      .withColumn("n", expr("CAST(length(hexstr) div 2 AS BIGINT)"))
+      .select($"doc_id",
+        $"n".as("orig_bytes"),
+        expr("(n - 1) div 4 + 1").as("thumb_bytes"),
+        expr("16 + n % 640").as("orig_width"),
+        expr("16 + ((n - 1) div 4 + 1) % 640").as("thumb_width"),
+        md5(expr("array_join(transform(sequence(0L, (n - 1) div 4), " +
+          "i -> substring(hexstr, CAST(i * 8 + 1 AS INT), 2)), '')"))
+          .as("thumb_md5"))
+  }
+
+  private val resizeThumbsSql =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+      |  CAST((octet_length(encode(text)) - 1) // 4 + 1 AS BIGINT)
+      |    AS thumb_bytes,
+      |  CAST(16 + octet_length(encode(text)) % 640 AS BIGINT)
+      |    AS orig_width,
+      |  CAST(16 + ((octet_length(encode(text)) - 1) // 4 + 1) % 640
+      |    AS BIGINT) AS thumb_width,
+      |  md5(array_to_string(list_transform(
+      |    range(0, (octet_length(encode(text)) - 1) // 4 + 1),
+      |    i -> substr(hex(encode(text)), CAST(i * 8 + 1 AS INT), 2)), ''))
+      |    AS thumb_md5
+      |FROM documents""".stripMargin
+
   /** Frame sampling: one output row per sampled frame with its byte
     * offset — the explode-shaped step a video pipeline runs before
     * per-frame feature extraction. Built on the same stub decode. */
@@ -201,5 +247,8 @@ object MultimodalOps {
       "in-decoder feature extraction: byte stats + thumbnail digest"),
     Q("q84_frame_features", frameFeatures, Some(frameFeaturesSql),
       "one-pass frame sample + per-frame featurize (digest, char stats) " +
-        "via flatMap in the decode partition map"))
+        "via flatMap in the decode partition map"),
+    Q("q96_resize_thumbs", resizeThumbs, Some(resizeThumbsSql),
+      "stub resize: 4x byte-stride decimation, binary-in/binary-out " +
+        "columnar shape, resized payload digest IN the hash check"))
 }
