@@ -449,6 +449,73 @@ object DedupOps {
     out
   }
 
+  /** q97 — integer-exact PageRank (fixed 3 rounds) over the verified
+    * near-dup graph: a document's rank measures how centrally it sits
+    * in the duplication structure, i.e. which documents are the
+    * boilerplate/template HUBS many others echo — the triage signal
+    * complementing q45's flat membership (a cluster tells you WHO is
+    * related; rank tells you which member is the source shape). All
+    * arithmetic is scaled-integer with truncating division
+    * (rank₀ = 10⁶; rank' = 0.15·10⁶ + 0.85·Σ rank(u) div deg(u),
+    * computed as `(85·Σ) div 100`), identical in Spark `div` and
+    * DuckDB `//` for the non-negative domain, so three rounds unroll
+    * into an exactly hash-checkable result — no floats, no libm, no
+    * convergence epsilon.
+    *
+    * Scale shape per round: one keyed join of ranks onto the
+    * (memoized, persisted) edge list, one partial-aggregatable sum on
+    * dst, one left join back to docs — \|V\|+\|E\| rows per round like
+    * q45. Unlike q45 there is no driver-side convergence read, so the
+    * whole computation stays ONE lazy plan: no checkpoint, no
+    * persisted intermediates, and a fixed round count keeps the DAG
+    * depth static (PageRank-to-convergence would add q45's
+    * localCheckpoint-per-round pattern verbatim). */
+  def dupPagerank(spark: SparkSession, dir: String,
+      rounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    val edges = verifiedPairs(spark, dir)
+      .select(explode(array(
+        struct($"a_id".as("u"), $"b_id".as("v")),
+        struct($"b_id".as("u"), $"a_id".as("v")))).as("e"))
+      .select($"e.u".as("u"), $"e.v".as("v"))
+    val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
+    val docs = Tables(spark, dir, "documents").select($"doc_id")
+    var rank = docs.select($"doc_id", lit(1000000L).as("rank"))
+    for (_ <- 1 to rounds) {
+      val contribs = edges
+        .join(deg, "u")
+        .join(rank.select($"doc_id".as("u"), $"rank"), "u")
+        .select($"v".as("doc_id"), expr("rank div deg").as("c"))
+        .groupBy($"doc_id").agg(sum($"c").as("sc"))
+      rank = docs.join(contribs, Seq("doc_id"), "left")
+        .select($"doc_id",
+          expr("CAST(150000 + (85 * coalesce(sc, 0)) div 100 AS BIGINT)")
+            .as("rank"))
+    }
+    rank
+  }
+
+  private def pagerankRoundSql(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT d.doc_id,
+       |    CAST(150000 + (85 * COALESCE(s.sc, 0)) // 100 AS BIGINT)
+       |      AS rank
+       |  FROM documents d LEFT JOIN (
+       |    SELECT e.v AS doc_id, SUM(r.rank // dg.deg) AS sc
+       |    FROM e JOIN dg ON dg.u = e.u JOIN $prev r ON r.doc_id = e.u
+       |    GROUP BY e.v) s ON s.doc_id = d.doc_id)""".stripMargin
+
+  // lazy: clusterCtes is declared later in this object, and a forward
+  // reference to a not-yet-initialized val would silently embed "null"
+  private lazy val dupPagerankSql = clusterCtes + ",\n" +
+    """dg AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY 1),
+      |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS rank
+      |       FROM documents),""".stripMargin + "\n" +
+    pagerankRoundSql("r0", "r1") + ",\n" +
+    pagerankRoundSql("r1", "r2") + ",\n" +
+    pagerankRoundSql("r2", "r3") + "\n" +
+    "SELECT doc_id, rank FROM r3"
+
   /** The recursive-CTE cluster computation, shared by the q45 and q59
     * oracles: transitive closure over the same exact J ≥ 0.5 pair set,
     * min reachable id per node. Ends with the `m` CTE; callers append
@@ -924,6 +991,9 @@ object DedupOps {
     Q("q77_span_stats", spanStats, Some(spanStatsSql),
       "per-doc duplication quality signal: window count + cross-doc " +
         "duplicated-window count, zeros preserved for every input doc"),
+    Q("q97_dup_pagerank", dupPagerank(_, _), Some(dupPagerankSql),
+      "integer-exact 3-round PageRank over the near-dup graph: which " +
+        "documents are the boilerplate hubs; one lazy plan, no floats"),
     Q("q78_cluster_sizes", clusterSizes, Some(clusterSizesSql),
       "dedup audit report: duplicate-cluster size distribution over " +
         "the memoized q45 labels (singletons included)"),

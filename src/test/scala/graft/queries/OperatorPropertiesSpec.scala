@@ -213,6 +213,28 @@ class OperatorPropertiesSpec extends SparkSuite {
     assert(spec.nonEmpty)
   }
 
+  test("dup pagerank == driver-side 3-round integer recompute") {
+    import spark.implicits._
+    val pairs = DedupOps.verifiedPairs(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).map { case (u, es) => u -> es.length.toLong }
+    val docs = graft.sources.Tables(spark, sf0001, "documents")
+      .select($"doc_id").collect().map(_.getLong(0))
+    var rank = docs.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val sc = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => rank(u) / deg(u) }.sum }
+      rank = docs.map(d =>
+        d -> (150000L + 85L * sc.getOrElse(d, 0L) / 100L)).toMap
+    }
+    val got = DedupOps.dupPagerank(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == rank)
+    // hubs exist: some doc in the pair graph outranks the isolated mass
+    assert(got.values.max > 150000L)
+  }
+
   test("dup clusters == driver-side union-find over the same pair graph") {
     val sf001 = "/root/testdata/sf0.01"
     val pairs = DedupOps.minhashLsh(spark, sf001).collect()
