@@ -449,6 +449,58 @@ object DedupOps {
     out
   }
 
+  /** q98 — per-document similar-neighbor list: each document's top-k
+    * verified near-duplicates ranked by exact Jaccard — the "related
+    * items" artifact a similarity system actually serves, and the
+    * per-doc view of the same pair table q42 mines (memoized;
+    * payer-before-rider). Ordering ties break on neighbor id, so the
+    * top-k SET is deterministic and fully hash-checked (the jaccard
+    * doubles are single IEEE divisions of small integers — identical
+    * in both engines, q42-proven). Scale shape: symmetrize the pair
+    * list (2\|E\| rows), one doc_id-keyed row_number window bounded by
+    * per-doc candidate count (LSH-bounded, not corpus-bounded). */
+  def similarNeighbors(spark: SparkSession, dir: String,
+      k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val sym = verifiedPairs(spark, dir)
+      .select(explode(array(
+        struct($"a_id".as("doc_id"), $"b_id".as("neighbor_id"), $"jaccard"),
+        struct($"b_id".as("doc_id"), $"a_id".as("neighbor_id"), $"jaccard")))
+        .as("e"))
+      .select($"e.doc_id".as("doc_id"), $"e.neighbor_id".as("neighbor_id"),
+        $"e.jaccard".as("jaccard"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"jaccard".desc, $"neighbor_id".asc)
+    sym.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+  }
+
+  private val similarNeighborsSql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(1, len(string_split(text, ' ')) - 1),
+      |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS s
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |pr AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+      |sym AS (
+      |  SELECT a_id AS doc_id, b_id AS neighbor_id, jaccard FROM pr
+      |  UNION ALL
+      |  SELECT b_id, a_id, jaccard FROM pr)
+      |SELECT doc_id, neighbor_id, jaccard, rk FROM (
+      |  SELECT doc_id, neighbor_id, jaccard,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY jaccard DESC, neighbor_id ASC) AS BIGINT) AS rk
+      |  FROM sym) t
+      |WHERE rk <= 3""".stripMargin
+
   /** q97 — integer-exact PageRank (fixed 3 rounds) over the verified
     * near-dup graph: a document's rank measures how centrally it sits
     * in the duplication structure, i.e. which documents are the
@@ -991,6 +1043,10 @@ object DedupOps {
     Q("q77_span_stats", spanStats, Some(spanStatsSql),
       "per-doc duplication quality signal: window count + cross-doc " +
         "duplicated-window count, zeros preserved for every input doc"),
+    Q("q98_similar_neighbors", similarNeighbors(_, _),
+      Some(similarNeighborsSql),
+      "per-doc top-3 verified near-duplicates by exact Jaccard — the " +
+        "related-items view of the memoized pair table"),
     Q("q97_dup_pagerank", dupPagerank(_, _), Some(dupPagerankSql),
       "integer-exact 3-round PageRank over the near-dup graph: which " +
         "documents are the boilerplate hubs; one lazy plan, no floats"),

@@ -213,6 +213,27 @@ class OperatorPropertiesSpec extends SparkSuite {
     assert(spec.nonEmpty)
   }
 
+  test("similar neighbors: contiguous ranks, non-increasing similarity") {
+    val rows = DedupOps.similarNeighbors(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("jaccard"), r.getAs[Long]("rk")))
+    assert(rows.nonEmpty)
+    for ((_, g) <- rows.groupBy(_._1)) {
+      val ordered = g.sortBy(_._4)
+      assert(ordered.map(_._4).toSeq == (1L to ordered.length).toSeq)
+      assert(ordered.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3
+        case _ => true
+      })
+      assert(g.forall(_._3 >= 0.5))
+    }
+    // provenance: every listed neighbor is a verified pair (either order)
+    val pairs = DedupOps.verifiedPairs(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    for ((d, n, _, _) <- rows)
+      assert(pairs.contains((d, n)) || pairs.contains((n, d)), s"($d,$n)")
+  }
+
   test("dup pagerank == driver-side 3-round integer recompute") {
     import spark.implicits._
     val pairs = DedupOps.verifiedPairs(spark, sf0001).collect()
