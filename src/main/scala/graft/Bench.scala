@@ -110,8 +110,12 @@ object Bench {
     val ordered = selected.map(_._1).sorted
     def pos(prefix: String) = ordered.indexWhere(_.startsWith(prefix))
     for ((payer, rider) <- Seq("q42" -> "q45", "q42" -> "q54",
+           "q42" -> "q97", "q42" -> "q98",
            "q45" -> "q59", "q45" -> "q64", "q45" -> "q78",
-           "q66" -> "q67", "q66" -> "q68")
+           "q45" -> "q88", "q45" -> "q90", "q45" -> "q92",
+           "q45" -> "q93",
+           "q66" -> "q67", "q66" -> "q68", "q66" -> "q76",
+           "q66" -> "q83")
          if pos(payer) >= 0 && pos(rider) >= 0)
       require(pos(payer) < pos(rider),
         s"bench attribution: shared-artifact payer $payer must run before rider $rider")
