@@ -108,6 +108,33 @@ class PropertySpec extends SparkSuite {
     assert(agree < 10, s"disjoint sets agreed on $agree/62 components")
   }
 
+  test("piiRedact is idempotent and total on random PII-injected text") {
+    import spark.implicits._
+    // random filler with PII fragments spliced at random positions —
+    // the property holds for ANY input: redacting twice equals
+    // redacting once (sentinels contain nothing any pattern matches),
+    // and no email-shaped substring survives one pass
+    val word = Gen.listOfN(5, Gen.alphaNumChar).map(_.mkString)
+    val piiFrag = Gen.oneOf("a.b@example.com", "X9@HOST.ORG",
+      "+33-555-0042", "10.0.3.77")
+    val token = Gen.oneOf(word, piiFrag) // mixes filler and PII
+    val gen = Gen.listOfN(8, token).map(_.mkString(" "))
+    val texts = Gen.listOfN(200, gen).sample.get
+    val out = texts.toDF("text")
+      .select($"text",
+        graft.queries.PipelineOps.piiRedact($"text").as("once"))
+      .select($"text", $"once",
+        graft.queries.PipelineOps.piiRedact($"once").as("twice"))
+      .collect()
+    val emailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}".r
+    for (r <- out) {
+      assert(r.getString(1) == r.getString(2),
+        s"not idempotent on: ${r.getString(0)}")
+      assert(emailRe.findFirstIn(r.getString(1)).isEmpty,
+        s"email survived: ${r.getString(1)}")
+    }
+  }
+
   test("simhash 16-bit chunk blocking is lossless for hamming <= 3") {
     // the pigeonhole contract q44's candidate join relies on: flipping
     // at most 3 bits of a 64-bit signature cannot touch all 4 16-bit
