@@ -398,7 +398,10 @@ object EventOps {
           + $"t_purchase".isNotNull.cast("long")).as("depth"))
   }
 
-  private val funnelSql =
+  /** The q94 funnel as a WITH-body ending in a `fun` CTE — shared by
+    * the q94 dump and the q99 latency rollup (the survivorCtes reuse
+    * idiom). */
+  private val funnelCtes =
     """WITH e AS (
       |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t
       |  FROM events),
@@ -410,14 +413,49 @@ object EventOps {
       |p AS (SELECT e.user_id, MIN(e.t) AS t_purchase
       |      FROM e JOIN c ON c.user_id = e.user_id
       |      WHERE e.event_type = 'purchase' AND e.t > c.t_click
-      |      GROUP BY 1)
-      |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
-      |  CAST(1 + CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END
-      |         + CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END
-      |    AS BIGINT) AS depth
-      |FROM v
-      |LEFT JOIN c ON c.user_id = v.user_id
-      |LEFT JOIN p ON p.user_id = v.user_id""".stripMargin
+      |      GROUP BY 1),
+      |fun AS (
+      |  SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+      |    CAST(1 + CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END
+      |           + CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END
+      |      AS BIGINT) AS depth
+      |  FROM v
+      |  LEFT JOIN c ON c.user_id = v.user_id
+      |  LEFT JOIN p ON p.user_id = v.user_id)""".stripMargin
+
+  private val funnelSql = funnelCtes + "\n" +
+    "SELECT user_id, t_view, t_click, t_purchase, depth FROM fun"
+
+  /** q99 — funnel latency profile: among users who clicked, the
+    * median/p90 seconds from view to click and median click to
+    * purchase, grouped by funnel depth — the "where do users stall"
+    * read beside q94's who-got-where. Exact interpolated percentiles
+    * (the q34 PERCENTILE_CONT device: Spark `percentile` ==
+    * DuckDB `quantile_cont`, IEEE-identical on second-floored integer
+    * deltas); depth-2 users have no purchase, so their
+    * click→purchase percentile is NULL in both engines (both ignore
+    * NULL inputs). Keyed rollup on the 2-value depth domain — no
+    * global aggregate, no single-partition exchange. */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    funnel(spark, dir)
+      .filter($"t_click".isNotNull)
+      .select($"depth", ($"t_click" - $"t_view").as("d1"),
+        ($"t_purchase" - $"t_click").as("d2"))
+      .groupBy($"depth")
+      .agg(count(lit(1)).as("n_users"),
+        expr("percentile(d1, 0.5)").as("p50_view_to_click"),
+        expr("percentile(d1, 0.9)").as("p90_view_to_click"),
+        expr("percentile(d2, 0.5)").as("p50_click_to_purchase"))
+  }
+
+  private val funnelLatencySql = funnelCtes + "\n" +
+    """SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  quantile_cont(t_click - t_view, 0.5) AS p50_view_to_click,
+      |  quantile_cont(t_click - t_view, 0.9) AS p90_view_to_click,
+      |  quantile_cont(t_purchase - t_click, 0.5) AS p50_click_to_purchase
+      |FROM fun WHERE t_click IS NOT NULL
+      |GROUP BY depth""".stripMargin
 
   /** q95 — cohort retention: users grouped by the epoch-week of their
     * FIRST event (the cohort), counted per subsequent active week
@@ -486,5 +524,8 @@ object EventOps {
         "sequence-dependent, second-floored epochs both engines"),
     Q("q95_cohort_retention", cohortRetention, Some(cohortRetentionSql),
       "first-event-week cohorts x active-week offsets (retention " +
-        "triangle), integer epoch-weeks for engine portability"))
+        "triangle), integer epoch-weeks for engine portability"),
+    Q("q99_funnel_latency", funnelLatency, Some(funnelLatencySql),
+      "funnel stage-latency profile by depth: exact interpolated " +
+        "percentiles of view->click / click->purchase seconds"))
 }

@@ -490,7 +490,9 @@ object PipelineOps {
         expr("(start_off + n - 1) div 16").as("end_seq"))
   }
 
-  private val packedStreamSql =
+  /** The q91 packing as a WITH-body ending in a `pk` CTE — shared by
+    * the q91 dump and the q100 manifest rollup. */
+  private val packedCtes =
     """WITH h AS (
       |  SELECT doc_id,
       |    CAST(concat('0x', substr(md5(concat('shard:',
@@ -504,11 +506,51 @@ object PipelineOps {
       |    CAST(SUM(n) OVER (PARTITION BY shuffle_key % 16
       |      ORDER BY shuffle_key, doc_id
       |      ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS start_off
-      |  FROM h)
-      |SELECT doc_id, shard, pos, n AS n_tokens, start_off,
-      |  start_off // 16 AS start_seq,
-      |  (start_off + n - 1) // 16 AS end_seq
-      |FROM a""".stripMargin
+      |  FROM h),
+      |pk AS (
+      |  SELECT doc_id, shard, pos, n AS n_tokens, start_off,
+      |    start_off // 16 AS start_seq,
+      |    (start_off + n - 1) // 16 AS end_seq
+      |  FROM a)""".stripMargin
+
+  private val packedStreamSql = packedCtes + "\n" +
+    """SELECT doc_id, shard, pos, n_tokens, start_off, start_seq, end_seq
+      |FROM pk""".stripMargin
+
+  /** q100 — the training-shard MANIFEST: per shard, document and token
+    * counts, the packed sequence count, the last read position, and an
+    * md5 digest of the sorted member id list — exactly what a training
+    * loader checks before (and after) consuming a shard: does this
+    * file contain what the pipeline said it wrote? The digest makes
+    * manifest drift (a re-run that silently re-sharded) detectable as
+    * a string compare. Scale shape: rides q91's packing; one rollup
+    * keyed by shard; the member digest is a per-shard sorted
+    * collect_list bounded by shard size — at real scale shards are
+    * file-sized by construction (q80's nShards lever), so the list is
+    * one output file's ids, not a corpus. */
+  def shardManifest(spark: SparkSession, dir: String,
+      nShards: Int = 16): DataFrame = {
+    import spark.implicits._
+    packedStream(spark, dir, nShards)
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        (max($"end_seq") + 1).as("n_sequences"),
+        max($"pos").as("last_pos"),
+        md5(expr("array_join(transform(sort_array(collect_list(doc_id)), " +
+          "x -> CAST(x AS STRING)), ',')")).as("members_md5"))
+  }
+
+  private val shardManifestSql = packedCtes + "\n" +
+    """SELECT shard,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(MAX(end_seq) + 1 AS BIGINT) AS n_sequences,
+      |  CAST(MAX(pos) AS BIGINT) AS last_pos,
+      |  md5(array_to_string(list_transform(list_sort(list(doc_id)),
+      |    x -> CAST(x AS VARCHAR)), ',')) AS members_md5
+      |FROM pk
+      |GROUP BY shard""".stripMargin
 
   /** q92 — leakage-safe train/validation split: the held-out side is
     * chosen per DUP-CLUSTER (q45's labels), not per document, so two
@@ -1078,5 +1120,9 @@ object PipelineOps {
     Q("q93_doc_lineage", docLineage, Some(docLineageSql),
       "per-document provenance record: near-dup/survivor/quality/" +
         "decon flags + the admitted bit — the pipeline's " +
-        "explainability artifact"))
+        "explainability artifact"),
+    Q("q100_shard_manifest", shardManifest(_, _), Some(shardManifestSql),
+      "per-shard loader manifest: doc/token/sequence counts, last " +
+        "position, and a sorted member-id digest — re-shard drift " +
+        "detection as a string compare"))
 }

@@ -129,6 +129,21 @@ class OperatorPropertiesSpec extends SparkSuite {
     }
   }
 
+  test("funnel latency: groups cover clicked depths, p90 >= p50 >= 0") {
+    val funnel = graft.queries.EventOps.funnel(spark, sf0001).collect()
+    val clickedDepths = funnel.filter(!_.isNullAt(2))
+      .map(_.getAs[Long]("depth")).toSet
+    val rows = graft.queries.EventOps.funnelLatency(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("depth")).toSet == clickedDepths)
+    for (r <- rows) {
+      val (p50, p90) = (r.getAs[Double]("p50_view_to_click"),
+        r.getAs[Double]("p90_view_to_click"))
+      assert(p50 >= 0 && p90 >= p50)
+      // depth-2 users never purchased: their stage-2 latency is NULL
+      if (r.getAs[Long]("depth") == 2L) assert(r.isNullAt(4))
+    }
+  }
+
   test("cohort retention: offset-0 counts every user exactly once") {
     import spark.implicits._
     val rows = graft.queries.EventOps.cohortRetention(spark, sf0001)

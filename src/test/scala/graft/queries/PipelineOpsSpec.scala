@@ -424,6 +424,23 @@ class PipelineOpsSpec extends SparkSuite {
       assert(bySource.getOrElse(src, 0L) == n, s"source $src")
   }
 
+  test("q100 manifest reconciles with the packed stream per shard") {
+    val pk = PipelineOps.packedStream(spark, sf0001).collect()
+    val mf = PipelineOps.shardManifest(spark, sf0001).collect()
+    assert(mf.map(_.getAs[Long]("n_docs")).sum == pk.length.toLong)
+    for (m <- mf) {
+      val s = m.getAs[Long]("shard")
+      val g = pk.filter(_.getAs[Long]("shard") == s)
+      assert(m.getAs[Long]("n_tokens") == g.map(_.getAs[Long]("n_tokens")).sum)
+      assert(m.getAs[Long]("n_sequences") ==
+        g.map(_.getAs[Long]("end_seq")).max + 1)
+      assert(m.getAs[Long]("last_pos") == g.map(_.getAs[Long]("pos")).max)
+    }
+    // distinct member digests: no two shards hold the same doc set
+    assert(mf.map(_.getAs[String]("members_md5")).distinct.length ==
+      mf.length)
+  }
+
   test("q88 yield funnel is monotone and consistent with its stages") {
     val rows = PipelineOps.pipelineYield(spark, sf0001).collect()
     assert(rows.nonEmpty)
