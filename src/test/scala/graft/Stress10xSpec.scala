@@ -73,6 +73,11 @@ object Stress10xSpec {
     Seq("q74_span_scrub", "q87_inverted_index", "q89_bm25_topk",
       "q91_packed_stream").foreach(runAndAudit)
 
+    // iterative + composition layers over the 100x-denser dup graph:
+    // q97's three rank rounds each join the 501k-edge list; q93 rides
+    // the memoized labels plus the decon gram derivation
+    Seq("q97_dup_pagerank", "q93_doc_lineage").foreach(runAndAudit)
+
     // ANN stack at 10x: 20k vectors (10-way self-union), q66 pays the
     // one-off index build, q68 searches the memoized codes — the
     // build-once/search-many split the timings should show
