@@ -379,10 +379,14 @@ object EventOps {
     * no per-user event collection, so a power user with millions of
     * events costs map-side combines, not a straggler sort. Stages
     * beyond three repeat the same join+min step. */
-  def funnel(spark: SparkSession, dir: String): DataFrame = {
+  /** The q94 funnel over any frame bearing (user_id, event_type, t) —
+    * frame-based core so specs can feed synthetic event sets (e.g. a
+    * clicked-but-never-purchased user, exercising the depth-2
+    * NULL-latency branch the corpus may not contain — ADVICE r5) and
+    * the streaming twin shares the exact stage rule. */
+  private[graft] def funnelOf(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
     import spark.implicits._
-    val ev = Tables(spark, dir, "events")
-      .select($"user_id", $"event_type", epochS($"ts").as("t"))
     val v = ev.filter($"event_type" === "view")
       .groupBy($"user_id").agg(min($"t").as("t_view"))
     val c = ev.filter($"event_type" === "click").join(v, "user_id")
@@ -397,6 +401,17 @@ object EventOps {
         (lit(1L) + $"t_click".isNotNull.cast("long")
           + $"t_purchase".isNotNull.cast("long")).as("depth"))
   }
+
+  /** The (user_id, event_type, t) lift of the events table — shared
+    * entry point of the q94/q95/q99 family. */
+  private def eventEpochs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .select($"user_id", $"event_type", epochS($"ts").as("t"))
+  }
+
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(eventEpochs(spark, dir))
 
   /** The q94 funnel as a WITH-body ending in a `fun` CTE — shared by
     * the q94 dump and the q99 latency rollup (the survivorCtes reuse
@@ -436,9 +451,14 @@ object EventOps {
     * click→purchase percentile is NULL in both engines (both ignore
     * NULL inputs). Keyed rollup on the 2-value depth domain — no
     * global aggregate, no single-partition exchange. */
-  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+  /** Frame-based q99 core (see [[funnelOf]]): depth-2 users have no
+    * purchase, so their click→purchase percentile is NULL —
+    * OperatorPropertiesSpec asserts that branch on a synthetic event
+    * set since the corpus need not contain it. */
+  private[graft] def funnelLatencyOf(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
     import spark.implicits._
-    funnel(spark, dir)
+    funnelOf(ev)
       .filter($"t_click".isNotNull)
       .select($"depth", ($"t_click" - $"t_view").as("d1"),
         ($"t_purchase" - $"t_click").as("d2"))
@@ -448,6 +468,9 @@ object EventOps {
         expr("percentile(d1, 0.9)").as("p90_view_to_click"),
         expr("percentile(d2, 0.5)").as("p50_click_to_purchase"))
   }
+
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame =
+    funnelLatencyOf(eventEpochs(spark, dir))
 
   private val funnelLatencySql = funnelCtes + "\n" +
     """SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_users,

@@ -71,36 +71,42 @@ object MultimodalOps {
     * instead of paying q55's per-partition mapPartitions pattern. */
   def resizeThumbs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // n >= 1 is assumed (corpus has no empty docs): at n = 0 the
-    // (n - 1) div 4 term diverges between engines (Spark div truncates
-    // toward zero, DuckDB // floors) — the guard the doc block states
+    // nn = greatest(n, 1) makes the empty-doc guard STRUCTURAL: at
+    // n = 0 the raw (n - 1) div 4 term would diverge between engines
+    // (Spark div truncates toward zero → 0, DuckDB // floors → -1);
+    // clamping in BOTH forms pins thumb_bytes = 1 for empty payloads
+    // (a 1-byte thumb of an empty image — the degenerate-input policy)
+    // so a new corpus with empty docs cannot silently desynchronize.
     Tables(spark, dir, "documents")
       .withColumn("hexstr", hex(encode($"text", "utf-8")))
       .withColumn("n", expr("CAST(length(hexstr) div 2 AS BIGINT)"))
+      .withColumn("nn", expr("greatest(n, 1L)"))
       .select($"doc_id",
         $"n".as("orig_bytes"),
-        expr("(n - 1) div 4 + 1").as("thumb_bytes"),
+        expr("(nn - 1) div 4 + 1").as("thumb_bytes"),
         expr("16 + n % 640").as("orig_width"),
-        expr("16 + ((n - 1) div 4 + 1) % 640").as("thumb_width"),
-        md5(expr("array_join(transform(sequence(0L, (n - 1) div 4), " +
+        expr("16 + ((nn - 1) div 4 + 1) % 640").as("thumb_width"),
+        md5(expr("array_join(transform(sequence(0L, (nn - 1) div 4), " +
           "i -> substring(hexstr, CAST(i * 8 + 1 AS INT), 2)), '')"))
           .as("thumb_md5"))
   }
 
   private val resizeThumbsSql =
-    """SELECT doc_id,
-      |  CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
-      |  CAST((octet_length(encode(text)) - 1) // 4 + 1 AS BIGINT)
-      |    AS thumb_bytes,
-      |  CAST(16 + octet_length(encode(text)) % 640 AS BIGINT)
-      |    AS orig_width,
-      |  CAST(16 + ((octet_length(encode(text)) - 1) // 4 + 1) % 640
-      |    AS BIGINT) AS thumb_width,
+    """WITH m AS (
+      |  SELECT doc_id, text,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
+      |    GREATEST(CAST(octet_length(encode(text)) AS BIGINT), 1) AS nn
+      |  FROM documents)
+      |SELECT doc_id,
+      |  n AS orig_bytes,
+      |  CAST((nn - 1) // 4 + 1 AS BIGINT) AS thumb_bytes,
+      |  CAST(16 + n % 640 AS BIGINT) AS orig_width,
+      |  CAST(16 + ((nn - 1) // 4 + 1) % 640 AS BIGINT) AS thumb_width,
       |  md5(array_to_string(list_transform(
-      |    range(0, (octet_length(encode(text)) - 1) // 4 + 1),
+      |    range(0, (nn - 1) // 4 + 1),
       |    i -> substr(hex(encode(text)), CAST(i * 8 + 1 AS INT), 2)), ''))
       |    AS thumb_md5
-      |FROM documents""".stripMargin
+      |FROM m""".stripMargin
 
   /** Frame sampling: one output row per sampled frame with its byte
     * offset — the explode-shaped step a video pipeline runs before

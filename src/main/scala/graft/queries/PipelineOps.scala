@@ -335,17 +335,25 @@ object PipelineOps {
     * the streaming ingest twin
     * ([[graft.streaming.StreamingQueries.redactStream]]) so the two
     * paths cannot drift (the [[qualityGate]] idiom). Stateless and
-    * map-side: counts are computed on the raw text, then the redaction
-    * chain rewrites it. */
+    * map-side. Counts are derived FROM the redacted output (sentinel
+    * occurrences), not from independent raw-text detections: the
+    * redaction chain is sequential (email → IP → phone), so on
+    * overlapping PII (an IPv4-shaped email domain like `bob@1.2.3.4.co`)
+    * a raw-text count would tally a match whose bytes the earlier
+    * pattern already consumed — counting sentinels makes
+    * `n_* == occurrences of <TYPE> in redacted` an invariant on ANY
+    * input (the streaming twin sees arbitrary docs), not just corpora
+    * with disjoint matches. */
   private[graft] def piiProjection(df: DataFrame, text: Column): DataFrame =
-    df.select(col("doc_id"),
-      size(regexp_extract_all(text, lit(emailPat), lit(0)))
-        .cast("long").as("n_emails"),
-      size(regexp_extract_all(text, lit(phonePat), lit(0)))
-        .cast("long").as("n_phones"),
-      size(regexp_extract_all(text, lit(ipPat), lit(0)))
-        .cast("long").as("n_ips"),
-      piiRedact(text).as("redacted"))
+    df.select(col("doc_id"), piiRedact(text).as("redacted"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("redacted"), lit("<EMAIL>"), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("redacted"), lit("<PHONE>"), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col("redacted"), lit("<IP>"), lit(0)))
+          .cast("long").as("n_ips"),
+        col("redacted"))
 
   /** q86 — PII detection + redaction, the privacy pass (C4/CCNet-style
     * scrubbing) every released training corpus runs. The synthetic
@@ -402,21 +410,22 @@ object PipelineOps {
       |        CAST(c_custkey * 7 % 256 AS VARCHAR))
       |        ELSE ' via vpn' END,
       |      ' segment ', lower(c_mktsegment)) AS profile
-      |  FROM c)
+      |  FROM c),
+      |r AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(profile,
+      |      '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+      |      '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+      |  FROM p)
       |SELECT doc_id,
-      |  CAST(len(regexp_extract_all(profile,
-      |    '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT)
+      |  CAST(len(regexp_extract_all(redacted, '<EMAIL>')) AS BIGINT)
       |    AS n_emails,
-      |  CAST(len(regexp_extract_all(profile,
-      |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
-      |  CAST(len(regexp_extract_all(profile,
-      |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT)
-      |    AS n_ips,
-      |  regexp_replace(regexp_replace(regexp_replace(profile,
-      |    '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-      |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
-      |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
-      |FROM p""".stripMargin
+      |  CAST(len(regexp_extract_all(redacted, '<PHONE>')) AS BIGINT)
+      |    AS n_phones,
+      |  CAST(len(regexp_extract_all(redacted, '<IP>')) AS BIGINT) AS n_ips,
+      |  redacted
+      |FROM r""".stripMargin
 
   /** q80 — deterministic corpus shuffle into training shards: every
     * document gets a reproducible (shard, position) from the md5 of a
@@ -433,8 +442,16 @@ object PipelineOps {
     * each window partition is one file's worth of rows. 60-bit keys
     * make ties vanishingly rare; doc_id breaks them deterministically
     * anyway. */
+  /** The shard modulus, ONE definition consumed by the engine defaults
+    * (q80/q91/q100) and string-interpolated into their oracle SQL —
+    * an edit to either side alone is impossible, so the engine default
+    * and its oracle cannot drift (ADVICE r5). Callers passing a
+    * non-default nShards are off the oracle path by construction (the
+    * registry binds the defaults). */
+  private[queries] val NumShards = 16
+
   def shardAssign(spark: SparkSession, dir: String,
-      nShards: Int = 16): DataFrame = {
+      nShards: Int = NumShards): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"shard")
       .orderBy($"shuffle_key".asc, $"doc_id".asc)
@@ -447,13 +464,13 @@ object PipelineOps {
   }
 
   private val shardAssignSql =
-    """WITH h AS (
+    s"""WITH h AS (
       |  SELECT doc_id,
       |    CAST(concat('0x', substr(md5(concat('shard:',
       |      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS shuffle_key
       |  FROM documents)
-      |SELECT doc_id, shuffle_key, shuffle_key % 16 AS shard,
-      |  CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_key % 16
+      |SELECT doc_id, shuffle_key, shuffle_key % $NumShards AS shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_key % $NumShards
       |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
       |FROM h""".stripMargin
 
@@ -474,7 +491,7 @@ object PipelineOps {
     * partition — q80's documented shape). Everything else is
     * stateless integer arithmetic. */
   def packedStream(spark: SparkSession, dir: String,
-      nShards: Int = 16): DataFrame = {
+      nShards: Int = NumShards): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"shard")
       .orderBy($"shuffle_key".asc, $"doc_id".asc)
@@ -493,17 +510,17 @@ object PipelineOps {
   /** The q91 packing as a WITH-body ending in a `pk` CTE — shared by
     * the q91 dump and the q100 manifest rollup. */
   private val packedCtes =
-    """WITH h AS (
+    s"""WITH h AS (
       |  SELECT doc_id,
       |    CAST(concat('0x', substr(md5(concat('shard:',
       |      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS shuffle_key,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
       |  FROM documents),
       |a AS (
-      |  SELECT doc_id, shuffle_key, shuffle_key % 16 AS shard, n,
-      |    CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_key % 16
+      |  SELECT doc_id, shuffle_key, shuffle_key % $NumShards AS shard, n,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_key % $NumShards
       |      ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos,
-      |    CAST(SUM(n) OVER (PARTITION BY shuffle_key % 16
+      |    CAST(SUM(n) OVER (PARTITION BY shuffle_key % $NumShards
       |      ORDER BY shuffle_key, doc_id
       |      ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS start_off
       |  FROM h),
@@ -529,7 +546,7 @@ object PipelineOps {
     * file-sized by construction (q80's nShards lever), so the list is
     * one output file's ids, not a corpus. */
   def shardManifest(spark: SparkSession, dir: String,
-      nShards: Int = 16): DataFrame = {
+      nShards: Int = NumShards): DataFrame = {
     import spark.implicits._
     packedStream(spark, dir, nShards)
       .groupBy($"shard")

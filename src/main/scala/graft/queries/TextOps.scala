@@ -435,11 +435,16 @@ object TextOps {
     * no single-partition window) like q30. At 100 TB a deployment
     * searches the materialized posting table — same plan minus the
     * build. */
+  /** The q89 search terms — ONE definition consumed by the engine
+    * filter and string-interpolated into the oracle's IN list, so the
+    * two cannot drift (the [[graft.queries.PipelineOps.NumShards]]
+    * idiom, ADVICE r5). */
+  private val bm25QueryTerms = Seq("spark", "window", "merge")
+
   def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val queryTerms = Seq("spark", "window", "merge")
     invertedIndex(spark, dir)
-      .filter($"term".isin(queryTerms: _*))
+      .filter($"term".isin(bm25QueryTerms: _*))
       .groupBy($"doc_id")
       .agg(sum($"tf" * expr("1000000 div df")).cast("long").as("score"),
         count(lit(1)).as("n_hit_terms"))
@@ -448,12 +453,12 @@ object TextOps {
   }
 
   private val bm25TopKSql = invertedIndexCtes + ",\n" +
-    """idx AS (
+    s"""idx AS (
       |  SELECT p.term, p.doc_id, d.df, p.tf FROM p JOIN d USING (term))
       |SELECT doc_id,
       |  CAST(SUM(tf * (1000000 // df)) AS BIGINT) AS score,
       |  COUNT(*) AS n_hit_terms
-      |FROM idx WHERE term IN ('spark', 'window', 'merge')
+      |FROM idx WHERE term IN (${bm25QueryTerms.map("'" + _ + "'").mkString(", ")})
       |GROUP BY doc_id
       |ORDER BY score DESC, doc_id ASC
       |LIMIT 20""".stripMargin

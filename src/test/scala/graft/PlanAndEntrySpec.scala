@@ -53,8 +53,13 @@ class PlanAndEntrySpec extends SparkSuite {
     // q89 additionally promises the query-term filter reaches BOTH
     // token explodes (postings and df branches) — only query-term
     // postings ever shuffle
+    // regex occurrence count, not String.split: split drops a trailing
+    // match (Java strips trailing empty strings) and would undercount
+    // when the IN list is the plan string's tail (ADVICE r5)
     val p89 = planOf(graft.queries.TextOps.bm25TopK(spark, sf0001))
-    assert(p89.split("IN \\(spark,window,merge\\)").length - 1 >= 2, p89)
+    val inListHits = "IN \\(spark,window,merge\\)".r.findAllIn(p89).size
+    assert(inListHits >= 2,
+      s"query-term filter reached $inListHits explode branches (<2):\n$p89")
   }
 
   test("q44 filters refutable pairs BELOW the pair-dedup aggregate") {

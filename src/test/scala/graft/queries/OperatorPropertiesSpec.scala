@@ -363,4 +363,37 @@ class OperatorPropertiesSpec extends SparkSuite {
       .map(_.getLong(1)).toSeq
     assert(got == expected)
   }
+
+  test("funnel latency: depth-2 users yield a NULL click->purchase percentile") {
+    import spark.implicits._
+    // the depth-2 branch (clicked but never purchased) was unexercised
+    // by the corpus at oracle scale (ADVICE r5) — assert it on a
+    // synthetic event set where it MUST appear:
+    //   user 1: view(10) -> click(20) -> purchase(50)   depth 3
+    //   user 2: view(10) -> click(40), no purchase       depth 2
+    //   user 3: view(10) -> click(60), purchase BEFORE the click (30)
+    //           -> stays depth 2 (stage rule is strictly-after)
+    //   user 4: view only                                depth 1, excluded
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 50L),
+      (2L, "view", 10L), (2L, "click", 40L),
+      (3L, "view", 10L), (3L, "purchase", 30L), (3L, "click", 60L),
+      (4L, "view", 10L)
+    ).toDF("user_id", "event_type", "t")
+    val fun = EventOps.funnelOf(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(fun == Map(1L -> 3L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    val lat = EventOps.funnelLatencyOf(ev).collect()
+      .map(r => r.getAs[Long]("depth") ->
+        (r.getAs[Long]("n_users"), r.getAs[Any]("p50_view_to_click"),
+          r.getAs[Any]("p50_click_to_purchase"))).toMap
+    // depth 3: one user, view->click 10 s, click->purchase 30 s
+    assert(lat(3L) == ((1L, 10.0, 30.0)))
+    // depth 2: two users (30 s and 50 s view->click, median 40), and the
+    // click->purchase percentile is NULL — no purchase exists after the
+    // click, and percentile ignores NULL inputs in both engines
+    assert(lat(2L) == ((2L, 40.0, null)))
+    // depth-1 users never clicked and are excluded from the profile
+    assert(!lat.contains(1L))
+  }
 }
