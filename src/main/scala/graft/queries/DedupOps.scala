@@ -354,23 +354,6 @@ object DedupOps {
     * checkable instead of asserted). */
   @volatile private[graft] var lastClusterRounds: Int = -1
 
-  /** Release the block-manager blocks behind a localCheckpoint'd frame.
-    * `DataFrame.unpersist` cannot reach them (the persistence lives on
-    * the internal RDD inside the LogicalRDD node, not in the cache
-    * manager), so each superseded propagation round would otherwise
-    * hold |docs| rows of MEMORY_AND_DISK blocks until driver GC +
-    * ContextCleaner get around to it (ADVICE r4). Only call on frames
-    * that are never used again: the lineage is truncated, so dropped
-    * blocks are unrecoverable by design — Spark logs a WARN saying
-    * exactly that ("cannot be recomputed after unpersisting"), which is
-    * expected here, not a defect: the superseded round is dead. */
-  private def releaseCheckpointBlocks(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ =>
-    }
-
   def dupClusters(spark: SparkSession, dir: String,
       maxRounds: Int = 50): DataFrame = {
     import spark.implicits._
@@ -383,44 +366,27 @@ object DedupOps {
         struct($"b_id".as("u"), $"a_id".as("v")))).as("e"))
       .select($"e.u".as("u"), $"e.v".as("v"))
       .persist()
-    var labels = Tables(spark, dir, "documents")
-      .select($"doc_id", $"doc_id".as("cluster_id")).persist()
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < maxRounds) {
-      val viaEdges = edges
-        .join(labels.select($"doc_id".as("u"), $"cluster_id"), "u")
-        .select($"v".as("doc_id"), $"cluster_id")
-      // localCheckpoint, not persist: it TRUNCATES lineage at each
-      // round. A merely-persisted round that loses blocks under memory
-      // pressure recomputes every prior round plus the whole LSH mining
-      // chain — the one mechanism found (VERDICT r3) by which a
-      // contended run could inflate q45 5-8x while uncontended runs
-      // never see it. Checkpoint blocks are MEMORY_AND_DISK, so under
-      // pressure they spill instead of being recomputed; non-eager
-      // because the convergence count below materializes it anyway.
-      val next = labels.union(viaEdges)
-        .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id"))
-        .localCheckpoint(eager = false)
-      val changed = next.select($"doc_id", $"cluster_id".as("new_c"))
-        .join(labels, "doc_id")
-        .filter($"new_c" =!= $"cluster_id").count()
-      converged = changed == 0
-      // releases the initial persisted frame in round 1. For later
-      // (checkpointed) rounds DataFrame.unpersist is a NO-OP on the
-      // checkpoint blocks (ADVICE r4) — without the explicit RDD
-      // unpersist below, up to maxRounds rounds of superseded label
-      // blocks would sit in the block manager until a driver GC lets
-      // the ContextCleaner reclaim them.
-      labels.unpersist()
-      // safe to drop eagerly: `next` (already materialized by the
-      // `changed` count above) no longer references the superseded
-      // round — localCheckpoint TRUNCATED its lineage — and the frame
-      // is never touched again.
-      releaseCheckpointBlocks(labels)
-      labels = next
-      rounds += 1
-    }
+    // min-label propagation on the shared iterate-to-fixpoint harness
+    // (extracted from this loop, VERDICT r5 #1): per round one
+    // equi-join of labels onto edge endpoints + one partial-
+    // aggregatable min, localCheckpoint'd with superseded rounds
+    // released — see Operators.iterateCheckpointed for the lifecycle
+    // rationale. The stop() count is the only driver-side read.
+    val (labels, rounds, converged) = graft.operators.Operators
+      .iterateCheckpointed(
+        Tables(spark, dir, "documents")
+          .select($"doc_id", $"doc_id".as("cluster_id")), maxRounds) {
+        (cur, _) =>
+          val viaEdges = edges
+            .join(cur.select($"doc_id".as("u"), $"cluster_id"), "u")
+            .select($"v".as("doc_id"), $"cluster_id")
+          cur.union(viaEdges)
+            .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id"))
+      } { (cur, next) =>
+        next.select($"doc_id", $"cluster_id".as("new_c"))
+          .join(cur, "doc_id")
+          .filter($"new_c" =!= $"cluster_id").count() == 0
+      }
     lastClusterRounds = rounds
     edges.unpersist()
     // never ship silently-wrong labels: a component with diameter >
@@ -428,7 +394,7 @@ object DedupOps {
     // mining produces — fail loudly and point at the right algorithm
     if (!converged) {
       labels.unpersist()
-      releaseCheckpointBlocks(labels)
+      graft.operators.Operators.releaseCheckpointBlocks(labels)
       throw new IllegalStateException(
         s"dupClusters did not converge in $maxRounds rounds — component " +
           "diameter exceeds the cap; use large-star/small-star for " +
@@ -532,19 +498,21 @@ object DedupOps {
       .select($"e.u".as("u"), $"e.v".as("v"))
     val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
     val docs = Tables(spark, dir, "documents").select($"doc_id")
-    var rank = docs.select($"doc_id", lit(1000000L).as("rank"))
-    for (_ <- 1 to rounds) {
+    // fixed-round fold on the shared harness (VERDICT r5 #1): the
+    // lazy, action-free iteration shape — contrast q45's checkpointed
+    // fixpoint form on iterateCheckpointed
+    graft.operators.Operators.iterateRounds(
+      docs.select($"doc_id", lit(1000000L).as("rank")), rounds) { (rank, _) =>
       val contribs = edges
         .join(deg, "u")
         .join(rank.select($"doc_id".as("u"), $"rank"), "u")
         .select($"v".as("doc_id"), expr("rank div deg").as("c"))
         .groupBy($"doc_id").agg(sum($"c").as("sc"))
-      rank = docs.join(contribs, Seq("doc_id"), "left")
+      docs.join(contribs, Seq("doc_id"), "left")
         .select($"doc_id",
           expr("CAST(150000 + (85 * coalesce(sc, 0)) div 100 AS BIGINT)")
             .as("rank"))
     }
-    rank
   }
 
   private def pagerankRoundSql(prev: String, out: String): String =

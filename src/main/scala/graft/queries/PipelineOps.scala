@@ -163,48 +163,102 @@ object PipelineOps {
       |  FROM c) t
       |WHERE rank <= 20""".stripMargin
 
+  /** The shared BPE mining loop (VERDICT r5 #1 — the real tokenizer-
+    * training iteration, generalizing q71's round 1 and the previously
+    * hand-unrolled q85 round 2 to run-to-N on
+    * [[graft.operators.Operators.iterateCheckpointed]]). Round i:
+    *
+    *  1. count adjacent symbol pairs over the current segmentation
+    *     (partition-local code-point substring explode, one partial-
+    *     aggregatable count on a bounded symbol-pair key space);
+    *  2. take the (cnt desc, pair asc — unique) top-1 as merge i. This
+    *     is a BOUNDED 1-row parameter collect (the centroid-table
+    *     idiom, not a data-scale collect) — the merge literal then
+    *     drives round i+1, exactly as the oracle's m_i CTE drives its
+    *     s_i;
+    *  3. re-segment by greedy left-to-right `replace` with sentinel
+    *     chr(i) (the q85 device: both engines' replace scans left to
+    *     right, every symbol stays ONE character, so the same pairing
+    *     expression applies at every round; chr(1..N) cannot appear in
+    *     the corpus — the pre-tokenizer only emits printable runs).
+    *
+    * Sentinels decode to their expanded symbol text via the driver-side
+    * expansion map (merge i's text = decode(left) + decode(right)), so
+    * outputs read as real BPE merges. Returns (merges, finalSeg);
+    * finalSeg — the corpus re-segmented by ALL mined merges — is fully
+    * LAZY (the harness leaves the last round un-checkpointed): pure
+    * consumers like q85's recount add no block-manager footprint, and
+    * callers that discard it (q101) release its backing blocks.
+    *
+    * Scale shape: per round, one partial-aggregatable count + one
+    * TakeOrdered 1-row read; the corpus re-segmentation is the
+    * algorithm's irreducible per-round scan, localCheckpoint'd so
+    * round i+1 reads blocks, not a growing lineage. */
+  private[queries] def bpeMineOf(docs: DataFrame, nMerges: Int)
+      : (Vector[(String, String, Long)], DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pt = docs.select(explode(
+      regexp_extract_all(col("text"), lit(preTokenPat), lit(0))).as("seg"))
+    val merges = Vector.newBuilder[(String, String, Long)]
+    val expand = scala.collection.mutable.Map.empty[String, String]
+    def decode(cp: Int): String = {
+      val s = new String(Character.toChars(cp))
+      expand.getOrElse(s, s)
+    }
+    val (fin, _, _) = graft.operators.Operators.iterateCheckpointed(
+        pt, nMerges, checkpointLast = false) { (seg, i) =>
+      val top = seg.filter(length($"seg") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(seg) - 1), j -> substring(seg, j, 2))"))
+          .as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"pair".asc).limit(1)
+        .collect()
+      require(top.nonEmpty,
+        s"BPE merge round $i: no adjacent pairs left to merge")
+      val pair = top(0).getString(0)
+      val cnt = top(0).getLong(1)
+      // pair is TWO code points (symbols are 1 code point each; an
+      // astral char is one symbol, two UTF-16 units — split by code
+      // point, never by char index)
+      val cps = pair.codePoints().toArray
+      val (l, r) = (decode(cps(0)), decode(cps(1)))
+      merges += ((l, r, cnt))
+      expand(i.toChar.toString) = l + r
+      seg.select(replace($"seg", lit(pair), lit(i.toChar.toString)).as("seg"))
+    } { (_, _) => false }
+    (merges.result(), fin)
+  }
+
+  /** Sentinel decode of a 1-code-point symbol column: chr(i) maps to
+    * merge i's expanded text, anything else passes through. */
+  private def decodeSymExpr(c: Column,
+      merges: Seq[(String, String, Long)]): Column =
+    merges.zipWithIndex.foldRight(c) { case (((l, r, _), i), els) =>
+      when(c === lit((i + 1).toChar.toString), lit(l + r)).otherwise(els)
+    }
+
   /** q85 — BPE tokenizer training, round TWO: apply the #1 merge q71
     * mined (greedy, left-to-right, non-overlapping — the classic BPE
     * apply rule) to re-segment every pre-token, then recount adjacent
-    * SYMBOL pairs (symbols are now 1 or 2 chars). Together with q71
-    * this demonstrates the full iterative training loop; every further
-    * round repeats this exact plan with a longer merge list.
-    *
-    * The re-segmentation trick keeps everything columnar and engine-
-    * portable: `replace(pretoken, mergePair, chr(1))` IS the greedy
-    * non-overlapping merge (both engines' replace scans left-to-right),
-    * the sentinel becomes a 1-char stand-in for the merged symbol, so
-    * q71's code-point substring pairing applies unchanged, and the
-    * sentinel maps back to the merge text in the output. chr(1) cannot
-    * appear in the corpus (the pre-tokenizer only emits printable
-    * runs). The merge pair itself stays IN-PLAN — a broadcast 1-row
-    * frame from q71's ranking (cnt desc, pair asc — unique), exactly
-    * as the oracle derives it in SQL, not a driver-side constant that
-    * could drift.
-    *
-    * Scale shape: identical to q71 — partition-local explode, one
-    * partial-aggregatable count on a bounded symbol-pair key space,
-    * TakeOrderedAndProject top-k; the extra cost is one broadcast of a
-    * 1-row frame. */
+    * SYMBOL pairs, top-k. Re-expressed on the shared [[bpeMineOf]]
+    * loop (one mined merge, then the lazy recount over the returned
+    * segmentation) — output and oracle unchanged from the hand-
+    * unrolled round-5 form. Scale shape: identical to q71 plus the
+    * one-round miner — partition-local explode, partial-aggregatable
+    * count, TakeOrderedAndProject top-k. */
   def bpeMergesRound2(spark: SparkSession, dir: String,
       k: Int = 20): DataFrame = {
     import spark.implicits._
-    val top1 = bpeMerges(spark, dir, 1).select($"pair".as("mp"))
-    val sentinel = expr("chr(1)")
-    val counted = Tables(spark, dir, "documents")
-      .select(explode(
-        regexp_extract_all($"text", lit(preTokenPat), lit(0))).as("t"))
-      .crossJoin(broadcast(top1))
-      .select(expr("replace(t, mp, chr(1))").as("seg"), $"mp")
+    val (merges, seg) = bpeMineOf(Tables(spark, dir, "documents"), 1)
+    val counted = seg
       .filter(length($"seg") >= 2) // guard sequence(); 1-symbol tokens pair nothing
-      .select($"mp", explode(expr(
+      .select(explode(expr(
         "transform(sequence(1, length(seg) - 1), i -> substring(seg, i, 2))"))
         .as("pr"))
-      .select(
-        when(substring($"pr", 1, 1) === sentinel, $"mp")
-          .otherwise(substring($"pr", 1, 1)).as("left_sym"),
-        when(substring($"pr", 2, 1) === sentinel, $"mp")
-          .otherwise(substring($"pr", 2, 1)).as("right_sym"))
+      .select(decodeSymExpr(substring($"pr", 1, 1), merges).as("left_sym"),
+        decodeSymExpr(substring($"pr", 2, 1), merges).as("right_sym"))
       .groupBy($"left_sym", $"right_sym").agg(count(lit(1)).as("cnt"))
     val w = Window.orderBy($"cnt".desc, $"left_sym".asc, $"right_sym".asc)
     counted.orderBy($"cnt".desc, $"left_sym".asc, $"right_sym".asc).limit(k)
@@ -240,6 +294,77 @@ object PipelineOps {
       |    left_sym, right_sym, cnt
       |  FROM c2) t
       |WHERE rank <= 20""".stripMargin
+
+  /** q101's round count — one constant consumed by the engine and
+    * interpolated into the unrolled oracle (the [[NumShards]] idiom). */
+  private val BpeMergeRounds = 5
+
+  /** q101 — BPE merge mining to N=[[BpeMergeRounds]] rounds: the merge
+    * TABLE a tokenizer trainer actually produces (rank, left symbol,
+    * right symbol, pair count at selection time), mined by the full
+    * greedy loop on [[bpeMineOf]] — count pairs, take the best merge,
+    * re-segment, repeat. Later merges compose earlier ones (a merged
+    * symbol pairs with its neighbors and can win round i+1), which is
+    * exactly what the hand-unrolled q71/q85 could not show. Integer
+    * counts, string symbols: fully hash-checked against a DuckDB
+    * oracle that unrolls the same five rounds as CTEs (m_i = round i's
+    * top pair, s_i = re-segmentation, e_i = sentinel-decoded symbols),
+    * so the engine's driver-loop derivation is proven equal to a pure
+    * in-SQL derivation every round.
+    *
+    * Scale shape: [[bpeMineOf]]'s — per round one partial-aggregatable
+    * bounded-key count and a 1-row TakeOrdered read; re-segmentations
+    * are checkpointed scans, N scans for N merges (the algorithm's
+    * irreducible cost). The output is N rows — a parameter table, like
+    * the PQ codebooks. */
+  def bpeMergeTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (merges, fin) =
+      bpeMineOf(Tables(spark, dir, "documents"), BpeMergeRounds)
+    // the final re-segmentation is not consumed — the merge table IS
+    // the artifact; drop the checkpoint blocks backing it
+    fin.unpersist()
+    graft.operators.Operators.releaseCheckpointBlocks(fin)
+    merges.zipWithIndex
+      .map { case ((l, r, c), i) => (i + 1L, l, r, c) }
+      .toDF("rank", "left_sym", "right_sym", "cnt")
+  }
+
+  /** CASE chain decoding a 1-char symbol to its expanded text via the
+    * earlier rounds' e_j CTEs. */
+  private def bpeDecodeSql(ch: String, upto: Int): String =
+    if (upto == 0) ch
+    else s"CASE $ch " + (1 to upto).map(j =>
+      s"WHEN chr($j) THEN (SELECT sym FROM e$j)").mkString(" ") +
+      s" ELSE $ch END"
+
+  /** One unrolled oracle round: pairs of s_{i-1} → counts → top-1
+    * merge m_i → decoded symbols e_i → re-segmentation s_i. */
+  private def bpeRoundCtes(i: Int): String =
+    s"""p$i AS (SELECT substr(seg, CAST(j AS INTEGER), 2) AS pair
+       |  FROM (SELECT seg, unnest(range(1, length(seg))) AS j
+       |        FROM s${i - 1} WHERE length(seg) >= 2) u),
+       |c$i AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+       |        FROM p$i GROUP BY pair),
+       |m$i AS (SELECT pair, cnt FROM c$i ORDER BY cnt DESC, pair ASC LIMIT 1),
+       |e$i AS (SELECT l, r, l || r AS sym, cnt FROM (
+       |  SELECT ${bpeDecodeSql("substr(pair, 1, 1)", i - 1)} AS l,
+       |    ${bpeDecodeSql("substr(pair, 2, 1)", i - 1)} AS r, cnt
+       |  FROM m$i) t),
+       |s$i AS (SELECT replace(seg, (SELECT pair FROM m$i), chr($i)) AS seg
+       |        FROM s${i - 1})""".stripMargin
+
+  private val bpeMergeTableSql =
+    s"""WITH pt AS (SELECT unnest(regexp_extract_all(text,
+       |    '$preTokenPatSql')) AS seg
+       |  FROM documents),
+       |s0 AS (SELECT seg FROM pt),
+       |""".stripMargin +
+      (1 to BpeMergeRounds).map(bpeRoundCtes).mkString(",\n") + "\n" +
+      (1 to BpeMergeRounds).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, l AS left_sym, " +
+          s"r AS right_sym, cnt FROM e$i")
+        .mkString("\nUNION ALL\n")
 
   /** The cleaning expression itself: lowercase, strip emails then
     * URLs, collapse whitespace, trim. Pure per-row regexp chain —
@@ -1108,6 +1233,10 @@ object PipelineOps {
     Q("q85_bpe_round2", bpeMergesRound2(_, _), Some(bpeMergesRound2Sql),
       "BPE training round 2: greedy apply of merge #1 via " +
         "replace-with-sentinel re-segmentation, then symbol-pair recount"),
+    Q("q101_bpe_merge_table", bpeMergeTable, Some(bpeMergeTableSql),
+      "BPE merge mining to 5 rounds on the shared iterate harness: " +
+        "the tokenizer-training merge table, oracle-checked against " +
+        "five unrolled in-SQL rounds"),
     Q("q47_text_clean", textClean, Some(textCleanSql),
       "email/URL/whitespace cleaning via codegen regexp chain"),
     Q("q86_pii_scrub", piiScrub, Some(piiScrubSql),

@@ -75,8 +75,12 @@ object Stress10xSpec {
 
     // iterative + composition layers over the 100x-denser dup graph:
     // q97's three rank rounds each join the 501k-edge list; q93 rides
-    // the memoized labels plus the decon gram derivation
-    Seq("q97_dup_pagerank", "q93_doc_lineage").foreach(runAndAudit)
+    // the memoized labels plus the decon gram derivation; q101 runs
+    // five full BPE mine/re-segment rounds on the iterate harness
+    // (its result frame is a 5-row local table — the audit's real
+    // value is the wall-time of the checkpointed loop at 10x)
+    Seq("q97_dup_pagerank", "q93_doc_lineage", "q101_bpe_merge_table")
+      .foreach(runAndAudit)
 
     // ANN stack at 10x: 20k vectors (10-way self-union), q66 pays the
     // one-off index build, q68 searches the memoized codes — the

@@ -156,6 +156,46 @@ class PipelineOpsSpec extends SparkSuite {
       g._3 == mp.substring(1, 2)))
   }
 
+  test("q101 merge table matches a 5-round driver-side reference BPE loop") {
+    val pat = java.util.regex.Pattern.compile(
+      "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+")
+    var segs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text").collect().map(_.getString(0)).toVector
+      .flatMap { text =>
+        val m = pat.matcher(text)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (m.find()) out += m.group()
+        out
+      }
+    // classic BPE: count, pick (cnt desc, pair asc), greedy replace
+    // with sentinel, repeat — the reference the distributed loop must
+    // reproduce exactly, including cross-round merge composition
+    val expand = scala.collection.mutable.Map.empty[Char, String]
+    def dec(c: Char): String = expand.getOrElse(c, c.toString)
+    val expect = (1 to 5).map { i =>
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      for (t <- segs if t.length >= 2; j <- 1 until t.length) {
+        val p = t.substring(j - 1, j + 1)
+        counts(p) = counts.getOrElse(p, 0L) + 1
+      }
+      val (pair, cnt) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      val (l, r) = (dec(pair(0)), dec(pair(1)))
+      expand(i.toChar) = l + r
+      segs = segs.map(_.replace(pair, i.toChar.toString))
+      (i.toLong, l, r, cnt)
+    }.toSeq
+    val got = PipelineOps.bpeMergeTable(spark, sf0001)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect)
+    // five distinct merges, every count positive and non-increasing is
+    // NOT required (later rounds can beat earlier residual counts), but
+    // each selection must have been a real pair
+    assert(expect.map(e => (e._2, e._3)).distinct.size == 5)
+    assert(expect.forall(_._4 > 0))
+  }
+
   test("hashed-feature scorer matches an independent driver-side recompute") {
     def md5Long8(seed: String): Long = java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
