@@ -501,6 +501,73 @@ class StreamingSpec extends SparkSuite {
       (8L, "2025-01-25 16:00:30", 1L)))
   }
 
+  test("funnel stream: per-user stateful snapshots equal batch q94") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.queries.EventOps.funnel(spark, sf0001).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4))).toSet
+    // feed the real events in event-time order (the cross-batch
+    // equivalence precondition), split into two micro-batches so state
+    // genuinely carries across batch boundaries
+    val feed = Tables(spark, sf0001, "events")
+      .select($"user_id", $"event_type",
+        unix_timestamp($"ts".cast("timestamp")).as("t"))
+      .orderBy($"t".asc)
+      .as[StreamingQueries.FEvent].collect()
+    val ms = MemoryStream[StreamingQueries.FEvent]
+    val q = StreamingQueries.funnelStream(ms.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_out").start()
+    val (first, second) = feed.splitAt(feed.length / 2)
+    ms.addData(first.toIndexedSeq: _*)
+    q.processAllAvailable()
+    ms.addData(second.toIndexedSeq: _*)
+    q.processAllAvailable()
+    val snapshots = spark.table("funnel_out").as[StreamingQueries.FunnelOut]
+      .collect()
+    q.stop()
+    // snapshots only upgrade: the max-depth row per user is the funnel
+    val latest = snapshots.groupBy(_.user_id).values
+      .map(_.maxBy(_.depth))
+      .map(o => (o.user_id, o.t_view, o.t_click, o.t_purchase, o.depth))
+      .toSet
+    assert(latest == batch)
+    // cross-batch upgrades happened (otherwise the split proves nothing)
+    assert(snapshots.length > latest.size,
+      "no user produced snapshots in both batches")
+  }
+
+  test("retention delta stream: counted deltas equal batch q95") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.queries.EventOps.cohortRetention(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val feed = Tables(spark, sf0001, "events")
+      .select($"user_id",
+        unix_timestamp($"ts".cast("timestamp")).as("t"))
+      .orderBy($"t".asc)
+      .as[StreamingQueries.REvent].collect()
+    val ms = MemoryStream[StreamingQueries.REvent]
+    val q = StreamingQueries.retentionDeltaStream(ms.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("retention_out").start()
+    val (first, second) = feed.splitAt(feed.length / 2)
+    ms.addData(first.toIndexedSeq: _*)
+    q.processAllAvailable()
+    ms.addData(second.toIndexedSeq: _*)
+    q.processAllAvailable()
+    val deltas = spark.table("retention_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    // each (user, week) first-activity emits exactly once; counting the
+    // deltas per cell IS the retention triangle
+    val counted = deltas.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong }
+    assert(counted == batch)
+  }
+
   test("sessionize: flatMapGroupsWithState equals the batch window form") {
     import spark.implicits._
     val batch = graft.queries.EventOps.sessionize(spark, sf0001).collect()
