@@ -196,6 +196,50 @@ class PipelineOpsSpec extends SparkSuite {
     assert(expect.forall(_._4 > 0))
   }
 
+  test("q102/q103 packing: bins respect capacity and beat greedy padding") {
+    import spark.implicits._
+    val pl = PipelineOps.packPlacements(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Long]),
+        Option(r.get(6)).map(_.asInstanceOf[Long])))
+    assert(pl.nonEmpty)
+    // tail-less docs have no placement; tailed docs always do
+    for ((id, _, n, full, tail, bin, slot) <- pl) {
+      assert(full == n / 16 && tail == n % 16, s"doc $id arithmetic")
+      assert((tail == 0) == bin.isEmpty && (tail == 0) == slot.isEmpty,
+        s"doc $id placement presence")
+    }
+    // capacity: a size-r bin holds at most floor(16/r) tails, slots are
+    // the contiguous 0..count-1 — so no bin ever exceeds 16 tokens
+    val byBin = pl.filter(_._5 > 0)
+      .groupBy(p => (p._2, p._5, p._6.get))
+    for (((lang, tail, bin), members) <- byBin) {
+      assert(members.size <= 16 / tail, s"overfull bin ($lang,$tail,$bin)")
+      assert(members.map(_._7.get).sorted.toSeq ==
+        (0L until members.size.toLong), s"slots of ($lang,$tail,$bin)")
+      assert(members.size * tail <= 16)
+    }
+    // budget reconciliation: packed sequences == full seqs + distinct
+    // bins, and packing never loses tokens or worsens padding
+    val budget = PipelineOps.packingBudget(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val byLang = pl.groupBy(_._2)
+    for ((lang, (nd, nt, sg, pg, sp, pp)) <- budget) {
+      val rows = byLang(lang)
+      assert(nd == rows.length && nt == rows.map(_._3).sum)
+      assert(sg == rows.map(p => (p._3 + 15) / 16).sum)
+      assert(sp == rows.map(_._4).sum +
+        rows.filter(_._5 > 0).map(p => (p._5, p._6.get)).distinct.size)
+      assert(pg == sg * 16 - nt && pp == sp * 16 - nt)
+      assert(pp <= pg, s"$lang: packing worsened padding")
+    }
+    // the packer must achieve a real global reduction on this corpus
+    val (totPg, totPp) = (budget.values.map(_._4).sum,
+      budget.values.map(_._6).sum)
+    assert(totPp < totPg, s"no waste reduction: greedy=$totPg packed=$totPp")
+  }
+
   test("hashed-feature scorer matches an independent driver-side recompute") {
     def md5Long8(seed: String): Long = java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
