@@ -540,12 +540,13 @@ object StreamingQueries {
     *
     * Small-files note: each micro-batch writes ≤1 file per touched
     * cell, so a long-running appender accumulates files/cell ≈
-    * micro-batch count — at that point run the standard compaction job
-    * (read the codes table, [[graft.queries.VectorOps.ivfPqWriteIndex]]-
-    * style rewrite via `Operators.writePartitioned` into a fresh path,
-    * swap). Compaction is an I/O rewrite only: codes are stateless
-    * facts, so no recompute and no read downtime (readers stay on the
-    * old path until the swap). */
+    * micro-batch count — on segment seal, run
+    * [[graft.queries.VectorOps.compactIndex]] (implemented round 6:
+    * one-file-per-cell rewrite + atomic directory swap; search answers
+    * proven identical before/after in SinkSemanticsSpec). Compaction
+    * is an I/O rewrite only: codes are stateless facts, so no
+    * recompute and no read downtime (readers stay on the old path
+    * until the swap). */
   def toPartitionedParquet(df: DataFrame, path: String, checkpoint: String,
       partitionCol: String): StreamingQuery =
     toParquet(df, path, checkpoint, Some(partitionCol))

@@ -73,6 +73,30 @@ class SinkSemanticsSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(top(streamIdx) == top(batchIdx))
     assert(top(streamIdx).size == 5)
+
+    // compaction (segment seal): identical contents and identical
+    // probe-pruned search answers before/after, and the small-files
+    // debt actually clears — one data file per cell directory, where
+    // the two appends above left more than one in at least one cell
+    def filesPerCell(p: String): Map[String, Int] = {
+      val cells = new java.io.File(p).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      cells.map(c => c.getName ->
+        c.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val before = filesPerCell(streamIdx)
+    assert(before.values.exists(_ > 1),
+      s"appender left no small-files debt to compact: $before")
+    val preTop = top(streamIdx)
+    graft.queries.VectorOps.compactIndex(spark, streamIdx)
+    assert(contents(streamIdx) == contents(batchIdx))
+    assert(top(streamIdx) == preTop)
+    val after = filesPerCell(streamIdx)
+    assert(after.nonEmpty && after.values.forall(_ == 1),
+      s"compaction left multi-file cells: $after")
+    // the swap retired the streaming sink's metadata log with the old
+    // directory (a stale log would mask compacted files from readers)
+    assert(!new java.io.File(streamIdx, "_spark_metadata").exists())
   }
 
   test("checkpointed parquet sink: restart processes only new input") {
