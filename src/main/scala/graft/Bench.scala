@@ -100,27 +100,34 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }.toSeq
-    // Registry order note: queries run name-sorted, so q42 (the first
-    // consumer of the shared verified-pair table) pays its mining cost
-    // and q45/q54 ride the materialization — the per-query numbers
-    // reflect that documented attribution (ADVICE r2). Enforced, not
-    // just documented (ADVICE r3): if a rename ever reorders a shared-
-    // artifact payer behind one of its riders, fail loudly instead of
-    // silently re-attributing the mining cost.
-    val ordered = selected.map(_._1).sorted
+    // Registry order note: queries run NUMBER-sorted (q9 < q45 < q102 —
+    // a plain string sort would run q102 before its q42/q45 payers once
+    // three-digit names exist), so q42 (the first consumer of the
+    // shared verified-pair table) pays its mining cost and q45/q54 ride
+    // the materialization — the per-query numbers reflect that
+    // documented attribution (ADVICE r2). Enforced, not just documented
+    // (ADVICE r3): if a rename ever reorders a shared-artifact payer
+    // behind one of its riders, fail loudly instead of silently
+    // re-attributing the mining cost.
+    def qKey(name: String): (Int, String) = {
+      val digits = name.drop(1).takeWhile(_.isDigit)
+      (if (digits.isEmpty) Int.MaxValue else digits.toInt, name)
+    }
+    val ordered = selected.map(_._1).sortBy(qKey)
     def pos(prefix: String) = ordered.indexWhere(_.startsWith(prefix))
     for ((payer, rider) <- Seq("q42" -> "q45", "q42" -> "q54",
            "q42" -> "q97", "q42" -> "q98",
            "q45" -> "q59", "q45" -> "q64", "q45" -> "q78",
            "q45" -> "q88", "q45" -> "q90", "q45" -> "q92",
-           "q45" -> "q93",
+           "q45" -> "q93", "q45" -> "q102", "q45" -> "q103",
+           "q45" -> "q104",
            "q66" -> "q67", "q66" -> "q68", "q66" -> "q76",
            "q66" -> "q83")
          if pos(payer) >= 0 && pos(rider) >= 0)
       require(pos(payer) < pos(rider),
         s"bench attribution: shared-artifact payer $payer must run before rider $rider")
     val diag = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = selected.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.sortBy(kv => qKey(kv._1)).map { case (name, fn) =>
       val (cpu0, run0, gc0, sp0) = drained()
       // job group = query name: stamps every job/stage this query runs
       // into the event log, so EventLogDigest can attribute stages to

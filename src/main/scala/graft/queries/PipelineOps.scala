@@ -1095,6 +1095,124 @@ object PipelineOps {
       |LEFT JOIN qq ON qq.doc_id = d.doc_id
       |LEFT JOIN fl f ON f.doc_id = d.doc_id""".stripMargin
 
+  /** q104 — WHAT-IF re-admission (VERDICT r5 #5): q93 explains why a
+    * document was dropped; the next operational question is "what
+    * changes if I re-run with threshold X". This query re-evaluates
+    * admission under an ALTERNATIVE gate policy — stopword ratio
+    * relaxed 5 % → 10 %, decontamination tolerance raised from any
+    * shared 8-gram to < 3 shared grams, plus a NEW span-quality gate
+    * (≤ 50 % duplicated windows, q77's signal) — side by side with the
+    * shipped policy, per source: admitted-now, admitted-under-what-if,
+    * and the gained/lost deltas a data lead reads before committing a
+    * policy change. All thresholds are literals (the oracle carries
+    * the same ones); admitted-now is BY CONSTRUCTION q93's admitted
+    * bit (same survivor set, same gates, same flag rule — asserted in
+    * the spec).
+    *
+    * No re-mining anywhere: the survivor set rides the memoized q45
+    * labels (payer-before-rider enforced in Bench), and the quality /
+    * decon / span signals are the same row-local or keyed derivations
+    * their component queries ship — everything else is doc_id-keyed
+    * left joins plus one rollup on the ~20-key source domain. */
+  def whatifAdmission(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val surv = DedupOps.dedupCorpus(spark, dir)
+      .select($"doc_id", lit(1L).as("s"))
+    val qNow = qualityGate(docs).select($"doc_id", lit(1L).as("qn"))
+    val qAlt = qualityGate(docs, stopMult = 10)
+      .select($"doc_id", lit(1L).as("qa"))
+    val decon = benchmarkDecon(spark, dir)
+      .select($"doc_id", $"n_shared_grams".as("ng"))
+    val spans = DedupOps.spanStats(spark, dir)
+    docs.select($"doc_id", $"source")
+      .join(surv, Seq("doc_id"), "left")
+      .join(qNow, Seq("doc_id"), "left")
+      .join(qAlt, Seq("doc_id"), "left")
+      .join(decon, Seq("doc_id"), "left")
+      .join(spans, "doc_id")
+      .withColumn("adm_now",
+        when($"s".isNotNull && $"qn".isNotNull &&
+          coalesce($"ng", lit(0L)) < 1, 1L).otherwise(0L))
+      .withColumn("adm_whatif",
+        when($"s".isNotNull && $"qa".isNotNull &&
+          coalesce($"ng", lit(0L)) < 3 &&
+          $"n_dup_windows" * 2 <= $"n_windows", 1L).otherwise(0L))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"adm_now").as("n_admitted_now"),
+        sum($"adm_whatif").as("n_admitted_whatif"),
+        sum($"adm_whatif" * (lit(1L) - $"adm_now")).as("n_gained"),
+        sum($"adm_now" * (lit(1L) - $"adm_whatif")).as("n_lost"))
+  }
+
+  private val whatifAdmissionSql = DedupOps.survivorCtes + ",\n" +
+    """qq AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, lang, string_split(text, ' ') AS tok
+      |    FROM documents) t
+      |  WHERE lang = 'en' AND len(tok) BETWEEN 5 AND 10000
+      |    AND len(list_filter(tok,
+      |      x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) * 20
+      |        >= len(tok)),
+      |qa AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, lang, string_split(text, ' ') AS tok
+      |    FROM documents) t
+      |  WHERE lang = 'en' AND len(tok) BETWEEN 5 AND 10000
+      |    AND len(list_filter(tok,
+      |      x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) * 10
+      |        >= len(tok)),
+      |tok8 AS (
+      |  SELECT doc_id,
+      |    substr(md5(concat('bench:', CAST(doc_id AS VARCHAR))), 1, 1) = '0'
+      |      AS bench,
+      |    string_split(text, ' ') AS tok
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |w8 AS (
+      |  SELECT doc_id, bench, unnest(list_transform(range(1, len(tok) - 6),
+      |    i -> array_to_string(tok[i:i+7], ' '))) AS gram
+      |  FROM tok8),
+      |bg8 AS (SELECT DISTINCT gram FROM w8 WHERE bench),
+      |fl AS (SELECT w8.doc_id, CAST(COUNT(DISTINCT w8.gram) AS BIGINT) AS ng
+      |       FROM w8 JOIN bg8 USING (gram)
+      |       WHERE NOT w8.bench GROUP BY 1),
+      |tokS AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |wS AS (
+      |  SELECT doc_id, array_to_string(tok[i : i + 7], ' ') AS gram
+      |  FROM (SELECT doc_id, tok,
+      |          unnest(range(1, len(tok) - 8 + 2)) AS i
+      |        FROM tokS WHERE len(tok) >= 8) u),
+      |dupS AS (
+      |  SELECT gram FROM wS GROUP BY gram
+      |  HAVING COUNT(DISTINCT doc_id) > 1),
+      |ss AS (
+      |  SELECT wS.doc_id, COUNT(*) AS nw, COUNT(dupS.gram) AS nd
+      |  FROM wS LEFT JOIN dupS USING (gram)
+      |  GROUP BY wS.doc_id),
+      |base AS (
+      |  SELECT d.doc_id, d.source,
+      |    CASE WHEN sv.doc_id IS NOT NULL AND qq.doc_id IS NOT NULL
+      |      AND COALESCE(fl.ng, 0) < 1 THEN 1 ELSE 0 END AS adm_now,
+      |    CASE WHEN sv.doc_id IS NOT NULL AND qa.doc_id IS NOT NULL
+      |      AND COALESCE(fl.ng, 0) < 3
+      |      AND COALESCE(ss.nd, 0) * 2 <= COALESCE(ss.nw, 0)
+      |      THEN 1 ELSE 0 END AS adm_whatif
+      |  FROM documents d
+      |  LEFT JOIN surv sv ON sv.doc_id = d.doc_id
+      |  LEFT JOIN qq ON qq.doc_id = d.doc_id
+      |  LEFT JOIN qa ON qa.doc_id = d.doc_id
+      |  LEFT JOIN fl ON fl.doc_id = d.doc_id
+      |  LEFT JOIN ss ON ss.doc_id = d.doc_id)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(adm_now) AS BIGINT) AS n_admitted_now,
+      |  CAST(SUM(adm_whatif) AS BIGINT) AS n_admitted_whatif,
+      |  CAST(SUM(adm_whatif * (1 - adm_now)) AS BIGINT) AS n_gained,
+      |  CAST(SUM(adm_now * (1 - adm_whatif)) AS BIGINT) AS n_lost
+      |FROM base GROUP BY source""".stripMargin
+
   /** Cross-source contamination report: how many verified near-dup
     * pairs (exact shingle J ≥ 0.5, the [[DedupOps.minhashLsh]] output)
     * connect each unordered source pair — the decontamination check a
@@ -1146,19 +1264,22 @@ object PipelineOps {
     * the memoized cluster labels; everything else is one scan of
     * documents with stateless expressions. */
   /** The q64 quality gates as a reusable stateless lift over any frame
-    * bearing `text` and `lang`: English, 5–10000 whitespace tokens,
-    * stopword ratio ≥ 5 % (n_stop·20 ≥ n_tokens, integer-exact).
-    * Shared verbatim by the batch training corpus and the streaming
+    * bearing `text` and `lang`: English, minTokens–maxTokens whitespace
+    * tokens, stopword ratio ≥ 1/stopMult (n_stop·stopMult ≥ n_tokens,
+    * integer-exact). Defaults are the SHIPPED policy (5–10000, 5 %) —
+    * shared verbatim by the batch training corpus and the streaming
     * ingest twin ([[graft.streaming.StreamingQueries.trainingIngestStream]])
-    * so the two paths cannot drift. */
-  private[graft] def qualityGate(df: DataFrame): DataFrame =
+    * so the two paths cannot drift; non-default thresholds are the
+    * what-if lever (q104). */
+  private[graft] def qualityGate(df: DataFrame, minTokens: Int = 5,
+      maxTokens: Int = 10000, stopMult: Int = 20): DataFrame =
     df.withColumn("tok", split(col("text"), " "))
       .withColumn("n_tokens", size(col("tok")))
       .withColumn("n_stop", size(expr(
         "filter(tok, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))")))
       .filter(col("lang") === "en" &&
-        col("n_tokens") >= 5 && col("n_tokens") <= 10000 &&
-        col("n_stop") * 20 >= col("n_tokens"))
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+        col("n_stop") * stopMult >= col("n_tokens"))
 
   def trainingCorpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1383,6 +1504,11 @@ object PipelineOps {
     Q("q103_packing_budget", packingBudget, Some(packingBudgetSql),
       "greedy-vs-packed padding accounting per language on the same " +
         "corpus: the measured waste reduction q102's packing buys"),
+    Q("q104_whatif_admission", whatifAdmission, Some(whatifAdmissionSql),
+      "what-if re-admission: shipped vs alternative gate policy " +
+        "(relaxed stopword ratio, decon tolerance, new span-quality " +
+        "gate) per source with gained/lost deltas — no re-mining, " +
+        "thresholds as literals"),
     Q("q91_packed_stream", packedStream(_, _), Some(packedStreamSql),
       "GPT-style contiguous token-stream packing within training " +
         "shards: per-doc offset + sequence span, padding only at " +

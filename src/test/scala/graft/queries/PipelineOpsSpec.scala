@@ -240,6 +240,30 @@ class PipelineOpsSpec extends SparkSuite {
     assert(totPp < totPg, s"no waste reduction: greedy=$totPg packed=$totPp")
   }
 
+  test("q104 what-if: admitted-now equals q93 lineage, deltas reconcile") {
+    import spark.implicits._
+    val whatif = PipelineOps.whatifAdmission(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // the shipped-policy column is q93's admitted bit by construction
+    val lineage = PipelineOps.docLineage(spark, sf0001)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"admitted").as("adm"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(whatif.keySet == lineage.keySet)
+    for ((src, (nDocs, admNow, admWhatif, gained, lost)) <- whatif) {
+      assert((nDocs, admNow) == lineage(src), s"source $src vs q93")
+      // delta algebra: what-if = now + gained - lost, all non-negative
+      assert(admWhatif == admNow + gained - lost, s"source $src deltas")
+      assert(gained >= 0 && lost >= 0 && admWhatif <= nDocs)
+    }
+    // the alternative policy must actually move the needle somewhere —
+    // a what-if report that can never differ from production is dead UI
+    assert(whatif.values.exists(v => v._4 > 0 || v._5 > 0),
+      "what-if policy changed nothing at sf0.001 — thresholds are inert")
+  }
+
   test("hashed-feature scorer matches an independent driver-side recompute") {
     def md5Long8(seed: String): Long = java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
