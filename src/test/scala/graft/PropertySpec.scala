@@ -135,6 +135,71 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("span scrub/dedup equal a driver reference on random corpora " +
+    "(union coverage; q75 keeps one canonical occurrence per dup gram)") {
+    import spark.implicits._
+    // reference implementation of the span family's exact semantics:
+    // coverage is the UNION over duplicated k-windows (q74), or over
+    // their NON-CANONICAL occurrences (q75, canonical = lexicographic
+    // min (doc_id, i)); rebuild keeps uncovered positions in order,
+    // one row per input doc. Tokenization mirrors Spark's split(): a
+    // doc is split(" ", -1), so empty text is one empty token.
+    def reference(docs: Seq[(Long, String)], k: Int, keepOne: Boolean)
+        : (Map[Long, (String, Long)], Int) = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1) }.toMap
+      val wins = for {
+        (id, tk) <- toks.toSeq if tk.length >= k
+        i <- 1 to tk.length - k + 1
+      } yield (id, i, tk.slice(i - 1, i - 1 + k).mkString(" "))
+      val byGram = wins.groupBy(_._3)
+      val dupGrams = byGram.filter(_._2.map(_._1).distinct.size > 1)
+      var survivingCanonicals = 0
+      val removal = dupGrams.toSeq.flatMap { case (_, occ) =>
+        val occs = occ.map(o => (o._1, o._2)).sortBy(identity)
+        val dropped = if (keepOne) occs.tail else occs
+        if (keepOne) {
+          assert(occs.size - dropped.size == 1) // exactly one canonical
+          survivingCanonicals += 1
+        }
+        dropped
+      }
+      val covered = removal
+        .flatMap { case (id, i) => (i until i + k).map(id -> _) }.toSet
+      val rebuilt = docs.map { case (id, _) =>
+        val kept = toks(id).zipWithIndex
+          .collect { case (t, p0) if !covered((id, p0 + 1)) => t }
+        id -> (kept.mkString(" "), kept.length.toLong)
+      }.toMap
+      (rebuilt, survivingCanonicals)
+    }
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("a", "b", "c", "d")
+    for (trial <- 1 to 3) {
+      val shared = Seq.fill(5)(alphabet(rnd.nextInt(4))).mkString(" ")
+      val docs = (1L to 10L).map { id =>
+        val n = rnd.nextInt(12) // 0..11 tokens: includes sub-k docs
+        val body = Seq.fill(n)(alphabet(rnd.nextInt(4))).mkString(" ")
+        // two docs embed a guaranteed shared 5-run (dup 3-windows exist)
+        id -> (if (id <= 2) s"$shared $body".trim else body)
+      }
+      val df = docs.toDF("doc_id", "text")
+      def collectOut(out: org.apache.spark.sql.DataFrame) =
+        out.collect().map(r =>
+          r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      val (wantScrub, _) = reference(docs, 3, keepOne = false)
+      assert(collectOut(graft.queries.DedupOps.scrubSpansOf(df, 3))
+        == wantScrub, s"trial $trial scrub")
+      val (wantDedup, canonicals) = reference(docs, 3, keepOne = true)
+      assert(collectOut(graft.queries.DedupOps.dedupSpansOf(df, 3))
+        == wantDedup, s"trial $trial dedup")
+      assert(canonicals > 0, s"trial $trial generated no dup grams")
+      // keep-one must never remove MORE than scrub (its removal set is
+      // a strict subset per gram)
+      for ((id, (_, nScrub)) <- wantScrub)
+        assert(wantDedup(id)._2 >= nScrub, s"trial $trial doc $id")
+    }
+  }
+
   test("simhash 16-bit chunk blocking is lossless for hamming <= 3") {
     // the pigeonhole contract q44's candidate join relies on: flipping
     // at most 3 bits of a 64-bit signature cannot touch all 4 16-bit
