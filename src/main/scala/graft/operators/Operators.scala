@@ -209,9 +209,22 @@ object Operators {
     * `stopped = false` means maxRounds elapsed without stop() — callers
     * wanting convergence should fail loudly rather than ship a
     * non-fixpoint (q45's contract); fixed-round callers pass a
-    * constant-false stop. */
+    * constant-false stop.
+    *
+    * `stopMaterializes = true` declares that stop() itself runs an
+    * action over `next` (q45's changed-count does), letting the
+    * harness skip its own materializing count — one action per round
+    * instead of two. Leave it false when stop() is a no-op (fixed-
+    * round callers): the harness count is then what truncates the
+    * checkpoint before the superseded round is released.
+    *
+    * Ownership: the harness persists `init` and drops that cache when
+    * round 1 supersedes it, but never releases checkpoint BLOCKS found
+    * inside `init` — they may back a shared artifact the caller still
+    * needs (memoized tables are checkpoint- or cache-backed frames;
+    * truncated lineage makes released blocks unrecoverable). */
   def iterateCheckpointed(init: DataFrame, maxRounds: Int,
-      checkpointLast: Boolean = true)(
+      checkpointLast: Boolean = true, stopMaterializes: Boolean = false)(
       step: (DataFrame, Int) => DataFrame)(
       stop: (DataFrame, DataFrame) => Boolean): (DataFrame, Int, Boolean) = {
     require(maxRounds >= 1, "iterateCheckpointed needs at least one round")
@@ -227,16 +240,16 @@ object Operators {
         // materialize BEFORE releasing the superseded round: the lazy
         // checkpoint truncates next's lineage only at its first action
         // — until then next still computes THROUGH state, whose blocks
-        // may be the truncated previous round's only source. The count
-        // is the one action the harness owns (stop() may be a no-op
-        // for fixed-round callers); stop() and the following round
-        // then read blocks, never lineage.
-        next.count()
+        // may be the truncated previous round's only source. Exactly
+        // one action runs per round: the harness count, or stop()'s
+        // own when the caller declared it.
+        if (!stopMaterializes) next.count()
         stopped = stop(state, next)
         // safe to drop eagerly now: next no longer references the
-        // superseded round, and the frame is never touched again
+        // superseded round, and the frame is never touched again —
+        // but round 1's state is the caller's init (see Ownership)
         state.unpersist()
-        releaseCheckpointBlocks(state)
+        if (rounds > 0) releaseCheckpointBlocks(state)
       } else {
         stopped = stop(state, next)
         // final un-checkpointed round: next references state LAZILY,

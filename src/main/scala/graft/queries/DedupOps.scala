@@ -375,7 +375,8 @@ object DedupOps {
     val (labels, rounds, converged) = graft.operators.Operators
       .iterateCheckpointed(
         Tables(spark, dir, "documents")
-          .select($"doc_id", $"doc_id".as("cluster_id")), maxRounds) {
+          .select($"doc_id", $"doc_id".as("cluster_id")), maxRounds,
+        stopMaterializes = true) { // the changed-count below acts on next
         (cur, _) =>
           val viaEdges = edges
             .join(cur.select($"doc_id".as("u"), $"cluster_id"), "u")

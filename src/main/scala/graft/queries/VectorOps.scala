@@ -770,24 +770,31 @@ object VectorOps {
     * readers (a metadata-log directory reads only logged files), and a
     * resumed appender writing a fresh log would mask them the same
     * way. Rolling segments + compact-on-seal is the standard
-    * streaming-index lifecycle (IR segment merging); readers see
-    * either the old or the new directory name — each internally
-    * consistent — and the swap is two same-filesystem renames. */
+    * streaming-index lifecycle (IR segment merging). The swap is two
+    * same-filesystem renames, so `path` is briefly absent between
+    * them — run compaction in the segment's maintenance window (no
+    * concurrent readers on THIS segment; queries route to other
+    * segments meanwhile). A crash between the renames is recoverable:
+    * the next compactIndex call restores the retired original before
+    * proceeding, so the segment is never lost. */
   def compactIndex(spark: SparkSession, path: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete()
+    }
+    val retired = Paths.get(path + ".pre-compact")
+    // crash recovery: a prior run that died between its two renames
+    // left the only live copy at .pre-compact — restore it first
+    if (!Files.exists(Paths.get(path)) && Files.exists(retired))
+      Files.move(retired, Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
     val codes = spark.read.parquet(path)
     val tmp = path + ".compacting"
     graft.operators.Operators.writePartitioned(codes, tmp, "cell")
-    val retired = Paths.get(path + ".pre-compact")
-    def rmTree(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).forEach(c => rmTree(c))
-      Files.deleteIfExists(p)
-    }
-    rmTree(retired) // a crashed prior compaction must not block this one
+    rmTree(retired.toFile) // stale retiree must not block the rename
     Files.move(Paths.get(path), retired, StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
-    rmTree(retired)
+    rmTree(retired.toFile)
   }
 
   /** Write just the parameter siblings (centroid + codebook tables)
