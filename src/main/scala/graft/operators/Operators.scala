@@ -165,6 +165,75 @@ object Operators {
       case _ =>
     }
 
+  /** Connected components via alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond") on [[iterateCheckpointed]] — the LONG-CHAIN-SAFE
+    * alternative to min-label propagation: propagation needs
+    * O(diameter) rounds and the dedup operator deliberately fails
+    * loudly past its cap (q45's contract); star contraction halves
+    * path lengths every round, so ANY graph converges in O(log n)
+    * rounds. Takes an edge frame with two long columns (`u`, `v`; each
+    * undirected edge in either or both directions, self-loops
+    * tolerated) and returns (node, label) for every NON-isolated node,
+    * label = the component's minimum node id. Isolated nodes never
+    * appear in an edge list — callers label them themselves (the q45
+    * singleton rule).
+    *
+    * Per round, each phase is one partial-aggregatable min per node
+    * plus one equi-join (large-star hangs every larger neighbor onto
+    * the neighborhood minimum; small-star re-hangs the smaller
+    * neighborhood onto its minimum) — \|E\|-row shuffles, keyed only,
+    * no collect of neighbor lists, so a high-degree hub costs map-side
+    * combines, not a straggler. Convergence = the symmetric edge set
+    * is stable (two exceptAll counts — exact, no hash-collision risk);
+    * the fixpoint is a forest of stars whose centers are component
+    * minima. */
+  def connectedComponentsStar(edges: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def symmetrize(df: DataFrame): DataFrame =
+      df.filter($"u" =!= $"v")
+        .select(explode(array(
+          struct($"u", $"v"),
+          struct($"v".as("u"), $"u".as("v")))).as("e"))
+        .select($"e.u".as("u"), $"e.v".as("v"))
+        .distinct()
+    def largeStar(nbrs: DataFrame): DataFrame = {
+      val m = nbrs.groupBy($"u").agg(min($"v").as("mv"))
+        .select($"u", least($"mv", $"u").as("m"))
+      symmetrize(nbrs.filter($"v" > $"u").join(m, "u")
+        .select($"v".as("u"), $"m".as("v")))
+    }
+    def smallStar(nbrs: DataFrame): DataFrame = {
+      val down = nbrs.filter($"v" < $"u")
+      val m = down.groupBy($"u").agg(min($"v").as("m"))
+      symmetrize(
+        down.join(m, "u").filter($"v" =!= $"m")
+          .select($"v".as("u"), $"m".as("v"))
+          .union(m.select($"u", $"m".as("v"))))
+    }
+    val (stars, _, converged) = iterateCheckpointed(
+      symmetrize(edges.select($"u", $"v")), maxRounds,
+      stopMaterializes = true) { (cur, _) =>
+      smallStar(largeStar(cur))
+    } { (cur, next) =>
+      // set equality both ways; each exceptAll is an action over next
+      next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+    }
+    require(converged,
+      s"star contraction did not converge in $maxRounds rounds — " +
+        "O(log n) rounds should need ~40 for any practical graph; " +
+        "check the edge list for corruption")
+    // fixpoint stars: every non-center node has exactly its center as
+    // the smaller neighbor; centers (component minima) label themselves
+    val nodes = stars.select($"u").distinct()
+    nodes.join(
+        stars.filter($"v" < $"u").groupBy($"u").agg(min($"v").as("l")),
+        Seq("u"), "left")
+      .select($"u".as("node"), coalesce($"l", $"u").as("label"))
+  }
+
   /** Fixed-round lazy fold: compose `step` N times into ONE plan — no
     * checkpoint, no driver action, static DAG depth. The right
     * iteration shape when the round count is small and static (q97's

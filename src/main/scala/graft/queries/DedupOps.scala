@@ -416,6 +416,27 @@ object DedupOps {
     out
   }
 
+  /** q105 — cluster labels via large-star/small-star contraction
+    * (round 6): the SAME output as q45 computed by the long-chain-safe
+    * algorithm the q45 docs name as the drop-in upgrade —
+    * [[graft.operators.Operators.connectedComponentsStar]] converges
+    * in O(log n) rounds on ANY graph shape, where min-label
+    * propagation needs O(diameter) and deliberately fails loudly past
+    * its cap. Hash-checked against q45's own recursive-CTE oracle
+    * every round (the q38/q41 same-oracle equivalence pattern), so
+    * the two algorithms are proven interchangeable on real data;
+    * OperatorPropertiesSpec additionally proves the star form on a
+    * 400-node path graph — the diameter-400 shape q45 would refuse.
+    * Rides the memoized pair table (payer-before-rider in Bench). */
+  def dupClustersStar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labels = graft.operators.Operators.connectedComponentsStar(
+      verifiedPairs(spark, dir).select($"a_id".as("u"), $"b_id".as("v")))
+    Tables(spark, dir, "documents").select($"doc_id")
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"label", $"doc_id").as("cluster_id"))
+  }
+
   /** q98 — per-document similar-neighbor list: each document's top-k
     * verified near-duplicates ranked by exact Jaccard — the "related
     * items" artifact a similarity system actually serves, and the
@@ -1034,6 +1055,10 @@ object DedupOps {
     Q("q45_dup_clusters", clusterLabels, Some(dupClustersSql),
       "connected components over the verified dup-pair graph: min-label " +
         "propagation vs a recursive-CTE oracle"),
+    Q("q105_dup_clusters_star", dupClustersStar, Some(dupClustersSql),
+      "same labels via large-star/small-star contraction — O(log n) " +
+        "rounds on any graph shape (the long-chain-safe alternative), " +
+        "hash-proven equal on q45's own oracle"),
     Q("q59_dedup_corpus", dedupCorpus, Some(dedupCorpusSql),
       "the deduplicated corpus: one survivor per cluster by keep-longest " +
         "policy (n_chars desc, doc_id tie-break) over the shared labels"),

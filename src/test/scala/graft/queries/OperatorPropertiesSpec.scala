@@ -364,6 +364,51 @@ class OperatorPropertiesSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("star-contraction components == union-find on random graphs and a long path") {
+    import spark.implicits._
+    // driver-side union-find reference
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    val rnd = new scala.util.Random(11)
+    // three random graphs of mixed density (self-loops + dups included)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(40 + rnd.nextInt(40))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val got = graft.operators.Operators
+        .connectedComponentsStar(edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(n, edges)
+      val touched = edges.flatMap(e => Seq(e._1, e._2))
+        .filter(id => edges.exists(e =>
+          (e._1 == id || e._2 == id) && e._1 != e._2)).toSet
+      assert(got.keySet == touched, s"trial $trial node set")
+      for ((node, label) <- got)
+        assert(label == want(node), s"trial $trial node $node")
+    }
+    // the diameter-400 path graph min-label propagation refuses (q45
+    // caps at 50 rounds): star contraction must converge in O(log n)
+    val path = (0L until 400L).sliding(2).map(w => (w(0), w(1))).toSeq
+    val labels = graft.operators.Operators
+      .connectedComponentsStar(path.toDF("u", "v"), maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 400 && labels.forall(_._2 == 0L),
+      "path graph did not contract to component minimum 0")
+  }
+
   test("funnel latency: depth-2 users yield a NULL click->purchase percentile") {
     import spark.implicits._
     // the depth-2 branch (clicked but never purchased) was unexercised
