@@ -451,14 +451,16 @@ object EventOps {
     * click→purchase percentile is NULL in both engines (both ignore
     * NULL inputs). Keyed rollup on the 2-value depth domain — no
     * global aggregate, no single-partition exchange. */
-  /** Frame-based q99 core (see [[funnelOf]]): depth-2 users have no
-    * purchase, so their click→purchase percentile is NULL —
-    * OperatorPropertiesSpec asserts that branch on a synthetic event
-    * set since the corpus need not contain it. */
-  private[graft] def funnelLatencyOf(ev: DataFrame): DataFrame = {
-    val spark = ev.sparkSession
+  /** The q99 rollup over an already-computed funnel frame — shared by
+    * batch q99 and the STREAMING composition: the sink-side aggregate
+    * a deployment runs over [[graft.streaming.StreamingQueries
+    * .funnelStream]]'s latest snapshots in foreachBatch (the
+    * emit-state/roll-up-downstream split the retention twin uses;
+    * StreamingSpec asserts snapshots → this rollup == batch q99). */
+  private[graft] def latencyOverFunnel(fun: DataFrame): DataFrame = {
+    val spark = fun.sparkSession
     import spark.implicits._
-    funnelOf(ev)
+    fun
       .filter($"t_click".isNotNull)
       .select($"depth", ($"t_click" - $"t_view").as("d1"),
         ($"t_purchase" - $"t_click").as("d2"))
@@ -468,6 +470,13 @@ object EventOps {
         expr("percentile(d1, 0.9)").as("p90_view_to_click"),
         expr("percentile(d2, 0.5)").as("p50_click_to_purchase"))
   }
+
+  /** Frame-based q99 core (see [[funnelOf]]): depth-2 users have no
+    * purchase, so their click→purchase percentile is NULL —
+    * OperatorPropertiesSpec asserts that branch on a synthetic event
+    * set since the corpus need not contain it. */
+  private[graft] def funnelLatencyOf(ev: DataFrame): DataFrame =
+    latencyOverFunnel(funnelOf(ev))
 
   def funnelLatency(spark: SparkSession, dir: String): DataFrame =
     funnelLatencyOf(eventEpochs(spark, dir))

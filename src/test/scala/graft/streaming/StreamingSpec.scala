@@ -537,6 +537,19 @@ class StreamingSpec extends SparkSuite {
     // cross-batch upgrades happened (otherwise the split proves nothing)
     assert(snapshots.length > latest.size,
       "no user produced snapshots in both batches")
+    // composition: the shared q99 rollup over the streamed snapshots
+    // equals batch q99 — the foreachBatch shape a latency dashboard
+    // runs, completing the event-analytics streaming family
+    def opt(v: Option[Long]): java.lang.Long =
+      v.map(java.lang.Long.valueOf).orNull
+    val latestDf = latest.toSeq
+      .map(t => (t._1, opt(t._2), opt(t._3), opt(t._4), t._5))
+      .toDF("user_id", "t_view", "t_click", "t_purchase", "depth")
+    def profile(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2), r.get(3), r.get(4)))
+      .toSet
+    assert(profile(graft.queries.EventOps.latencyOverFunnel(latestDf)) ==
+      profile(graft.queries.EventOps.funnelLatency(spark, sf0001)))
   }
 
   test("retention delta stream: counted deltas equal batch q95") {
