@@ -390,6 +390,32 @@ object StreamingQueries {
       }
   }
 
+  /** Ingest-time tokenizer application — the streaming twin of q106:
+    * the trained merge table (a static N-row artifact, mined once by
+    * the q101 loop) replays over arriving documents as a stateless
+    * per-row fold — pre-tokenize, apply the same
+    * [[graft.queries.PipelineOps.applyMergesExpr]] replace chain per
+    * pre-token, sum lengths. No state, no watermark, no shuffle: the
+    * shape a tokenizer runs in the ingest path, exactly like
+    * [[scoreStream]]'s classifier (HOF folds are CodegenFallback —
+    * acceptable off the batch hot path, where q106's explode+rollup
+    * form stays). Emits (doc_id, n_pretokens, n_chars, n_symbols),
+    * q106's schema; stream==batch asserted in StreamingSpec. */
+  def tokenizeStream(docs: DataFrame,
+      merges: Seq[graft.queries.PipelineOps.BpeMerge]): DataFrame = {
+    import graft.queries.PipelineOps
+    docs.filter(col("text").isNotNull)
+      .withColumn("pt", regexp_extract_all(col("text"),
+        lit(PipelineOps.preTokenPattern), lit(0)))
+      .select(col("doc_id"),
+        size(col("pt")).cast("long").as("n_pretokens"),
+        aggregate(col("pt"), lit(0L),
+          (acc, t) => acc + length(t)).as("n_chars"),
+        aggregate(col("pt"), lit(0L),
+          (acc, t) => acc + length(PipelineOps.applyMergesExpr(t, merges)))
+          .as("n_symbols"))
+  }
+
   // ------------------------------------------- funnel / retention twins
   final case class FEvent(user_id: Long, event_type: String, t: Long)
   /** Funnel snapshot row; None = stage not reached (batch q94's NULL). */

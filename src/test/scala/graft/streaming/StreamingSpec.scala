@@ -501,6 +501,33 @@ class StreamingSpec extends SparkSuite {
       (8L, "2025-01-25 16:00:30", 1L)))
   }
 
+  test("streaming tokenizer application == batch q106 on the same docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.queries.PipelineOps.tokenizeCorpus(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val merges = graft.queries.PipelineOps.minedMerges(spark, sf0001, 5)
+    val feed = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingQueries.tokenizeStream(
+        ms.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tok_out").start()
+    ms.addData(feed: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("tok_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    q.stop()
+    assert(streamed == batch)
+    // the merges genuinely compress: symbols strictly under chars
+    // corpus-wide (5 merges each won on real frequency)
+    assert(streamed.map(_._4).sum < streamed.map(_._3).sum)
+  }
+
   test("funnel stream: per-user stateful snapshots equal batch q94") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
