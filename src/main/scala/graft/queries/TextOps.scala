@@ -369,6 +369,76 @@ object TextOps {
       |  COALESCE(s.sum_freq * 1000000 // s.n_tokens, 0) AS mean_freq_scaled
       |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin
 
+  /** q107 — bigram-LM document scoring, the sequence-aware companion
+    * to q82's unigram score (CCNet/KenLM-style LM filtering's next
+    * order): each adjacent token pair scores the integer conditional-
+    * probability surrogate `10⁶·c(w1,w2) div c(w1,·)` — how expected
+    * is w2 after w1 in THIS corpus — and a document's score is the
+    * truncating mean over its bigrams. Shuffled word salad scores low
+    * even when q82's bag-of-words mean is high (every word common,
+    * every transition rare) — exactly the gibberish that unigram
+    * filters pass. Float-free end to end (the q82/q89 integer-
+    * surrogate device), so n/sum/mean are all in the hash check.
+    * Pairs with an empty-string side are excluded (the '' token rule
+    * q82 applies to unigrams); docs with no qualifying bigram report
+    * zeros via the restore join.
+    *
+    * Scale shape: pair explode is partition-local; bigram and
+    * bigram-start counts are partial-aggregatable on vocabulary²- and
+    * vocabulary-bounded key spaces; the score join is keyed on (w1,
+    * w2)/(w1) — a stop-word bigram lands in a composite key, not a
+    * straggler partition. Same chain shape as q82 with one extra
+    * keyed join. */
+  private[graft] def bigramScoreOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = docs
+      .select($"doc_id", toks($"text").as("tok"))
+      .filter(size($"tok") >= 2)
+      .select($"doc_id", explode(expr(
+        "filter(transform(sequence(1, size(tok) - 1), " +
+          "i -> struct(tok[i-1] AS w1, tok[i] AS w2)), " +
+          "p -> p.w1 != '' AND p.w2 != '')")).as("p"))
+      .select($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
+    val c2 = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = pairs.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val scored = pairs
+      .join(c2, Seq("w1", "w2")).join(c1, "w1")
+      .select($"doc_id", expr("c2 * 1000000 div c1").as("cond"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"cond").as("sum_cond"))
+      .withColumn("mean_cond_scaled", expr("sum_cond div n_bigrams"))
+    docs.select($"doc_id").join(scored, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        coalesce($"sum_cond", lit(0L)).as("sum_cond"),
+        coalesce($"mean_cond_scaled", lit(0L)).as("mean_cond_scaled"))
+  }
+
+  def bigramScore(spark: SparkSession, dir: String): DataFrame =
+    bigramScoreOf(Tables(spark, dir, "documents"))
+
+  private val bigramScoreSql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |bg AS (
+      |  SELECT doc_id, tok[i] AS w1, tok[i + 1] AS w2
+      |  FROM (SELECT doc_id, tok, unnest(range(1, len(tok))) AS i
+      |        FROM tok WHERE len(tok) >= 2) u
+      |  WHERE tok[i] <> '' AND tok[i + 1] <> ''),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+      |s AS (
+      |  SELECT bg.doc_id, COUNT(*) AS nb,
+      |    CAST(SUM(c2.c2 * 1000000 // c1.c1) AS BIGINT) AS sc
+      |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+      |  GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(s.nb, 0) AS BIGINT) AS n_bigrams,
+      |  COALESCE(s.sc, 0) AS sum_cond,
+      |  COALESCE(s.sc // s.nb, 0) AS mean_cond_scaled
+      |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id""".stripMargin
+
   /** q87 — inverted-index build: the searchable posting-list table
     * (term, doc_id, df, tf, first_pos) behind exact-phrase lookup,
     * BM25-style ranking (df and tf are its sufficient statistics), and
@@ -484,6 +554,10 @@ object TextOps {
       "Gopher-style within-doc repetition filters (top/duplicated 2-gram chars)"),
     Q("q82_unigram_score", unigramScore, Some(unigramScoreSql),
       "unigram-LM corpus-likelihood quality score, integer-exact"),
+    Q("q107_bigram_score", bigramScore, Some(bigramScoreSql),
+      "bigram-LM transition score: integer conditional-probability " +
+        "surrogate per adjacent pair, truncating per-doc mean — the " +
+        "sequence-aware gate bag-of-words filters can't express"),
     Q("q87_inverted_index", invertedIndex, Some(invertedIndexSql),
       "inverted-index posting table (term, doc, df, tf, first_pos) — " +
         "BM25 sufficient statistics, one narrow row per posting"),

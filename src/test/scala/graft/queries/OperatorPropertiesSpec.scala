@@ -409,6 +409,34 @@ class OperatorPropertiesSpec extends SparkSuite {
       "path graph did not contract to component minimum 0")
   }
 
+  test("bigram score matches hand-computed conditional surrogates") {
+    import spark.implicits._
+    // c(a,b)=3 c(b,a)=1 c(b,c)=1; starts: a->3, b->2
+    // cond(a,b) = 3e6 div 3 = 1e6; cond(b,a) = cond(b,c) = 1e6 div 2
+    val docs = Seq(
+      (1L, "a b a b"),   // pairs (a,b),(b,a),(a,b)
+      (2L, "a b c"),     // pairs (a,b),(b,c)
+      (3L, "x")          // no bigram: restore row with zeros
+    ).toDF("doc_id", "text")
+    val got = TextOps.bigramScoreOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == ((3L, 2500000L, 833333L)))
+    assert(got(2L) == ((2L, 1500000L, 750000L)))
+    assert(got(3L) == ((0L, 0L, 0L)))
+    // the gibberish property on the real corpus: reversing a document's
+    // tokens keeps its q82 unigram mean identical but must not INCREASE
+    // its bigram transition score corpus-wide (order is the signal)
+    val real = graft.sources.Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text")
+    val reversed = real.select($"doc_id",
+      concat_ws(" ", reverse(split($"text", " "))).as("text"))
+    def total(df: org.apache.spark.sql.DataFrame): Long =
+      TextOps.bigramScoreOf(df).agg(sum($"sum_cond")).head.getLong(0)
+    assert(total(reversed) < total(real),
+      "reversed corpus scored >= original: transitions carry no signal?")
+  }
+
   test("funnel latency: depth-2 users yield a NULL click->purchase percentile") {
     import spark.implicits._
     // the depth-2 branch (clicked but never purchased) was unexercised
