@@ -558,6 +558,74 @@ object DedupOps {
     pagerankRoundSql("r2", "r3") + "\n" +
     "SELECT doc_id, rank FROM r3"
 
+  /** q109's core over any (a_id, b_id) edge list with a_id < b_id —
+    * frame-based so the property spec can feed random graphs and
+    * compare against a driver-side brute force.
+    *
+    * Degree-ORIENTED triangle counting: orient every undirected edge
+    * from its lower-(degree, id) endpoint to the higher one; a
+    * triangle {a ≺ b ≺ c} under that total order has oriented edges
+    * a→b, b→c, a→c, so joining path (u→v, v→w) with closing edge u→w
+    * counts each triangle EXACTLY once — no /6 correction, no
+    * post-dedup shuffle. The orientation is the scale device, not a
+    * convenience: out-degree under lowest-(deg,id)-first orientation
+    * is O(√m), so the wedge join generates Σ outdeg² ≤ m·√m
+    * candidates where the naive Σ deg² blows up quadratically on
+    * hubs — and dup graphs are exactly hub-shaped (a boilerplate
+    * cluster is a clique). Every join is equi on vertex keys. */
+  private[graft] def triangleCountsOf(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val sym = pairs.select(explode(array(
+        struct($"a_id".as("u"), $"b_id".as("v")),
+        struct($"b_id".as("u"), $"a_id".as("v")))).as("e"))
+      .select($"e.u".as("u"), $"e.v".as("v"))
+    val deg = sym.groupBy($"u").agg(count(lit(1)).as("deg"))
+    // a_id < b_id on input, so deg ties orient a→b
+    val o = pairs
+      .join(deg.select($"u".as("a_id"), $"deg".as("da")), "a_id")
+      .join(deg.select($"u".as("b_id"), $"deg".as("db")), "b_id")
+      .select(
+        when($"da" <= $"db", $"a_id").otherwise($"b_id").as("x"),
+        when($"da" <= $"db", $"b_id").otherwise($"a_id").as("y"))
+    val e1 = o.select($"x".as("u"), $"y".as("v"))
+    val e2 = o.select($"x".as("v"), $"y".as("w"))
+    val e3 = o.select($"x".as("u"), $"y".as("w"))
+    val tri = e1.join(e2, "v").join(e3, Seq("u", "w"))
+    tri.select(explode(array($"u", $"v", $"w")).as("doc_id"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** q109 — triangle participation per document over the verified
+    * near-dup graph (memoized pair table; payer-before-rider): how
+    * many 3-cliques each document sits in. Clustering coefficient's
+    * numerator and the standard template-detection signal — a doc in
+    * many triangles is inside a DENSE duplication pocket (mutual
+    * near-dups), not just a chain of pairwise edits; q97's rank finds
+    * hubs, this finds cliques. Integer counts, fully hash-checked. */
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame =
+    triangleCountsOf(verifiedPairs(spark, dir).select(col("a_id"), col("b_id")))
+
+  private lazy val triangleCountsSql = clusterCtes + ",\n" +
+    """dg AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY 1),
+      |o AS (
+      |  SELECT CASE WHEN da.deg <= db.deg THEN p.a_id ELSE p.b_id END AS x,
+      |         CASE WHEN da.deg <= db.deg THEN p.b_id ELSE p.a_id END AS y
+      |  FROM p
+      |  JOIN dg da ON da.u = p.a_id
+      |  JOIN dg db ON db.u = p.b_id),
+      |tri AS (
+      |  SELECT e1.x AS u, e1.y AS v, e2.y AS w
+      |  FROM o e1
+      |  JOIN o e2 ON e2.x = e1.y
+      |  JOIN o e3 ON e3.x = e1.x AND e3.y = e2.y)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+      |  SELECT u AS doc_id FROM tri
+      |  UNION ALL SELECT v FROM tri
+      |  UNION ALL SELECT w FROM tri) t
+      |GROUP BY doc_id""".stripMargin
+
   /** The recursive-CTE cluster computation, shared by the q45 and q59
     * oracles: transitive closure over the same exact J ≥ 0.5 pair set,
     * min reachable id per node. Ends with the `m` CTE; callers append
@@ -1040,6 +1108,9 @@ object DedupOps {
     Q("q97_dup_pagerank", dupPagerank(_, _), Some(dupPagerankSql),
       "integer-exact 3-round PageRank over the near-dup graph: which " +
         "documents are the boilerplate hubs; one lazy plan, no floats"),
+    Q("q109_triangle_counts", triangleCounts, Some(triangleCountsSql),
+      "degree-oriented triangle counting over the near-dup graph: " +
+        "per-doc 3-clique participation, wedge join bounded O(m^1.5)"),
     Q("q78_cluster_sizes", clusterSizes, Some(clusterSizesSql),
       "dedup audit report: duplicate-cluster size distribution over " +
         "the memoized q45 labels (singletons included)"),

@@ -523,6 +523,90 @@ object EventOps {
       |FROM w JOIN f ON f.user_id = w.user_id
       |GROUP BY 1, 2""".stripMargin
 
+  /** Attribution lookback window, seconds. The bucket width deliberately
+    * EQUALS the interval length so every lookback interval covers at
+    * most two buckets (replication factor ≤ 2) — the standard width
+    * choice for the bucket decomposition below. */
+  private[graft] val attrWindowS = 600L
+
+  /** q108's candidate pairs over any frame bearing
+    * (event_id, user_id, event_type, t, value) — the BUCKETIZED
+    * interval-join core, frame-based (the [[funnelOf]] idiom) so the
+    * stream-stream twin's batch-parity spec can feed the identical
+    * fixture to both engines.
+    *
+    * The technique: a pure range predicate (`c_s` in `[p_s-W, p_s)`)
+    * would force a nested-loop plan even with the user_id equi key
+    * deciding the shuffle; instead each purchase's lookback interval is
+    * exploded to the ≤2 width-W time buckets it overlaps, each click is
+    * assigned the ONE bucket containing it, and the join becomes equi
+    * on (user_id, bucket) with the exact range as a residual filter.
+    * A click lies in exactly one bucket, so each qualifying (purchase,
+    * click) pair meets in exactly one bucket — no post-join dedup.
+    * This is the same interval decomposition Structured Streaming's
+    * stream-stream range join applies to its state store, and the
+    * composite (user, bucket) key splits a hot user's history across
+    * time buckets — finer-grained than q12's user-only theta key. */
+  private[graft] def attributionPairsOf(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val w = attrWindowS
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"t".as("p_s"))
+      // positive epochs: `div` truncation == floor in both engines
+      .withColumn("bucket",
+        explode(sequence(expr(s"(p_s - $w) div $w"), expr(s"(p_s - 1) div $w"))))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id".as("c_user"),
+        $"t".as("c_s"), $"value")
+      .withColumn("c_bucket", expr(s"c_s div $w"))
+    purchases.join(clicks,
+      $"user_id" === $"c_user" && $"bucket" === $"c_bucket" &&
+        $"c_s" >= $"p_s" - w && $"c_s" < $"p_s")
+      .select($"p_id", $"c_id", $"value")
+  }
+
+  /** q108 — purchase→click attribution: for EVERY purchase, the count
+    * and decimal-summed value of the same user's clicks in the strict
+    * 10-minute lookback `[p_s-600, p_s)` — the interval-join operator
+    * class (as-of q12/q13 returns one row; this aggregates a range).
+    * Purchases with no attributable clicks surface with zeros (left
+    * rollup), so the output is a total accounting of purchases.
+    * All-long epochs + decimal sums keep every column hash-checked. */
+  def clickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+      .select($"event_id", $"user_id", $"event_type",
+        epochS($"ts").as("t"), $"value")
+    val per = attributionPairsOf(ev)
+      .groupBy($"p_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(dec($"value")).cast("double").as("attributed_value"))
+    ev.filter($"event_type" === "purchase")
+      .select($"event_id")
+      .join(per, $"event_id" === $"p_id", "left")
+      .select($"event_id",
+        coalesce($"n_clicks", lit(0L)).as("n_clicks"),
+        coalesce($"attributed_value", lit(0d)).as("attributed_value"))
+  }
+
+  private val clickAttributionSql =
+    """WITH p AS (
+      |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS p_s
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS c_s,
+      |    value
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.event_id,
+      |  CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks,
+      |  COALESCE(CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+      |    AS attributed_value
+      |FROM p LEFT JOIN c
+      |  ON c.user_id = p.user_id
+      | AND c.c_s >= p.p_s - 600 AND c.c_s < p.p_s
+      |GROUP BY p.event_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q10_hourly_event_counts", hourlyCounts, Some(hourlyCountsSql),
       "hour-of-day histogram (ref Q2 affluence shape)"),
@@ -559,5 +643,8 @@ object EventOps {
         "triangle), integer epoch-weeks for engine portability"),
     Q("q99_funnel_latency", funnelLatency, Some(funnelLatencySql),
       "funnel stage-latency profile by depth: exact interpolated " +
-        "percentiles of view->click / click->purchase seconds"))
+        "percentiles of view->click / click->purchase seconds"),
+    Q("q108_click_attribution", clickAttribution, Some(clickAttributionSql),
+      "interval join via bucket decomposition: per-purchase 10-min " +
+        "click lookback as an equi join on (user, time-bucket)"))
 }

@@ -522,6 +522,44 @@ object StreamingQueries {
       }
   }
 
+  // ------------------------------------- stream-stream interval join
+  /** Typed ingest rows for the two attribution streams (column names
+    * are what [[attributionPairsStream]]'s join condition references). */
+  final case class ClickIn(c_id: Long, c_user: Long,
+      c_ts: java.sql.Timestamp)
+  final case class PurchaseIn(p_id: Long, p_user: Long,
+      p_ts: java.sql.Timestamp)
+
+  /** Streaming twin of the q108 attribution pairs — the STREAM-STREAM
+    * join surface (every other streaming query here is stream-static
+    * or single-input stateful): clicks and purchases arrive as two
+    * independent streams, Spark buffers BOTH sides in state, and the
+    * event-time range condition plus the two watermarks let it expire
+    * that state — a click older than `p_ts - 600s` below the purchase
+    * watermark can never match a future purchase, so the engine drops
+    * it (watermark-bounded state, no unbounded buffering; the same
+    * bucket decomposition q108 makes explicit in batch is what the
+    * state store does internally here).
+    *
+    * Emits the raw (p_id, c_id) candidate pairs; the per-purchase
+    * rollup stays sink-side (the retention-twin split — chaining a
+    * second stateful aggregate after a stream-stream join constrains
+    * output modes, and the zero-click purchases of q108's left rollup
+    * need a purchases-only pass anyway). Inner join: Structured
+    * Streaming requires watermarks + a two-sided event-time range for
+    * exactly this shape. Stream==batch vs attributionPairsOf on the
+    * shared fixture is asserted in StreamingSpec. */
+  def attributionPairsStream(clicks: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("c_ts", "30 seconds")
+    val p = purchases.withWatermark("p_ts", "30 seconds")
+    p.join(c,
+      expr("""p_user = c_user
+             |AND c_ts >= p_ts - interval 600 seconds
+             |AND c_ts < p_ts""".stripMargin))
+      .select(col("p_id"), col("c_id"))
+  }
+
   // ------------------------------------------------------------- sinks
   /** Memory sink (test/driver inspection). */
   def toMemory(df: DataFrame, name: String, mode: String): StreamingQuery =

@@ -409,6 +409,32 @@ class OperatorPropertiesSpec extends SparkSuite {
       "path graph did not contract to component minimum 0")
   }
 
+  test("oriented triangle counts == brute-force enumeration on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val n = 30
+      // distinct a<b edges, density high enough to force triangles
+      val edges = Seq.fill(80 + rnd.nextInt(60)) {
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter(e => e._1 != e._2).distinct
+      val got = DedupOps.triangleCountsOf(edges.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // driver-side brute force over all vertex triples
+      val adj = edges.toSet
+      def conn(x: Long, y: Long) =
+        adj.contains((math.min(x, y), math.max(x, y)))
+      val want = (for {
+        a <- 0L until n.toLong; b <- a + 1 until n.toLong
+        c <- b + 1 until n.toLong
+        if conn(a, b) && conn(b, c) && conn(a, c)
+      } yield Seq(a, b, c)).flatten
+        .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("bigram score matches hand-computed conditional surrogates") {
     import spark.implicits._
     // c(a,b)=3 c(b,a)=1 c(b,c)=1; starts: a->3, b->2

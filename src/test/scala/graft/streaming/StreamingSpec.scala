@@ -608,6 +608,43 @@ class StreamingSpec extends SparkSuite {
     assert(counted == batch)
   }
 
+  test("stream-stream interval join: attribution pairs equal the batch " +
+    "q108 core on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // user 1: clicks at 1500 (in [1400,2000) -> pair), 1300 (too early),
+    // 2000 (same second as the purchase -> excluded), 2100 (after);
+    // user 2: click 1500 must NOT cross-match user 1's purchase; 2500
+    // attributes to the 3000 purchase
+    val clicks = Seq((101L, 1L, 1500L), (102L, 1L, 1300L), (103L, 1L, 2000L),
+      (104L, 1L, 2100L), (105L, 2L, 1500L), (106L, 2L, 2500L))
+    val purchases = Seq((201L, 1L, 2000L), (202L, 2L, 3000L))
+    val cms = MemoryStream[StreamingQueries.ClickIn]
+    val pms = MemoryStream[StreamingQueries.PurchaseIn]
+    val q = StreamingQueries.attributionPairsStream(
+      cms.toDS().toDF(), pms.toDS().toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_out").start()
+    cms.addData(clicks.map { case (id, u, t) =>
+      StreamingQueries.ClickIn(id, u, ts(t)) }: _*)
+    pms.addData(purchases.map { case (id, u, t) =>
+      StreamingQueries.PurchaseIn(id, u, ts(t)) }: _*)
+    q.processAllAvailable()
+    val got = spark.table("attr_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    // batch parity through the SAME bucketized core q108 runs on
+    val ev = (clicks.map { case (id, u, t) => (id, u, "click", t, 1.0) } ++
+      purchases.map { case (id, u, t) => (id, u, "purchase", t, 0.0) })
+      .toDF("event_id", "user_id", "event_type", "t", "value")
+    val batch = graft.queries.EventOps.attributionPairsOf(ev)
+      .select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch)
+    assert(got == Set((201L, 101L), (202L, 106L)))
+  }
+
   test("sessionize: flatMapGroupsWithState equals the batch window form") {
     import spark.implicits._
     val batch = graft.queries.EventOps.sessionize(spark, sf0001).collect()
