@@ -1557,6 +1557,83 @@ object PipelineOps {
       |FROM fh JOIN wt USING (dim)
       |GROUP BY fh.doc_id""".stripMargin
 
+  /** q110 — exact token-budget apportionment across languages by
+    * Hamilton's largest-remainder method: each language's quota of a
+    * global training-token budget B, proportional to its corpus token
+    * mass, summing EXACTLY to B. q56/q65 set sampling *rates*; a
+    * training run also needs the integer *allocation* (how many
+    * tokens to draw per language) and naive floor(B·n/N) under-fills
+    * by up to |langs|−1 tokens — largest-remainder distributes the
+    * shortfall to the languages with the biggest truncation loss
+    * (remainder desc, lang asc tie-break), the apportionment device
+    * elections use. All arithmetic is long: B·n_l stays < 2⁶³ for any
+    * corpus up to ~9·10¹² tokens at B = 10⁶ (document the bound, not
+    * a silent overflow).
+    *
+    * Scale shape: ONE partial-aggregatable rollup on the bounded lang
+    * domain; everything after operates on ≤|langs| rows coalesced by
+    * the orderBy+limit device (TakeOrderedAndProject — the q85
+    * global-window-after-limit idiom, parameter-scale by
+    * construction), so no data-scale global exchange exists. */
+  /** The apportionment over any already-bounded (lang, n_tokens)
+    * frame — frame-based so the property spec can assert the
+    * invariants (Σ quota == B exactly; every quota ∈ {base, base+1})
+    * on random count vectors. */
+  private[graft] def budgetApportionOf(counts: DataFrame,
+      budget: Long): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val all = Window.orderBy($"lang".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val based = counts
+      .withColumn("total", sum($"n_tokens").over(all))
+      .withColumn("base", expr(s"($budget * n_tokens) div total"))
+      .withColumn("rem", expr(s"($budget * n_tokens) % total"))
+    val byRem = Window.orderBy($"rem".desc, $"lang".asc)
+    based
+      .withColumn("rk", row_number().over(byRem).cast("long"))
+      .withColumn("allocated", sum($"base").over(all))
+      .select($"lang", $"n_tokens",
+        expr(s"CAST(base + IF(rk <= $budget - allocated, 1, 0) AS BIGINT)")
+          .as("quota_tokens"))
+  }
+
+  def budgetApportion(spark: SparkSession, dir: String,
+      budget: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    budgetApportionOf(
+      Tables(spark, dir, "documents")
+        .groupBy($"lang")
+        .agg(sum(size(split($"text", " ")).cast("long")).as("n_tokens"))
+        // bounded lang domain -> parameter-scale frame from here on
+        .orderBy($"lang".asc).limit(1000),
+      budget)
+  }
+
+  private val budgetApportionSql =
+    """WITH c AS (
+      |  SELECT lang,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |t AS (
+      |  SELECT lang, n_tokens,
+      |    CAST(SUM(n_tokens) OVER () AS BIGINT) AS total
+      |  FROM c),
+      |b AS (
+      |  SELECT lang, n_tokens,
+      |    (1000000 * n_tokens) // total AS base,
+      |    (1000000 * n_tokens) % total AS rem
+      |  FROM t),
+      |r AS (
+      |  SELECT lang, n_tokens, base,
+      |    ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) AS rk,
+      |    CAST(SUM(base) OVER () AS BIGINT) AS allocated
+      |  FROM b)
+      |SELECT lang, n_tokens,
+      |  CAST(base + CASE WHEN rk <= 1000000 - allocated THEN 1 ELSE 0 END
+      |    AS BIGINT) AS quota_tokens
+      |FROM r""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q69_feature_hash", featureHash, Some(featureHashSql),
       "hashing-trick vectorization: sparse 64-dim term-count vectors, " +
@@ -1637,5 +1714,9 @@ object PipelineOps {
     Q("q100_shard_manifest", shardManifest(_, _), Some(shardManifestSql),
       "per-shard loader manifest: doc/token/sequence counts, last " +
         "position, and a sorted member-id digest — re-shard drift " +
-        "detection as a string compare"))
+        "detection as a string compare"),
+    Q("q110_budget_apportion", budgetApportion(_, _),
+      Some(budgetApportionSql),
+      "largest-remainder apportionment of a 1M-token budget across " +
+        "languages: integer quotas summing exactly to the budget"))
 }

@@ -435,6 +435,27 @@ class OperatorPropertiesSpec extends SparkSuite {
     }
   }
 
+  test("largest-remainder apportionment: quotas sum exactly to the " +
+    "budget and never stray from base/base+1 on random counts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val budget = 10000L + rnd.nextInt(90000)
+      val counts = (0 until 2 + rnd.nextInt(8)).map(i =>
+        (f"l$i%02d", 1L + rnd.nextInt(100000)))
+      val got = PipelineOps.budgetApportionOf(
+        counts.toDF("lang", "n_tokens").orderBy("lang").limit(1000), budget)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val total = counts.map(_._2).sum
+      assert(got.map(_._3).sum == budget, s"trial $trial sum")
+      for ((lang, n, quota) <- got) {
+        val base = budget * n / total
+        assert(quota == base || quota == base + 1,
+          s"trial $trial $lang quota=$quota base=$base")
+      }
+    }
+  }
+
   test("bigram score matches hand-computed conditional surrogates") {
     import spark.implicits._
     // c(a,b)=3 c(b,a)=1 c(b,c)=1; starts: a->3, b->2
