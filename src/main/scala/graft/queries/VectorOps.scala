@@ -344,6 +344,55 @@ object VectorOps {
       |  WHERE e.vec_id <> 0 AND a.cell IN (SELECT cell FROM gprobe)) t
       |WHERE rank <= 5""".stripMargin
 
+  /** q111 — SemDeDup-shaped semantic dedup: near-duplicate embeddings
+    * are detected WITHIN coarse-quantizer cells only, never globally —
+    * the Abbas et al. device that makes embedding-level dedup feasible
+    * at corpus scale (pairwise work is Σ cell² instead of n², and each
+    * cell's pair block is an equi-join bucket). q32 mines similar
+    * pairs inside the PROVIDED label blocks (supervised); this derives
+    * its blocks from the data via the q33 integer grid, so cell
+    * assignment — and therefore the candidate set — is bit-identical
+    * in both engines and the whole verdict column hash-checks.
+    *
+    * Policy (SemDeDup's): a vector is dropped iff a LOWER-id vector in
+    * its cell is cosine-similar above the q32 threshold; the lowest id
+    * of each similar group survives as the exemplar. Emits a total
+    * accounting row per vector (vec_id, cell, kept) — the q93
+    * lineage shape, not survivors-only, so downstream joins can audit
+    * both sides. Known recall trade: near-dups straddling a cell
+    * boundary are not compared — the price of never going global
+    * (SemDeDup accepts it; raising recall = multi-probe assignment). */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = withGridCell(Tables(spark, dir, "embeddings"))
+      .select($"vec_id", $"embedding", $"cell")
+    val a = cells.select($"cell", $"vec_id".as("a_id"),
+      $"embedding".as("a_emb"))
+    val b = cells.select($"cell", $"vec_id".as("b_id"),
+      $"embedding".as("b_emb"))
+    val dropped = a.join(b, "cell")
+      .filter($"a_id" < $"b_id" &&
+        nanvl(cosine($"a_emb", $"b_emb"), lit(-1d)) > 0.35)
+      .select($"b_id".as("vec_id")).distinct()
+    cells.select($"vec_id", $"cell")
+      .join(dropped.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select($"vec_id", $"cell",
+        (!coalesce($"dup", lit(false))).as("kept"))
+  }
+
+  private val semanticDedupSql =
+    s"""WITH $gridCtes,
+      |asg AS (
+      |  SELECT e.vec_id, e.embedding, a.cell
+      |  FROM embeddings e JOIN gassign a USING (vec_id)),
+      |dup AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE ${duckNanvl("list_cosine_similarity(a.embedding, b.embedding)")}
+      |    > 0.35)
+      |SELECT s.vec_id, s.cell, d.vec_id IS NULL AS kept
+      |FROM asg s LEFT JOIN dup d ON d.vec_id = s.vec_id""".stripMargin
+
   /** Persist the IVF index as a PHYSICAL layout: cell assignments
     * written partitioned by cell (one directory per cell, via
     * [[graft.operators.Operators.writePartitioned]]) plus the centroid
@@ -1052,6 +1101,9 @@ object VectorOps {
       "IVF-style per-vector NN via label partition cells"),
     Q("q32_similar_pairs", similarPairs, Some(similarPairsSql),
       "embedding near-dup pairs above cosine threshold"),
+    Q("q111_semantic_dedup", semanticDedup, Some(semanticDedupSql),
+      "SemDeDup: within-grid-cell cosine near-dup detection, " +
+        "lowest-id exemplar survives; per-vector kept/dropped verdict"),
     Q("q33_ivf_knn", ivfGridKnn(_, _), Some(ivfGridKnnSql),
       "IVF ANN, probe 4/16 cells: integer-exact md5-grid coarse " +
         "quantizer makes the restricted-probe result itself " +
