@@ -523,6 +523,71 @@ object EventOps {
       |FROM w JOIN f ON f.user_id = w.user_id
       |GROUP BY 1, 2""".stripMargin
 
+  /** q112's histogram width. Estimates quantize to bin lower bounds —
+    * max error = binW, traded for a mergeable fixed-size sketch. */
+  private val histBinW = 5.0
+
+  /** q112's core over any (event_type, value) frame — frame-based so
+    * the property spec can feed random values and compare against a
+    * driver-side reference of the same estimator definition. */
+  private[graft] def histogramQuantilesOf(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val bins = ev
+      .select($"event_type",
+        floor($"value" / histBinW).cast("long").as("bin"))
+      .groupBy($"event_type", $"bin").agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy($"event_type").orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy($"event_type")
+    bins
+      .withColumn("cum", sum($"c").over(cumW))
+      .withColumn("n", sum($"c").over(totW))
+      .groupBy($"event_type")
+      .agg(max($"n").as("n"),
+        (min(when($"cum" * 100 >= $"n" * 50, $"bin")) * histBinW)
+          .as("est_p50"),
+        (min(when($"cum" * 100 >= $"n" * 90, $"bin")) * histBinW)
+          .as("est_p90"),
+        (min(when($"cum" * 100 >= $"n" * 99, $"bin")) * histBinW)
+          .as("est_p99"))
+  }
+
+  /** q112 — histogram-sketch quantiles per event type: the MERGEABLE
+    * percentile estimator that replaces q34's exact sort at scale.
+    * q34 ships every group's raw values through a sort to interpolate
+    * exactly; this rolls the data into a fixed-width (event_type, bin)
+    * count histogram first — a partial-aggregatable map-side combine,
+    * the same mergeability contract as t-digest/DDSketch but
+    * DETERMINISTIC (floor(v/w) binning is IEEE-identical in both
+    * engines), so unlike approx_percentile the estimate itself is
+    * hash-checked. The cumulative window then runs over SKETCH-sized
+    * data (bins, not events): p-th estimate = lower bound of the first
+    * bin whose cumulative count reaches ⌈p·n⌉ (integer cross-multiply,
+    * no float ratios), error bounded by the bin width. */
+  def histogramQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    histogramQuantilesOf(
+      Tables(spark, dir, "events").select($"event_type", $"value"))
+  }
+
+  private val histogramQuantilesSql =
+    """WITH b AS (
+      |  SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |cw AS (
+      |  SELECT event_type, bin,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(c) OVER (PARTITION BY event_type) AS n
+      |  FROM b)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+      |  MIN(CASE WHEN cum * 100 >= n * 50 THEN bin END) * 5.0 AS est_p50,
+      |  MIN(CASE WHEN cum * 100 >= n * 90 THEN bin END) * 5.0 AS est_p90,
+      |  MIN(CASE WHEN cum * 100 >= n * 99 THEN bin END) * 5.0 AS est_p99
+      |FROM cw GROUP BY event_type""".stripMargin
+
   /** Attribution lookback window, seconds. The bucket width deliberately
     * EQUALS the interval length so every lookback interval covers at
     * most two buckets (replication factor ≤ 2) — the standard width
@@ -646,5 +711,9 @@ object EventOps {
         "percentiles of view->click / click->purchase seconds"),
     Q("q108_click_attribution", clickAttribution, Some(clickAttributionSql),
       "interval join via bucket decomposition: per-purchase 10-min " +
-        "click lookback as an equi join on (user, time-bucket)"))
+        "click lookback as an equi join on (user, time-bucket)"),
+    Q("q112_histogram_quantiles", histogramQuantiles,
+      Some(histogramQuantilesSql),
+      "mergeable fixed-bin histogram quantile sketch: deterministic " +
+        "approx p50/p90/p99, hash-checked unlike approx_percentile"))
 }

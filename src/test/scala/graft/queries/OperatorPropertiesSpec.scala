@@ -456,6 +456,40 @@ class OperatorPropertiesSpec extends SparkSuite {
     }
   }
 
+  test("histogram quantile sketch == driver reference; estimate brackets " +
+    "the true order statistic within one bin") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = for {
+      t <- Seq("a", "b", "c")
+      _ <- 1 to 200 + rnd.nextInt(200)
+    } yield (t, rnd.nextGaussian() * 40 + rnd.nextInt(100))
+    val got = EventOps.histogramQuantilesOf(rows.toDF("event_type", "value"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    for ((t, vs) <- rows.groupBy(_._1)) {
+      val values = vs.map(_._2)
+      val n = values.size.toLong
+      val sortedBins = values.map(v => math.floor(v / 5.0).toLong)
+        .groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      def est(p: Long): Double = {
+        var cum = 0L
+        sortedBins.find { case (_, c) =>
+          cum += c; cum * 100 >= n * p }.get._1 * 5.0
+      }
+      assert(got(t) == ((n, est(50), est(90), est(99))), s"type $t")
+      // the ceil(p*n/100)-th order statistic falls inside the est bin
+      val sorted = values.sorted
+      for (p <- Seq(50L, 90L, 99L)) {
+        val k = ((n * p + 99) / 100).toInt // ceil
+        val os = sorted(k - 1)
+        val e = est(p)
+        assert(e <= os && os < e + 5.0, s"type $t p$p est=$e os=$os")
+      }
+    }
+  }
+
   test("bigram score matches hand-computed conditional surrogates") {
     import spark.implicits._
     // c(a,b)=3 c(b,a)=1 c(b,c)=1; starts: a->3, b->2
