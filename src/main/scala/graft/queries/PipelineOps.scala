@@ -1599,7 +1599,7 @@ object PipelineOps {
   }
 
   def budgetApportion(spark: SparkSession, dir: String,
-      budget: Long = 1000000L): DataFrame = {
+      budget: Long = TrainBudget): DataFrame = {
     import spark.implicits._
     budgetApportionOf(
       Tables(spark, dir, "documents")
@@ -1610,8 +1610,20 @@ object PipelineOps {
       budget)
   }
 
-  private val budgetApportionSql =
-    """WITH c AS (
+  /** Registered budgets, string-interpolated into the oracle CTEs from
+    * the SAME constants the engine defaults bind (the NumShards
+    * anti-drift rule): q110 apportions the full 1M-token training
+    * budget; q113 draws against a 10k budget so the quota CLOSES at
+    * the driver SFs — with the 1M budget every language's draw would
+    * admit the whole corpus and the stop branch would go unexercised. */
+  private[queries] val TrainBudget = 1000000L
+  private[queries] val SampleBudget = 10000L
+
+  /** The q110 apportionment as a WITH-body ending in a `quota` CTE —
+    * shared by the q110 dump and q113's quota-filling sampler (the
+    * funnelCtes reuse idiom: one definition, oracles cannot drift). */
+  private def budgetApportionCtes(budget: Long): String =
+    s"""WITH c AS (
       |  SELECT lang,
       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       |  FROM documents GROUP BY 1),
@@ -1621,18 +1633,75 @@ object PipelineOps {
       |  FROM c),
       |b AS (
       |  SELECT lang, n_tokens,
-      |    (1000000 * n_tokens) // total AS base,
-      |    (1000000 * n_tokens) % total AS rem
+      |    ($budget * n_tokens) // total AS base,
+      |    ($budget * n_tokens) % total AS rem
       |  FROM t),
       |r AS (
       |  SELECT lang, n_tokens, base,
       |    ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) AS rk,
       |    CAST(SUM(base) OVER () AS BIGINT) AS allocated
-      |  FROM b)
-      |SELECT lang, n_tokens,
-      |  CAST(base + CASE WHEN rk <= 1000000 - allocated THEN 1 ELSE 0 END
-      |    AS BIGINT) AS quota_tokens
-      |FROM r""".stripMargin
+      |  FROM b),
+      |quota AS (
+      |  SELECT lang, n_tokens,
+      |    CAST(base + CASE WHEN rk <= $budget - allocated THEN 1 ELSE 0 END
+      |      AS BIGINT) AS quota_tokens
+      |  FROM r)""".stripMargin
+
+  private val budgetApportionSql = budgetApportionCtes(TrainBudget) + "\n" +
+    "SELECT lang, n_tokens, quota_tokens FROM quota"
+
+  /** q113 — quota-filling corpus draw: materialize q110's allocation
+    * as an actual per-language document sample. Documents are drawn in
+    * deterministic md5 order (q80's salted-key shuffle device, salt
+    * "sample:") and a language's draw closes when its running token
+    * sum reaches the quota — a doc is admitted iff the tokens BEFORE
+    * it are under quota, so each language overshoots by at most one
+    * document and every run/engine draws the identical set. The
+    * composition q56/q65 (rates) → q110 (quotas) → q113 (the draw) is
+    * the full mix-execution chain a training-data order ships through.
+    *
+    * Scale shape: the hash is row-local, the quota table is
+    * |langs|-row broadcast, and the one shuffle is the per-language
+    * running-sum window — q91's shape with lang as the partition key.
+    * `cum_before` doubles as the doc's token offset within its
+    * language's draw (the loader-facing coordinate). */
+  def quotaSample(spark: SparkSession, dir: String,
+      budget: Long = SampleBudget): DataFrame = {
+    import spark.implicits._
+    val quotas = budgetApportion(spark, dir, budget)
+      .select($"lang", $"quota_tokens")
+    val w = Window.partitionBy($"lang")
+      .orderBy($"draw_key".asc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, dir, "documents")
+      .select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("n_tokens"),
+        md5PrefixLong(concat(lit("sample:"), $"doc_id".cast("string")), 15)
+          .as("draw_key"))
+      .withColumn("cum_before",
+        coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .join(broadcast(quotas), "lang")
+      .filter($"cum_before" < $"quota_tokens")
+      .select($"lang", $"doc_id", $"n_tokens", $"cum_before")
+  }
+
+  private val quotaSampleSql = budgetApportionCtes(SampleBudget) + ",\n" +
+    """d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(concat('0x', substr(md5(concat('sample:',
+      |      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS draw_key
+      |  FROM documents),
+      |cw AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+      |      ORDER BY draw_key, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cum_before
+      |  FROM d)
+      |SELECT c.lang, c.doc_id, c.n_tokens, c.cum_before
+      |FROM cw c JOIN quota q ON q.lang = c.lang
+      |WHERE c.cum_before < q.quota_tokens""".stripMargin
 
   def queries: Seq[Q] = Seq(
     Q("q69_feature_hash", featureHash, Some(featureHashSql),
@@ -1718,5 +1787,8 @@ object PipelineOps {
     Q("q110_budget_apportion", budgetApportion(_, _),
       Some(budgetApportionSql),
       "largest-remainder apportionment of a 1M-token budget across " +
-        "languages: integer quotas summing exactly to the budget"))
+        "languages: integer quotas summing exactly to the budget"),
+    Q("q113_quota_sample", quotaSample(_, _), Some(quotaSampleSql),
+      "quota-filling corpus draw: md5-ordered per-language documents " +
+        "until the q110 quota closes — the executed training mix"))
 }

@@ -490,6 +490,33 @@ class OperatorPropertiesSpec extends SparkSuite {
     }
   }
 
+  test("quota draw admits exactly up to each language's apportioned quota") {
+    import spark.implicits._
+    val budget = 800L
+    val quotas = PipelineOps.budgetApportion(spark, sf0001, budget)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(quotas.values.sum == budget)
+    val drawn = PipelineOps.quotaSample(spark, sf0001, budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val langTotals = graft.sources.Tables(spark, sf0001, "documents")
+      .groupBy($"lang")
+      .agg(sum(size(split($"text", " ")).cast("long")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, rows) <- drawn.groupBy(_._1)) {
+      val q = quotas(lang)
+      // every admitted doc started under quota
+      assert(rows.forall(_._4 < q), s"$lang: admitted doc at/after quota")
+      // the draw CLOSED: tokens reach the quota, or the language ran dry
+      val total = rows.map(_._3).sum
+      assert(total >= math.min(q, langTotals(lang)),
+        s"$lang drew $total of quota $q (corpus ${langTotals(lang)})")
+      // overshoot is bounded by the last admitted doc
+      assert(total - rows.map(_._3).max < q || total <= langTotals(lang),
+        s"$lang overshoot beyond one document")
+    }
+  }
+
   test("bigram score matches hand-computed conditional surrogates") {
     import spark.implicits._
     // c(a,b)=3 c(b,a)=1 c(b,c)=1; starts: a->3, b->2
