@@ -234,6 +234,55 @@ object TextOps {
       |FROM documents, unnest(string_split(text, ' ')) u(t)
       |WHERE u.t <> '' GROUP BY source""".stripMargin
 
+  /** 2^54 — the tail modulus splitting q114's 60-bit md5 hash into a
+    * 6-bit register index (64 registers) and a 54-bit tail. */
+  private val HllTailMod = 18014398509481984L
+
+  /** q114 — mergeable distinct-count sketch, registers exactly: the
+    * 64-register HyperLogLog-family sketch of each source's token
+    * vocabulary, emitted as its SUFFICIENT STATISTICS (source,
+    * register, min tail) rather than a float estimate. Each token's
+    * 60-bit md5 hash splits into register index (top 6 bits) and tail;
+    * the sketch keeps MIN(tail) per register — a partial-aggregatable
+    * min over a ≤64·|sources| key space, the mergeability contract
+    * (sketch(A ∪ B) = elementwise min) that lets a 1000-executor scan
+    * combine map-side. bitlen(min tail) recovers the classic HLL
+    * max-leading-zero register (bit length is monotone in the tail),
+    * so the float estimate is a driver-side fold over 64 values — the
+    * spec derives it and asserts ±25% of exact distinct (m=64 → ~13%
+    * theoretical error). q49 ships the EXACT per-source vocab (two
+    * countDistincts — full shuffle of the token set); this is its
+    * at-scale replacement, and unlike approx_count_distinct the whole
+    * sketch is deterministic and hash-checked in both engines. */
+  def hllRegisters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"source", explode(toks($"text")).as("token"))
+      .filter($"token" =!= "")
+      .select($"source",
+        PipelineOps.md5PrefixLong(concat(lit("hll:"), $"token"), 15)
+          .as("hv"))
+      .select($"source", expr(s"hv div $HllTailMod").as("register"),
+        ($"hv" % HllTailMod).as("tail"))
+      .groupBy($"source", $"register")
+      .agg(min($"tail").as("min_tail"))
+  }
+
+  private val hllRegistersSql =
+    s"""WITH tk AS (
+      |  SELECT source, u.t AS token
+      |  FROM documents, unnest(string_split(text, ' ')) u(t)
+      |  WHERE u.t <> ''),
+      |h AS (
+      |  SELECT source,
+      |    CAST(concat('0x', substr(md5(concat('hll:', token)), 1, 15))
+      |      AS BIGINT) AS hv
+      |  FROM tk)
+      |SELECT source,
+      |  hv // $HllTailMod AS register,
+      |  CAST(MIN(hv % $HllTailMod) AS BIGINT) AS min_tail
+      |FROM h GROUP BY 1, 2""".stripMargin
+
   /** q79 — WITHIN-document repetition statistics, the Gopher-style
     * repetition quality filters (Rae et al. 2021 §A.1.1: "fraction of
     * characters in the most common n-gram" / "in duplicated n-grams")
@@ -550,6 +599,9 @@ object TextOps {
       "float-free TF-IDF-style characteristic terms (tf desc, df asc)"),
     Q("q49_source_vocab", sourceVocab, Some(sourceVocabSql),
       "per-source corpus card: exact vocab / docs / occurrences"),
+    Q("q114_hll_registers", hllRegisters, Some(hllRegistersSql),
+      "mergeable distinct sketch: 64 min-tail HLL registers per " +
+        "source, map-side combinable, sketch itself hash-checked"),
     Q("q79_repetition_stats", repetitionStats, Some(repetitionStatsSql),
       "Gopher-style within-doc repetition filters (top/duplicated 2-gram chars)"),
     Q("q82_unigram_score", unigramScore, Some(unigramScoreSql),

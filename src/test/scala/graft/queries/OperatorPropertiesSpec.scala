@@ -517,6 +517,34 @@ class OperatorPropertiesSpec extends SparkSuite {
     }
   }
 
+  test("HLL estimate derived from the q114 registers lands within 25% " +
+    "of the exact per-source vocabulary") {
+    val m = 64
+    val regs = TextOps.hllRegisters(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val exact = TextOps.sourceVocab(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    for ((source, rows) <- regs) {
+      // classic HLL register = max leading-zero rank, recovered from
+      // the stored min tail via monotone bit length
+      val ranks = Array.fill(m)(0)
+      for ((_, reg, minTail) <- rows) {
+        val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(minTail)
+        ranks(reg.toInt) = 54 - bitlen + 1
+      }
+      val raw = alpha * m * m / ranks.map(r => math.pow(2.0, -r)).sum
+      val zeros = ranks.count(_ == 0)
+      val est =
+        if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+        else raw
+      val n = exact(source).toDouble
+      assert(math.abs(est - n) / n < 0.25,
+        s"$source: est=$est exact=$n")
+    }
+  }
+
   test("bigram score matches hand-computed conditional surrogates") {
     import spark.implicits._
     // c(a,b)=3 c(b,a)=1 c(b,c)=1; starts: a->3, b->2
