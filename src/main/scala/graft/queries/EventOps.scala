@@ -525,18 +525,21 @@ object EventOps {
 
   /** q112's histogram width. Estimates quantize to bin lower bounds —
     * max error = binW, traded for a mergeable fixed-size sketch. */
-  private val histBinW = 5.0
+  private[graft] val histBinW = 5.0
 
-  /** q112's core over any (event_type, value) frame — frame-based so
-    * the property spec can feed random values and compare against a
-    * driver-side reference of the same estimator definition. */
-  private[graft] def histogramQuantilesOf(ev: DataFrame): DataFrame = {
-    val spark = ev.sparkSession
+  /** ONE bin rule for the batch sketch and its streaming twin — the
+    * shared-definition discipline (a width tweak applied to one site
+    * would silently desynchronize stream from batch). */
+  private[graft] def histBin(v: Column): Column =
+    floor(v / histBinW).cast("long")
+
+  /** The quantile extraction over an already-built (event_type, bin, c)
+    * sketch — shared by batch q112 and the sink-side rollup consuming
+    * the streaming twin's bin emissions (the emit-increments/
+    * aggregate-downstream split the retention twin uses). */
+  private[graft] def quantilesOverBins(bins: DataFrame): DataFrame = {
+    val spark = bins.sparkSession
     import spark.implicits._
-    val bins = ev
-      .select($"event_type",
-        floor($"value" / histBinW).cast("long").as("bin"))
-      .groupBy($"event_type", $"bin").agg(count(lit(1)).as("c"))
     val cumW = Window.partitionBy($"event_type").orderBy($"bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totW = Window.partitionBy($"event_type")
@@ -551,6 +554,17 @@ object EventOps {
           .as("est_p90"),
         (min(when($"cum" * 100 >= $"n" * 99, $"bin")) * histBinW)
           .as("est_p99"))
+  }
+
+  /** q112's core over any (event_type, value) frame — frame-based so
+    * the property spec can feed random values and compare against a
+    * driver-side reference of the same estimator definition. */
+  private[graft] def histogramQuantilesOf(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    quantilesOverBins(
+      ev.select($"event_type", histBin($"value").as("bin"))
+        .groupBy($"event_type", $"bin").agg(count(lit(1)).as("c")))
   }
 
   /** q112 — histogram-sketch quantiles per event type: the MERGEABLE

@@ -522,6 +522,28 @@ object StreamingQueries {
       }
   }
 
+  // --------------------------------------- streaming histogram sketch
+  /** Streaming twin of the q112 histogram sketch: per tumbling minute,
+    * the (event_type, bin) count histogram of arriving values — the
+    * sketch is just a windowed COUNT on
+    * [[graft.queries.EventOps.histBin]]'s shared bin rule, so the
+    * stream emits exactly what batch builds and watermark-closed
+    * windows emit once (append mode). Quantile extraction stays
+    * sink-side over the tiny bin rows
+    * ([[graft.queries.EventOps.quantilesOverBins]] in foreachBatch —
+    * the emit-sketch/extract-downstream split every mergeable sketch
+    * deploys with; the bins, not the estimates, are also what a
+    * multi-stream deployment merges). Stream==batch on both the bins
+    * and the extracted quantiles is asserted in StreamingSpec. */
+  def histogramBinsStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"),
+        graft.queries.EventOps.histBin(col("value")).as("bin"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("bin"), col("c"))
+
   // ------------------------------------- stream-stream interval join
   /** Typed ingest rows for the two attribution streams (column names
     * are what [[attributionPairsStream]]'s join condition references). */

@@ -91,6 +91,28 @@ object Stress10xSpec {
       .reduce(_ union _)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     Seq("q66_pq_codes", "q68_ivfpq_ann").foreach(runAndAudit)
+
+    // round-6 families at 10x. Events: 10x USERS (offset user_id, not
+    // just event_id) so per-user event density stays constant — the
+    // horizontal-growth regime a bigger site actually exhibits; the
+    // interval join's (user, bucket) key space grows 10x with it.
+    // q111 is the adversarial one: 10 exact copies per vector all land
+    // in the same grid cell, so within-cell pair blocks grow ~55x —
+    // the worst realistic semantic-dup regime. q109 rides the memoized
+    // pair table; q113/q114 are linear scans + bounded-key rollups.
+    // store ts as long nanos — the driver testdata's physical layout,
+    // which the Tables lift rebuilds micros from
+    val evs = graft.sources.Tables(spark, src, "events")
+      .withColumn("ts", F.expr("unix_micros(ts) * 1000"))
+    (0 until 10)
+      .map(k => evs
+        .withColumn("event_id", F.col("event_id") + F.lit(k * 10000000L))
+        .withColumn("user_id", F.col("user_id") + F.lit(k * 10000000L)))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq("q108_click_attribution", "q112_histogram_quantiles",
+      "q109_triangle_counts", "q111_semantic_dedup", "q113_quota_sample",
+      "q114_hll_registers").foreach(runAndAudit)
     spark.stop()
   }
 }

@@ -645,6 +645,52 @@ class StreamingSpec extends SparkSuite {
     assert(got == Set((201L, 101L), (202L, 106L)))
   }
 
+  test("streaming histogram sketch: closed-window bins equal batch; " +
+    "sink-side quantile extraction matches the batch estimator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = StreamingQueries.histogramBinsStream(
+      ms.toDS().toDF("ts", "event_type", "value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hist_out").start()
+    // one minute window [16:00,16:01): values spanning three bins
+    val fixture = Seq(
+      (ts("2025-01-25 16:00:05"), "click", 1.0),
+      (ts("2025-01-25 16:00:10"), "click", 3.0),
+      (ts("2025-01-25 16:00:20"), "click", 7.0),
+      (ts("2025-01-25 16:00:30"), "click", 12.0),
+      (ts("2025-01-25 16:00:40"), "view", 4.0))
+    ms.addData(fixture: _*)
+    q.processAllAvailable()
+    // advance the watermark far past the window to force append close
+    ms.addData((ts("2025-01-25 16:20:00"), "view", 1.0))
+    q.processAllAvailable()
+    val got = spark.table("hist_out").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    q.stop()
+    // the same fixture through the batch bin rule
+    val batchBins = fixture.toDF("ts", "event_type", "value")
+      .select($"event_type",
+        graft.queries.EventOps.histBin($"value").as("bin"))
+      .groupBy($"event_type", $"bin").agg(count(lit(1)).as("c"))
+    val want = batchBins.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // sink-side extraction over the streamed bins == batch estimator
+    val streamedQuantiles = graft.queries.EventOps.quantilesOverBins(
+      got.toSeq.toDF("event_type", "bin", "c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val batchQuantiles = graft.queries.EventOps.histogramQuantilesOf(
+      fixture.toDF("ts", "event_type", "value")
+        .select($"event_type", $"value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(streamedQuantiles == batchQuantiles)
+  }
+
   test("sessionize: flatMapGroupsWithState equals the batch window form") {
     import spark.implicits._
     val batch = graft.queries.EventOps.sessionize(spark, sf0001).collect()
