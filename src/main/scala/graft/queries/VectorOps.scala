@@ -1012,6 +1012,68 @@ object VectorOps {
       .select($"rank", $"vec_id".as("doc_id"), $"adc_dist")
   }
 
+  /** q115 — SemDeDup over DOCUMENTS: q111's cell-scoped policy applied
+    * to the text side, closing the loop the way SemDeDup is actually
+    * deployed (Abbas et al. run it on document embeddings, not a
+    * vector table): documents vectorize via the q69 hashing trick,
+    * densify ([[docVectors]]), land in q33's integer grid cells, and
+    * near-dup detection compares squared-L2 WITHIN cells only. The
+    * similarity is exact integer arithmetic end to end — count vectors
+    * are exact in float, the codegen dot accumulates in double, so
+    * `|a|² + |b|² − 2a·b` is an exactly-representable integer and the
+    * count-space threshold 8 (≈ a few token-count edits) equals
+    * 8·1024² in the oracle's quantized domain. A vector drops iff a
+    * lower-id same-cell neighbor sits within the threshold; one
+    * accounting row per vectorizable document. */
+  def docSemanticDedup(spark: SparkSession, dir: String,
+      tau: Double = 8.0): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.fvecDot
+    val cells = withGridCell(docVectors(spark, dir))
+      .withColumn("nrm", fvecDot($"embedding", $"embedding"))
+    val a = cells.select($"cell", $"vec_id".as("a_id"),
+      $"embedding".as("a_emb"), $"nrm".as("a_nrm"))
+    val b = cells.select($"cell", $"vec_id".as("b_id"),
+      $"embedding".as("b_emb"), $"nrm".as("b_nrm"))
+    val dropped = a.join(b, "cell")
+      .filter($"a_id" < $"b_id" &&
+        ($"a_nrm" + $"b_nrm" - lit(2d) * fvecDot($"a_emb", $"b_emb"))
+          <= tau)
+      .select($"b_id".as("vec_id")).distinct()
+    cells.select($"vec_id".as("doc_id"), $"cell")
+      .join(dropped.withColumn("dup", lit(true)),
+        $"doc_id" === dropped("vec_id"), "left")
+      .select($"doc_id", $"cell",
+        (!coalesce($"dup", lit(false))).as("kept"))
+  }
+
+  private val docSemanticDedupSql =
+    "WITH " + Seq(
+      gridParamCtes,
+      PipelineOps.featureHashCte,
+      // dd from fh, not documents — the docAnn universe rule
+      """dq AS (SELECT dd.doc_id AS vec_id, g.d AS d,
+        |    CAST(floor(CAST(CAST(COALESCE(fh.w, 0) AS FLOAT) AS DOUBLE) * 1024)
+        |      AS BIGINT) AS q
+        |  FROM (SELECT DISTINCT doc_id FROM fh) dd
+        |  CROSS JOIN gdims g
+        |  LEFT JOIN fh ON fh.doc_id = dd.doc_id AND fh.dim = g.d)""".stripMargin,
+      gridSearchCtes("dq")).mkString(",\n") + ",\n" +
+      """prs AS (
+        |  SELECT ga.vec_id AS a_id, gb.vec_id AS b_id, ga.cell
+        |  FROM gassign ga
+        |  JOIN gassign gb ON ga.cell = gb.cell AND ga.vec_id < gb.vec_id),
+        |dst AS (
+        |  SELECT p.a_id, p.b_id,
+        |    SUM((xa.q - xb.q) * (xa.q - xb.q)) AS d2
+        |  FROM prs p
+        |  JOIN dq xa ON xa.vec_id = p.a_id
+        |  JOIN dq xb ON xb.vec_id = p.b_id AND xb.d = xa.d
+        |  GROUP BY 1, 2),
+        |dup AS (SELECT DISTINCT b_id FROM dst WHERE d2 <= 8388608)
+        |SELECT g.vec_id AS doc_id, g.cell, d.b_id IS NULL AS kept
+        |FROM gassign g LEFT JOIN dup d ON d.b_id = g.vec_id""".stripMargin
+
   /** Oracle: q69's shared `fh` CTE densifies to a quantized
     * `(vec_id, d, q)` CTE (LEFT JOIN supplies the zero counts), which
     * plugs into the SAME grid-assignment and PQ-code CTE builders as
@@ -1104,6 +1166,10 @@ object VectorOps {
     Q("q111_semantic_dedup", semanticDedup, Some(semanticDedupSql),
       "SemDeDup: within-grid-cell cosine near-dup detection, " +
         "lowest-id exemplar survives; per-vector kept/dropped verdict"),
+    Q("q115_doc_semdedup", docSemanticDedup(_, _),
+      Some(docSemanticDedupSql),
+      "SemDeDup over documents: hashed text vectors, grid cells, " +
+        "integer-exact within-cell L2 — the deployed text form"),
     Q("q33_ivf_knn", ivfGridKnn(_, _), Some(ivfGridKnnSql),
       "IVF ANN, probe 4/16 cells: integer-exact md5-grid coarse " +
         "quantizer makes the restricted-probe result itself " +
