@@ -586,8 +586,8 @@ object EventOps {
   }
 
   private val histogramQuantilesSql =
-    """WITH b AS (
-      |  SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin,
+    s"""WITH b AS (
+      |  SELECT event_type, CAST(floor(value / $histBinW) AS BIGINT) AS bin,
       |    COUNT(*) AS c
       |  FROM events GROUP BY 1, 2),
       |cw AS (
@@ -597,9 +597,9 @@ object EventOps {
       |    SUM(c) OVER (PARTITION BY event_type) AS n
       |  FROM b)
       |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
-      |  MIN(CASE WHEN cum * 100 >= n * 50 THEN bin END) * 5.0 AS est_p50,
-      |  MIN(CASE WHEN cum * 100 >= n * 90 THEN bin END) * 5.0 AS est_p90,
-      |  MIN(CASE WHEN cum * 100 >= n * 99 THEN bin END) * 5.0 AS est_p99
+      |  MIN(CASE WHEN cum * 100 >= n * 50 THEN bin END) * $histBinW AS est_p50,
+      |  MIN(CASE WHEN cum * 100 >= n * 90 THEN bin END) * $histBinW AS est_p90,
+      |  MIN(CASE WHEN cum * 100 >= n * 99 THEN bin END) * $histBinW AS est_p99
       |FROM cw GROUP BY event_type""".stripMargin
 
   /** Attribution lookback window, seconds. The bucket width deliberately
@@ -670,7 +670,7 @@ object EventOps {
   }
 
   private val clickAttributionSql =
-    """WITH p AS (
+    s"""WITH p AS (
       |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS p_s
       |  FROM events WHERE event_type = 'purchase'),
       |c AS (
@@ -683,7 +683,7 @@ object EventOps {
       |    AS attributed_value
       |FROM p LEFT JOIN c
       |  ON c.user_id = p.user_id
-      | AND c.c_s >= p.p_s - 600 AND c.c_s < p.p_s
+      | AND c.c_s >= p.p_s - $attrWindowS AND c.c_s < p.p_s
       |GROUP BY p.event_id""".stripMargin
 
   def queries: Seq[Q] = Seq(

@@ -362,22 +362,40 @@ object VectorOps {
     * both sides. Known recall trade: near-dups straddling a cell
     * boundary are not compared — the price of never going global
     * (SemDeDup accepts it; raising recall = multi-probe assignment). */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** The SemDeDup accounting scaffold shared by q111 and q115: over a
+    * (vec_id, embedding, cell) frame, drop any vector whose cell holds
+    * a lower-id neighbor satisfying `isDup(a_emb, b_emb)`; emit one
+    * (idCol, cell, kept) row per vector. One definition so a policy
+    * fix (accounting shape, dup-flag null handling) cannot drift
+    * between the embedding-table and document forms. Norm terms inside
+    * `isDup` are recomputed per pair (the q32 cosine precedent); a
+    * 100 TB deployment would lift |v|² to a per-vector column before
+    * the self-join — same plan shape, one more projected column. */
+  private def cellScopedDedup(cells: DataFrame,
+      isDup: (Column, Column) => Column, idCol: String): DataFrame = {
+    val spark = cells.sparkSession
     import spark.implicits._
-    val cells = withGridCell(Tables(spark, dir, "embeddings"))
-      .select($"vec_id", $"embedding", $"cell")
     val a = cells.select($"cell", $"vec_id".as("a_id"),
       $"embedding".as("a_emb"))
     val b = cells.select($"cell", $"vec_id".as("b_id"),
       $"embedding".as("b_emb"))
     val dropped = a.join(b, "cell")
-      .filter($"a_id" < $"b_id" &&
-        nanvl(cosine($"a_emb", $"b_emb"), lit(-1d)) > 0.35)
-      .select($"b_id".as("vec_id")).distinct()
-    cells.select($"vec_id", $"cell")
-      .join(dropped.withColumn("dup", lit(true)), Seq("vec_id"), "left")
-      .select($"vec_id", $"cell",
+      .filter($"a_id" < $"b_id" && isDup($"a_emb", $"b_emb"))
+      .select($"b_id".as("dup_id")).distinct()
+    cells.select($"vec_id".as(idCol), $"cell")
+      .join(dropped.withColumn("dup", lit(true)),
+        col(idCol) === $"dup_id", "left")
+      .select(col(idCol), $"cell",
         (!coalesce($"dup", lit(false))).as("kept"))
+  }
+
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    cellScopedDedup(
+      withGridCell(Tables(spark, dir, "embeddings"))
+        .select($"vec_id", $"embedding", $"cell"),
+      (ae, be) => nanvl(cosine(ae, be), lit(-1d)) > 0.35,
+      idCol = "vec_id")
   }
 
   private val semanticDedupSql =
@@ -1025,26 +1043,30 @@ object VectorOps {
     * 8·1024² in the oracle's quantized domain. A vector drops iff a
     * lower-id same-cell neighbor sits within the threshold; one
     * accounting row per vectorizable document. */
+  /** q115's count-space squared-L2 threshold (≈ a few token-count
+    * edits). ONE constant: the engine compares raw counts against it,
+    * the oracle compares the ×1024-quantized domain against
+    * `DocSemTau · 1024²` — both derived here so they cannot drift. */
+  private val DocSemTau = 8L
+
+  /** `nCells` is THE scale lever: within-cell pairwise work is
+    * Σ cell², so a deployment sizes nCells ∝ corpus / target-cell-size
+    * to hold blocks constant (SemDeDup runs ~10⁴–10⁵ clusters at web
+    * scale). The registered default (16) matches the oracle's CTE
+    * constant; Stress10x runs a 64-cell call on the 10× corpus to
+    * demonstrate the block-size control. The md5 centroid derivation
+    * generalizes to any cell count unchanged. */
   def docSemanticDedup(spark: SparkSession, dir: String,
-      tau: Double = 8.0): DataFrame = {
+      nCells: Int = ivfGridCells): DataFrame = {
     import spark.implicits._
     import graft.functions.VectorExpressions.fvecDot
-    val cells = withGridCell(docVectors(spark, dir))
-      .withColumn("nrm", fvecDot($"embedding", $"embedding"))
-    val a = cells.select($"cell", $"vec_id".as("a_id"),
-      $"embedding".as("a_emb"), $"nrm".as("a_nrm"))
-    val b = cells.select($"cell", $"vec_id".as("b_id"),
-      $"embedding".as("b_emb"), $"nrm".as("b_nrm"))
-    val dropped = a.join(b, "cell")
-      .filter($"a_id" < $"b_id" &&
-        ($"a_nrm" + $"b_nrm" - lit(2d) * fvecDot($"a_emb", $"b_emb"))
-          <= tau)
-      .select($"b_id".as("vec_id")).distinct()
-    cells.select($"vec_id".as("doc_id"), $"cell")
-      .join(dropped.withColumn("dup", lit(true)),
-        $"doc_id" === dropped("vec_id"), "left")
-      .select($"doc_id", $"cell",
-        (!coalesce($"dup", lit(false))).as("kept"))
+    cellScopedDedup(
+      docVectors(spark, dir).withColumn("cell",
+        graft.functions.VectorExpressions.nearestIndex(
+          col("embedding"), ivfGridCentroids(nCells), 0, QuantScale)),
+      (ae, be) => (fvecDot(ae, ae) + fvecDot(be, be)
+        - lit(2d) * fvecDot(ae, be)) <= lit(DocSemTau.toDouble),
+      idCol = "doc_id")
   }
 
   private val docSemanticDedupSql =
@@ -1059,7 +1081,7 @@ object VectorOps {
         |  CROSS JOIN gdims g
         |  LEFT JOIN fh ON fh.doc_id = dd.doc_id AND fh.dim = g.d)""".stripMargin,
       gridSearchCtes("dq")).mkString(",\n") + ",\n" +
-      """prs AS (
+      s"""prs AS (
         |  SELECT ga.vec_id AS a_id, gb.vec_id AS b_id, ga.cell
         |  FROM gassign ga
         |  JOIN gassign gb ON ga.cell = gb.cell AND ga.vec_id < gb.vec_id),
@@ -1070,7 +1092,8 @@ object VectorOps {
         |  JOIN dq xa ON xa.vec_id = p.a_id
         |  JOIN dq xb ON xb.vec_id = p.b_id AND xb.d = xa.d
         |  GROUP BY 1, 2),
-        |dup AS (SELECT DISTINCT b_id FROM dst WHERE d2 <= 8388608)
+        |dup AS (SELECT DISTINCT b_id FROM dst
+        |        WHERE d2 <= ${DocSemTau * QuantScale * QuantScale})
         |SELECT g.vec_id AS doc_id, g.cell, d.b_id IS NULL AS kept
         |FROM gassign g LEFT JOIN dup d ON d.b_id = g.vec_id""".stripMargin
 

@@ -573,11 +573,13 @@ object StreamingQueries {
     * shared fixture is asserted in StreamingSpec. */
   def attributionPairsStream(clicks: DataFrame,
       purchases: DataFrame): DataFrame = {
+    // the batch core's window constant — one definition, no drift
+    val w = graft.queries.EventOps.attrWindowS
     val c = clicks.withWatermark("c_ts", "30 seconds")
     val p = purchases.withWatermark("p_ts", "30 seconds")
     p.join(c,
-      expr("""p_user = c_user
-             |AND c_ts >= p_ts - interval 600 seconds
+      expr(s"""p_user = c_user
+             |AND c_ts >= p_ts - interval $w seconds
              |AND c_ts < p_ts""".stripMargin))
       .select(col("p_id"), col("c_id"))
   }

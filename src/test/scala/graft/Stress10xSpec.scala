@@ -112,7 +112,24 @@ object Stress10xSpec {
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     Seq("q108_click_attribution", "q112_histogram_quantiles",
       "q109_triangle_counts", "q111_semantic_dedup", "q113_quota_sample",
-      "q114_hll_registers").foreach(runAndAudit)
+      "q114_hll_registers", "q115_doc_semdedup").foreach(runAndAudit)
+    // q115's scale lever, measured on the quantity that matters at
+    // scale: candidate-pair volume Σ cell·(cell−1)/2. Local wall-time
+    // at 50k docs is join-strategy/task-scheduling bound, so pair
+    // volume — not this box's seconds — is the honest lever metric.
+    locally {
+      import org.apache.spark.sql.functions.col
+      def pairVolume(n: Int): Long =
+        graft.queries.VectorOps.docVectors(spark, dir)
+          .withColumn("cell", graft.functions.VectorExpressions
+            .nearestIndex(col("embedding"),
+              graft.queries.VectorOps.ivfGridCentroids(n), 0, 1024L))
+          .groupBy("cell").count().collect()
+          .map(r => { val c = r.getLong(1); c * (c - 1) / 2 }).sum
+      val (v16, v64) = (pairVolume(16), pairVolume(64))
+      println(f"[stress10x] q115 pair volume: 16 cells $v16%,d -> " +
+        f"64 cells $v64%,d (${v16.toDouble / v64}%.1fx reduction)")
+    }
     spark.stop()
   }
 }

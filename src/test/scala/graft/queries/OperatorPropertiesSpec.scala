@@ -545,6 +545,34 @@ class OperatorPropertiesSpec extends SparkSuite {
     }
   }
 
+  test("q115 verdict equals a full driver-side reference of the " +
+    "cell-scoped policy") {
+    val vecs = VectorOps.docVectors(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    // reference: same quantization, same grid argmin (dist, cell)
+    // tie-break, same count-space L2 <= 8 policy
+    val cents = VectorOps.ivfGridCentroids()
+    def cellOf(v: Array[Float]): Int = {
+      val q = v.map(x => math.floor(x.toDouble * 1024).toLong)
+      cents.zipWithIndex.map { case (ct, i) =>
+        (ct.zip(q).map { case (c, x) => val t = x - c; t * t }.sum, i)
+      }.min._2
+    }
+    val byCell = vecs.groupBy { case (_, v) => cellOf(v) }
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    val wantDropped = byCell.values.flatMap { members =>
+      val sorted = members.sortBy(_._1)
+      sorted.collect { case (bId, bV) if sorted.exists { case (aId, aV) =>
+        aId < bId && l2(aV, bV) <= 8.0 } => bId }
+    }.toSet
+    val got = VectorOps.docSemanticDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(got.length == vecs.length)
+    for ((id, kept) <- got)
+      assert(kept == !wantDropped(id), s"doc $id kept=$kept")
+  }
+
   test("bigram score matches hand-computed conditional surrogates") {
     import spark.implicits._
     // c(a,b)=3 c(b,a)=1 c(b,c)=1; starts: a->3, b->2

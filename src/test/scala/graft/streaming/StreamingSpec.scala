@@ -678,17 +678,22 @@ class StreamingSpec extends SparkSuite {
     val want = batchBins.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == want)
-    // sink-side extraction over the streamed bins == batch estimator
+    // sink-side extraction over the streamed bins == batch estimator,
+    // compared on the FULL row (n and all three estimates)
+    def full(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))
     val streamedQuantiles = graft.queries.EventOps.quantilesOverBins(
       got.toSeq.toDF("event_type", "bin", "c"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-      .toSet
+      .collect().map(full).toSet
     val batchQuantiles = graft.queries.EventOps.histogramQuantilesOf(
       fixture.toDF("ts", "event_type", "value")
         .select($"event_type", $"value"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-      .toSet
+      .collect().map(full).toSet
     assert(streamedQuantiles == batchQuantiles)
+    // and pin one hand-computed row: clicks 1,3,7,12 -> bins 0,0,1,2;
+    // p50 closes in bin 0, p90/p99 in bin 2
+    assert(batchQuantiles.contains(("click", 4L, 0.0, 10.0, 10.0)))
   }
 
   test("sessionize: flatMapGroupsWithState equals the batch window form") {
