@@ -626,6 +626,93 @@ object DedupOps {
       |  UNION ALL SELECT w FROM tri) t
       |GROUP BY doc_id""".stripMargin
 
+  /** q117's peeling cap. The oracle unrolls EXACTLY this many rounds
+    * as CTEs (the q101 unroll device), and the engine requires
+    * convergence within it — peeling is monotone and idempotent at
+    * fixpoint, so converged-in-≤N equals the N-round unroll. */
+  private val KCoreMaxRounds = 8
+
+  /** q117 — k-core membership (k = 2) of the near-dup graph by bulk
+    * peeling (Matula–Beck): repeatedly delete vertices of degree < k
+    * until every survivor has ≥ k in-core neighbors. The third graph
+    * triage lens beside q97 (global centrality) and q109 (local
+    * density): the 2-core is the graph minus its tree-like fringe —
+    * pairwise-only edits peel away, genuinely dense boilerplate
+    * regions survive. Total accounting output (doc_id, in_core) over
+    * all documents, the q93 shape.
+    *
+    * Scale shape per round: one partial-aggregatable degree count +
+    * two vertex-keyed semi-join-shaped equi-joins — |E| rows, no
+    * windows; rides the shared iterate harness (localCheckpoint per
+    * round, superseded-round release) and the memoized pair table.
+    * Rounds are bounded by the peeling cascade length, and a require
+    * fails loudly rather than shipping an unconverged core. */
+  /** The peeling loop over any (a_id, b_id) pair list — frame-based
+    * so the property spec can compare random graphs to a driver-side
+    * reference peel. Returns the distinct surviving vertices. */
+  private[graft] def kCoreVertices(pairs: DataFrame, k: Int,
+      maxRounds: Int = KCoreMaxRounds): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val sym = pairs
+      .select(explode(array(
+        struct($"a_id".as("u"), $"b_id".as("v")),
+        struct($"b_id".as("u"), $"a_id".as("v")))).as("e"))
+      .select($"e.u".as("u"), $"e.v".as("v"))
+      .persist()
+    val (fin, _, converged) = graft.operators.Operators.iterateCheckpointed(
+        sym, maxRounds, stopMaterializes = true) { (st, _) =>
+      val keep = st.groupBy($"u").agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= k).select($"u")
+      st.join(keep, "u")
+        .join(keep.select($"u".as("v")), "v")
+        .select($"u", $"v")
+    } { (prev, next) => next.count() == prev.count() }
+    sym.unpersist()
+    if (!converged) {
+      graft.operators.Operators.releaseCheckpointBlocks(fin)
+      throw new IllegalStateException(
+        s"k-core peeling did not converge in $maxRounds rounds — " +
+          "raise the cap for cascades this deep")
+    }
+    fin.select($"u".as("doc_id")).distinct()
+  }
+
+  def kCore(spark: SparkSession, dir: String, k: Int = 2): DataFrame = {
+    import spark.implicits._
+    val core = kCoreVertices(
+      verifiedPairs(spark, dir).select($"a_id", $"b_id"), k)
+    Tables(spark, dir, "documents").select($"doc_id")
+      .join(core.withColumn("inc", lit(true)), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"inc", lit(false)).as("in_core"))
+  }
+
+  /** MATERIALIZED is load-bearing: each round references the previous
+    * edge CTE three times (degree + two join sides), so DuckDB's
+    * default inlining would expand the 8-round chain to 3⁸ scans of
+    * the base pipeline ("too many open files" long before wrong
+    * answers). Materializing makes each round evaluate once — the SQL
+    * analog of the engine's per-round localCheckpoint. */
+  private def kcoreRoundSql(prev: String, out: String, k: Int,
+      deg: String): String =
+    s"""$deg AS MATERIALIZED (
+       |  SELECT u FROM (SELECT u, COUNT(*) AS c FROM $prev GROUP BY u) t
+       |  WHERE c >= $k),
+       |$out AS MATERIALIZED (
+       |  SELECT e.u, e.v FROM $prev e
+       |  JOIN $deg ka ON ka.u = e.u
+       |  JOIN $deg kb ON kb.u = e.v)""".stripMargin
+
+  private lazy val kCoreSql = clusterCtes + ",\n" +
+    "e0 AS MATERIALIZED (SELECT u, v FROM e),\n" +
+    (1 to KCoreMaxRounds)
+      .map(i => kcoreRoundSql(s"e${i - 1}", s"e$i", 2, s"d$i"))
+      .mkString(",\n") + "\n" +
+    s"""SELECT d.doc_id, cv.u IS NOT NULL AS in_core
+       |FROM documents d
+       |LEFT JOIN (SELECT DISTINCT u FROM e$KCoreMaxRounds) cv
+       |  ON cv.u = d.doc_id""".stripMargin
+
   /** The recursive-CTE cluster computation, shared by the q45 and q59
     * oracles: transitive closure over the same exact J ≥ 0.5 pair set,
     * min reachable id per node. Ends with the `m` CTE; callers append
@@ -1111,6 +1198,9 @@ object DedupOps {
     Q("q109_triangle_counts", triangleCounts, Some(triangleCountsSql),
       "degree-oriented triangle counting over the near-dup graph: " +
         "per-doc 3-clique participation, wedge join bounded O(m^1.5)"),
+    Q("q117_kcore", kCore(_, _), Some(kCoreSql),
+      "2-core membership by bulk peeling on the iterate harness: the " +
+        "dup graph minus its tree-like fringe, convergence-asserted"),
     Q("q78_cluster_sizes", clusterSizes, Some(clusterSizesSql),
       "dedup audit report: duplicate-cluster size distribution over " +
         "the memoized q45 labels (singletons included)"),

@@ -686,6 +686,48 @@ object EventOps {
       | AND c.c_s >= p.p_s - $attrWindowS AND c.c_s < p.p_s
       |GROUP BY p.event_id""".stripMargin
 
+  /** q116 — user-journey transition matrix: for every ordered pair of
+    * event types, how often a user's NEXT event was of that type, with
+    * an integer conditional-probability surrogate (10⁶·n div row-total
+    * — the q107/q89 no-libm device). This is the Markov-chain estimate
+    * product analytics renders as a journey/Sankey diagram and the
+    * event-side analog of q107's word-bigram score: q18's matrix
+    * counts co-occurrence per user, this counts SEQUENCE, so it
+    * distinguishes view→click-heavy journeys from click→view ones.
+    *
+    * Scale shape: one per-user window (lead over (t, event_id) — the
+    * deterministic tie rule), a partial-aggregatable rollup on the
+    * tiny type×type domain, and a from_type-keyed window for row
+    * totals — every shuffle keyed, nothing global. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t".asc, $"event_id".asc)
+    val counts = Tables(spark, dir, "events")
+      .select($"user_id", $"event_id", $"event_type", epochS($"ts").as("t"))
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("tot", sum($"n").over(Window.partitionBy($"from_type")))
+      .select($"from_type", $"to_type", $"n",
+        expr("CAST(1000000 * n div tot AS BIGINT)").as("p_micro"))
+  }
+
+  private val eventTransitionsSql =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS to_type
+      |  FROM events),
+      |c AS (
+      |  SELECT event_type AS from_type, to_type, COUNT(*) AS n
+      |  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+      |  CAST((1000000 * n) // CAST(SUM(n) OVER (PARTITION BY from_type)
+      |    AS BIGINT) AS BIGINT) AS p_micro
+      |FROM c""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q10_hourly_event_counts", hourlyCounts, Some(hourlyCountsSql),
       "hour-of-day histogram (ref Q2 affluence shape)"),
@@ -729,5 +771,9 @@ object EventOps {
     Q("q112_histogram_quantiles", histogramQuantiles,
       Some(histogramQuantilesSql),
       "mergeable fixed-bin histogram quantile sketch: deterministic " +
-        "approx p50/p90/p99, hash-checked unlike approx_percentile"))
+        "approx p50/p90/p99, hash-checked unlike approx_percentile"),
+    Q("q116_event_transitions", eventTransitions,
+      Some(eventTransitionsSql),
+      "user-journey Markov transition matrix: sequence-ordered " +
+        "type-to-type counts with integer probability surrogates"))
 }

@@ -573,6 +573,33 @@ class OperatorPropertiesSpec extends SparkSuite {
       assert(kept == !wantDropped(id), s"doc $id kept=$kept")
   }
 
+  test("k-core peeling == driver-side reference peel on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    for ((trial, k) <- Seq((1, 2), (2, 2), (3, 3))) {
+      val n = 40
+      val edges = Seq.fill(50 + rnd.nextInt(60)) {
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter(e => e._1 != e._2).distinct
+      val got = DedupOps.kCoreVertices(edges.toDF("a_id", "b_id"), k,
+        maxRounds = 40)
+        .collect().map(_.getLong(0)).toSet
+      // reference: peel until fixpoint
+      var alive = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      var changed = true
+      while (changed) {
+        val deg = edges.filter(e => alive(e._1) && alive(e._2))
+          .flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (x, xs) => x -> xs.size }
+        val next = alive.filter(v => deg.getOrElse(v, 0) >= k)
+        changed = next != alive
+        alive = next
+      }
+      assert(got == alive, s"trial $trial k=$k")
+    }
+  }
+
   test("bigram score matches hand-computed conditional surrogates") {
     import spark.implicits._
     // c(a,b)=3 c(b,a)=1 c(b,c)=1; starts: a->3, b->2
