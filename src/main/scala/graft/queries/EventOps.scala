@@ -728,6 +728,35 @@ object EventOps {
       |    AS BIGINT) AS BIGINT) AS p_micro
       |FROM c""".stripMargin
 
+  /** q119 — quantile binning: per event type, each event's decile by
+    * value (ntile) and its percent_rank — the feature-engineering
+    * transform that turns a raw metric into a rank feature
+    * (fraud/quality models bin exactly this way). Completes the
+    * ranking-window family (row_number q04, lag q15, lead q36,
+    * frames q16): ntile and percent_rank are the remaining
+    * SQL-standard ranking functions, both deterministic here because
+    * the order key (value, event_id) is a total order.
+    * percent_rank = (rank−1)/(n−1) is one IEEE division of small
+    * integers — identical in both engines (the q98 jaccard device).
+    * One keyed window; the per-type partition is the only shuffle. */
+  def ntileDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"value".asc, $"event_id".asc)
+    Tables(spark, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+  }
+
+  private val ntileDecilesSql =
+    """SELECT event_id, event_type, value,
+      |  CAST(NTILE(10) OVER w AS BIGINT) AS decile,
+      |  PERCENT_RANK() OVER w AS pr
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)"""
+      .stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q10_hourly_event_counts", hourlyCounts, Some(hourlyCountsSql),
       "hour-of-day histogram (ref Q2 affluence shape)"),
@@ -775,5 +804,8 @@ object EventOps {
     Q("q116_event_transitions", eventTransitions,
       Some(eventTransitionsSql),
       "user-journey Markov transition matrix: sequence-ordered " +
-        "type-to-type counts with integer probability surrogates"))
+        "type-to-type counts with integer probability surrogates"),
+    Q("q119_ntile_deciles", ntileDeciles, Some(ntileDecilesSql),
+      "quantile binning: per-type ntile deciles + percent_rank under " +
+        "a deterministic total order — the rank-feature transform"))
 }

@@ -230,6 +230,36 @@ object TpchLike {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** q118 — explicit GROUPING SETS with grouping_id, completing the
+    * multi-granularity family (q26 ROLLUP is the prefix chain, q35
+    * CUBE the power set; this is the ARBITRARY selection — the set
+    * list here skips (l_returnflag), a shape neither can express).
+    * grouping_id is the disambiguator a consumer needs to tell "NULL
+    * because collapsed" from "NULL in the data" — both engines follow
+    * the SQL-standard bitmask (leftmost grouping column = MSB), so
+    * the id itself is hash-checked. One pass, one shuffle: Catalyst
+    * expands the sets map-side exactly like rollup/cube. */
+  def groupingSetsSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_linestatus"),
+          Seq.empty),
+        $"l_returnflag", $"l_linestatus")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(dec($"l_quantity")).cast("double").as("total_qty"))
+  }
+
+  private val groupingSetsSummarySql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_linestatus), ())""".stripMargin
+
   /** Exact distinct counts (the approx_count_distinct twin is asserted
     * within tolerance in ScalaTest — an approximate value can't be
     * hash-compared across engines). */
@@ -313,6 +343,10 @@ object TpchLike {
       "ROLLUP hierarchy totals"),
     Q("q35_cube_summary", cubeSummary, Some(cubeSummarySql),
       "CUBE grouping sets"),
+    Q("q118_grouping_sets", groupingSetsSummary,
+      Some(groupingSetsSummarySql),
+      "explicit GROUPING SETS + grouping_id: arbitrary granularity " +
+        "selection neither ROLLUP nor CUBE expresses, one pass"),
     Q("q27_distinct_counts", distinctCounts, Some(distinctCountsSql),
       "exact COUNT DISTINCT per group"),
     Q("q28_price_bands", priceBands, Some(priceBandsSql),

@@ -571,8 +571,15 @@ object StreamingQueries {
     * Streaming requires watermarks + a two-sided event-time range for
     * exactly this shape. Stream==batch vs attributionPairsOf on the
     * shared fixture is asserted in StreamingSpec. */
-  def attributionPairsStream(clicks: DataFrame,
-      purchases: DataFrame): DataFrame = {
+  /** `joinType` "leftOuter" adds the deferred-emission semantic: a
+    * purchase with NO in-window click emits (p_id, NULL) — but only
+    * once the watermark proves no matching click can still arrive
+    * (the engine holds the row until the join window is closed on
+    * both sides). That timing rule is the outer join's entire
+    * difference from batch, and StreamingSpec asserts it: no null row
+    * before the watermark passes the window, exactly one after. */
+  def attributionPairsStream(clicks: DataFrame, purchases: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     // the batch core's window constant — one definition, no drift
     val w = graft.queries.EventOps.attrWindowS
     val c = clicks.withWatermark("c_ts", "30 seconds")
@@ -580,7 +587,7 @@ object StreamingQueries {
     p.join(c,
       expr(s"""p_user = c_user
              |AND c_ts >= p_ts - interval $w seconds
-             |AND c_ts < p_ts""".stripMargin))
+             |AND c_ts < p_ts""".stripMargin), joinType)
       .select(col("p_id"), col("c_id"))
   }
 

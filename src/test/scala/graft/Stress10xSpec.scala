@@ -112,7 +112,8 @@ object Stress10xSpec {
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     Seq("q108_click_attribution", "q112_histogram_quantiles",
       "q109_triangle_counts", "q111_semantic_dedup", "q113_quota_sample",
-      "q114_hll_registers", "q115_doc_semdedup").foreach(runAndAudit)
+      "q114_hll_registers", "q115_doc_semdedup", "q116_event_transitions",
+      "q117_kcore", "q119_ntile_deciles").foreach(runAndAudit)
     // q115's scale lever, measured on the quantity that matters at
     // scale: candidate-pair volume Σ cell·(cell−1)/2. Local wall-time
     // at 50k docs is join-strategy/task-scheduling bound, so pair

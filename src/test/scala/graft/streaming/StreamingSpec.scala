@@ -645,6 +645,43 @@ class StreamingSpec extends SparkSuite {
     assert(got == Set((201L, 101L), (202L, 106L)))
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched purchases " +
+    "emit a null pair only after the watermark closes their window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val cms = MemoryStream[StreamingQueries.ClickIn]
+    val pms = MemoryStream[StreamingQueries.PurchaseIn]
+    val q = StreamingQueries.attributionPairsStream(
+      cms.toDS().toDF(), pms.toDS().toDF(), joinType = "leftOuter")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_outer").start()
+    // user 1's purchase gets a click; user 2's gets none
+    cms.addData(StreamingQueries.ClickIn(101L, 1L, ts(1500)))
+    pms.addData(StreamingQueries.PurchaseIn(201L, 1L, ts(2000)),
+      StreamingQueries.PurchaseIn(202L, 2L, ts(2000)))
+    q.processAllAvailable()
+    val early = spark.table("attr_outer").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // the matched pair may emit eagerly; the NULL row must NOT exist
+    // yet — a click for user 2 could still arrive within the window
+    assert(!early.contains((202L, -1L)), s"premature null emission: " +
+      early.mkString(","))
+    // advance BOTH watermarks far past the window -> null row emits
+    cms.addData(StreamingQueries.ClickIn(109L, 9L, ts(99000)))
+    pms.addData(StreamingQueries.PurchaseIn(209L, 9L, ts(99000)))
+    q.processAllAvailable()
+    // one more batch so state eviction results surface in the sink
+    cms.addData(StreamingQueries.ClickIn(110L, 9L, ts(99500)))
+    q.processAllAvailable()
+    val rows = spark.table("attr_outer").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    q.stop()
+    assert(rows.contains((201L, 101L)))
+    assert(rows.contains((202L, -1L)), s"null row never emitted: $rows")
+  }
+
   test("streaming histogram sketch: closed-window bins equal batch; " +
     "sink-side quantile extraction matches the batch estimator") {
     import spark.implicits._
