@@ -283,6 +283,173 @@ object TextOps {
       |  CAST(MIN(hv % $HllTailMod) AS BIGINT) AS min_tail
       |FROM h GROUP BY 1, 2""".stripMargin
 
+  /** The q89/q123 search terms — ONE definition consumed by the engine
+    * filters and string-interpolated into the oracles' IN lists, so the
+    * two cannot drift (the [[graft.queries.PipelineOps.NumShards]]
+    * idiom, ADVICE r5). Defined above its first val use: object vals
+    * initialize in source order. */
+  private val bm25QueryTerms = Seq("spark", "window", "merge")
+
+  /** q122's geometry: 4 independent hash rows × 256 buckets. One
+    * definition feeds the engine and the interpolated oracle. */
+  private val CmRows = 4
+  private val CmWidth = 256L
+
+  /** q122 — Count-Min sketch of corpus token frequency, emitted as its
+    * sufficient statistics: a 4×256 counter matrix where every token
+    * occurrence increments one bucket per hash row. Third member of the
+    * mergeable-sketch family (q112 histogram → quantiles, q114 HLL →
+    * distinct counts, this → point frequencies): sketch(A ∪ B) is the
+    * elementwise SUM, so counters combine map-side and a 1000-executor
+    * scan ships ≤1 024 longs per partition instead of a
+    * vocabulary-sized frequency table. Estimates read MIN over the four
+    * rows (q123) and can only overcount; each row sees every occurrence
+    * exactly once, so all four row totals equal the corpus token
+    * count — the conservation law the spec asserts. Deterministic
+    * md5-derived bucket hashes keep the whole matrix hash-checkable in
+    * both engines, unlike a library sketch with private seeds. */
+  def cmSketch(spark: SparkSession, dir: String): DataFrame =
+    cmSketchOf(Tables(spark, dir, "documents"))
+
+  private[graft] def cmSketchOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    cmBuckets(docs)
+      .groupBy($"hrow", $"bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The (hrow, bucket) projection of every token occurrence — shared
+    * by the batch sketch and the streaming twin. */
+  private[graft] def cmBuckets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(explode(toks($"text")).as("token"))
+      .filter($"token" =!= "")
+      .select($"token",
+        explode(expr(s"sequence(0, ${CmRows - 1})")).as("hrow"))
+      .select($"hrow".cast("long").as("hrow"),
+        (PipelineOps.md5PrefixLong(
+          concat(lit("cm"), $"hrow", lit(":"), $"token"), 15) % CmWidth)
+          .as("bucket"))
+  }
+
+  private val cmSketchCtes =
+    s"""WITH tk AS (
+      |  SELECT u.t AS token
+      |  FROM documents, unnest(string_split(text, ' ')) u(t)
+      |  WHERE u.t <> ''),
+      |h AS (
+      |  SELECT r.hrow AS hrow,
+      |    CAST(concat('0x', substr(md5(concat('cm', r.hrow, ':', token)),
+      |      1, 15)) AS BIGINT) % $CmWidth AS bucket
+      |  FROM tk CROSS JOIN
+      |    (SELECT unnest(range(0, $CmRows)) AS hrow) r),
+      |sk AS (
+      |  SELECT hrow, bucket, COUNT(*) AS cnt FROM h GROUP BY 1, 2)""".stripMargin
+
+  private val cmSketchSql = cmSketchCtes + "\n" +
+    "SELECT hrow, bucket, cnt FROM sk"
+
+  /** q123 — sketch point query: estimated frequencies of the q89
+    * search terms read off the q122 matrix, MIN over the four row
+    * counters — the Count-Min estimate, never below truth. The
+    * estimate path never rescans the corpus: at 100 TB the sketch is a
+    * ≤1 024-row persisted artifact and this is a broadcast-sized
+    * lookup, the operational win over q21's full-shuffle exact counts
+    * (the spec asserts est ≥ exact on the real corpus). */
+  def cmEstimate(spark: SparkSession, dir: String): DataFrame =
+    cmEstimateOf(Tables(spark, dir, "documents"), bm25QueryTerms)
+
+  private[graft] def cmEstimateOf(docs: DataFrame,
+      terms: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = terms.toDF("token")
+      .select($"token",
+        explode(expr(s"sequence(0, ${CmRows - 1})")).as("hrow"))
+      .select($"token", $"hrow".cast("long").as("hrow"),
+        (PipelineOps.md5PrefixLong(
+          concat(lit("cm"), $"hrow", lit(":"), $"token"), 15) % CmWidth)
+          .as("bucket"))
+    broadcast(q).join(cmSketchOf(docs), Seq("hrow", "bucket"), "left")
+      .groupBy($"token")
+      .agg(min(coalesce($"cnt", lit(0L))).as("est_count"))
+  }
+
+  private val cmEstimateSql = cmSketchCtes + ",\n" +
+    s"""q AS (
+      |  SELECT t.token, r.hrow,
+      |    CAST(concat('0x', substr(md5(concat('cm', r.hrow, ':', t.token)),
+      |      1, 15)) AS BIGINT) % $CmWidth AS bucket
+      |  FROM (SELECT unnest([${bm25QueryTerms.map("'" + _ + "'").mkString(",")}]) AS token) t
+      |  CROSS JOIN (SELECT unnest(range(0, $CmRows)) AS hrow) r)
+      |SELECT q.token,
+      |  CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est_count
+      |FROM q LEFT JOIN sk ON sk.hrow = q.hrow AND sk.bucket = q.bucket
+      |GROUP BY 1""".stripMargin
+
+  /** q120's minimum document frequency. Interpolated into the oracle
+    * from this one constant (the NumShards anti-drift rule). */
+  private val CollocMinSupport = 5L
+
+  /** q120 — collocation mining: token pairs that co-occur in
+    * documents, scored by an integer confidence surrogate
+    * (10⁶·n_ab div min(n_a, n_b) — the overlap coefficient, which
+    * unlike PMI needs no global-N count and therefore no
+    * single-partition exchange). The phrase-detection primitive
+    * word2vec-style pipelines run before tokenizer training.
+    *
+    * Scale discipline is the Apriori support prune, IN the plan: the
+    * per-doc pair explosion is quadratic in distinct tokens per doc,
+    * so tokens below min-support are dropped BEFORE pairing (a
+    * support-failing token cannot be in a support-passing pair —
+    * monotonicity). After the prune, pairing is a doc-keyed self-join
+    * bounded by (surviving tokens per doc)², and all counts are
+    * partial-aggregatable rollups on token keys. */
+  def collocations(spark: SparkSession, dir: String): DataFrame =
+    collocationsOf(Tables(spark, dir, "documents"), CollocMinSupport)
+
+  private[graft] def collocationsOf(docs: DataFrame,
+      minSupport: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dt = docs
+      .select($"doc_id", explode(array_distinct(toks($"text"))).as("t"))
+      .filter($"t" =!= "")
+    val support = dt.groupBy($"t").agg(count(lit(1)).as("n"))
+      .filter($"n" >= minSupport)
+    val pruned = dt.join(support, "t")
+    pruned.select($"doc_id", $"t".as("tok_a"), $"n".as("n_a"))
+      .join(pruned.select($"doc_id", $"t".as("tok_b"), $"n".as("n_b")),
+        "doc_id")
+      .filter($"tok_a" < $"tok_b")
+      .groupBy($"tok_a", $"tok_b", $"n_a", $"n_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .select($"tok_a", $"tok_b", $"n_ab", $"n_a", $"n_b",
+        expr("CAST(1000000 * n_ab div least(n_a, n_b) AS BIGINT)")
+          .as("conf_micro"))
+  }
+
+  private val collocationsSql =
+    s"""WITH dt AS (
+      |  SELECT DISTINCT doc_id, u.t
+      |  FROM documents, unnest(string_split(text, ' ')) u(t)
+      |  WHERE u.t <> ''),
+      |f AS (
+      |  SELECT t, COUNT(*) AS n FROM dt GROUP BY t),
+      |fs AS (SELECT t, n FROM f WHERE n >= $CollocMinSupport),
+      |pd AS (
+      |  SELECT dt.doc_id, dt.t, fs.n FROM dt JOIN fs ON fs.t = dt.t),
+      |p AS (
+      |  SELECT a.t AS tok_a, b.t AS tok_b, a.n AS n_a, b.n AS n_b,
+      |    COUNT(*) AS n_ab
+      |  FROM pd a JOIN pd b ON a.doc_id = b.doc_id AND a.t < b.t
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab, n_a, n_b,
+      |  CAST((1000000 * n_ab) // LEAST(n_a, n_b) AS BIGINT) AS conf_micro
+      |FROM p""".stripMargin
+
   /** q79 — WITHIN-document repetition statistics, the Gopher-style
     * repetition quality filters (Rae et al. 2021 §A.1.1: "fraction of
     * characters in the most common n-gram" / "in duplicated n-grams")
@@ -504,9 +671,13 @@ object TextOps {
     * same shape as q82's frequency join). Term skew lands in the
     * (term, doc_id) composite key, not a per-term partition, so a
     * stop-word does not create a straggler partition. */
-  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    invertedIndexOf(Tables(spark, dir, "documents"))
+
+  private[graft] def invertedIndexOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val postings = Tables(spark, dir, "documents")
+    val postings = docs
       .select($"doc_id", posexplode(toks($"text")).as(Seq("pos", "term")))
       .filter($"term" =!= "")
       .groupBy($"term", $"doc_id")
@@ -554,12 +725,6 @@ object TextOps {
     * no single-partition window) like q30. At 100 TB a deployment
     * searches the materialized posting table — same plan minus the
     * build. */
-  /** The q89 search terms — ONE definition consumed by the engine
-    * filter and string-interpolated into the oracle's IN list, so the
-    * two cannot drift (the [[graft.queries.PipelineOps.NumShards]]
-    * idiom, ADVICE r5). */
-  private val bm25QueryTerms = Seq("spark", "window", "merge")
-
   def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     invertedIndex(spark, dir)
@@ -582,6 +747,59 @@ object TextOps {
       |ORDER BY score DESC, doc_id ASC
       |LIMIT 20""".stripMargin
 
+  /** q121 — "more like this": doc-to-doc retrieval over the q87
+    * posting table. The query is a DOCUMENT (its own posting rows
+    * supply the query terms and weights), the score is
+    * Σ q_tf·tf·(10⁶ div df) — q89's integer idf surrogate reused, so
+    * the ranking is libm-free and fully hash-checked — and ties break
+    * on doc_id (deterministic k-boundary). This is the related-items
+    * query by LEXICAL overlap, complementing q98 (Jaccard near-dups)
+    * and q70 (vector ANN): three similar-docs systems, three different
+    * index structures, one engine.
+    *
+    * Scale shape: the query doc's posting rows are a broadcast-sized
+    * side (one document's vocabulary); the term equi-join prunes the
+    * posting scan to matching terms; top-k is TakeOrderedAndProject.
+    * At 100 TB the posting table is the persisted q87 artifact, so
+    * this reads an index, not the corpus. */
+  /** q121's registered query document and k — one definition feeding
+    * both the engine call and the interpolated oracle (anti-drift). */
+  private val MltQueryDoc = 0L
+  private val MltK = 10
+
+  def moreLikeThis(spark: SparkSession, dir: String): DataFrame =
+    moreLikeThisOf(Tables(spark, dir, "documents"), MltQueryDoc, MltK)
+
+  private[graft] def moreLikeThisOf(docs: DataFrame, queryDoc: Long,
+      k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val idx = invertedIndexOf(docs)
+    val qTerms = idx.filter($"doc_id" === queryDoc)
+      .select($"term", $"tf".as("q_tf"))
+    idx.filter($"doc_id" =!= queryDoc)
+      .join(broadcast(qTerms), "term")
+      .groupBy($"doc_id")
+      .agg(sum($"q_tf" * $"tf" * expr("1000000 div df")).cast("long")
+          .as("score"),
+        count(lit(1)).as("n_shared_terms"))
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(k)
+  }
+
+  private val moreLikeThisSql = invertedIndexCtes + ",\n" +
+    s"""idx AS (
+      |  SELECT p.term, p.doc_id, d.df, p.tf FROM p JOIN d USING (term)),
+      |qt AS (SELECT term, tf AS q_tf FROM idx WHERE doc_id = $MltQueryDoc)
+      |SELECT i.doc_id,
+      |  CAST(SUM(qt.q_tf * i.tf * (1000000 // i.df)) AS BIGINT) AS score,
+      |  COUNT(*) AS n_shared_terms
+      |FROM idx i JOIN qt USING (term)
+      |WHERE i.doc_id <> $MltQueryDoc
+      |GROUP BY i.doc_id
+      |ORDER BY score DESC, doc_id ASC
+      |LIMIT $MltK""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q20_token_stats", tokenStats, Some(tokenStatsSql),
       "whitespace + subword-chunk token counting"),
@@ -602,6 +820,18 @@ object TextOps {
     Q("q114_hll_registers", hllRegisters, Some(hllRegistersSql),
       "mergeable distinct sketch: 64 min-tail HLL registers per " +
         "source, map-side combinable, sketch itself hash-checked"),
+    Q("q122_cm_sketch", cmSketch, Some(cmSketchSql),
+      "Count-Min 4x256 counter matrix over token occurrences — " +
+        "elementwise-sum mergeable, map-side combinable"),
+    Q("q123_cm_estimate", cmEstimate, Some(cmEstimateSql),
+      "sketch point query: min-over-rows frequency estimate for the " +
+        "q89 terms, broadcast lookup against the 1k-row artifact"),
+    Q("q120_collocations", collocations, Some(collocationsSql),
+      "support-pruned co-occurrence mining with integer overlap " +
+        "confidence — Apriori prune before the quadratic pair step"),
+    Q("q121_more_like_this", moreLikeThis, Some(moreLikeThisSql),
+      "doc-to-doc lexical retrieval over the posting table: the " +
+        "query doc's postings broadcast, integer tf-idf, top-10"),
     Q("q79_repetition_stats", repetitionStats, Some(repetitionStatsSql),
       "Gopher-style within-doc repetition filters (top/duplicated 2-gram chars)"),
     Q("q82_unigram_score", unigramScore, Some(unigramScoreSql),

@@ -544,6 +544,21 @@ object StreamingQueries {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("bin"), col("c"))
 
+  // --------------------------------------- streaming count-min sketch
+  /** Streaming twin of the q122 Count-Min sketch: the counter matrix as
+    * a running streaming aggregate. No window and no watermark — the
+    * sketch's whole point is that its state is the FIXED 4×256 counter
+    * matrix (elementwise-sum mergeable), so complete-mode output stays
+    * ≤1 024 rows no matter how many documents arrive; the map-side
+    * partial sums that make the batch form one cheap shuffle are
+    * exactly what the state store folds here. Stream==batch (identical
+    * matrices once all fixtures have arrived) is asserted in
+    * StreamingSpec. */
+  def cmSketchStream(docs: DataFrame): DataFrame =
+    graft.queries.TextOps.cmBuckets(docs)
+      .groupBy(col("hrow"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
   // ------------------------------------- stream-stream interval join
   /** Typed ingest rows for the two attribution streams (column names
     * are what [[attributionPairsStream]]'s join condition references). */

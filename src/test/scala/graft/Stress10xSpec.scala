@@ -113,7 +113,9 @@ object Stress10xSpec {
     Seq("q108_click_attribution", "q112_histogram_quantiles",
       "q109_triangle_counts", "q111_semantic_dedup", "q113_quota_sample",
       "q114_hll_registers", "q115_doc_semdedup", "q116_event_transitions",
-      "q117_kcore", "q119_ntile_deciles").foreach(runAndAudit)
+      "q117_kcore", "q119_ntile_deciles", "q120_collocations",
+      "q121_more_like_this", "q122_cm_sketch", "q123_cm_estimate")
+      .foreach(runAndAudit)
     // q115's scale lever, measured on the quantity that matters at
     // scale: candidate-pair volume Σ cell·(cell−1)/2. Local wall-time
     // at 50k docs is join-strategy/task-scheduling bound, so pair

@@ -628,6 +628,76 @@ class OperatorPropertiesSpec extends SparkSuite {
       "reversed corpus scored >= original: transitions carry no signal?")
   }
 
+  test("collocations match a hand-computed reference; prune is sound") {
+    import spark.implicits._
+    // doc-freqs: a:3 b:2 c:2 x:1 y:1 -> minSupport=2 keeps {a,b,c};
+    // doc 4's repeated c counts once (distinct-per-doc semantics)
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b"), (3L, "a x"), (4L, "c y c")
+    ).toDF("doc_id", "text")
+    val got = TextOps.collocationsOf(docs, minSupport = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == Set(
+      ("a", "b", 2L, 3L, 2L, 1000000L),   // conf = 2e6 div min(3,2)
+      ("a", "c", 1L, 3L, 2L, 500000L),
+      ("b", "c", 1L, 2L, 2L, 500000L)))
+    // Apriori soundness on the real corpus: every emitted pair's ends
+    // meet support, and co-occurrence never exceeds either end's freq
+    val real = TextOps.collocations(spark, sf0001).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val (nab, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(na >= 5 && nb >= 5 && nab >= 1 && nab <= math.min(na, nb))
+      assert(r.getLong(5) == 1000000L * nab / math.min(na, nb))
+    }
+  }
+
+  test("count-min sketch: mass conservation per row; estimates never undercount") {
+    import spark.implicits._
+    val tokens = graft.sources.Tables(spark, sf0001, "documents")
+      .select(explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+    val nTok = tokens.count()
+    val sk = TextOps.cmSketch(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every hash row sees every occurrence exactly once
+    val totals = sk.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(totals.keySet == Set(0L, 1L, 2L, 3L))
+    assert(totals.values.forall(_ == nTok), s"row totals $totals != $nTok")
+    assert(sk.forall { case (_, b, c) => b >= 0 && b < 256 && c > 0 })
+    // the CM guarantee: min-over-rows estimate >= exact, per query term
+    val est = TextOps.cmEstimate(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == Set("spark", "window", "merge"))
+    val exact = tokens.filter($"token".isin("spark", "window", "merge"))
+      .groupBy($"token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (t, e) =>
+      assert(e >= exact.getOrElse(t, 0L), s"$t: est $e < exact $exact")
+    }
+  }
+
+  test("more-like-this: hand-computed scores, tie on doc_id, self excluded") {
+    import spark.implicits._
+    // dfs all 2 (a,b,c,x shared by two docs); query doc 0 has a:1 b:2 c:1.
+    // doc 1 shares a(tf1), b(tf1): 1*1*500000 + 2*1*500000 = 1_500_000
+    // doc 2 shares c(tf3):         1*3*500000             = 1_500_000
+    // tie -> doc_id ascending; doc 3 shares nothing -> absent
+    val docs = Seq(
+      (0L, "a b b c"), (1L, "a b x"), (2L, "c c c"), (3L, "x y z")
+    ).toDF("doc_id", "text")
+    val got = TextOps.moreLikeThisOf(docs, queryDoc = 0L, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1500000L, 2L), (2L, 1500000L, 1L)))
+    // real corpus: query doc never appears in its own result, scores
+    // are non-increasing, and the k-boundary is deterministic
+    val real = TextOps.moreLikeThis(spark, sf0001).collect()
+    assert(real.nonEmpty && real.forall(_.getLong(0) != 0L))
+    val scores = real.map(_.getLong(1)).toSeq
+    assert(scores == scores.sorted(Ordering[Long].reverse))
+  }
+
   test("funnel latency: depth-2 users yield a NULL click->purchase percentile") {
     import spark.implicits._
     // the depth-2 branch (clicked but never purchased) was unexercised

@@ -733,6 +733,35 @@ class StreamingSpec extends SparkSuite {
     assert(batchQuantiles.contains(("click", 4L, 0.0, 10.0, 10.0)))
   }
 
+  test("streaming count-min sketch equals batch and conserves mass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingQueries.cmSketchStream(ms.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cm_out").start()
+    val fixture = Seq(
+      (1L, "spark merge window spark"),
+      (2L, "window beats the loop"),
+      (3L, "spark spark spark"),
+      (4L, ""))                       // empty doc: contributes nothing
+    // two batches: the complete-mode matrix must fold, not replace
+    ms.addData(fixture.take(2): _*)
+    q.processAllAvailable()
+    ms.addData(fixture.drop(2): _*)
+    q.processAllAvailable()
+    val got = spark.table("cm_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    val want = graft.queries.TextOps.cmSketchOf(
+      fixture.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // conservation: 4+4+3 = 11 occurrences land once in each hash row
+    val totals = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(totals == Map(0L -> 11L, 1L -> 11L, 2L -> 11L, 3L -> 11L))
+  }
+
   test("sessionize: flatMapGroupsWithState equals the batch window form") {
     import spark.implicits._
     val batch = graft.queries.EventOps.sessionize(spark, sf0001).collect()
