@@ -757,8 +757,13 @@ class StreamingSpec extends SparkSuite {
       fixture.toDF("doc_id", "text")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == want)
-    // conservation: 4+4+3 = 11 occurrences land once in each hash row
-    val totals = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    // conservation: 4+4+3 = 11 occurrences land once in each hash row.
+    // `got` is a Set, so sum through a Seq: Set.map would collapse the
+    // equal per-bucket counts ({5,2,1,1,1,1} -> {5,2,1}, "mass 8") —
+    // the round-6/7 red-test mystery was this collection dedup in the
+    // assertion itself, never a row loss in the engine.
+    val totals = got.toSeq.groupBy(_._1)
+      .view.mapValues(_.map(_._3).sum).toMap
     assert(totals == Map(0L -> 11L, 1L -> 11L, 2L -> 11L, 3L -> 11L))
   }
 
