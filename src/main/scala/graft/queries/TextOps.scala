@@ -309,7 +309,28 @@ object TextOps {
     * md5-derived bucket hashes keep the whole matrix hash-checkable in
     * both engines, unlike a library sketch with private seeds. */
   def cmSketch(spark: SparkSession, dir: String): DataFrame =
-    cmSketchOf(Tables(spark, dir, "documents"))
+    cmSketchTable(spark, dir)
+
+  /** The corpus sketch as a shared artifact ([[DedupOps.ArtifactMemo]],
+    * the q42/q66 payer-before-rider device): q122 pays the one corpus
+    * scan and persists the ≤1 024-row matrix; q123's point estimates
+    * join the materialization instead of rescanning the corpus — the
+    * operational contract its own doc promises ("the estimate path
+    * never rescans the corpus"). Bench asserts the q122 → q123 order,
+    * so per-query numbers attribute the scan to the payer. */
+  private val cmMemo = new DedupOps.ArtifactMemo
+  private[graft] def cmSketchTable(spark: SparkSession,
+      dir: String): DataFrame =
+    cmMemo.get(spark, dir)(
+      cmSketchOf(Tables(spark, dir, "documents")).persist())
+
+  /** Whether `df` IS the live memoized sketch — Bench's release
+    * policy, same contract as [[DedupOps.isSharedArtifact]]. */
+  private[graft] def isSharedArtifact(df: DataFrame): Boolean =
+    cmMemo.holds(df)
+
+  /** Drop the memoized sketch (tests / long-lived JVMs). */
+  def invalidateSharedArtifacts(): Unit = cmMemo.invalidate()
 
   private[graft] def cmSketchOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -359,11 +380,11 @@ object TextOps {
     * lookup, the operational win over q21's full-shuffle exact counts
     * (the spec asserts est ≥ exact on the real corpus). */
   def cmEstimate(spark: SparkSession, dir: String): DataFrame =
-    cmEstimateOf(Tables(spark, dir, "documents"), bm25QueryTerms)
+    cmEstimateOf(cmSketchTable(spark, dir), bm25QueryTerms)
 
-  private[graft] def cmEstimateOf(docs: DataFrame,
+  private[graft] def cmEstimateOf(sketch: DataFrame,
       terms: Seq[String]): DataFrame = {
-    val spark = docs.sparkSession
+    val spark = sketch.sparkSession
     import spark.implicits._
     val q = terms.toDF("token")
       .select($"token",
@@ -372,7 +393,7 @@ object TextOps {
         (PipelineOps.md5PrefixLong(
           concat(lit("cm"), $"hrow", lit(":"), $"token"), 15) % CmWidth)
           .as("bucket"))
-    broadcast(q).join(cmSketchOf(docs), Seq("hrow", "bucket"), "left")
+    broadcast(q).join(sketch, Seq("hrow", "bucket"), "left")
       .groupBy($"token")
       .agg(min(coalesce($"cnt", lit(0L))).as("est_count"))
   }

