@@ -254,9 +254,18 @@ object TextOps {
     * countDistincts — full shuffle of the token set); this is its
     * at-scale replacement, and unlike approx_count_distinct the whole
     * sketch is deterministic and hash-checked in both engines. */
-  def hllRegisters(spark: SparkSession, dir: String): DataFrame = {
+  def hllRegisters(spark: SparkSession, dir: String): DataFrame =
+    hllRegistersOf(Tables(spark, dir, "documents"))
+
+  /** The register pipeline over any (source, text) frame — shared by
+    * the batch query and the streaming twin (a complete-mode min
+    * aggregate over the ≤64·|sources| key space: the elementwise-min
+    * mergeability that combines map-side in batch is exactly what the
+    * state store folds in a stream). */
+  private[graft] def hllRegistersOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables(spark, dir, "documents")
+    docs
       .select($"source", explode(toks($"text")).as("token"))
       .filter($"token" =!= "")
       .select($"source",

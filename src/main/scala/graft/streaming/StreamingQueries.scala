@@ -559,6 +559,18 @@ object StreamingQueries {
       .groupBy(col("hrow"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  // ------------------------------------------- streaming HLL registers
+  /** Streaming twin of the q114 HLL-family register sketch: the
+    * (source, register) → min(tail) table as a running complete-mode
+    * aggregate over a (source, text) stream. State is the fixed
+    * ≤64·|sources| register table — min is the sketch's merge
+    * operator, so folding arriving batches into state IS the
+    * elementwise-min mergeability the batch form exploits map-side.
+    * Stream==batch plus the merge law (whole == elementwise min of
+    * per-chunk sketches) are property-asserted in SketchTwinLawsSpec. */
+  def hllRegistersStream(docs: DataFrame): DataFrame =
+    graft.queries.TextOps.hllRegistersOf(docs)
+
   // ------------------------------------- stream-stream interval join
   /** Typed ingest rows for the two attribution streams (column names
     * are what [[attributionPairsStream]]'s join condition references). */
