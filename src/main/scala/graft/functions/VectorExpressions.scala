@@ -269,8 +269,17 @@ object VectorExpressions {
     * ejects its whole projection from whole-stage codegen — quantizing
     * INSIDE the expression (hoisted into a per-row buffer) keeps the
     * entire assignment compiled and compact. */
+  /** `rank` selects which neighbor to return: 0 = the argmin (the
+    * default, byte-identical generated code to the original), 1 = the
+    * SECOND-nearest row under the same (dist, index) order — the
+    * multi-probe assignment device (q124): a vector's two cells are
+    * `NearestIndex(..., rank = 0)` and `NearestIndex(..., rank = 1)`,
+    * both integer-exact, so the probed candidate set — and therefore
+    * the dedup verdict — stays oracle-hash-checkable (the oracle's
+    * mirror is `ROW_NUMBER() OVER (ORDER BY dist, c) <= 2`). */
   case class NearestIndex(child: Expression, table: Array[Array[Long]],
-      start: Int, scale: Long) extends UnaryExpression {
+      start: Int, scale: Long, rank: Int = 0) extends UnaryExpression {
+    require(rank == 0 || rank == 1, s"rank must be 0 or 1, got $rank")
     private val rows = table.length
     private val rowLen = table(0).length
     override def nullIntolerant: Boolean = true
@@ -298,15 +307,19 @@ object VectorExpressions {
         d += 1
       }
       var best = Long.MaxValue; var bi = 0; var w = 0
+      var second = Long.MaxValue; var si = 0
       while (w < rows) {
         var acc = 0L; d = 0
         while (d < rowLen) {
           val t = q(d) - table(w)(d); acc += t * t; d += 1
         }
-        if (acc < best) { best = acc; bi = w }
+        // (dist, index) order: a later row tying `best` ranks second
+        if (acc < best) {
+          second = best; si = bi; best = acc; bi = w
+        } else if (acc < second) { second = acc; si = w }
         w += 1
       }
-      java.lang.Integer.valueOf(bi)
+      java.lang.Integer.valueOf(if (rank == 0) bi else si)
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -321,24 +334,50 @@ object VectorExpressions {
         val best = ctx.freshName("best")
         val bi = ctx.freshName("bi")
         val bad = ctx.freshName("bad")
-        s"""
-           |boolean $bad = $a.numElements() < ${start + rowLen};
-           |for (int $d = 0; !$bad && $d < $rowLen; $d++) {
-           |  if ($a.isNullAt($start + $d)) { $bad = true; break; }
-           |  $buf[$d] = (long) Math.floor((double) $a.getFloat($start + $d) * ${scale}L);
-           |}
-           |long $best = Long.MAX_VALUE; int $bi = 0;
-           |for (int $w = 0; !$bad && $w < $rows; $w++) {
-           |  long $acc = 0L;
-           |  for (int $d = 0; $d < $rowLen; $d++) {
-           |    long $t = $buf[$d] - $tbl[$w][$d];
-           |    $acc += $t * $t;
-           |  }
-           |  if ($acc < $best) { $best = $acc; $bi = $w; }
-           |}
-           |${ev.isNull} = $bad;
-           |${ev.value} = $bi;
-         """.stripMargin
+        if (rank == 0)
+          s"""
+             |boolean $bad = $a.numElements() < ${start + rowLen};
+             |for (int $d = 0; !$bad && $d < $rowLen; $d++) {
+             |  if ($a.isNullAt($start + $d)) { $bad = true; break; }
+             |  $buf[$d] = (long) Math.floor((double) $a.getFloat($start + $d) * ${scale}L);
+             |}
+             |long $best = Long.MAX_VALUE; int $bi = 0;
+             |for (int $w = 0; !$bad && $w < $rows; $w++) {
+             |  long $acc = 0L;
+             |  for (int $d = 0; $d < $rowLen; $d++) {
+             |    long $t = $buf[$d] - $tbl[$w][$d];
+             |    $acc += $t * $t;
+             |  }
+             |  if ($acc < $best) { $best = $acc; $bi = $w; }
+             |}
+             |${ev.isNull} = $bad;
+             |${ev.value} = $bi;
+           """.stripMargin
+        else {
+          val second = ctx.freshName("second")
+          val si = ctx.freshName("si")
+          s"""
+             |boolean $bad = $a.numElements() < ${start + rowLen};
+             |for (int $d = 0; !$bad && $d < $rowLen; $d++) {
+             |  if ($a.isNullAt($start + $d)) { $bad = true; break; }
+             |  $buf[$d] = (long) Math.floor((double) $a.getFloat($start + $d) * ${scale}L);
+             |}
+             |long $best = Long.MAX_VALUE; int $bi = 0;
+             |long $second = Long.MAX_VALUE; int $si = 0;
+             |for (int $w = 0; !$bad && $w < $rows; $w++) {
+             |  long $acc = 0L;
+             |  for (int $d = 0; $d < $rowLen; $d++) {
+             |    long $t = $buf[$d] - $tbl[$w][$d];
+             |    $acc += $t * $t;
+             |  }
+             |  if ($acc < $best) {
+             |    $second = $best; $si = $bi; $best = $acc; $bi = $w;
+             |  } else if ($acc < $second) { $second = $acc; $si = $w; }
+             |}
+             |${ev.isNull} = $bad;
+             |${ev.value} = $si;
+           """.stripMargin
+        }
       })
     }
 
@@ -350,6 +389,13 @@ object VectorExpressions {
       start: Int, scale: Long): Column =
     GraftBridge.column(NearestIndex(GraftBridge.expression(emb),
       table.map(_.toArray).toArray, start, scale))
+
+  /** The second-nearest row under the same (dist, index) order — the
+    * probe-2 assignment of [[NearestIndex]]. */
+  def secondNearestIndex(emb: Column, table: IndexedSeq[IndexedSeq[Long]],
+      start: Int, scale: Long): Column =
+    GraftBridge.column(NearestIndex(GraftBridge.expression(emb),
+      table.map(_.toArray).toArray, start, scale, rank = 1))
 
   /** srp_bucket(array<float>) → long: the signed-random-projection
     * bucket — bit b set iff the dot product of the floor(v×scale)

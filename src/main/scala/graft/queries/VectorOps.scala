@@ -396,6 +396,38 @@ object VectorOps {
     *    unchanged, while the dominant-cell straggler becomes fan²
     *    bounded tasks (the q29 salted-join device applied to a
     *    self-join). Unskewed cells have fan = 1 and pay nothing. */
+  /** The salted within-cell pair miner behind every cell-scoped dedup
+    * shape: over any (cell, vec_id, embedding) frame — one row per
+    * (vector, probed cell), so a vector may appear under SEVERAL cells
+    * (multi-probe q124) or every vector under ONE synthetic cell (the
+    * q125 global verification arm) — emit the distinct ids having a
+    * lower-id co-celled neighbor satisfying `isDup`. Carries the two
+    * r8 scale devices (norm lifting, adaptive sub-cell salting)
+    * documented on [[cellScopedDedup]]. */
+  private def saltedDupIds(probed: DataFrame, normOf: Column => Column,
+      isDup: (Column, Column, Column, Column) => Column): DataFrame = {
+    val spark = probed.sparkSession
+    import spark.implicits._
+    val fan = probed.groupBy($"cell").agg(
+      ceil(count(lit(1)) / lit(CellBlockRows.toDouble)).cast("int")
+        .as("fan"))
+    val sided = probed
+      .select($"cell", $"vec_id", $"embedding",
+        normOf($"embedding").as("nrm"))
+      .join(broadcast(fan), "cell")
+      .withColumn("own", pmod(xxhash64($"vec_id"), $"fan").cast("int"))
+    val a = sided.select($"cell", $"own".as("sa"),
+      explode(expr("sequence(0, fan - 1)")).as("sb"),
+      $"vec_id".as("a_id"), $"embedding".as("a_emb"), $"nrm".as("a_nrm"))
+    val b = sided.select($"cell",
+      explode(expr("sequence(0, fan - 1)")).as("sa"), $"own".as("sb"),
+      $"vec_id".as("b_id"), $"embedding".as("b_emb"), $"nrm".as("b_nrm"))
+    a.join(b, Seq("cell", "sa", "sb"))
+      .filter($"a_id" < $"b_id" &&
+        isDup($"a_emb", $"b_emb", $"a_nrm", $"b_nrm"))
+      .select($"b_id".as("dup_id")).distinct()
+  }
+
   private def cellScopedDedup(cells: DataFrame, normOf: Column => Column,
       isDup: (Column, Column, Column, Column) => Column,
       idCol: String): DataFrame = {
@@ -411,24 +443,7 @@ object VectorOps {
     // the result. A 100 TB deployment writes this frame to storage
     // once — this is that materialization, in-session.
     val mat = cells.persist()
-    val fan = mat.groupBy($"cell").agg(
-      ceil(count(lit(1)) / lit(CellBlockRows.toDouble)).cast("int")
-        .as("fan"))
-    val sided = mat
-      .select($"cell", $"vec_id", $"embedding",
-        normOf($"embedding").as("nrm"))
-      .join(broadcast(fan), "cell")
-      .withColumn("own", pmod(xxhash64($"vec_id"), $"fan").cast("int"))
-    val a = sided.select($"cell", $"own".as("sa"),
-      explode(expr("sequence(0, fan - 1)")).as("sb"),
-      $"vec_id".as("a_id"), $"embedding".as("a_emb"), $"nrm".as("a_nrm"))
-    val b = sided.select($"cell",
-      explode(expr("sequence(0, fan - 1)")).as("sa"), $"own".as("sb"),
-      $"vec_id".as("b_id"), $"embedding".as("b_emb"), $"nrm".as("b_nrm"))
-    val dropped = a.join(b, Seq("cell", "sa", "sb"))
-      .filter($"a_id" < $"b_id" &&
-        isDup($"a_emb", $"b_emb", $"a_nrm", $"b_nrm"))
-      .select($"b_id".as("dup_id")).distinct()
+    val dropped = saltedDupIds(mat, normOf, isDup)
     mat.select($"vec_id".as(idCol), $"cell")
       .join(dropped.withColumn("dup", lit(true)),
         col(idCol) === $"dup_id", "left")
@@ -461,6 +476,138 @@ object VectorOps {
       |    > 0.35)
       |SELECT s.vec_id, s.cell, d.vec_id IS NULL AS kept
       |FROM asg s LEFT JOIN dup d ON d.vec_id = s.vec_id""".stripMargin
+
+  /** q124 — multi-probe SemDeDup: q111's policy with each vector
+    * assigned to its TWO nearest grid cells (the documented recall
+    * lever at `VectorOps` q111: near-dups straddling a cell boundary
+    * are invisible to single-probe assignment — q125 measures
+    * single-probe recall at only ~25% on this corpus). A pair is
+    * compared iff the probe sets intersect; the verdict frame keeps
+    * q111's exact shape (one row per vector, PRIMARY cell, kept).
+    * Both assignments come from the same integer-exact argmin
+    * expression (`rank = 1` selects the second-nearest under the
+    * (dist, index) order), so the enlarged candidate set — and the
+    * verdict — is still bit-identical in DuckDB. Candidate volume
+    * doubles per probe (each side of the join carries one row per
+    * probed cell); the salting bounds task size exactly as in q111. */
+  def semanticDedupProbe2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.{fvecDot, nearestIndex,
+      secondNearestIndex}
+    val base = Tables(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding",
+        nearestIndex($"embedding", ivfGridCentroids(), 0, QuantScale)
+          .as("cell"),
+        secondNearestIndex($"embedding", ivfGridCentroids(), 0, QuantScale)
+          .as("cell2"))
+      .persist()
+    val probed = base.select($"cell", $"vec_id", $"embedding")
+      .union(base.select($"cell2".as("cell"), $"vec_id", $"embedding"))
+    val dropped = saltedDupIds(probed,
+      v => sqrt(fvecDot(v, v)),
+      (ae, be, an, bn) =>
+        nanvl(fvecDot(ae, be) / (an * bn), lit(-1d)) > 0.35)
+    base.select($"vec_id", $"cell")
+      .join(dropped.withColumn("dup", lit(true)),
+        $"vec_id" === $"dup_id", "left")
+      .select($"vec_id", $"cell",
+        (!coalesce($"dup", lit(false))).as("kept"))
+  }
+
+  /** The two-nearest-cells assignment CTEs shared by the q124 and q125
+    * oracles: gdist re-derived from the shared grid parameter CTEs,
+    * then `ROW_NUMBER() OVER (ORDER BY dist, c) <= 2` — the exact tie
+    * order of the engine's NearestIndex(rank = 0|1). */
+  private val gridAsg2Ctes =
+    """gdist AS (SELECT vec_id, c, SUM((q - ct) * (q - ct)) AS dist
+      |  FROM gqv JOIN gcent USING (d) GROUP BY vec_id, c),
+      |gasg2 AS (SELECT vec_id, c AS cell, rn FROM (
+      |    SELECT vec_id, c,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+      |    FROM gdist) t
+      |  WHERE rn <= 2),
+      |asg2 AS (SELECT e.vec_id, e.embedding, g.cell, g.rn
+      |  FROM embeddings e JOIN gasg2 g ON g.vec_id = e.vec_id)""".stripMargin
+
+  private val semanticDedupProbe2Sql =
+    s"""WITH $gridParamCtes,
+      |$gridQvEmbeddings,
+      |$gridAsg2Ctes,
+      |dup2 AS (SELECT DISTINCT b.vec_id
+      |  FROM asg2 a JOIN asg2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE ${duckNanvl("list_cosine_similarity(a.embedding, b.embedding)")}
+      |    > 0.35)
+      |SELECT p.vec_id, p.cell, d.vec_id IS NULL AS kept
+      |FROM (SELECT vec_id, cell FROM gasg2 WHERE rn = 1) p
+      |LEFT JOIN dup2 d ON d.vec_id = p.vec_id""".stripMargin
+
+  /** q125 — probe-recall audit (the q83 shape applied to dedup): how
+    * much of the GLOBAL near-dup mass does each probe depth flag? The
+    * truth arm runs the same exact pair predicate over every pair via
+    * [[saltedDupIds]] with ONE synthetic cell — the q41-style
+    * deliberate O(n²) verification SPEC, expressed as an equi-join on
+    * the salt blocks so even the audit's plan carries no
+    * CartesianProduct and no unbounded task (fan = ceil(n/2048) makes
+    * it ~fan² bounded blocks; at real scale you'd sample the truth
+    * arm, the probed arms are the production path). Flagged ⊆ true by
+    * construction (cell methods verify exactly within candidates), so
+    * the report is pure recall; the global row pins recall_micro =
+    * 10⁶ as a structural self-check. All counts integer → the whole
+    * report hash-checks. */
+  def probeRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.fvecDot
+    val normOf: Column => Column = v => sqrt(fvecDot(v, v))
+    val isDup = (ae: Column, be: Column, an: Column, bn: Column) =>
+      nanvl(fvecDot(ae, be) / (an * bn), lit(-1d)) > 0.35
+    val truth = saltedDupIds(
+      Tables(spark, dir, "embeddings")
+        .select(lit(0).as("cell"), $"vec_id", $"embedding"),
+      normOf, isDup)
+    val tagged = truth.select(lit("global").as("method"), $"dup_id")
+      .union(semanticDedup(spark, dir).filter(!$"kept")
+        .select(lit("probe1").as("method"), $"vec_id".as("dup_id")))
+      .union(semanticDedupProbe2(spark, dir).filter(!$"kept")
+        .select(lit("probe2").as("method"), $"vec_id".as("dup_id")))
+    val counts = tagged.groupBy($"method")
+      .agg(count(lit(1)).as("n_flagged"))
+    // the 3-row rollup joins its own global row back on a constant
+    // key (equi-join on a 1-row broadcast side — the q99 "no global
+    // aggregate" device, so no single-partition exchange)
+    val nTrue = counts.filter($"method" === "global")
+      .select($"n_flagged".as("n_true"), lit(1).as("k"))
+    counts.withColumn("k", lit(1))
+      .join(broadcast(nTrue), "k")
+      .select($"method", $"n_true", $"n_flagged",
+        expr("CAST(1000000 * n_flagged div n_true AS BIGINT)")
+          .as("recall_micro"))
+  }
+
+  private val probeRecallSql =
+    s"""WITH $gridParamCtes,
+      |$gridQvEmbeddings,
+      |$gridAsg2Ctes,
+      |asg AS (SELECT vec_id, embedding, cell FROM asg2 WHERE rn = 1),
+      |dupg AS (SELECT DISTINCT b.vec_id
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE ${duckNanvl("list_cosine_similarity(a.embedding, b.embedding)")}
+      |    > 0.35),
+      |dup1 AS (SELECT DISTINCT b.vec_id
+      |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE ${duckNanvl("list_cosine_similarity(a.embedding, b.embedding)")}
+      |    > 0.35),
+      |dup2 AS (SELECT DISTINCT b.vec_id
+      |  FROM asg2 a JOIN asg2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE ${duckNanvl("list_cosine_similarity(a.embedding, b.embedding)")}
+      |    > 0.35),
+      |counts AS (
+      |  SELECT 'global' AS method, COUNT(*) AS n_flagged FROM dupg
+      |  UNION ALL SELECT 'probe1' AS method, COUNT(*) AS n_flagged FROM dup1
+      |  UNION ALL SELECT 'probe2' AS method, COUNT(*) AS n_flagged FROM dup2)
+      |SELECT c.method, t.n_flagged AS n_true, c.n_flagged,
+      |  CAST(1000000 * c.n_flagged // t.n_flagged AS BIGINT) AS recall_micro
+      |FROM counts c,
+      |  (SELECT n_flagged FROM counts WHERE method = 'global') t""".stripMargin
 
   /** Persist the IVF index as a PHYSICAL layout: cell assignments
     * written partitioned by cell (one directory per cell, via
@@ -1246,6 +1393,13 @@ object VectorOps {
       Some(docSemanticDedupSql),
       "SemDeDup over documents: hashed text vectors, grid cells, " +
         "integer-exact within-cell L2 — the deployed text form"),
+    Q("q124_semdedup_probe2", semanticDedupProbe2, Some(semanticDedupProbe2Sql),
+      "multi-probe SemDeDup: each vector in its 2 nearest cells " +
+        "(integer-exact second-argmin), pairs compared when probe " +
+        "sets intersect — the boundary-recall lever"),
+    Q("q125_probe_recall", probeRecall, Some(probeRecallSql),
+      "recall audit of cell-scoped dedup: global exact pair mass vs " +
+        "probe-1 vs probe-2 flagged counts, all integer-exact"),
     Q("q33_ivf_knn", ivfGridKnn(_, _), Some(ivfGridKnnSql),
       "IVF ANN, probe 4/16 cells: integer-exact md5-grid coarse " +
         "quantizer makes the restricted-probe result itself " +

@@ -69,4 +69,28 @@ class VectorExpressionsSpec extends SparkSuite {
     assert(a == b)
     assert(a.size == 500)
   }
+
+  test("NearestIndex rank 0/1 == driver-side (dist, index) sort on " +
+      "random vectors, ties included") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.{nearestIndex, secondNearestIndex}
+    val rnd = new scala.util.Random(1234)
+    // tiny value domain so distance TIES actually occur
+    val table: IndexedSeq[IndexedSeq[Long]] =
+      IndexedSeq.fill(6)(IndexedSeq.fill(4)(rnd.nextInt(3).toLong))
+    val vecs = Seq.fill(80)(Array.fill(4)(rnd.nextInt(3).toFloat))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val got = vecs.toDF("id", "v")
+      .select($"id", nearestIndex($"v", table, 0, 1L).as("c1"),
+        secondNearestIndex($"v", table, 0, 1L).as("c2"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    for ((id, v) <- vecs) {
+      val ranked = table.zipWithIndex.map { case (ct, i) =>
+        (ct.zip(v.map(x => math.floor(x.toDouble).toLong))
+          .map { case (c, q) => val t = q - c; t * t }.sum, i)
+      }.sorted
+      assert(got(id) == (ranked(0)._2, ranked(1)._2),
+        s"id=$id got=${got(id)} want=${(ranked(0)._2, ranked(1)._2)}")
+    }
+  }
 }

@@ -730,4 +730,28 @@ class OperatorPropertiesSpec extends SparkSuite {
     // depth-1 users never clicked and are excluded from the profile
     assert(!lat.contains(1L))
   }
+
+  test("probe monotonicity: probe-2 flags a superset of probe-1, both " +
+      "subsets of the global truth; the q125 report counts them exactly") {
+    import spark.implicits._
+    def flagged(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(!$"kept").select($"vec_id").collect()
+        .map(_.getLong(0)).toSet
+    val p1 = flagged(VectorOps.semanticDedup(spark, sf0001))
+    val p2 = flagged(VectorOps.semanticDedupProbe2(spark, sf0001))
+    // a pair sharing its primary cell still shares a probed cell, so
+    // probe-2's candidate set — and its verdicts — can only grow
+    assert(p1.subsetOf(p2), s"probe1 extra: ${p1.diff(p2)}")
+    val report = VectorOps.probeRecall(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val nTrue = report("global")._1
+    assert(report("global") == ((nTrue, nTrue, 1000000L)))
+    assert(report("probe1")._2 == p1.size.toLong)
+    assert(report("probe2")._2 == p2.size.toLong)
+    // flagged ⊆ true: every cell-flagged vector has an exact-verified
+    // lower-id neighbor, so it must appear in the global arm
+    assert(report("probe1")._2 <= nTrue && report("probe2")._2 <= nTrue)
+    assert(report("probe1")._3 <= report("probe2")._3)
+  }
 }
