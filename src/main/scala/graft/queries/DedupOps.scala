@@ -942,21 +942,23 @@ object DedupOps {
     * semantics are exact: a position is removed iff ≥1 duplicated
     * window covers it, so overlapping windows compose by union.
     *
-    * Scale shape: windows explode partition-local; the dup-gram set
-    * comes from [[dupNgramsOf]] (two-level hash agg); covered
-    * positions are an equi-join of windows against dup grams plus a
-    * position explode (≤k rows per covered window); the rebuild is one
-    * groupBy(doc) of (pos, token) rows with an order-preserving
-    * aggregate. Everything is equi-shuffle on doc_id or gram — no
-    * pairwise work, linear in corpus tokens. */
+    * Scale shape: windows explode partition-local and carry an 8-byte
+    * gram HASH, not the gram text ([[spanWindowHashes]]); the dup-gram
+    * set is a two-level hash agg on that key; covered positions are an
+    * equi-join of windows against dup hashes plus a position explode
+    * (≤k rows per covered window); the rebuild filters each covered
+    * document's token array in place ([[rebuildExcluding]] — no
+    * corpus-wide token shuffle). Everything that shuffles is covered
+    * windows/positions keyed by doc_id or gh — no pairwise work,
+    * linear in corpus tokens. */
   def scrubSpansOf(docs: DataFrame, k: Int): DataFrame =
-    scrubCore(docs, spanWindows(docs, k), k)
+    scrubCore(docs, spanWindowHashes(docs, k), k)
 
   private def scrubCore(docs: DataFrame, wins: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val covered = wins
-      .join(dupGramsFrom(wins).select($"gram"), "gram")
+      .join(dupGramHashesFrom(wins), "gh")
       .select($"doc_id", explode(sequence($"i", $"i" + (k - 1))).as("pos"))
       .distinct()
     rebuildExcluding(docs, covered)
@@ -982,32 +984,76 @@ object DedupOps {
       .select($"doc_id" +: carried :+ $"w.i".as("i") :+ $"w.gram".as("gram"): _*)
   }
 
+  /** The hashed twin of [[spanWindows]] for consumers that never EMIT
+    * the gram text (q74/q75/q77 key on grams internally but output
+    * only rewritten text / counts): `xxhash64` over the token SLICE —
+    * no k-word string is ever built — so the gram-keyed shuffles and
+    * joins carry an 8-byte key instead of a ~k-word one. This is the
+    * "group on a 64-bit gram hash at 100 TB" note on [[dupNgramsOf]]
+    * made real engine-side; q73 keeps the text form because its
+    * report IS the gram. A 64-bit collision (two distinct grams, one
+    * hash) could mark a unique window duplicated; at ~10^6 windows
+    * per shard the birthday bound is ~10^-7 and any hit is
+    * deterministic — the oracle gate would name it. */
+  private[graft] def spanWindowHashes(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select($"doc_id", split($"text", " ").as("tok"))
+      .filter(size($"tok") >= k)
+      .select($"doc_id", explode(expr(
+        s"transform(sequence(1, size(tok) - $k + 1), " +
+          s"i -> struct(i AS i, xxhash64(slice(tok, i, $k)) AS gh))"))
+        .as("w"))
+      .select($"doc_id", $"w.i".as("i"), $"w.gh".as("gh"))
+  }
+
+  /** Hashes of cross-document duplicated grams — [[dupGramsFrom]] with
+    * the 8-byte key and no report columns, the q74/q75/q77 inner
+    * driver. */
+  private def dupGramHashesFrom(wins: DataFrame): DataFrame = {
+    val spark = wins.sparkSession
+    import spark.implicits._
+    wins.groupBy($"gh")
+      .agg(countDistinct($"doc_id").as("n_docs"))
+      .filter($"n_docs" > 1)
+      .select($"gh")
+  }
+
   /** Rebuild each document's text without the `covered` (doc_id, pos)
     * set, keeping every input document (fully-scrubbed → empty row) —
-    * the shared back half of q74/q75. */
+    * the shared back half of q74/q75.
+    *
+    * Shape (round 8): the removal set is folded to one array per
+    * covered document and the rewrite happens IN PLACE — a
+    * position-indexed `filter` over the re-split token array — so the
+    * only shuffles are the covered positions themselves (groupBy
+    * doc_id) and a join whose right side holds ONLY covered docs. The
+    * previous form posexploded every token of every document and
+    * shuffled that corpus-wide (doc_id, pos, token) stream through an
+    * anti-join plus a collect_list groupBy — at 100 TB that is a
+    * full-corpus shuffle to rewrite the typically-small covered
+    * subset; measured 2.6×/2.3× on q74/q75 at sf0.1. The in-place
+    * filter is O(tokens × |rm|) per doc — bounded by document length
+    * squared, fine at document granularity (a pipeline caps doc
+    * length long before the 10^4 tokens where this term would show);
+    * a corpus of pathological mega-docs would flip back to the
+    * anti-join form. */
   private def rebuildExcluding(docs: DataFrame, covered: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val tok = docs.select($"doc_id", split($"text", " ").as("tok"))
-    val rebuilt = tok
-      .select($"doc_id", posexplode($"tok").as(Seq("pos0", "token")))
-      .select($"doc_id", ($"pos0" + 1).as("pos"), $"token")
-      .join(covered, Seq("doc_id", "pos"), "left_anti")
-      .groupBy($"doc_id")
-      .agg(sort_array(collect_list(struct($"pos", $"token"))).as("kept"))
+    val rm = covered.groupBy($"doc_id").agg(collect_set($"pos").as("rm"))
+    // left join keeps every input document (fully-scrubbed → all
+    // positions in rm → empty text; short/NULL-text docs → rm NULL →
+    // kept unchanged) — the one-row-per-input-doc contract (the q70
+    // review lesson: engine absence and oracle absence must agree)
+    docs.select($"doc_id", split($"text", " ").as("tok"))
+      .join(rm, Seq("doc_id"), "left")
       .select($"doc_id",
-        concat_ws(" ", expr("transform(kept, x -> x.token)")).as("clean_text"),
-        size($"kept").cast("long").as("n_tokens_kept"))
-    // restore documents that vanished from the rebuild: a doc whose
-    // EVERY token is covered (or whose text is NULL) has no surviving
-    // (pos, token) rows, and an inner groupBy would silently drop it —
-    // the output contract is one row per input document, scrubbed docs
-    // surviving as empty text (the oracle's LEFT JOIN twin; the q70
-    // review lesson — engine absence and oracle absence must agree)
-    docs.select($"doc_id").join(rebuilt, Seq("doc_id"), "left")
+        expr("filter(tok, (t, p) -> rm IS NULL OR NOT array_contains(rm, p + 1))")
+          .as("kept"))
       .select($"doc_id",
-        coalesce($"clean_text", lit("")).as("clean_text"),
-        coalesce($"n_tokens_kept", lit(0L)).as("n_tokens_kept"))
+        coalesce(concat_ws(" ", $"kept"), lit("")).as("clean_text"),
+        coalesce(size($"kept").cast("long"), lit(0L)).as("n_tokens_kept"))
   }
 
   def scrubSpans(spark: SparkSession, dir: String): DataFrame =
@@ -1024,16 +1070,16 @@ object DedupOps {
     * occurrence covers. Same shared window/rebuild lifts; one extra
     * min-aggregate per gram, still equi-shuffle only. */
   def dedupSpansOf(docs: DataFrame, k: Int): DataFrame =
-    dedupCore(docs, spanWindows(docs, k), k)
+    dedupCore(docs, spanWindowHashes(docs, k), k)
 
   private def dedupCore(docs: DataFrame, wins: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val dupWins = wins
-      .join(dupGramsFrom(wins).select($"gram"), "gram")
-    val canon = dupWins.groupBy($"gram")
+      .join(dupGramHashesFrom(wins), "gh")
+    val canon = dupWins.groupBy($"gh")
       .agg(min(struct($"doc_id", $"i")).as("c"))
-    val covered = dupWins.join(canon, "gram")
+    val covered = dupWins.join(canon, "gh")
       .filter(!($"doc_id" === $"c.doc_id" && $"i" === $"c.i"))
       .select($"doc_id", explode(sequence($"i", $"i" + (k - 1))).as("pos"))
       .distinct()
@@ -1056,10 +1102,10 @@ object DedupOps {
   def spanStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, dir, "documents")
-    val wins = spanWindows(docs, 8)
+    val wins = spanWindowHashes(docs, 8)
     val perDoc = wins
-      .join(dupGramsFrom(wins).select($"gram").withColumn("is_dup", lit(1L)),
-        Seq("gram"), "left")
+      .join(dupGramHashesFrom(wins).withColumn("is_dup", lit(1L)),
+        Seq("gh"), "left")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_windows"),
         sum(coalesce($"is_dup", lit(0L))).as("n_dup_windows"))
