@@ -1297,6 +1297,135 @@ object VectorOps {
         |SELECT g.vec_id AS doc_id, g.cell, d.b_id IS NULL AS kept
         |FROM gassign g LEFT JOIN dup d ON d.b_id = g.vec_id""".stripMargin
 
+  /** q126's count-space squared-L2 contamination radius. Wider than
+    * q115's dedup threshold ([[DocSemTau]] = 8): decontamination hunts
+    * paraphrase-distance leaks, not just byte-level near-copies, so
+    * the radius admits a few more token-count edits. One constant,
+    * both engines (oracle compares ×1024² as [[DocSemTau]] does). */
+  private val DeconTau = 32L
+
+  /** The bipartite twin of [[saltedDupIds]]: over a reference frame
+    * (the eval side) and a candidate frame (the train side), both
+    * (cell, vec_id, embedding), emit the distinct CANDIDATE ids with
+    * any same-cell reference neighbor satisfying `isHit`. Same two
+    * scale devices — norms lift per vector, and each side salts into
+    * `ceil(rows / CellBlockRows)` sub-blocks with the opposite side
+    * replicated per block, so every cross pair lands in exactly one
+    * (sa, sb) block and a dominant cell becomes fanA·fanB bounded
+    * tasks. Cells with no reference rows drop out at the inner fan
+    * join — a candidate there has nothing to hit. */
+  private def saltedCrossIds(refs: DataFrame, cands: DataFrame,
+      normOf: Column => Column,
+      isHit: (Column, Column, Column, Column) => Column): DataFrame = {
+    val spark = refs.sparkSession
+    import spark.implicits._
+    def fanOf(df: DataFrame, name: String) = df.groupBy($"cell").agg(
+      ceil(count(lit(1)) / lit(CellBlockRows.toDouble)).cast("int")
+        .as(name))
+    val fans = fanOf(refs, "fan_a").join(fanOf(cands, "fan_b"), "cell")
+    val a = refs
+      .select($"cell", $"vec_id".as("a_id"), $"embedding".as("a_emb"),
+        normOf($"embedding").as("a_nrm"))
+      .join(broadcast(fans), "cell")
+      .select($"cell",
+        pmod(xxhash64($"a_id"), $"fan_a").cast("int").as("sa"),
+        explode(expr("sequence(0, fan_b - 1)")).as("sb"),
+        $"a_id", $"a_emb", $"a_nrm")
+    val b = cands
+      .select($"cell", $"vec_id".as("b_id"), $"embedding".as("b_emb"),
+        normOf($"embedding").as("b_nrm"))
+      .join(broadcast(fans), "cell")
+      .select($"cell",
+        explode(expr("sequence(0, fan_a - 1)")).as("sa"),
+        pmod(xxhash64($"b_id"), $"fan_b").cast("int").as("sb"),
+        $"b_id", $"b_emb", $"b_nrm")
+    a.join(b, Seq("cell", "sa", "sb"))
+      .filter(isHit($"a_emb", $"b_emb", $"a_nrm", $"b_nrm"))
+      .select($"b_id".as("hit_id")).distinct()
+  }
+
+  /** q126 — cross-corpus semantic DECONTAMINATION: q81's lexical
+    * benchmark-overlap check re-run at embedding distance, the
+    * SemDeDup machinery pointed across a corpus boundary instead of
+    * within one. A held-out eval slice is drawn per document by the
+    * engine-portable md5 device (salt "eval:", ~10 % — deliberately
+    * per-DOC where q92's training split is per-cluster: the eval set
+    * here plays the role of an external benchmark, and the question
+    * is precisely which train docs sit too close to one); every
+    * TRAIN document within [[DeconTau]] squared-L2 of ANY eval
+    * document in its grid cell is flagged contaminated. Same
+    * integer-exact arithmetic as q115, so the verdict column
+    * hash-checks.
+    *
+    * Scale shape: the pair miner is the bipartite salted join
+    * ([[saltedCrossIds]]) — within-cell work is Σ cellA·cellB with
+    * every task bounded by [[CellBlockRows]]², and the eval side is
+    * ~10 % of rows, so candidate volume is ~0.1 · Σ cell² — cheaper
+    * than the self-join dedup it rides beside. At 100 TB the eval
+    * side is a real benchmark table vectorized by the same
+    * [[docVectors]] lift; nCells stays the volume lever. */
+  def semanticDecon(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.fvecDot
+    val vecs = docVectors(spark, dir)
+      .withColumn("cell",
+        graft.functions.VectorExpressions.nearestIndex(
+          col("embedding"), ivfGridCentroids(), 0, QuantScale))
+      .withColumn("is_eval",
+        PipelineOps.md5PrefixLong(
+          concat(lit("eval:"), $"vec_id".cast("string")), 4) % 10 === 0)
+      .persist() // read 3×: both miner sides + accounting (q111 device)
+    val hits = saltedCrossIds(
+      vecs.filter($"is_eval"), vecs.filter(!$"is_eval"),
+      normOf = v => fvecDot(v, v),
+      // q115's exact double-op order: (a·a + b·b) − 2·a·b
+      (ae, be, an2, bn2) =>
+        (an2 + bn2 - lit(2d) * fvecDot(ae, be)) <= lit(DeconTau.toDouble))
+    vecs.filter(!$"is_eval")
+      .select($"vec_id".as("doc_id"), $"cell")
+      .join(hits.withColumn("hit", lit(true)),
+        $"doc_id" === $"hit_id", "left")
+      .select($"doc_id", $"cell",
+        coalesce($"hit", lit(false)).as("contaminated"))
+  }
+
+  /** Oracle: q115's dq/gassign scaffold plus the md5 eval draw; the
+    * contamination verdict is a LEFT JOIN against the distinct
+    * eval→train within-cell hits in the ×1024² quantized domain. */
+  private val semanticDeconSql =
+    "WITH " + Seq(
+      gridParamCtes,
+      PipelineOps.featureHashCte,
+      """dq AS (SELECT dd.doc_id AS vec_id, g.d AS d,
+        |    CAST(floor(CAST(CAST(COALESCE(fh.w, 0) AS FLOAT) AS DOUBLE) * 1024)
+        |      AS BIGINT) AS q
+        |  FROM (SELECT DISTINCT doc_id FROM fh) dd
+        |  CROSS JOIN gdims g
+        |  LEFT JOIN fh ON fh.doc_id = dd.doc_id AND fh.dim = g.d)""".stripMargin,
+      gridSearchCtes("dq")).mkString(",\n") + ",\n" +
+      s"""ev AS (
+        |  SELECT DISTINCT doc_id AS vec_id,
+        |    CAST(concat('0x', substr(md5(concat('eval:',
+        |      CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) % 10 = 0 AS is_eval
+        |  FROM fh),
+        |prs AS (
+        |  SELECT ga.vec_id AS a_id, gb.vec_id AS b_id
+        |  FROM gassign ga JOIN ev ea ON ea.vec_id = ga.vec_id AND ea.is_eval
+        |  JOIN gassign gb ON gb.cell = ga.cell
+        |  JOIN ev eb ON eb.vec_id = gb.vec_id AND NOT eb.is_eval),
+        |dst AS (
+        |  SELECT p.a_id, p.b_id,
+        |    SUM((xa.q - xb.q) * (xa.q - xb.q)) AS d2
+        |  FROM prs p
+        |  JOIN dq xa ON xa.vec_id = p.a_id
+        |  JOIN dq xb ON xb.vec_id = p.b_id AND xb.d = xa.d
+        |  GROUP BY 1, 2),
+        |hit AS (SELECT DISTINCT b_id FROM dst
+        |        WHERE d2 <= ${DeconTau * QuantScale * QuantScale})
+        |SELECT g.vec_id AS doc_id, g.cell, h.b_id IS NOT NULL AS contaminated
+        |FROM gassign g JOIN ev e ON e.vec_id = g.vec_id AND NOT e.is_eval
+        |LEFT JOIN hit h ON h.b_id = g.vec_id""".stripMargin
+
   /** Oracle: q69's shared `fh` CTE densifies to a quantized
     * `(vec_id, d, q)` CTE (LEFT JOIN supplies the zero counts), which
     * plugs into the SAME grid-assignment and PQ-code CTE builders as
@@ -1400,6 +1529,10 @@ object VectorOps {
     Q("q125_probe_recall", probeRecall, Some(probeRecallSql),
       "recall audit of cell-scoped dedup: global exact pair mass vs " +
         "probe-1 vs probe-2 flagged counts, all integer-exact"),
+    Q("q126_semantic_decon", semanticDecon, Some(semanticDeconSql),
+      "cross-corpus semantic decontamination: train docs within " +
+        "embedding radius of any held-out eval doc, bipartite " +
+        "salted cell join, integer-exact verdict"),
     Q("q33_ivf_knn", ivfGridKnn(_, _), Some(ivfGridKnnSql),
       "IVF ANN, probe 4/16 cells: integer-exact md5-grid coarse " +
         "quantizer makes the restricted-probe result itself " +
