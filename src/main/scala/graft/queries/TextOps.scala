@@ -419,6 +419,109 @@ object TextOps {
       |FROM q LEFT JOIN sk ON sk.hrow = q.hrow AND sk.bucket = q.bucket
       |GROUP BY 1""".stripMargin
 
+  /** q127's geometry: 4 hash rows × 4096 buckets, support 5. Wider
+    * than q122's matrix because the trigram key space is ~vocab³ —
+    * distinguishing support-5 keys needs width ≳ N/support. One
+    * definition, both engines. */
+  private val HhRows = 4
+  private val HhWidth = 4096L
+  private val HhSupport = 5L
+
+  /** Every trigram occurrence — the q127 input stream, enumerated
+    * per pass (the two-pass protocol scans the corpus twice by
+    * design; the stream itself is a stateless codegen explode). */
+  private def triGrams(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(split($"text", " ").as("tok"))
+      .filter(size($"tok") >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(tok) - 2), " +
+          "i -> concat_ws(' ', slice(tok, i, 3)))")).as("gram"))
+  }
+
+  /** q127's row-r bucket of a gram column — salt "hh", the q122 md5
+    * device at [[HhWidth]]. */
+  private def hhBucket(gram: Column, hrow: Column): Column =
+    PipelineOps.md5PrefixLong(
+      concat(lit("hh"), hrow, lit(":"), gram), 15) % HhWidth
+
+  /** q127 — heavy hitters over TRIGRAMS by the two-pass sketch-filter
+    * protocol: pass 1 builds a Count-Min matrix over trigram
+    * occurrences (4×4096 — sized to the key space, not the corpus);
+    * pass 2 re-scans, looks every occurrence's four counters up in
+    * the BROADCAST matrix (row-local, no shuffle), and only
+    * occurrences whose min-counter estimate reaches support enter the
+    * exact groupBy. CM can only overcount, so the prefilter admits
+    * every true heavy gram — the exact counts of the survivors are
+    * the exact answer, while the long tail (the overwhelming share of
+    * distinct keys under Zipf) never reaches the exchange. That is
+    * the operational difference from q21/q73's direct counting: the
+    * exact-count shuffle carries candidate occurrences only, and the
+    * sketch stays 16 k counters whether the vocabulary is this
+    * corpus's ~16 k trigrams or a web corpus's billions. Output
+    * (gram, est_cnt, n_occurrences ≥ [[HhSupport]]) — est beside
+    * exact, so the sketch's overcount is itself hash-audited.
+    *
+    * (On this 31-token synthetic vocabulary the tail is shallow and
+    * bucket loads run ~6 per row, so the prefilter's kill rate is
+    * modest; the plan shape — broadcast lookup, then filtered
+    * exchange — is what scales, and the est/exact columns measure
+    * the inflation directly.) */
+  def heavyGrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    // pass 1: the matrix (≤ HhRows·HhWidth narrow rows; persisted so
+    // the four broadcast sides below read blocks, not the corpus)
+    val sk = triGrams(docs)
+      .select($"gram", explode(expr(s"sequence(0, ${HhRows - 1})")).as("hrow"))
+      .select($"hrow", hhBucket($"gram", $"hrow").as("bucket"))
+      .groupBy($"hrow", $"bucket").agg(count(lit(1)).as("cnt"))
+      .persist()
+    // pass 2: row-local estimate via one broadcast join per hash row
+    val withBuckets = triGrams(docs).select($"gram" +:
+      (0 until HhRows).map(r => hhBucket($"gram", lit(r)).as(s"bk$r")): _*)
+    val est = least((0 until HhRows).map(r => col(s"c$r")): _*)
+    (0 until HhRows).foldLeft(withBuckets) { (df, r) =>
+      df.join(broadcast(sk.filter($"hrow" === r)
+        .select($"bucket".as(s"bk$r"), $"cnt".as(s"c$r"))), s"bk$r")
+    }
+      .withColumn("est_cnt", est)
+      .filter($"est_cnt" >= HhSupport)
+      .groupBy($"gram")
+      .agg(min($"est_cnt").as("est_cnt"),
+        count(lit(1)).as("n_occurrences"))
+      .filter($"n_occurrences" >= HhSupport)
+      .select($"gram", $"est_cnt", $"n_occurrences")
+  }
+
+  /** Oracle: exact trigram counts at support, with the estimate
+    * column re-derived through the same md5 matrix — the engine's
+    * prefilter is semantics-free (est ≥ exact always), so the oracle
+    * needs no filter ordering, just both columns. */
+  private val heavyGramsSql =
+    s"""WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |g AS (
+      |  SELECT array_to_string(tok[i : i + 2], ' ') AS gram
+      |  FROM (SELECT tok, unnest(range(1, len(tok) - 1)) AS i
+      |        FROM tok WHERE len(tok) >= 3) u),
+      |hs AS (
+      |  SELECT gram, r.hrow AS hrow,
+      |    CAST(concat('0x', substr(md5(concat('hh', r.hrow, ':', gram)),
+      |      1, 15)) AS BIGINT) % $HhWidth AS bucket
+      |  FROM g CROSS JOIN (SELECT unnest(range(0, $HhRows)) AS hrow) r),
+      |sk AS (SELECT hrow, bucket, COUNT(*) AS cnt FROM hs GROUP BY 1, 2),
+      |ex AS (SELECT gram, COUNT(*) AS n_occurrences FROM g GROUP BY 1),
+      |es AS (
+      |  SELECT h.gram, MIN(s.cnt) AS est_cnt
+      |  FROM (SELECT DISTINCT gram, hrow, bucket FROM hs) h
+      |  JOIN sk s ON s.hrow = h.hrow AND s.bucket = h.bucket
+      |  GROUP BY 1)
+      |SELECT e.gram, es.est_cnt, e.n_occurrences
+      |FROM ex e JOIN es ON es.gram = e.gram
+      |WHERE e.n_occurrences >= $HhSupport""".stripMargin
+
   /** q120's minimum document frequency. Interpolated into the oracle
     * from this one constant (the NumShards anti-drift rule). */
   private val CollocMinSupport = 5L
@@ -856,6 +959,10 @@ object TextOps {
     Q("q123_cm_estimate", cmEstimate, Some(cmEstimateSql),
       "sketch point query: min-over-rows frequency estimate for the " +
         "q89 terms, broadcast lookup against the 1k-row artifact"),
+    Q("q127_heavy_grams", heavyGrams, Some(heavyGramsSql),
+      "two-pass trigram heavy hitters: Count-Min prefilter as a " +
+        "broadcast lookup, exact counts for survivors only — the " +
+        "tail never reaches the exchange"),
     Q("q120_collocations", collocations, Some(collocationsSql),
       "support-pruned co-occurrence mining with integer overlap " +
         "confidence — Apriori prune before the quadratic pair step"),
