@@ -1665,6 +1665,75 @@ object PipelineOps {
     * running-sum window — q91's shape with lang as the partition key.
     * `cum_before` doubles as the doc's token offset within its
     * language's draw (the loader-facing coordinate). */
+  /** q128's policy constants: token-count bin width and the kept
+    * percentile band [p5, p95], interpolated into the oracle. */
+  private val LenBinW = 8.0
+  private val LenLoPct = 5L
+  private val LenHiPct = 95L
+
+  /** q128 — sketch-driven length-outlier policy: the C4/Gopher-style
+    * "drop abnormally short/long documents" gate with its cutoffs
+    * DERIVED from the corpus instead of hand-set — the q112 histogram
+    * sketch pointed at document token counts and closed into a
+    * per-document verdict. Lengths roll into fixed-width bins
+    * (mergeable, map-side combinable); the p5/p95 cutoff bins come
+    * off the cumulative histogram by integer cross-multiply; every
+    * document is kept iff its own bin lies in the cutoff band —
+    * bin-granular by design (the estimator's resolution IS the bin
+    * width, q112's contract), integer-exact end to end.
+    *
+    * Scale shape: the histogram is one bounded-key shuffle; the
+    * cumulative runs over SKETCH-sized data as a broadcast ≤-join of
+    * the histogram against itself (no global window — a
+    * single-partition exchange is the plan sweep's forbidden shape);
+    * the cutoff row is a constant-key aggregate (the q99 device)
+    * broadcast back onto the corpus scan, so the verdict pass is
+    * map-side. At 100 TB: one scan + a 1-row broadcast. */
+  def lengthPolicy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+      .select($"doc_id",
+        coalesce(size(split($"text", " ")), lit(0)).cast("long")
+          .as("n_tokens"))
+      .withColumn("bin", floor($"n_tokens" / LenBinW).cast("long"))
+    val hist = docs.groupBy($"bin").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .join(broadcast(hist.select($"bin".as("b_bin"), $"c".as("b_c"))),
+        $"b_bin" <= $"bin")
+      .groupBy($"bin").agg(sum($"b_c").as("cum"))
+    val tot = hist.withColumn("k", lit(0)).groupBy($"k")
+      .agg(sum($"c").as("n"))
+    val cuts = cum.withColumn("k", lit(0)).join(broadcast(tot), "k")
+      .groupBy($"k")
+      .agg(min(when($"cum" * 100 >= $"n" * LenLoPct, $"bin")).as("lo_bin"),
+        min(when($"cum" * 100 >= $"n" * LenHiPct, $"bin")).as("hi_bin"))
+    docs.withColumn("k", lit(0)).join(broadcast(cuts), "k")
+      .select($"doc_id", $"n_tokens",
+        ($"bin" >= $"lo_bin" && $"bin" <= $"hi_bin").as("kept"))
+  }
+
+  private val lengthPolicySql =
+    s"""WITH b AS (
+      |  SELECT doc_id,
+      |    CAST(COALESCE(len(string_split(text, ' ')), 0) AS BIGINT)
+      |      AS n_tokens,
+      |    CAST(floor(COALESCE(len(string_split(text, ' ')), 0) / $LenBinW)
+      |      AS BIGINT) AS bin
+      |  FROM documents),
+      |h AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY 1),
+      |cw AS (SELECT a.bin, SUM(bb.c) AS cum
+      |       FROM h a JOIN h bb ON bb.bin <= a.bin GROUP BY 1),
+      |n AS (SELECT SUM(c) AS n FROM h),
+      |cuts AS (
+      |  SELECT MIN(CASE WHEN cum * 100 >= n.n * $LenLoPct THEN bin END)
+      |      AS lo_bin,
+      |    MIN(CASE WHEN cum * 100 >= n.n * $LenHiPct THEN bin END)
+      |      AS hi_bin
+      |  FROM cw, n)
+      |SELECT b.doc_id, b.n_tokens,
+      |  b.bin >= lo_bin AND b.bin <= hi_bin AS kept
+      |FROM b, cuts""".stripMargin
+
   def quotaSample(spark: SparkSession, dir: String,
       budget: Long = SampleBudget): DataFrame = {
     import spark.implicits._
@@ -1788,6 +1857,10 @@ object PipelineOps {
       Some(budgetApportionSql),
       "largest-remainder apportionment of a 1M-token budget across " +
         "languages: integer quotas summing exactly to the budget"),
+    Q("q128_length_policy", lengthPolicy, Some(lengthPolicySql),
+      "corpus-derived length-outlier gate: histogram-sketch p5/p95 " +
+        "cutoff bins, 1-row broadcast verdict — no global window, " +
+        "no single-partition exchange"),
     Q("q113_quota_sample", quotaSample(_, _), Some(quotaSampleSql),
       "quota-filling corpus draw: md5-ordered per-language documents " +
         "until the q110 quota closes — the executed training mix"))
