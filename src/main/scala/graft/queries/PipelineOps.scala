@@ -1465,9 +1465,16 @@ object PipelineOps {
     * hash-checked. Scale shape: one scan, one partial-aggregatable
     * count shuffle on (doc_id, dim); long-form output keeps the row
     * width fixed at any dimensionality. */
-  def featureHash(spark: SparkSession, dir: String): DataFrame = {
+  def featureHash(spark: SparkSession, dir: String): DataFrame =
+    featureHashOf(Tables(spark, dir, "documents"))
+
+  /** The same lift over any (doc_id, text) frame — the streaming
+    * decon twin builds its static eval index through this, so batch
+    * and stream vectorize through one definition. */
+  private[graft] def featureHashOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables(spark, dir, "documents")
+    docs
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
       .withColumn("dim", md5PrefixLong($"tok", 8) % 64)
       .groupBy($"doc_id", $"dim")

@@ -1175,14 +1175,60 @@ object VectorOps {
     * small integers, exactly representable in float, so the
     * floor(v×1024) quantization downstream recovers count×1024
     * bit-exactly in both engines. */
-  private[graft] def docVectors(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def docVectors(spark: SparkSession, dir: String): DataFrame =
+    docVectorsOf(PipelineOps.featureHash(spark, dir))
+
+  private[graft] def docVectorsOf(fh: DataFrame): DataFrame = {
+    val spark = fh.sparkSession
     import spark.implicits._
-    PipelineOps.featureHash(spark, dir)
-      .groupBy($"doc_id")
+    fh.groupBy($"doc_id")
       .agg(array((0 until 64).map(d =>
         coalesce(sum(when($"dim" === d, $"w")), lit(0L)).cast("float")): _*)
         .as("embedding"))
       .select($"doc_id".as("vec_id"), $"embedding")
+  }
+
+  /** The [[docVectors]] lift as ONE row-local column over a `text`
+    * column — for a stream where each document arrives as one row,
+    * the two per-document groupBys collapse to a columnar count per
+    * dimension (md5 evaluated once per token, then 64 bounded
+    * membership counts). Exactly the batch vector: counts are exact
+    * in float and order-free, so stream and batch embeddings are
+    * bit-identical (pinned by StreamingSpec). NULL text yields NULL —
+    * callers filter it, mirroring the batch universe rule (a NULL
+    * document produces no fh rows and no vector). */
+  private[graft] def rowDocVector(text: Column): Column = {
+    val dims = transform(split(text, " "),
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 64)
+    transform(sequence(lit(0), lit(63)),
+      d => size(filter(dims, x => x === d)).cast("float"))
+  }
+
+  /** The static eval-side index of the q126 policy over any
+    * (doc_id, text) frame: md5 eval draw, vectors, grid cells, lifted
+    * squared norms — what a deployment materializes once and every
+    * arriving document probes ([[graft.streaming.StreamingQueries
+    * .deconFlagStream]]). */
+  private[graft] def deconEvalIndexOf(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorExpressions.fvecDot
+    docVectorsOf(PipelineOps.featureHashOf(corpus))
+      .filter(PipelineOps.md5PrefixLong(
+        concat(lit("eval:"), $"vec_id".cast("string")), 4) % 10 === 0)
+      .select($"vec_id".as("e_id"),
+        graft.functions.VectorExpressions.nearestIndex(
+          $"embedding", ivfGridCentroids(), 0, QuantScale).as("cell"),
+        $"embedding".as("e_emb"), fvecDot($"embedding", $"embedding")
+          .as("e_nrm"))
+  }
+
+  /** q126's hit predicate in its exact double-op order, shared with
+    * the streaming twin. */
+  private[graft] def deconHit(emb: Column, eEmb: Column,
+      nrm: Column, eNrm: Column): Column = {
+    import graft.functions.VectorExpressions.fvecDot
+    (nrm + eNrm - lit(2d) * fvecDot(emb, eEmb)) <= lit(DeconTau.toDouble)
   }
 
   /** q70 — the text→vector→index→search loop closed end to end
@@ -1378,9 +1424,9 @@ object VectorOps {
     val hits = saltedCrossIds(
       vecs.filter($"is_eval"), vecs.filter(!$"is_eval"),
       normOf = v => fvecDot(v, v),
-      // q115's exact double-op order: (a·a + b·b) − 2·a·b
-      (ae, be, an2, bn2) =>
-        (an2 + bn2 - lit(2d) * fvecDot(ae, be)) <= lit(DeconTau.toDouble))
+      // q115's exact double-op order: (a·a + b·b) − 2·a·b — one
+      // definition with the streaming twin ([[deconHit]])
+      (ae, be, an2, bn2) => deconHit(ae, be, an2, bn2))
     vecs.filter(!$"is_eval")
       .select($"vec_id".as("doc_id"), $"cell")
       .join(hits.withColumn("hit", lit(true)),

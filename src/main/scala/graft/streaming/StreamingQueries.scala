@@ -189,6 +189,44 @@ object StreamingQueries {
       .select(col("doc_id"), col("gram"))
   }
 
+  /** Ingest-time semantic DECONTAMINATION — the streaming twin of
+    * q126, in the shape it deploys: the eval side is a STATIC index
+    * (vectors + grid cells + lifted norms, materialized once via the
+    * shared [[graft.queries.VectorOps.deconEvalIndexOf]] lift and
+    * persisted here as its in-session stand-in), and every arriving
+    * document vectorizes ROW-LOCALLY ([[graft.queries.VectorOps
+    * .rowDocVector]] — the two batch groupBys collapse to a columnar
+    * count, so no streaming aggregation state at all), takes its grid
+    * cell from the same stateless argmin expression, and probes the
+    * index by stream-static equi-join on cell. The only stateful
+    * operator is the watermark-bounded once-per-doc dedup of the
+    * verdict. Emits flagged doc_ids — a contaminated document is
+    * named at INGEST time, before it ever reaches a training shard,
+    * rather than by the nightly batch sweep. */
+  def deconFlagStream(docs: DataFrame, corpus: DataFrame,
+      eventTime: String = "ingest_ts",
+      delay: String = "10 seconds"): DataFrame = {
+    import graft.queries.VectorOps
+    val evalIdx = VectorOps.deconEvalIndexOf(corpus).persist()
+    docs.withWatermark(eventTime, delay)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col(eventTime),
+        VectorOps.rowDocVector(col("text")).as("embedding"))
+      .withColumn("cell",
+        graft.functions.VectorExpressions.nearestIndex(
+          col("embedding"), VectorOps.ivfGridCentroids(), 0,
+          VectorOps.QuantScale))
+      .withColumn("nrm",
+        graft.functions.VectorExpressions.fvecDot(
+          col("embedding"), col("embedding")))
+      .join(evalIdx, "cell")
+      .filter(col("doc_id") =!= col("e_id") &&
+        VectorOps.deconHit(col("embedding"), col("e_emb"),
+          col("nrm"), col("e_nrm")))
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"))
+  }
+
   /** Ingest-time training-corpus admission — the streaming twin of the
     * q64 end artifact: arriving documents pass the SAME quality gates
     * (the shared [[graft.queries.PipelineOps.qualityGate]] lift, so

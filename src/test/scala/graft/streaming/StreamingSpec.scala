@@ -425,6 +425,47 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming decon flagger == batch q126 verdicts on re-ingested docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf0001 = "/root/testdata/sf0.001"
+    val corpus = graft.sources.Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text")
+    // the row-local vectorizer must be bit-identical to the batch
+    // two-groupBy lift — the equivalence everything below rides on
+    val batchVecs = graft.queries.VectorOps
+      .docVectorsOf(graft.queries.PipelineOps.featureHashOf(corpus))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val rowVecs = corpus.filter($"text".isNotNull)
+      .select($"doc_id",
+        graft.queries.VectorOps.rowDocVector($"text").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rowVecs == batchVecs)
+    // batch truth: the q126 verdict frame over the same corpus
+    val verdicts = graft.queries.VectorOps.semanticDecon(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    val contaminated = verdicts.filter(_._2).keys.toSeq.sorted
+    assert(contaminated.nonEmpty, "corpus has no contaminated docs to re-ingest")
+    // re-ingest three contaminated train docs plus one clean one
+    val cleanId = verdicts.filter(!_._2).keys.head
+    val streamIds = (contaminated.take(3) :+ cleanId).toSet
+    val feed = corpus.filter($"doc_id".isin(streamIds.toSeq: _*))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingQueries.deconFlagStream(
+        ms.toDF().toDF("doc_id", "text", "ingest_ts"), corpus)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("decon_out").start()
+    ms.addData(feed.map { case (id, txt) =>
+      (id, txt, java.sql.Timestamp.valueOf("2025-01-25 16:00:01")) }: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("decon_out").collect()
+      .map(_.getLong(0)).toSet
+    q.stop()
+    assert(streamed == contaminated.take(3).toSet)
+    assert(!streamed.contains(cleanId))
+  }
+
   test("streaming ANN lookup == driver-side SRP probe argmax") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
