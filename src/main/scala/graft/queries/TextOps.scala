@@ -478,6 +478,12 @@ object TextOps {
       .select($"hrow", hhBucket($"gram", $"hrow").as("bucket"))
       .groupBy($"hrow", $"bucket").agg(count(lit(1)).as("cnt"))
       .persist()
+    // materialize NOW: the four per-row broadcast sides below are
+    // concurrent exchange futures, and against an unmaterialized
+    // persist each would race the full pass-1 lineage (four extra
+    // corpus scans — measured before this line landed). One eager
+    // pass; four cache reads.
+    sk.count()
     // pass 2: row-local estimate via one broadcast join per hash row
     val withBuckets = triGrams(docs).select($"gram" +:
       (0 until HhRows).map(r => hhBucket($"gram", lit(r)).as(s"bk$r")): _*)

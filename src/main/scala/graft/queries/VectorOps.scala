@@ -1420,7 +1420,15 @@ object VectorOps {
       .withColumn("is_eval",
         PipelineOps.md5PrefixLong(
           concat(lit("eval:"), $"vec_id".cast("string")), 4) % 10 === 0)
-      .persist() // read 3×: both miner sides + accounting (q111 device)
+      .persist()
+    // materialize NOW, not lazily: the miner's two fan histograms are
+    // separate broadcast-exchange futures that launch concurrently —
+    // against an unmaterialized persist each future races the whole
+    // docVectors lineage (measured: q126 cpu 18.8 s for a 4 s query).
+    // One eager pass populates the blocks; the four readers (two fans,
+    // two join sides, accounting) then read cache. q70's .head sets
+    // the build-time-action precedent.
+    vecs.count()
     val hits = saltedCrossIds(
       vecs.filter($"is_eval"), vecs.filter(!$"is_eval"),
       normOf = v => fvecDot(v, v),

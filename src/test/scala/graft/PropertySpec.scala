@@ -200,6 +200,38 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("span rebuild contract survives NULL, empty, and sub-k text") {
+    // the r8 map-side rebuild must keep the old form's
+    // one-row-per-input-doc contract on the edges the oracle corpus
+    // doesn't contain: NULL text -> ("", 0); empty text -> one empty
+    // token kept; sub-k docs pass through; fully-covered docs empty
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c a b c a b c"),
+      (2L, "a b c a b c a b c"), // exact copy: every window cross-dup
+      (3L, null.asInstanceOf[String]),
+      (4L, ""),
+      (5L, "z z")
+    ).toDF("doc_id", "text")
+    for (out <- Seq(graft.queries.DedupOps.scrubSpansOf(df, 3))) {
+      val m = out.collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(m.keySet == Set(1L, 2L, 3L, 4L, 5L))
+      assert(m(1L) == ("", 0L) && m(2L) == ("", 0L))
+      assert(m(3L) == ("", 0L))
+      assert(m(4L) == ("", 1L))
+      assert(m(5L) == ("z z", 2L))
+    }
+    // keep-one retains only CANONICAL occurrences: each gram's
+    // (doc 1, first i) survives, so doc 1 keeps one "a b c" period and
+    // loses its own later repeats; the copy is scrubbed to empty
+    val d = graft.queries.DedupOps.dedupSpansOf(df, 3).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(d(1L) == ("a b c", 3L))
+    assert(d(2L) == ("", 0L))
+    assert(d(3L) == ("", 0L) && d(4L) == ("", 1L) && d(5L) == ("z z", 2L))
+  }
+
   test("simhash 16-bit chunk blocking is lossless for hamming <= 3") {
     // the pigeonhole contract q44's candidate join relies on: flipping
     // at most 3 bits of a 64-bit signature cannot touch all 4 16-bit

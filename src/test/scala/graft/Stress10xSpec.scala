@@ -116,6 +116,16 @@ object Stress10xSpec {
       "q117_kcore", "q119_ntile_deciles", "q120_collocations",
       "q121_more_like_this", "q122_cm_sketch", "q123_cm_estimate")
       .foreach(runAndAudit)
+    // round-8 families at 10x. The span trio runs the hashed-window +
+    // map-side-rebuild forms (the r8 rewrite) on 500k docs; q126's
+    // regime is adversarial the same way q111's is — every eval doc
+    // has 9 exact train copies in its own cell, so the bipartite
+    // blocks hit the salting cap; q127's sketch stays 4x4096 while
+    // the occurrence stream grows 10x (the mergeable-sketch
+    // contract); q128 re-derives its cutoffs on the 10x histogram.
+    Seq("q75_span_dedup", "q77_span_stats", "q126_semantic_decon",
+      "q127_heavy_grams", "q128_length_policy").foreach(runAndAudit)
+
     // q115's scale lever, measured on the quantity that matters at
     // scale: candidate-pair volume Σ cell·(cell−1)/2. Local wall-time
     // at 50k docs is join-strategy/task-scheduling bound, so pair
