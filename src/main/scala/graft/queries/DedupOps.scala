@@ -1041,7 +1041,18 @@ object DedupOps {
   private def rebuildExcluding(docs: DataFrame, covered: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val rm = covered.groupBy($"doc_id").agg(collect_set($"pos").as("rm"))
+    // the repartition between the callers' distinct() and collect_set
+    // is load-bearing: without it the optimizer removes the redundant
+    // distinct (collect_set subsumes it) and the partial collect_set —
+    // an ObjectHashAggregate that falls back to SORT-based aggregation
+    // past 128 in-memory groups — runs directly over the RAW position
+    // explode (~7× duplicated at high dup rates, 17M rows at the 10×
+    // stress), sorting it per task: measured 110 s for q75 at 10×.
+    // With the barrier the explode output drains through the codegen
+    // hash-aggregate distinct first and the object aggregate sees only
+    // compact per-doc position sets: 110 s → ~7 s at 10×.
+    val rm = covered.repartition($"doc_id")
+      .groupBy($"doc_id").agg(collect_set($"pos").as("rm"))
     // left join keeps every input document (fully-scrubbed → all
     // positions in rm → empty text; short/NULL-text docs → rm NULL →
     // kept unchanged) — the one-row-per-input-doc contract (the q70
