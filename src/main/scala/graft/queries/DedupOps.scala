@@ -826,7 +826,7 @@ object DedupOps {
     * hash, same +1/−1 bit counting, same strict `> 0` bit rule as the
     * [[simhash64]] codegen. Token × 60-bit cross join is oracle-side
     * only; the engine computes all 64 counters in one codegen pass. */
-  private val simhashSignaturesSql =
+  private[graft] val simhashSignaturesSql =
     """WITH tok AS (
       |  SELECT doc_id,
       |    CAST(concat('0x', substr(md5(unnest(string_split(text, ' '))), 1, 15))
@@ -873,7 +873,7 @@ object DedupOps {
 
   /** Oracle: all pairs over the signature CTE — candidate blocking is an
     * engine-side optimization the oracle doesn't need at sf0.01. */
-  private val simhashPairsSql =
+  private[graft] val simhashPairsSql =
     s"""WITH sig AS (
       |${simhashSignaturesSql}
       |)

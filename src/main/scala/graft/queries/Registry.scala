@@ -19,8 +19,9 @@ object Registry {
   /** Complete inventory; SparkEntry derives its maps from this. */
   def all: Seq[Q] =
     TpchLike.queries ++ EventOps.queries ++ TextOps.queries ++
-      VectorOps.queries ++ DedupOps.queries ++ PipelineOps.queries ++
-      MultimodalOps.queries ++ graft.reference.RefQueries.queries
+      VectorOps.queries ++ DedupOps.queries ++ DedupFusionOps.queries ++
+      PipelineOps.queries ++ MultimodalOps.queries ++
+      graft.reference.RefQueries.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
