@@ -26,6 +26,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A query that errors must still appear in the driver's compare
+        // as a LOUD failure, not vanish from the report (round 9: 22
+        // queries silently absent). Dump a 1-row marker whose schema
+        // can never match any oracle.
+        try {
+          import spark.implicits._
+          Seq(Option(e.getMessage).getOrElse(e.getClass.getName))
+            .toDF("_verify_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -20,18 +20,30 @@ object Tables {
     * scan because we hand Catalyst the raw relation, never a cached or
     * collected copy.
     *
-    * `events.ts` is stored as TIMESTAMP(NANOS), which Spark 4 rejects
-    * outright ([PARQUET_TYPE_ILLEGAL]). We read nanos as a long
-    * (legacy conf) and rebuild a micros timestamp with exact integer
-    * division — `div`, not `/`, because a double quotient of an
-    * ~1.7e18 nano value loses low bits and can shift the micro. */
+    * `events.ts` has shipped in two physical encodings across driver
+    * testdata generations: TIMESTAMP(NANOS), which Spark 4 rejects
+    * outright ([PARQUET_TYPE_ILLEGAL]) unless read as a bare long, and
+    * plain TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Normalize both to
+    * the same session-UTC TIMESTAMP column so downstream epoch math is
+    * encoding-independent: nanos rebuild via exact integer division
+    * (`div`, not `/` — a double quotient of an ~1.7e18 nano value loses
+    * low bits and can shift the micro); NTZ casts to LTZ under the UTC
+    * session zone, which preserves the stored wall-clock as the instant. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path)
-        .withColumn("ts", org.apache.spark.sql.functions
-          .expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(path)
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions
+            .expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else spark.read.parquet(path)
   }
 
