@@ -122,7 +122,8 @@ object Bench {
            "q45" -> "q93", "q45" -> "q102", "q45" -> "q103",
            "q45" -> "q104",
            "q66" -> "q67", "q66" -> "q68", "q66" -> "q76",
-           "q66" -> "q83", "q101" -> "q106", "q122" -> "q123")
+           "q66" -> "q83", "q101" -> "q106", "q101" -> "q135",
+           "q122" -> "q123")
          if pos(payer) >= 0 && pos(rider) >= 0)
       require(pos(payer) < pos(rider),
         s"bench attribution: shared-artifact payer $payer must run before rider $rider")

@@ -446,8 +446,11 @@ object PipelineOps {
   }
 
   /** Oracle: the same five mined merges (shared mining CTEs), replayed
-    * per document with doc_id carried through the replace chain. */
-  private val tokenizeCorpusSql = bpeMiningCtes + ",\n" +
+    * per document with doc_id carried through the replace chain. Ends
+    * at the per-document `st` CTE so the q135 per-source rollup shares
+    * the whole application chain (funnelCtes idiom — one definition,
+    * the rollup cannot drift from the per-doc dump). */
+  private val tokenizeCtes = bpeMiningCtes + ",\n" +
     s"""ptd AS (SELECT doc_id, t, CAST(length(t) AS BIGINT) AS nc
        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text,
        |    '$preTokenPatSql')) AS t
@@ -462,12 +465,14 @@ object PipelineOps {
     s"""st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS np,
        |  CAST(SUM(nc) AS BIGINT) AS nc,
        |  CAST(SUM(length(t)) AS BIGINT) AS ns
-       |  FROM b$BpeMergeRounds GROUP BY 1)
-       |SELECT d.doc_id,
-       |  COALESCE(st.np, 0) AS n_pretokens,
-       |  COALESCE(st.nc, 0) AS n_chars,
-       |  COALESCE(st.ns, 0) AS n_symbols
-       |FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id""".stripMargin
+       |  FROM b$BpeMergeRounds GROUP BY 1)""".stripMargin
+
+  private val tokenizeCorpusSql = tokenizeCtes + "\n" +
+    """SELECT d.doc_id,
+      |  COALESCE(st.np, 0) AS n_pretokens,
+      |  COALESCE(st.nc, 0) AS n_chars,
+      |  COALESCE(st.ns, 0) AS n_symbols
+      |FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id""".stripMargin
 
   /** The cleaning expression itself: lowercase, strip emails then
     * URLs, collapse whitespace, trim. Pure per-row regexp chain —
@@ -1779,6 +1784,150 @@ object PipelineOps {
       |FROM cw c JOIN quota q ON q.lang = c.lang
       |WHERE c.cum_before < q.quota_tokens""".stripMargin
 
+  /** q133's policy constants, string-interpolated into the oracle from
+    * the same definitions the engine binds (the NumShards anti-drift
+    * rule): match the German corpus's length profile to the English
+    * one under a 60-document budget, over [[LenBinW]]-token bins. */
+  private[queries] val MatchRefLang = "en"
+  private[queries] val MatchTgtLang = "de"
+  private[queries] val MatchBudget = 60L
+
+  /** q133 — distribution-matched subsampling: draw a fixed-budget
+    * sample from the TARGET language whose token-LENGTH histogram
+    * matches the REFERENCE language's, the standard device for
+    * removing a length confound between two corpus slices before
+    * comparing quality metrics on them (or for matching a web slice's
+    * profile to a books slice in a training mix). Per-bin quotas are
+    * the reference's bin shares apportioned over the budget by q110's
+    * largest-remainder method (integer-exact, Σ quota == budget), and
+    * each bin's draw is the deterministic md5-ordered prefix (q113's
+    * closing-quota device, count-closed instead of token-closed). Bins
+    * where the target holds fewer documents than quota under-fill —
+    * visible in the output as a short bin, never silently rebalanced.
+    *
+    * Scale shape: the reference histogram is one bounded-key rollup
+    * (≤ a few hundred bins) collapsed to a parameter-scale frame by
+    * the orderBy+limit device; the quota table broadcasts back; the
+    * only data-scale shuffle is the per-bin rank window on the target
+    * slice. At 100 TB: one scan per side + a broadcast + one keyed
+    * window. */
+  def lengthMatchedSample(spark: SparkSession, dir: String,
+      budget: Long = MatchBudget): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+      .select($"doc_id", $"lang",
+        coalesce(size(split($"text", " ")), lit(0)).cast("long")
+          .as("n_tokens"))
+      .withColumn("bin", floor($"n_tokens" / LenBinW).cast("long"))
+    // reference profile -> per-bin quotas (largest remainder over bins)
+    val all = Window.orderBy($"bin".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byRem = Window.orderBy($"rem".desc, $"bin".asc)
+    val quotas = docs.filter($"lang" === MatchRefLang)
+      .groupBy($"bin").agg(count(lit(1)).as("c"))
+      // bounded bin domain -> parameter-scale frame from here on
+      .orderBy($"bin".asc).limit(100000)
+      .withColumn("total", sum($"c").over(all))
+      .withColumn("base", expr(s"($budget * c) div total"))
+      .withColumn("rem", expr(s"($budget * c) % total"))
+      .withColumn("rk", row_number().over(byRem).cast("long"))
+      .withColumn("allocated", sum($"base").over(all))
+      .select($"bin",
+        expr(s"CAST(base + IF(rk <= $budget - allocated, 1, 0) AS BIGINT)")
+          .as("quota"))
+    val byDraw = Window.partitionBy($"bin")
+      .orderBy($"draw_key".asc, $"doc_id".asc)
+    docs.filter($"lang" === MatchTgtLang)
+      .withColumn("draw_key",
+        md5PrefixLong(concat(lit("lenmatch:"), $"doc_id".cast("string")),
+          15))
+      .withColumn("pos", row_number().over(byDraw).cast("long"))
+      .join(broadcast(quotas), "bin")
+      .filter($"pos" <= $"quota")
+      .select($"bin", $"doc_id", $"n_tokens", $"pos")
+  }
+
+  private val lengthMatchedSampleSql =
+    s"""WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(COALESCE(len(string_split(text, ' ')), 0) AS BIGINT)
+      |      AS n_tokens,
+      |    CAST(floor(COALESCE(len(string_split(text, ' ')), 0) / $LenBinW)
+      |      AS BIGINT) AS bin
+      |  FROM documents),
+      |rc AS (SELECT bin, COUNT(*) AS c FROM d
+      |  WHERE lang = '$MatchRefLang' GROUP BY 1),
+      |rt AS (SELECT bin, c, CAST(SUM(c) OVER () AS BIGINT) AS total
+      |  FROM rc),
+      |rb AS (SELECT bin, c,
+      |    ($MatchBudget * c) // total AS base,
+      |    ($MatchBudget * c) % total AS rem
+      |  FROM rt),
+      |rr AS (SELECT bin, base,
+      |    ROW_NUMBER() OVER (ORDER BY rem DESC, bin ASC) AS rk,
+      |    CAST(SUM(base) OVER () AS BIGINT) AS allocated
+      |  FROM rb),
+      |quota AS (SELECT bin,
+      |    CAST(base + CASE WHEN rk <= $MatchBudget - allocated
+      |      THEN 1 ELSE 0 END AS BIGINT) AS quota
+      |  FROM rr),
+      |tgt AS (
+      |  SELECT bin, doc_id, n_tokens,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY bin
+      |      ORDER BY CAST(concat('0x', substr(md5(concat('lenmatch:',
+      |        CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT), doc_id)
+      |      AS BIGINT) AS pos
+      |  FROM d WHERE lang = '$MatchTgtLang')
+      |SELECT t.bin, t.doc_id, t.n_tokens, t.pos
+      |FROM tgt t JOIN quota q ON q.bin = t.bin
+      |WHERE t.pos <= q.quota""".stripMargin
+
+  /** q135 — tokenizer fertility report: the per-SOURCE rollup of
+    * q106's compression accounting, the corpus-card number a tokenizer
+    * choice is judged by (symbols emitted per 1000 input chars, and
+    * the percent of chars the merge table saves). A source whose
+    * fertility is an outlier is the one whose domain the tokenizer
+    * under-serves — the signal that drives merge-table retraining or
+    * per-domain vocabulary extension. Kept as exact integers
+    * (truncating div, the q106 contract) so the report hash-checks.
+    *
+    * Scale shape: q106's stateless map-only application chain (rides
+    * the memoized q101 merge table — payer-before-rider), then ONE
+    * partial-aggregatable rollup on the bounded source domain. At
+    * 100 TB: one scan, one tiny-key shuffle. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tokenizeCorpus(spark, dir)
+      .join(Tables(spark, dir, "documents").select($"doc_id", $"source"),
+        "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_pretokens").as("n_pretokens"),
+        sum($"n_chars").as("n_chars"),
+        sum($"n_symbols").as("n_symbols"))
+      .withColumn("symbols_per_kchar",
+        expr("CAST(IF(n_chars = 0, 0, (1000 * n_symbols) div n_chars) " +
+          "AS BIGINT)"))
+      .withColumn("saved_pct",
+        expr("CAST(IF(n_chars = 0, 0, (100 * (n_chars - n_symbols)) " +
+          "div n_chars) AS BIGINT)"))
+  }
+
+  private val tokenizerFertilitySql = tokenizeCtes + "\n" +
+    """SELECT d.source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(COALESCE(st.np, 0)) AS BIGINT) AS n_pretokens,
+      |  CAST(SUM(COALESCE(st.nc, 0)) AS BIGINT) AS n_chars,
+      |  CAST(SUM(COALESCE(st.ns, 0)) AS BIGINT) AS n_symbols,
+      |  CAST(CASE WHEN SUM(COALESCE(st.nc, 0)) = 0 THEN 0
+      |    ELSE (1000 * SUM(COALESCE(st.ns, 0))) // SUM(COALESCE(st.nc, 0))
+      |    END AS BIGINT) AS symbols_per_kchar,
+      |  CAST(CASE WHEN SUM(COALESCE(st.nc, 0)) = 0 THEN 0
+      |    ELSE (100 * (SUM(COALESCE(st.nc, 0)) - SUM(COALESCE(st.ns, 0))))
+      |      // SUM(COALESCE(st.nc, 0)) END AS BIGINT) AS saved_pct
+      |FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id
+      |GROUP BY d.source""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q69_feature_hash", featureHash, Some(featureHashSql),
       "hashing-trick vectorization: sparse 64-dim term-count vectors, " +
@@ -1870,5 +2019,15 @@ object PipelineOps {
         "no single-partition exchange"),
     Q("q113_quota_sample", quotaSample(_, _), Some(quotaSampleSql),
       "quota-filling corpus draw: md5-ordered per-language documents " +
-        "until the q110 quota closes — the executed training mix"))
+        "until the q110 quota closes — the executed training mix"),
+    Q("q133_length_matched", lengthMatchedSample(_, _),
+      Some(lengthMatchedSampleSql),
+      "distribution-matched subsampling: target-language draw whose " +
+        "length histogram matches the reference language's, per-bin " +
+        "largest-remainder quotas + deterministic md5-prefix draw"),
+    Q("q135_tokenizer_fertility", tokenizerFertility,
+      Some(tokenizerFertilitySql),
+      "per-source tokenizer fertility card: symbols per 1000 chars " +
+        "and percent saved by the mined merges, integer-exact rollup " +
+        "of the q106 application chain"))
 }

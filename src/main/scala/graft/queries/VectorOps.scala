@@ -1562,6 +1562,77 @@ object VectorOps {
       |LEFT JOIN (SELECT vec_id FROM ranked_adc WHERE rank <= 32) a32
       |  ON e.vec_id = a32.vec_id""".stripMargin
 
+  /** q134 — hard-negative mining for contrastive embedding training:
+    * for every anchor vector, the top-[[HardNegK]] most-similar
+    * vectors with a DIFFERENT label — the "looks like me, isn't me"
+    * examples a triplet/InfoNCE loss is starved for. Candidates come
+    * from the anchor's integer grid cell only (hard negatives live
+    * NEAR the anchor by definition, so the cell restriction is the
+    * semantics, not just the scale trick), which keeps pairwise work
+    * at Σ cell² like the whole SemDeDup family and makes the
+    * candidate set bit-identical in both engines; floats only rank.
+    *
+    * Scale shape: carries both r8 devices — |v| lifted to a per-vector
+    * column before the self-join (one dot per pair), and cells above
+    * [[CellBlockRows]] salted into fan² bounded sub-blocks — then one
+    * rank window partitioned by anchor (each anchor's candidate list
+    * is cell-bounded, so no window partition can exceed a cell).
+    * Anchors whose cell holds no cross-label vector emit nothing —
+    * they have no hard negative at this quantization, a fact the
+    * trainer wants surfaced, not papered over. */
+  private[queries] val HardNegK = 3
+
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.fvecDot
+    val emb = withGridCell(Tables(spark, dir, "embeddings"))
+      .select($"cell", $"vec_id", $"embedding", $"label")
+      .persist()
+    val fan = emb.groupBy($"cell").agg(
+      ceil(count(lit(1)) / lit(CellBlockRows.toDouble)).cast("int")
+        .as("fan"))
+    val sided = emb
+      .withColumn("nrm", sqrt(fvecDot($"embedding", $"embedding")))
+      .join(broadcast(fan), "cell")
+      .withColumn("own", pmod(xxhash64($"vec_id"), $"fan").cast("int"))
+    val a = sided.select($"cell", $"own".as("sa"),
+      explode(expr("sequence(0, fan - 1)")).as("sb"),
+      $"vec_id".as("a_id"), $"embedding".as("a_emb"),
+      $"nrm".as("a_nrm"), $"label".as("a_label"))
+    val b = sided.select($"cell",
+      explode(expr("sequence(0, fan - 1)")).as("sa"), $"own".as("sb"),
+      $"vec_id".as("b_id"), $"embedding".as("b_emb"),
+      $"nrm".as("b_nrm"), $"label".as("b_label"))
+    val w = Window.partitionBy($"a_id").orderBy($"sim".desc, $"b_id".asc)
+    a.join(b, Seq("cell", "sa", "sb"))
+      .filter($"a_label" =!= $"b_label")
+      // same double-op order as cosine(): dot / (|a|·|b|); NaN (zero
+      // norm) demotes below every real so it can never rank
+      .withColumn("sim", nanvl(fvecDot($"a_emb", $"b_emb")
+        / ($"a_nrm" * $"b_nrm"), lit(Double.NegativeInfinity)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= HardNegK)
+      .select($"a_id".as("vec_id"), $"rank", $"b_id".as("neg_id"),
+        $"b_label".cast("long").as("neg_label"))
+  }
+
+  /** Oracle: the shared grid-assignment CTEs, then per-anchor
+    * cross-label ranking within the anchor's cell. */
+  private val hardNegativesSql =
+    s"""WITH $gridCtes
+      |SELECT vec_id, rank, neg_id, neg_label FROM (
+      |  SELECT a.vec_id, b.vec_id AS neg_id,
+      |    CAST(b.label AS BIGINT) AS neg_label,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |      ORDER BY ${duckNanvl("list_cosine_similarity(a.embedding, b.embedding)")} DESC,
+      |               b.vec_id ASC) AS BIGINT) AS rank
+      |  FROM embeddings a
+      |    JOIN gassign ga ON ga.vec_id = a.vec_id
+      |    JOIN gassign gb ON gb.cell = ga.cell
+      |    JOIN embeddings b ON b.vec_id = gb.vec_id
+      |  WHERE a.label <> b.label) t
+      |WHERE rank <= $HardNegK""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q30_knn_topk", knnTopK, Some(knnTopKSql),
       "brute-force cosine top-5 (broadcast query, codegen dot)"),
@@ -1569,6 +1640,10 @@ object VectorOps {
       "IVF-style per-vector NN via label partition cells"),
     Q("q32_similar_pairs", similarPairs, Some(similarPairsSql),
       "embedding near-dup pairs above cosine threshold"),
+    Q("q134_hard_negatives", hardNegatives, Some(hardNegativesSql),
+      "contrastive hard-negative mining: per-anchor top-3 cross-label " +
+        "neighbors within the integer grid cell, salted sub-blocks, " +
+        "lifted norms — Σ cell² work, never corpus²"),
     Q("q111_semantic_dedup", semanticDedup, Some(semanticDedupSql),
       "SemDeDup: within-grid-cell cosine near-dup detection, " +
         "lowest-id exemplar survives; per-vector kept/dropped verdict"),
