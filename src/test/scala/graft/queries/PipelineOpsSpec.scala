@@ -564,4 +564,66 @@ class PipelineOpsSpec extends SparkSuite {
     assert(totTrain ==
       PipelineOps.trainingCorpus(spark, sf0001).count())
   }
+
+  test("q133 apportions the budget exactly and fills every bin to " +
+      "min(quota, available)") {
+    import spark.implicits._
+    val docs = graft.sources.Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"lang",
+        coalesce(size(split($"text", " ")), lit(0)).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def binOf(n: Long): Long = math.floor(n / 8.0).toLong
+    // driver-side largest-remainder apportionment over the reference bins
+    val ref = docs.filter(_._2 == "en").groupBy(d => binOf(d._3))
+      .view.mapValues(_.length.toLong).toMap
+    val total = ref.values.sum
+    val budget = 60L
+    val base = ref.map { case (b, c) => (b, budget * c / total) }
+    val short = budget - base.values.sum
+    val topUp = ref.map { case (b, c) => (b, budget * c % total) }.toSeq
+      .sortBy { case (b, r) => (-r, b) }.take(short.toInt).map(_._1).toSet
+    val quota = ref.keys.map(b =>
+      b -> (base(b) + (if (topUp(b)) 1L else 0L))).toMap
+    assert(quota.values.sum == budget,
+      "largest remainder must close the budget exactly")
+    val got = PipelineOps.lengthMatchedSample(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val tgtAvail = docs.filter(_._2 == "de").groupBy(d => binOf(d._3))
+      .view.mapValues(_.length.toLong).toMap
+    val gotByBin = got.groupBy(_._1)
+    for ((b, q) <- quota) {
+      val want = math.min(q, tgtAvail.getOrElse(b, 0L))
+      val have = gotByBin.get(b).map(_.length.toLong).getOrElse(0L)
+      assert(have == want, s"bin $b drew $have, want $want")
+      // positions are the contiguous md5-order prefix of the bin
+      val pos = gotByBin.getOrElse(b, Array.empty).map(_._4).sorted
+      assert(pos.sameElements((1L to want)), s"bin $b positions: $pos")
+    }
+    assert(got.forall(g => quota.contains(g._1)),
+      "no draw outside a quota'd bin")
+    val tgtIds = docs.filter(_._2 == "de").map(_._1).toSet
+    assert(got.forall(g => tgtIds(g._2)), "only target-language docs")
+    assert(got.nonEmpty)
+  }
+
+  test("q135 fertility is the exact per-source rollup of q106, " +
+      "ratios integer-consistent") {
+    import spark.implicits._
+    val fert = PipelineOps.tokenizerFertility(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val q106 = PipelineOps.tokenizeCorpus(spark, sf0001)
+      .agg(count(lit(1)), sum($"n_pretokens"), sum($"n_chars"),
+        sum($"n_symbols")).head
+    assert(fert.map(_._2).sum == q106.getLong(0), "doc counts conserve")
+    assert(fert.map(_._3).sum == q106.getLong(1), "pretokens conserve")
+    assert(fert.map(_._4).sum == q106.getLong(2), "chars conserve")
+    assert(fert.map(_._5).sum == q106.getLong(3), "symbols conserve")
+    for ((src, _, _, nc, ns, spk, saved) <- fert) {
+      assert(ns <= nc, s"$src: merges can only shrink symbol counts")
+      assert(spk == (if (nc == 0) 0L else 1000L * ns / nc), src)
+      assert(saved == (if (nc == 0) 0L else 100L * (nc - ns) / nc), src)
+    }
+    assert(fert.nonEmpty)
+  }
 }

@@ -252,4 +252,43 @@ class VectorSearchSpec extends SparkSuite {
         "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))").head.getDouble(0)
     assert(d == 11.0)
   }
+
+  test("q134 hard negatives match a driver-side within-cell recompute") {
+    // exact replication of the engine arithmetic: fvec_dot multiplies
+    // in FLOAT then widens (VectorExpressions.FloatVecDot), norms are
+    // sqrt of the self-dot, NaN demotes to -inf — so similarities are
+    // bitwise-identical and the ranking must agree exactly
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0d; var i = 0
+      while (i < a.length) { acc += (a(i) * b(i)).toDouble; i += 1 }
+      acc
+    }
+    def sim(a: Array[Float], b: Array[Float]): Double = {
+      val s = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      if (s.isNaN) Double.NegativeInfinity else s
+    }
+    val cents = VectorOps.ivfGridCentroids()
+    def cellOf(v: Array[Float]): Int = {
+      val q = v.map(x => math.floor(x.toDouble * 1024).toLong)
+      cents.zipWithIndex.map { case (ct, i) =>
+        (ct.zip(q).map { case (c, x) => val d = x - c; d * d }.sum, i)
+      }.min._2
+    }
+    val rows = graft.sources.Tables(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val expected = (for {
+      (_, cellRows) <- rows.toSeq.groupBy(r => cellOf(r._2)).toSeq
+      (aId, aEmb, aLab) <- cellRows
+      ((bId, bLab, _), i) <- cellRows.filter(_._3 != aLab)
+        .map { case (bId, bEmb, bLab) => (bId, bLab, sim(aEmb, bEmb)) }
+        .sortBy { case (bId, _, s) => (-s, bId) }
+        .take(3).zipWithIndex
+    } yield (aId, (i + 1).toLong, bId, bLab.toLong)).toSet
+    val got = VectorOps.hardNegatives(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(expected.nonEmpty)
+    assert(got == expected)
+  }
 }
