@@ -1633,6 +1633,87 @@ object VectorOps {
       |  WHERE a.label <> b.label) t
       |WHERE rank <= $HardNegK""".stripMargin
 
+  /** q136 — triplet mining with the margin audit: for every anchor
+    * that has BOTH a same-label and a cross-label neighbor in its grid
+    * cell, emit the FaceNet-style hardest triplet — hardest positive
+    * (lowest-similarity same-label vector: the pair the encoder most
+    * fails to pull together) and hardest negative (q134's rank-1
+    * cross-label vector) — plus the `violated` bit (negative at least
+    * as close as the positive), the count a metric-learning curriculum
+    * is driven by. Anchors missing either side emit nothing — same
+    * surfacing contract as q134.
+    *
+    * The raw margin `pos_sim − neg_sim` is deliberately NOT a column:
+    * it is a difference of two float accumulations, and the engines'
+    * accumulators legitimately differ at the ~1e-7 level (fvec_dot
+    * multiplies in float then widens; DuckDB's list_cosine_similarity
+    * stays float32), so no rounding scheme makes the double itself
+    * hash-stable — the registry's "floats rank, integers/booleans
+    * land in output" rule exists for exactly this case. `violated`
+    * compares the two sims directly (an equality-boundary flip needs
+    * a cross-engine near-tie between DIFFERENT vector pairs — the
+    * same accepted risk class as every ranking query here).
+    *
+    * Scale shape: ONE within-cell candidate pass (the q134 join shape)
+    * feeding two conditional argmax/argmin STRUCT aggregates —
+    * partial-aggregatable, so the shuffle moves two rows per (anchor,
+    * partition) instead of every candidate pair (q31's device, doubled).
+    * NaN similarities (zero-norm vectors) are filtered before the
+    * aggregation: an argMIN would otherwise promote the −∞ demotion
+    * value that protects argmax paths. */
+  def tripletMargins(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.fvecDot
+    val emb = withGridCell(Tables(spark, dir, "embeddings"))
+      .withColumn("nrm", sqrt(fvecDot($"embedding", $"embedding")))
+      .select($"cell", $"vec_id", $"embedding", $"nrm", $"label")
+    val a = emb.select($"cell", $"vec_id".as("a_id"),
+      $"embedding".as("a_emb"), $"nrm".as("a_nrm"), $"label".as("a_label"))
+    val b = emb.select($"cell", $"vec_id".as("b_id"),
+      $"embedding".as("b_emb"), $"nrm".as("b_nrm"), $"label".as("b_label"))
+    a.join(b, Seq("cell"))
+      .filter($"a_id" =!= $"b_id")
+      .withColumn("sim", fvecDot($"a_emb", $"b_emb") / ($"a_nrm" * $"b_nrm"))
+      .filter(!isnan($"sim"))
+      .groupBy($"a_id")
+      .agg(
+        min(when($"a_label" === $"b_label", struct($"sim", $"b_id")))
+          .as("p"),
+        max(when($"a_label" =!= $"b_label", struct($"sim", (-$"b_id")
+          .as("neg")))).as("n"))
+      .filter($"p".isNotNull && $"n".isNotNull)
+      .select($"a_id".as("vec_id"),
+        $"p.b_id".as("pos_id"), (-$"n.neg").cast("long").as("neg_id"),
+        ($"n.sim" >= $"p.sim").as("violated"))
+  }
+
+  /** Oracle: same cell restriction via the shared grid CTEs, hardest
+    * positive / hardest negative via rank-1 windows. */
+  private val tripletMarginsSql =
+    s"""WITH $gridCtes,
+      |cand AS (
+      |  SELECT a.vec_id, b.vec_id AS b_id,
+      |    a.label AS al, b.label AS bl,
+      |    list_cosine_similarity(a.embedding, b.embedding) AS sim
+      |  FROM embeddings a
+      |    JOIN gassign ga ON ga.vec_id = a.vec_id
+      |    JOIN gassign gb ON gb.cell = ga.cell
+      |    JOIN embeddings b ON b.vec_id = gb.vec_id
+      |  WHERE a.vec_id <> b.vec_id
+      |    AND NOT isnan(list_cosine_similarity(a.embedding, b.embedding))),
+      |pos AS (SELECT vec_id, b_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY sim ASC, b_id ASC) AS rn
+      |  FROM cand WHERE al = bl),
+      |neg AS (SELECT vec_id, b_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY sim DESC, b_id ASC) AS rn
+      |  FROM cand WHERE al <> bl)
+      |SELECT p.vec_id, p.b_id AS pos_id, n.b_id AS neg_id,
+      |  n.sim >= p.sim AS violated
+      |FROM pos p JOIN neg n ON n.vec_id = p.vec_id
+      |WHERE p.rn = 1 AND n.rn = 1""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q30_knn_topk", knnTopK, Some(knnTopKSql),
       "brute-force cosine top-5 (broadcast query, codegen dot)"),
@@ -1644,6 +1725,11 @@ object VectorOps {
       "contrastive hard-negative mining: per-anchor top-3 cross-label " +
         "neighbors within the integer grid cell, salted sub-blocks, " +
         "lifted norms — Σ cell² work, never corpus²"),
+    Q("q136_triplet_margins", tripletMargins, Some(tripletMarginsSql),
+      "FaceNet-style hardest-triplet mining per anchor (hardest " +
+        "positive + hardest negative in the grid cell) with the " +
+        "margin-violation bit — two partial-aggregatable struct " +
+        "argmins, no window over candidates"),
     Q("q111_semantic_dedup", semanticDedup, Some(semanticDedupSql),
       "SemDeDup: within-grid-cell cosine near-dup detection, " +
         "lowest-id exemplar survives; per-vector kept/dropped verdict"),

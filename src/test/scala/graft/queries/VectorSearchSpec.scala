@@ -291,4 +291,43 @@ class VectorSearchSpec extends SparkSuite {
     assert(expected.nonEmpty)
     assert(got == expected)
   }
+
+  test("q136 triplets match a driver-side hardest-pos/hardest-neg recompute") {
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0d; var i = 0
+      while (i < a.length) { acc += (a(i) * b(i)).toDouble; i += 1 }
+      acc
+    }
+    def sim(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val cents = VectorOps.ivfGridCentroids()
+    def cellOf(v: Array[Float]): Int = {
+      val q = v.map(x => math.floor(x.toDouble * 1024).toLong)
+      cents.zipWithIndex.map { case (ct, i) =>
+        (ct.zip(q).map { case (c, x) => val d = x - c; d * d }.sum, i)
+      }.min._2
+    }
+    val rows = graft.sources.Tables(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val expected = (for {
+      (_, cellRows) <- rows.toSeq.groupBy(r => cellOf(r._2)).toSeq
+      (aId, aEmb, aLab) <- cellRows
+      cands = cellRows.filter(c => c._1 != aId)
+        .map { case (bId, bEmb, bLab) => (bId, bLab, sim(aEmb, bEmb)) }
+        .filter(!_._3.isNaN)
+      poss = cands.filter(_._2 == aLab)
+      negs = cands.filter(_._2 != aLab)
+      if poss.nonEmpty && negs.nonEmpty
+    } yield {
+      val p = poss.minBy { case (bId, _, s) => (s, bId) }
+      val n = negs.maxBy { case (bId, _, s) => (s, -bId) }
+      (aId, p._1, n._1, n._3 >= p._3)
+    }).toSet
+    val got = VectorOps.tripletMargins(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(expected.nonEmpty)
+    assert(got == expected)
+  }
 }
