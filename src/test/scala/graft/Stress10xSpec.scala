@@ -126,6 +126,18 @@ object Stress10xSpec {
     Seq("q75_span_dedup", "q77_span_stats", "q126_semantic_decon",
       "q127_heavy_grams", "q128_length_policy").foreach(runAndAudit)
 
+    // round-10 families at 10x. q134/q136 inherit q111's adversarial
+    // regime — every vector's 9 exact copies land in its own grid
+    // cell, so within-cell candidate blocks grow ~100x and the
+    // 2048-row salting cap is what keeps task size bounded (q136
+    // additionally proves the no-window aggregate form under the same
+    // volume). q133/q135 are linear passes + bounded-key rollups
+    // whose only 10x risk is a plan flip, which the audit asserts
+    // against.
+    Seq("q133_length_matched", "q134_hard_negatives",
+      "q135_tokenizer_fertility", "q136_triplet_margins")
+      .foreach(runAndAudit)
+
     // q115's scale lever, measured on the quantity that matters at
     // scale: candidate-pair volume Σ cell·(cell−1)/2. Local wall-time
     // at 50k docs is join-strategy/task-scheduling bound, so pair
