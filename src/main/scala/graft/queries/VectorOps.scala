@@ -1617,10 +1617,12 @@ object VectorOps {
   }
 
   /** Oracle: the shared grid-assignment CTEs, then per-anchor
-    * cross-label ranking within the anchor's cell. */
-  private val hardNegativesSql =
-    s"""WITH $gridCtes
-      |SELECT vec_id, rank, neg_id, neg_label FROM (
+    * cross-label ranking within the anchor's cell — as a WITH-body
+    * ending in an `hn` CTE so the q137 confusion rollup shares the
+    * whole mining chain (one definition, the rollup cannot drift). */
+  private val hardNegCtes =
+    s"""$gridCtes,
+      |hn AS (SELECT vec_id, rank, neg_id, neg_label FROM (
       |  SELECT a.vec_id, b.vec_id AS neg_id,
       |    CAST(b.label AS BIGINT) AS neg_label,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
@@ -1631,7 +1633,47 @@ object VectorOps {
       |    JOIN gassign gb ON gb.cell = ga.cell
       |    JOIN embeddings b ON b.vec_id = gb.vec_id
       |  WHERE a.label <> b.label) t
-      |WHERE rank <= $HardNegK""".stripMargin
+      |WHERE rank <= $HardNegK)""".stripMargin
+
+  private val hardNegativesSql =
+    s"""WITH $hardNegCtes
+      |SELECT vec_id, rank, neg_id, neg_label FROM hn""".stripMargin
+
+  /** q137 — label-confusion report: which class PAIRS blur in
+    * embedding space. For every anchor, q134's rank-1 hard negative
+    * names the class the encoder most confuses the anchor's class
+    * with; the (label, neg_label) count matrix — with an integer
+    * parts-per-million share within each anchor label — is the
+    * triage artifact an embedding-quality review reads first (it
+    * points retraining at the worst class pair, where per-anchor
+    * triplets are too granular to read). Bounded output: ≤ |labels|²
+    * rows.
+    *
+    * Scale shape: rides the q134 mining join, then ONE
+    * partial-aggregatable rollup on the bounded (label, neg_label)
+    * domain; the ppm window runs on that bounded frame, keyed by
+    * label — parameter-scale, never data-scale. */
+  def labelConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lab = Tables(spark, dir, "embeddings")
+      .select($"vec_id", $"label".cast("long").as("label"))
+    hardNegatives(spark, dir).filter($"rank" === 1)
+      .join(lab, "vec_id")
+      .groupBy($"label", $"neg_label")
+      .agg(count(lit(1)).as("n_anchors"))
+      .withColumn("ppm", expr(
+        "(1000000 * n_anchors) div (SUM(n_anchors) OVER (PARTITION BY label))"))
+  }
+
+  private val labelConfusionSql =
+    s"""WITH $hardNegCtes
+      |SELECT CAST(a.label AS BIGINT) AS label, hn.neg_label,
+      |  CAST(COUNT(*) AS BIGINT) AS n_anchors,
+      |  CAST((1000000 * COUNT(*)) // CAST(SUM(COUNT(*))
+      |    OVER (PARTITION BY a.label) AS BIGINT) AS BIGINT) AS ppm
+      |FROM hn JOIN embeddings a ON a.vec_id = hn.vec_id
+      |WHERE hn.rank = 1
+      |GROUP BY a.label, hn.neg_label""".stripMargin
 
   /** q136 — triplet mining with the margin audit: for every anchor
     * that has BOTH a same-label and a cross-label neighbor in its grid
@@ -1730,6 +1772,10 @@ object VectorOps {
         "positive + hardest negative in the grid cell) with the " +
         "margin-violation bit — two partial-aggregatable struct " +
         "argmins, no window over candidates"),
+    Q("q137_label_confusion", labelConfusion, Some(labelConfusionSql),
+      "class-pair confusion matrix from rank-1 hard negatives with " +
+        "integer ppm shares — the embedding-quality triage report, " +
+        "bounded (label, neg_label) output"),
     Q("q111_semantic_dedup", semanticDedup, Some(semanticDedupSql),
       "SemDeDup: within-grid-cell cosine near-dup detection, " +
         "lowest-id exemplar survives; per-vector kept/dropped verdict"),

@@ -330,4 +330,23 @@ class VectorSearchSpec extends SparkSuite {
     assert(expected.nonEmpty)
     assert(got == expected)
   }
+
+  test("q137 confusion matrix conserves anchors, excludes the diagonal") {
+    import org.apache.spark.sql.functions._
+    val conf = VectorOps.labelConfusion(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(conf.nonEmpty)
+    // a hard negative has a different label by construction
+    assert(conf.forall { case (l, n, _, _) => l != n })
+    // every rank-1 anchor lands in exactly one matrix cell
+    val rank1 = VectorOps.hardNegatives(spark, sf0001)
+      .filter(col("rank") === 1).count()
+    assert(conf.map(_._3).sum == rank1, "anchor counts conserve")
+    // ppm is the truncating integer share within each anchor label
+    for ((lab, rows) <- conf.groupBy(_._1)) {
+      val tot = rows.map(_._3).sum
+      for ((_, _, n, ppm) <- rows)
+        assert(ppm == 1000000L * n / tot, s"label $lab")
+    }
+  }
 }
