@@ -123,7 +123,7 @@ object Bench {
            "q45" -> "q104",
            "q66" -> "q67", "q66" -> "q68", "q66" -> "q76",
            "q66" -> "q83", "q101" -> "q106", "q101" -> "q135",
-           "q122" -> "q123")
+           "q122" -> "q123", "q134" -> "q137")
          if pos(payer) >= 0 && pos(rider) >= 0)
       require(pos(payer) < pos(rider),
         s"bench attribution: shared-artifact payer $payer must run before rider $rider")

@@ -818,10 +818,13 @@ object VectorOps {
     * Bench's release policy, same contract as
     * [[DedupOps.isSharedArtifact]]. */
   private[graft] def isSharedArtifact(df: DataFrame): Boolean =
-    indexMemo.holds(df)
+    indexMemo.holds(df) || hardNegMemo.holds(df)
 
-  /** Drop the memoized ANN index (tests / long-lived JVMs). */
-  def invalidateSharedArtifacts(): Unit = indexMemo.invalidate()
+  /** Drop the memoized artifacts (tests / long-lived JVMs). */
+  def invalidateSharedArtifacts(): Unit = {
+    indexMemo.invalidate()
+    hardNegMemo.invalidate()
+  }
 
   /** The PQ index-build artifact: every vector's packed code. */
   def pqCodes(spark: SparkSession, dir: String): DataFrame = {
@@ -1582,7 +1585,16 @@ object VectorOps {
     * trainer wants surfaced, not papered over. */
   private[queries] val HardNegK = 3
 
-  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+  /** The mined triplet-negative table is a write-once artifact at
+    * deployment (the trainer reads it every epoch; the confusion
+    * report q137 reads it once) — memoized per (context, dataset)
+    * like [[annIndexTable]]: q134 pays the mining, q137 rides
+    * (payer-before-rider order Bench-asserted). */
+  private val hardNegMemo = new DedupOps.ArtifactMemo
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegMemo.get(spark, dir)(mineHardNegatives(spark, dir).persist())
+
+  private def mineHardNegatives(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.VectorExpressions.fvecDot
     val emb = withGridCell(Tables(spark, dir, "embeddings"))
