@@ -376,6 +376,45 @@ object StreamingQueries {
         (-col("m.neg")).cast("long").as("nn_id"))
   }
 
+  /** Ingest-time hard-negative lookup — q134's mining as a stream-static
+    * join: each ARRIVING vector (a new training example) is assigned its
+    * integer grid cell with the same codegen expression as the batch
+    * miner and joined against the static celled corpus; its hardest
+    * cross-label neighbor (argmax cosine, lowest-id tie-break — q134's
+    * rank 1 exactly) emits once per watermark window. The deployment
+    * shape: the corpus index is the write-once artifact, arrivals probe
+    * it statelessly — no state beyond the windowed argmax, bounded by
+    * the watermark.
+    *
+    * `queries` columns: (query_id, embedding, label, event_ts). */
+  def hardNegativeStream(queries: DataFrame, corpus: DataFrame,
+      eventTime: String = "event_ts",
+      delay: String = "10 seconds"): DataFrame = {
+    import graft.queries.VectorOps
+    import graft.functions.VectorExpressions.fvecDot
+    // static celled corpus — persisted so micro-batches read blocks,
+    // not the lift (the near-dup flagger's band-index precedent)
+    val index = VectorOps.withGridCell(corpus)
+      .select(col("vec_id"), col("embedding").as("c_emb"),
+        col("label").as("c_label"), col("cell"))
+      .persist()
+    VectorOps.withGridCell(queries)
+      .join(index, "cell")
+      .filter(col("label") =!= col("c_label"))
+      // q134's exact arithmetic: dot / (|a|·|b|), NaN demoted below
+      // every real so a zero-norm corpus vector cannot win the argmax
+      .withColumn("sim", nanvl(
+        fvecDot(col("embedding"), col("c_emb")) /
+          (sqrt(fvecDot(col("embedding"), col("embedding"))) *
+            sqrt(fvecDot(col("c_emb"), col("c_emb")))),
+        lit(Double.NegativeInfinity)))
+      .withWatermark(eventTime, delay)
+      .groupBy(col("query_id"), window(col(eventTime), "1 minute"))
+      .agg(max(struct(col("sim"), (-col("vec_id")).as("neg"))).as("m"))
+      .select(col("query_id"), col("window.start").as("window_start"),
+        (-col("m.neg")).cast("long").as("neg_id"))
+  }
+
   // ------------------------------------------------------- sessionizer
   final case class SEvent(user_id: Long, ts_s: Long, event_id: Long)
   final case class SessionOut(user_id: Long, session_idx: Long,

@@ -515,6 +515,44 @@ class StreamingSpec extends SparkSuite {
       s"got=$got expected=$expected")
   }
 
+  test("streaming hard-negative lookup == batch q134 rank 1") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf0001 = "/root/testdata/sf0.001"
+    val corpus = graft.sources.Tables(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding", $"label")
+    // batch expectation: q134's rank-1 row per anchor — the stream
+    // replays three corpus vectors as arrivals, so their hardest
+    // negative must match the batch miner exactly
+    val rank1 = graft.queries.VectorOps.hardNegatives(spark, sf0001)
+      .filter($"rank" === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val qIds = rank1.keys.toSeq.sorted.take(3)
+    val vecs = corpus.collect().map(r =>
+      r.getLong(0) -> (r.getSeq[Float](1).toArray, r.getInt(2))).toMap
+    val ms = MemoryStream[(Long, Seq[Float], Int, java.sql.Timestamp)]
+    // full corpus on the static side: the cross-label filter already
+    // excludes the anchor itself (same label), matching batch a≠b
+    val q = StreamingQueries.hardNegativeStream(
+        ms.toDF().toDF("query_id", "embedding", "label", "event_ts"),
+        corpus)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hn_out").start()
+    val t0 = java.sql.Timestamp.valueOf("2025-01-25 16:00:01")
+    ms.addData(qIds.map(id =>
+      (id, vecs(id)._1.toSeq, vecs(id)._2, t0)): _*)
+    q.processAllAvailable()
+    // advance the watermark past the window so append mode emits
+    ms.addData((999999L, vecs(qIds.head)._1.toSeq, vecs(qIds.head)._2,
+      java.sql.Timestamp.valueOf("2025-01-25 16:05:00")))
+    q.processAllAvailable()
+    val got = spark.table("hn_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    q.stop()
+    assert(qIds.forall(id => got.get(id) == rank1.get(id)),
+      s"got=$got expected=${qIds.map(id => id -> rank1(id))}")
+  }
+
   test("native session_window streams with watermark and matches batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
