@@ -708,7 +708,10 @@ object TextOps {
         coalesce($"mean_freq_scaled", lit(0L)).as("mean_freq_scaled"))
   }
 
-  private val unigramScoreSql =
+  /** q82's mining as a WITH-body ending at the per-doc `s` CTE, shared
+    * with q138's curriculum phasing (funnelCtes idiom: one definition,
+    * the phase policy cannot drift from the score it bins). */
+  private val unigramCtes =
     """WITH tok AS (
       |  SELECT doc_id, u.t AS term
       |  FROM documents, unnest(string_split(text, ' ')) u(t)
@@ -717,8 +720,10 @@ object TextOps {
       |s AS (
       |  SELECT tok.doc_id, COUNT(*) AS n_tokens,
       |    CAST(SUM(freq.freq) AS BIGINT) AS sum_freq
-      |  FROM tok JOIN freq USING (term) GROUP BY 1)
-      |SELECT d.doc_id,
+      |  FROM tok JOIN freq USING (term) GROUP BY 1)""".stripMargin
+
+  private val unigramScoreSql = unigramCtes + "\n" +
+    """SELECT d.doc_id,
       |  COALESCE(s.n_tokens, 0) AS n_tokens,
       |  COALESCE(s.sum_freq, 0) AS sum_freq,
       |  COALESCE(s.sum_freq * 1000000 // s.n_tokens, 0) AS mean_freq_scaled
@@ -939,9 +944,87 @@ object TextOps {
       |ORDER BY score DESC, doc_id ASC
       |LIMIT $MltK""".stripMargin
 
+  /** q138's policy constants, interpolated into the oracle from the
+    * same definitions the engine binds: score-bin width (the sketch
+    * resolution, q112's contract) and the quintile edges. */
+  private val CurrBinW = 1000000L
+  private val CurrCuts = Seq(20L, 40L, 60L, 80L)
+
+  /** q138 — curriculum phase assignment: every training document gets
+    * a phase 1–5 from the corpus's own q82 unigram-score distribution
+    * (phase 1 = highest-scoring quintile = most-common-vocabulary
+    * text, what an easy-to-hard curriculum feeds first) plus a
+    * deterministic order key (q80's salted-md5 shuffle device), so the
+    * loader's read order is `ORDER BY phase, order_key` — easy-first
+    * with reproducible shuffling inside each phase. Quintile edges are
+    * DERIVED from the score histogram by the q128 cutoff-bin device:
+    * bin-granular (docs sharing a score bin share a phase — the
+    * sketch's resolution IS the bin width), integer-exact end to end.
+    *
+    * Scale shape: q82's keyed chain → a ≤few-hundred-key histogram →
+    * sketch-sized cumulative (broadcast ≤-join, no global window) →
+    * 1-row cutoff aggregate broadcast back onto the per-doc frame —
+    * phase assignment and order key are map-side. No global sort
+    * exists HERE by design: the trainer's shard writer composes this
+    * with q80's shard device, and a (phase, order_key)-sorted read is
+    * the loader's cheap merge. */
+  def curriculumPhase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = unigramScore(spark, dir)
+      .select($"doc_id", $"mean_freq_scaled".as("score"))
+      .withColumn("bin", expr(s"score div $CurrBinW"))
+    val hist = scored.groupBy($"bin").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .join(broadcast(hist.select($"bin".as("b_bin"), $"c".as("b_c"))),
+        $"b_bin" <= $"bin")
+      .groupBy($"bin").agg(sum($"b_c").as("cum"))
+    val tot = hist.withColumn("k", lit(0)).groupBy($"k")
+      .agg(sum($"c").as("n"))
+    val cutCols = CurrCuts.map(p =>
+      min(when($"cum" * 100 >= $"n" * p, $"bin")).as(s"cut$p"))
+    val cuts = cum.withColumn("k", lit(0)).join(broadcast(tot), "k")
+      .groupBy($"k")
+      .agg(cutCols.head, cutCols.tail: _*)
+    scored.withColumn("k", lit(0)).join(broadcast(cuts), "k")
+      .select($"doc_id", $"score",
+        expr(s"CAST(6 - (1 + ${CurrCuts.map(p =>
+            s"IF(bin > cut$p, 1, 0)").mkString(" + ")}) AS BIGINT)")
+          .as("phase"),
+        PipelineOps.md5PrefixLong(
+          concat(lit("curr:"), $"doc_id".cast("string")), 15)
+          .as("order_key"))
+  }
+
+  private val curriculumPhaseSql = unigramCtes + ",\n" +
+    s"""sc AS (SELECT d.doc_id,
+      |    COALESCE(s.sum_freq * 1000000 // s.n_tokens, 0) AS score,
+      |    COALESCE(s.sum_freq * 1000000 // s.n_tokens, 0) // $CurrBinW
+      |      AS bin
+      |  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id),
+      |h AS (SELECT bin, COUNT(*) AS c FROM sc GROUP BY 1),
+      |cw AS (SELECT a.bin, SUM(bb.c) AS cum
+      |       FROM h a JOIN h bb ON bb.bin <= a.bin GROUP BY 1),
+      |n AS (SELECT SUM(c) AS n FROM h),
+      |cuts AS (
+      |  SELECT ${CurrCuts.map(p =>
+             s"MIN(CASE WHEN cum * 100 >= n.n * $p THEN bin END) AS cut$p")
+             .mkString(",\n    ")}
+      |  FROM cw, n)
+      |SELECT sc.doc_id, sc.score,
+      |  CAST(6 - (1 + ${CurrCuts.map(p =>
+           s"CASE WHEN sc.bin > cut$p THEN 1 ELSE 0 END").mkString(" + ")})
+      |    AS BIGINT) AS phase,
+      |  CAST(concat('0x', substr(md5(concat('curr:',
+      |    CAST(sc.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS order_key
+      |FROM sc, cuts""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q20_token_stats", tokenStats, Some(tokenStatsSql),
       "whitespace + subword-chunk token counting"),
+    Q("q138_curriculum_phase", curriculumPhase, Some(curriculumPhaseSql),
+      "easy-to-hard curriculum assignment: quintile phase from the " +
+        "corpus's own unigram-score histogram (cutoff-bin device, no " +
+        "global window) + deterministic within-phase order key"),
     Q("q21_term_frequency", termFrequency, Some(termFrequencySql),
       "explode -> corpus term frequency"),
     Q("q22_quality_score", qualityScore, Some(qualityScoreSql),

@@ -754,4 +754,33 @@ class OperatorPropertiesSpec extends SparkSuite {
     assert(report("probe1")._2 <= nTrue && report("probe2")._2 <= nTrue)
     assert(report("probe1")._3 <= report("probe2")._3)
   }
+
+  test("q138 curriculum: total order laws, quintile balance at bin granularity") {
+    val rows = TextOps.curriculumPhase(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // every doc appears once with a phase in 1..5
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.forall(r => r._3 >= 1 && r._3 <= 5))
+    // phase is antitone in score: a higher score can never land in a
+    // LATER phase (phase 1 = easiest = highest-score quintile)
+    val byScore = rows.sortBy(_._2)
+    byScore.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._3 >= hi._3,
+        s"score ${lo._2} phase ${lo._3} vs score ${hi._2} phase ${hi._3}")
+    case _ => ()
+    }
+    // quintiles balance within bin granularity: each phase holds
+    // ≥ 5% and ≤ 60% of docs at this tiny SF (bin-granular cutoffs
+    // cannot split a bin, so exact 20% is not promised)
+    val n = rows.length.toDouble
+    for ((p, g) <- rows.groupBy(_._3)) {
+      assert(g.length / n >= 0.05 && g.length / n <= 0.60,
+        s"phase $p holds ${g.length}/$n")
+    }
+    // order keys are the deterministic md5 device: re-run is identical
+    val again = TextOps.curriculumPhase(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSet == again.toSet)
+  }
 }
