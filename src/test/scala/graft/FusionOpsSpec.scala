@@ -100,4 +100,30 @@ class FusionOpsSpec extends SparkSuite {
     }
     labels.unpersist()
   }
+
+  test("persisted LSH index: indexed delta dedup == q130, corpus read from disk") {
+    val path = java.nio.file.Files
+      .createTempDirectory("lsh-index").toString
+    DedupFusionOps.lshWriteIndex(spark, sf0001, path)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))
+    val live = DedupFusionOps.deltaDedup(spark, sf0001)
+      .collect().map(key).toSet
+    val indexed = DedupFusionOps.deltaDedupIndexed(spark, sf0001, path)
+    val got = indexed.collect().map(key).toSet
+    assert(got == live, "indexed delta dedup must equal the live form")
+    assert(got.nonEmpty)
+    // the corpus side really comes from the stored index, not a rescan
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains(path), s"plan must read the index at $path:\n$plan")
+    // the index holds only the standing corpus: no delta doc appears
+    val deltaIdSet = graft.sources.Tables(spark, sf0001, "documents")
+      .select(col("doc_id"))
+      .where(substring(md5(col("doc_id").cast("string")), 1, 2) < "1a")
+      .collect().map(_.getLong(0)).toSet
+    val indexIds = spark.read.parquet(s"$path/bands")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexIds.intersect(deltaIdSet).isEmpty,
+      "index must exclude the delta side")
+  }
 }
