@@ -135,7 +135,8 @@ object Stress10xSpec {
     // whose only 10x risk is a plan flip, which the audit asserts
     // against.
     Seq("q133_length_matched", "q134_hard_negatives",
-      "q135_tokenizer_fertility", "q136_triplet_margins")
+      "q135_tokenizer_fertility", "q136_triplet_margins",
+      "q137_label_confusion", "q138_curriculum_phase")
       .foreach(runAndAudit)
 
     // q115's scale lever, measured on the quantity that matters at
