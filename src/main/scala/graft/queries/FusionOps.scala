@@ -226,6 +226,91 @@ object DedupFusionOps {
   }
 
   // ---------------------------------------------------------------------
+  // q139 — window-novelty score of the delta batch
+  // ---------------------------------------------------------------------
+
+  /** q139 — NOVELTY scoring of tonight's crawl: for each delta
+    * document, the fraction of its 8-token windows whose gram occurs
+    * NOWHERE in the standing corpus — the curation metric between
+    * near-dup detection (q130: "is this a copy of one document?") and
+    * span scrubbing (q74: "remove the copied parts"): a crawl document
+    * whose windows are all already in the corpus adds no new text even
+    * when no single corpus document matches it (stitched boilerplate —
+    * exactly what Lee et al. 2022's substring analysis targets).
+    * Integer-exact: window count, novel-window count, and a truncating
+    * percent, so the whole report hash-checks. Delta docs with < 8
+    * tokens have no window and report zeros (restore join) — a short
+    * doc is not "novel", it is unmeasured, and 0/0 surfacing as 0 keeps
+    * the admission policy conservative.
+    *
+    * Scale shape: both sides are the q73 partition-local window
+    * explode; the corpus side collapses to DISTINCT grams (two-level
+    * hash agg) and the join is equi on gram — no pairwise anything.
+    * At 100 TB the corpus gram set is the persisted window-HASH table
+    * the span family's docs describe (narrow rows, written once beside
+    * the q130 band index); per-ingest cost is the delta explode + one
+    * keyed join against it. */
+  def noveltyScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val deltaWins = DedupOps.spanWindows(d.filter(isDeltaCol), NoveltyK)
+    val corpusGrams = DedupOps.spanWindows(d.filter(!isDeltaCol), NoveltyK)
+      .select($"gram").distinct()
+    val flagged = deltaWins
+      .join(corpusGrams.withColumn("seen", lit(true)), Seq("gram"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when($"seen", 0L).otherwise(1L)).as("n_novel"))
+    d.filter(isDeltaCol).select($"doc_id")
+      .join(flagged, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_windows", lit(0L)).as("n_windows"),
+        coalesce($"n_novel", lit(0L)).as("n_novel"),
+        expr("CAST(IF(COALESCE(n_windows, 0) = 0, 0, " +
+          "(100 * COALESCE(n_novel, 0)) div n_windows) AS BIGINT)")
+          .as("novelty_pct"))
+  }
+
+  private val NoveltyK = 8
+
+  private val noveltyScoreSql =
+    s"""WITH dd AS (
+      |  SELECT doc_id, text, $isDeltaSql AS is_delta FROM documents),
+      |dw AS (
+      |  SELECT doc_id, array_to_string(tok[i : i + $NoveltyK - 1], ' ')
+      |      AS gram
+      |  FROM (
+      |    SELECT doc_id, string_split(text, ' ') AS tok,
+      |      unnest(range(1,
+      |        len(string_split(text, ' ')) - $NoveltyK + 2)) AS i
+      |    FROM dd
+      |    WHERE is_delta AND len(string_split(text, ' ')) >= $NoveltyK) u),
+      |cg AS (
+      |  SELECT DISTINCT array_to_string(tok[i : i + $NoveltyK - 1], ' ')
+      |      AS gram
+      |  FROM (
+      |    SELECT string_split(text, ' ') AS tok,
+      |      unnest(range(1,
+      |        len(string_split(text, ' ')) - $NoveltyK + 2)) AS i
+      |    FROM dd
+      |    WHERE NOT is_delta
+      |      AND len(string_split(text, ' ')) >= $NoveltyK) u),
+      |fl AS (
+      |  SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS nw,
+      |    CAST(SUM(CASE WHEN cg.gram IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS nn
+      |  FROM dw LEFT JOIN cg ON cg.gram = dw.gram
+      |  GROUP BY dw.doc_id)
+      |SELECT dd.doc_id,
+      |  COALESCE(fl.nw, 0) AS n_windows,
+      |  COALESCE(fl.nn, 0) AS n_novel,
+      |  CAST(CASE WHEN COALESCE(fl.nw, 0) = 0 THEN 0
+      |    ELSE (100 * COALESCE(fl.nn, 0)) // fl.nw END AS BIGINT)
+      |    AS novelty_pct
+      |FROM dd LEFT JOIN fl ON fl.doc_id = dd.doc_id
+      |WHERE dd.is_delta""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q131 — per-language Zipf rank–frequency fit
   // ---------------------------------------------------------------------
 
@@ -413,5 +498,9 @@ object DedupFusionOps {
         "sort or aggregate"),
     Q("q132_fusion_clusters", fusionClusters, Some(fusionClustersSql),
       "multi-signal dedup fusion: one cluster id over the union of " +
-        "exact, MinHash and SimHash edges via large-star/small-star"))
+        "exact, MinHash and SimHash edges via large-star/small-star"),
+    Q("q139_novelty_score", noveltyScore, Some(noveltyScoreSql),
+      "window-novelty of the delta batch: percent of each new doc's " +
+        "8-token windows unseen in the standing corpus — the " +
+        "stitched-boilerplate curation metric, equi-join-shaped"))
 }

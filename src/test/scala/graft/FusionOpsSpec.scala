@@ -126,4 +126,32 @@ class FusionOpsSpec extends SparkSuite {
     assert(indexIds.intersect(deltaIdSet).isEmpty,
       "index must exclude the delta side")
   }
+
+  test("q139 novelty matches a driver-side window recompute") {
+    val k = 8
+    val all = graft.sources.Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"),
+        (substring(md5(col("doc_id").cast("string")), 1, 2) < "1a")
+          .as("is_delta"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    def wins(text: String): Seq[String] = {
+      val tok = text.split(" ", -1).toSeq
+      if (tok.length < k) Nil else tok.sliding(k).map(_.mkString(" ")).toSeq
+    }
+    val corpusGrams = all.filter(!_._3).flatMap(d => wins(d._2)).toSet
+    val expected = all.filter(_._3).map { case (id, text, _) =>
+      val w = wins(text)
+      val novel = w.count(g => !corpusGrams.contains(g)).toLong
+      val pct = if (w.isEmpty) 0L else 100L * novel / w.length
+      (id, w.length.toLong, novel, pct)
+    }.toSet
+    val got = DedupFusionOps.noveltyScore(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(expected.nonEmpty)
+    assert(got == expected)
+    // sanity: at least one doc measured, percentages in range
+    assert(got.forall { case (_, nw, nn, p) =>
+      nn <= nw && p >= 0 && p <= 100 })
+  }
 }
