@@ -244,7 +244,93 @@ object MultimodalOps {
       |  md5(fr) AS frame_md5
       |FROM f""".stripMargin
 
+  /** q140's cost model, interpolated into the oracle from the same
+    * constants the engine binds: tokens charged per decoded frame (a
+    * vision encoder's patch budget) and the multimodal context-window
+    * length. */
+  private val FrameTokens = 64L
+  private val MmSeqLen = 256L
+
+  /** q140 — INTERLEAVED multimodal packing: the q91 contiguous-stream
+    * packing under a multimodal COST MODEL — each document costs its
+    * text tokens PLUS [[FrameTokens]] per decoded frame (the fixed
+    * patch budget a vision encoder charges per image, the way
+    * interleaved image-text pretraining actually bills its context) —
+    * so the loader reads placements whose offsets already account for
+    * image tokens. Frame counts come from the SAME deterministic stub
+    * formula the q50 decode path emits (columnar twin, q50's oracle
+    * already pins it); shard and order come from q80's salted-md5
+    * device under a "mm:" salt, so the multimodal shuffle is
+    * independent of the text corpus's q80 permutation.
+    *
+    * Scale shape: q91's exactly — row-local hash + cost arithmetic,
+    * ONE per-shard running-sum window, nShards the scale lever. The
+    * decode-dependent frame count is columnar here (no handle
+    * needed for a length), so the whole query is whole-stage codegen
+    * around that one window. */
+  def mmPackedStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val nShards = 16
+    val costed = Tables(spark, dir, "documents")
+      .select($"doc_id",
+        coalesce(size(split($"text", " ")), lit(0)).cast("long")
+          .as("n_text_tokens"),
+        (lit(1L) + length(encode($"text", "utf-8")) % 5L)
+          .as("n_frames"),
+        PipelineOps.md5PrefixLong(
+          concat(lit("mm:"), $"doc_id".cast("string")), 15)
+          .as("shuffle_key"))
+      .withColumn("n_image_tokens", $"n_frames" * FrameTokens)
+      .withColumn("cost", $"n_text_tokens" + $"n_image_tokens")
+      .withColumn("shard", ($"shuffle_key" % nShards).cast("long"))
+    val w = Window.partitionBy($"shard")
+      .orderBy($"shuffle_key".asc, $"doc_id".asc)
+    val wSum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    costed
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("start_off", sum($"cost").over(wSum) - $"cost")
+      .select($"doc_id", $"shard", $"pos",
+        $"n_text_tokens", $"n_image_tokens", $"cost", $"start_off",
+        expr(s"start_off div $MmSeqLen").as("start_seq"),
+        expr(s"(start_off + cost - 1) div $MmSeqLen").as("end_seq"))
+  }
+
+  private val mmPackedStreamSql =
+    s"""WITH c AS (
+      |  SELECT doc_id,
+      |    CAST(COALESCE(len(string_split(text, ' ')), 0) AS BIGINT)
+      |      AS n_text_tokens,
+      |    CAST(1 + octet_length(encode(text)) % 5 AS BIGINT) AS n_frames,
+      |    CAST(concat('0x', substr(md5(concat('mm:',
+      |      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS shuffle_key
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, n_text_tokens,
+      |    n_frames * $FrameTokens AS n_image_tokens,
+      |    n_text_tokens + n_frames * $FrameTokens AS cost,
+      |    shuffle_key, shuffle_key % 16 AS shard
+      |  FROM c),
+      |p AS (
+      |  SELECT doc_id, shard, n_text_tokens, n_image_tokens, cost,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY shard
+      |      ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos,
+      |    CAST(SUM(cost) OVER (PARTITION BY shard
+      |      ORDER BY shuffle_key, doc_id
+      |      ROWS UNBOUNDED PRECEDING) - cost AS BIGINT) AS start_off
+      |  FROM k)
+      |SELECT doc_id, shard, pos, n_text_tokens, n_image_tokens, cost,
+      |  start_off,
+      |  start_off // $MmSeqLen AS start_seq,
+      |  (start_off + cost - 1) // $MmSeqLen AS end_seq
+      |FROM p""".stripMargin
+
   def queries: Seq[Q] = Seq(
+    Q("q140_mm_packed_stream", mmPackedStream, Some(mmPackedStreamSql),
+      "interleaved multimodal packing: q91's contiguous-stream device " +
+        "under a text+frame-token cost model (64 tokens per decoded " +
+        "frame) — loader placements billing image tokens into the " +
+        "context window"),
     Q("q50_binary_meta", binaryMeta, Some(binaryMetaSql),
       "binary payload metadata via typed mapPartitions (stub decoder)"),
     Q("q51_frame_sample", frameSample, Some(frameSampleSql),
