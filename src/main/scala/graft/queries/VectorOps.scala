@@ -1768,6 +1768,69 @@ object VectorOps {
       |FROM pos p JOIN neg n ON n.vec_id = p.vec_id
       |WHERE p.rn = 1 AND n.rn = 1""".stripMargin
 
+  /** q141 — embedding-distribution DRIFT report: the delta batch's
+    * grid-cell occupancy against the standing corpus's, per cell, in
+    * integer parts-per-million — the shift detector an embedding
+    * pipeline runs before trusting yesterday's ANN index (or SemDeDup
+    * cell budget) on today's data. A cell whose delta share departs
+    * from its corpus share is where new content concentrates; Σ
+    * |drift|/2 over cells is the total-variation distance, left to the
+    * consumer because the per-cell attribution IS the actionable part.
+    * The delta split is the q46 md5 device on vec_id, the cells are
+    * the same integer quantizer every ANN/SemDeDup path shares — so
+    * the report is engine-exact and bounded at nCells rows.
+    *
+    * Scale shape: one celled scan → ONE bounded-key (≤ nCells) rollup
+    * with conditional sums → a 1-row totals broadcast (the q99
+    * no-global-aggregate device). Map-side everything; free at
+    * 100 TB. */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val celled = withGridCell(Tables(spark, dir, "embeddings"))
+      .withColumn("is_delta",
+        substring(md5($"vec_id".cast("string")), 1, 2) < "1a")
+    val counts = celled.groupBy($"cell")
+      .agg(sum(when($"is_delta", 0L).otherwise(1L)).as("n_corpus"),
+        sum(when($"is_delta", 1L).otherwise(0L)).as("n_delta"))
+    val tot = counts.withColumn("k", lit(0)).groupBy($"k")
+      .agg(sum($"n_corpus").as("tc"), sum($"n_delta").as("td"))
+    counts.withColumn("k", lit(0)).join(broadcast(tot), "k")
+      .select($"cell", $"n_corpus", $"n_delta",
+        expr("CAST(IF(tc = 0, 0, (1000000 * n_corpus) div tc) AS BIGINT)")
+          .as("corpus_ppm"),
+        expr("CAST(IF(td = 0, 0, (1000000 * n_delta) div td) AS BIGINT)")
+          .as("delta_ppm"))
+      .withColumn("drift_ppm", abs($"delta_ppm" - $"corpus_ppm"))
+  }
+
+  private val embeddingDriftSql =
+    s"""WITH $gridCtes,
+      |sp AS (
+      |  SELECT cell,
+      |    substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '1a' AS is_delta
+      |  FROM gassign),
+      |counts AS (
+      |  SELECT cell,
+      |    CAST(SUM(CASE WHEN is_delta THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS n_corpus,
+      |    CAST(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_delta
+      |  FROM sp GROUP BY cell),
+      |t AS (
+      |  SELECT CAST(SUM(n_corpus) AS BIGINT) AS tc,
+      |    CAST(SUM(n_delta) AS BIGINT) AS td
+      |  FROM counts)
+      |SELECT cell, n_corpus, n_delta,
+      |  CAST(CASE WHEN tc = 0 THEN 0
+      |    ELSE (1000000 * n_corpus) // tc END AS BIGINT) AS corpus_ppm,
+      |  CAST(CASE WHEN td = 0 THEN 0
+      |    ELSE (1000000 * n_delta) // td END AS BIGINT) AS delta_ppm,
+      |  abs(CAST(CASE WHEN td = 0 THEN 0
+      |      ELSE (1000000 * n_delta) // td END AS BIGINT)
+      |    - CAST(CASE WHEN tc = 0 THEN 0
+      |      ELSE (1000000 * n_corpus) // tc END AS BIGINT)) AS drift_ppm
+      |FROM counts, t""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q30_knn_topk", knnTopK, Some(knnTopKSql),
       "brute-force cosine top-5 (broadcast query, codegen dot)"),
@@ -1788,6 +1851,10 @@ object VectorOps {
       "class-pair confusion matrix from rank-1 hard negatives with " +
         "integer ppm shares — the embedding-quality triage report, " +
         "bounded (label, neg_label) output"),
+    Q("q141_embedding_drift", embeddingDrift, Some(embeddingDriftSql),
+      "grid-cell occupancy drift of the delta batch vs the standing " +
+        "corpus in integer ppm — the distribution-shift detector run " +
+        "before trusting yesterday's ANN index on today's data"),
     Q("q111_semantic_dedup", semanticDedup, Some(semanticDedupSql),
       "SemDeDup: within-grid-cell cosine near-dup detection, " +
         "lowest-id exemplar survives; per-vector kept/dropped verdict"),

@@ -331,6 +331,24 @@ class VectorSearchSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("q141 drift report conserves vectors, ppm shares close to a million") {
+    val rows = VectorOps.embeddingDrift(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val total = graft.sources.Tables(spark, sf0001, "embeddings").count()
+    assert(rows.map(_._2).sum + rows.map(_._3).sum == total,
+      "every vector lands in exactly one cell and one side")
+    // truncating shares: sum within (1e6 - nCells, 1e6]
+    val cPpm = rows.map(_._4).sum
+    val dPpm = rows.map(_._5).sum
+    assert(cPpm <= 1000000L && cPpm > 1000000L - rows.length)
+    assert(dPpm <= 1000000L && dPpm > 1000000L - rows.length)
+    rows.foreach { case (_, _, _, c, d, drift) =>
+      assert(drift == math.abs(d - c))
+    }
+  }
+
   test("q137 confusion matrix conserves anchors, excludes the diagonal") {
     import org.apache.spark.sql.functions._
     val conf = VectorOps.labelConfusion(spark, sf0001).collect()
