@@ -1018,9 +1018,80 @@ object TextOps {
       |    CAST(sc.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS order_key
       |FROM sc, cuts""".stripMargin
 
+  /** q142 — vocabulary-drift report, the lexical twin of q141's
+    * embedding drift: for the standing corpus's top-100 terms (by
+    * corpus occurrence count — TakeOrderedAndProject, never a global
+    * window), each term's share of the total token mass on both sides
+    * of the q46 delta split, in integer ppm, plus the absolute drift.
+    * A head term whose delta share collapses (or a new-campaign term
+    * surging) is the earliest lexical symptom of a source change —
+    * caught BEFORE it shifts quality-gate pass rates. Shares are
+    * against each side's FULL token mass (not just the head), so the
+    * report is honest about how much of the distribution the head
+    * covers.
+    *
+    * Scale shape: one token explode → vocabulary-bounded two-sided
+    * count rollup → head via orderBy+limit (parameter frame) +
+    * 1-row totals broadcast (the q99 device) → map-side ppm. */
+  def vocabDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Tables(spark, dir, "documents")
+      .withColumn("is_delta",
+        substring(md5($"doc_id".cast("string")), 1, 2) < "1a")
+      .select($"is_delta", explode(split($"text", " ")).as("term"))
+      .filter($"term" =!= "")
+    val counts = terms.groupBy($"term")
+      .agg(sum(when($"is_delta", 0L).otherwise(1L)).as("n_corpus"),
+        sum(when($"is_delta", 1L).otherwise(0L)).as("n_delta"))
+    val top = counts.orderBy($"n_corpus".desc, $"term".asc).limit(100)
+    val tot = counts.withColumn("k", lit(0)).groupBy($"k")
+      .agg(sum($"n_corpus").as("tc"), sum($"n_delta").as("td"))
+    top.withColumn("k", lit(0)).join(broadcast(tot), "k")
+      .select($"term", $"n_corpus", $"n_delta",
+        expr("CAST(IF(tc = 0, 0, (1000000 * n_corpus) div tc) AS BIGINT)")
+          .as("corpus_ppm"),
+        expr("CAST(IF(td = 0, 0, (1000000 * n_delta) div td) AS BIGINT)")
+          .as("delta_ppm"))
+      .withColumn("drift_ppm", abs($"delta_ppm" - $"corpus_ppm"))
+  }
+
+  private val vocabDriftSql =
+    """WITH tk AS (
+      |  SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+      |      AS is_delta,
+      |    u.t AS term
+      |  FROM documents, unnest(string_split(text, ' ')) u(t)
+      |  WHERE u.t <> ''),
+      |c AS (
+      |  SELECT term,
+      |    CAST(SUM(CASE WHEN is_delta THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS n_corpus,
+      |    CAST(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_delta
+      |  FROM tk GROUP BY term),
+      |top AS (SELECT * FROM c ORDER BY n_corpus DESC, term ASC LIMIT 100),
+      |t AS (
+      |  SELECT CAST(SUM(n_corpus) AS BIGINT) AS tc,
+      |    CAST(SUM(n_delta) AS BIGINT) AS td
+      |  FROM c)
+      |SELECT term, n_corpus, n_delta,
+      |  CAST(CASE WHEN tc = 0 THEN 0
+      |    ELSE (1000000 * n_corpus) // tc END AS BIGINT) AS corpus_ppm,
+      |  CAST(CASE WHEN td = 0 THEN 0
+      |    ELSE (1000000 * n_delta) // td END AS BIGINT) AS delta_ppm,
+      |  abs(CAST(CASE WHEN td = 0 THEN 0
+      |      ELSE (1000000 * n_delta) // td END AS BIGINT)
+      |    - CAST(CASE WHEN tc = 0 THEN 0
+      |      ELSE (1000000 * n_corpus) // tc END AS BIGINT)) AS drift_ppm
+      |FROM top, t""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q20_token_stats", tokenStats, Some(tokenStatsSql),
       "whitespace + subword-chunk token counting"),
+    Q("q142_vocab_drift", vocabDrift, Some(vocabDriftSql),
+      "head-term share drift of the delta batch vs the standing " +
+        "corpus in integer ppm — the lexical distribution-shift " +
+        "detector, top-100 via TakeOrderedAndProject"),
     Q("q138_curriculum_phase", curriculumPhase, Some(curriculumPhaseSql),
       "easy-to-hard curriculum assignment: quintile phase from the " +
         "corpus's own unigram-score histogram (cutoff-bin device, no " +

@@ -755,6 +755,33 @@ class OperatorPropertiesSpec extends SparkSuite {
     assert(report("probe1")._3 <= report("probe2")._3)
   }
 
+  test("q142 vocab drift: head bounded, ppm arithmetic, top-k plan shape") {
+    val df = TextOps.vocabDrift(spark, sf0001)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach { case (_, _, _, c, d, drift) =>
+      assert(c >= 0 && c <= 1000000L && d >= 0 && d <= 1000000L)
+      assert(drift == math.abs(d - c))
+    }
+    // the head is the top terms by corpus count — no term outside the
+    // report may exceed the report's minimum corpus count
+    val minInReport = rows.map(_._2).min
+    val allCounts = graft.sources.Tables(spark, sf0001, "documents")
+      .select(explode(split(col("text"), " ")).as("term"),
+        (substring(md5(col("doc_id").cast("string")), 1, 2) < "1a")
+          .as("is_delta"))
+      .filter(col("term") =!= "").filter(!col("is_delta"))
+      .groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inReport = rows.map(_._1).toSet
+    allCounts.filterNot(kv => inReport(kv._1)).values
+      .foreach(c => assert(c <= minInReport))
+    // the top-k must plan TakeOrderedAndProject, not a global window
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("q138 curriculum: total order laws, quintile balance at bin granularity") {
     val rows = TextOps.curriculumPhase(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
