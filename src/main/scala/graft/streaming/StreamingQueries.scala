@@ -415,6 +415,53 @@ object StreamingQueries {
         (-col("m.neg")).cast("long").as("neg_id"))
   }
 
+  /** Windowed embedding-drift MONITOR — q141's report as an alerting
+    * stream: each watermark window's arriving vectors are grid-celled
+    * statelessly (the batch quantizer's codegen expression), the
+    * window's per-cell occupancy lands in ONE stateful aggregate (16
+    * conditional sums + the total — per-cell counts and the window
+    * total in the same state row, so no second stateful stage), and
+    * the emitted rows carry each cell's window ppm beside the STATIC
+    * corpus baseline ppm and the absolute drift. A window whose drift
+    * mass spikes is the "today's data is not yesterday's" alert that
+    * gates index rebuilds.
+    *
+    * The corpus baseline is a ≤nCells-row parameter read (the
+    * centroid-read precedent) folded into a literal map — no
+    * stream-static join is even needed on the tiny side. */
+  def cellDriftStream(vectors: DataFrame, corpus: DataFrame,
+      eventTime: String = "event_ts",
+      delay: String = "10 seconds"): DataFrame = {
+    import graft.queries.VectorOps
+    val nCells = 16
+    // corpus baseline: bounded parameter read, exactly q141's arithmetic
+    val cc = VectorOps.withGridCell(corpus)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val corpusTotal = cc.values.sum
+    def corpusPpm(cell: Int): Long =
+      if (corpusTotal == 0) 0L else 1000000L * cc.getOrElse(cell, 0L) / corpusTotal
+    val cellCounts = (0 until nCells).map(i =>
+      sum(when(col("cell") === i, 1L).otherwise(0L)).as(s"c$i"))
+    val agg = VectorOps.withGridCell(vectors)
+      .withWatermark(eventTime, delay)
+      .groupBy(window(col(eventTime), "1 minute"))
+      .agg(count(lit(1)).as("n_total"), cellCounts: _*)
+    val perCell = explode(array((0 until nCells).map(i =>
+      struct(lit(i).as("cell"), col(s"c$i").as("n_delta"))): _*))
+    val baseline = map((0 until nCells).flatMap(i =>
+      Seq(lit(i), lit(corpusPpm(i)))): _*)
+    agg
+      .select(col("window.start").as("window_start"), col("n_total"),
+        perCell.as("pc"))
+      .select(col("window_start"), col("pc.cell").as("cell"),
+        col("pc.n_delta").as("n_delta"),
+        expr("CAST(IF(n_total = 0, 0, (1000000 * pc.n_delta) div n_total) " +
+          "AS BIGINT)").as("delta_ppm"),
+        element_at(baseline, col("pc.cell")).as("corpus_ppm"))
+      .withColumn("drift_ppm", abs(col("delta_ppm") - col("corpus_ppm")))
+  }
+
   // ------------------------------------------------------- sessionizer
   final case class SEvent(user_id: Long, ts_s: Long, event_id: Long)
   final case class SessionOut(user_id: Long, session_idx: Long,

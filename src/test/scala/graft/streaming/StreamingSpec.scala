@@ -553,6 +553,55 @@ class StreamingSpec extends SparkSuite {
       s"got=$got expected=${qIds.map(id => id -> rank1(id))}")
   }
 
+  test("streaming cell-drift monitor matches a driver-side recompute") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf0001 = "/root/testdata/sf0.001"
+    val corpus = graft.sources.Tables(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding")
+    // window arrivals: the first 20 corpus vectors replayed
+    val vecs = corpus.orderBy($"vec_id").limit(20).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // driver-side expectation over the same integer quantizer
+    val cells = graft.queries.VectorOps.withGridCell(corpus)
+      .select($"vec_id", $"cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val corpusTotal = cells.size.toLong
+    val corpusByCell = cells.values.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val arrivalCells = vecs.map(v => cells(v._1))
+    val expect = arrivalCells.groupBy(identity)
+      .map { case (c, g) =>
+        val dPpm = 1000000L * g.length / vecs.length
+        val cPpm = 1000000L * corpusByCell(c) / corpusTotal
+        c -> (g.length.toLong, dPpm, cPpm, math.abs(dPpm - cPpm))
+      }
+    val ms = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+    val q = StreamingQueries.cellDriftStream(
+        ms.toDF().toDF("vec_id", "embedding", "event_ts"), corpus)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("drift_out").start()
+    val t0 = java.sql.Timestamp.valueOf("2025-01-25 16:00:01")
+    ms.addData(vecs.map(v => (v._1, v._2, t0)): _*)
+    q.processAllAvailable()
+    ms.addData((999999L, vecs.head._2,
+      java.sql.Timestamp.valueOf("2025-01-25 16:05:00")))
+    q.processAllAvailable()
+    val got = spark.table("drift_out")
+      .filter($"window_start" ===
+        java.sql.Timestamp.valueOf("2025-01-25 16:00:00"))
+      .collect()
+    q.stop()
+    val gotByCell = got.map(r => r.getInt(1) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    for ((c, e) <- expect)
+      assert(gotByCell.get(c).contains(e), s"cell $c: ${gotByCell.get(c)} vs $e")
+    // untouched cells emit zero delta with their corpus baseline
+    gotByCell.filterNot(kv => expect.contains(kv._1)).foreach {
+      case (c, (n, dp, _, _)) => assert(n == 0L && dp == 0L, s"cell $c")
+    }
+  }
+
   test("native session_window streams with watermark and matches batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
