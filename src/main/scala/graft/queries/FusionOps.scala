@@ -225,6 +225,51 @@ object DedupFusionOps {
         $"jaccard")
   }
 
+  /** The persisted span-gram index the q73 family's 100 TB notes
+    * describe: the standing corpus's DISTINCT window hashes (narrow
+    * 8-byte rows via [[DedupOps.spanWindowHashes]] — no gram text is
+    * ever built), written once beside the [[lshWriteIndex]] band
+    * tables. Per-ingest novelty then joins an 8-byte key against
+    * storage instead of re-exploding the corpus. */
+  def spanWriteIndex(spark: SparkSession, dir: String, path: String): Unit = {
+    import spark.implicits._
+    DedupOps.spanWindowHashes(
+        docs(spark, dir).filter(!isDeltaCol).select($"doc_id", $"text"),
+        NoveltyK)
+      .select($"gh").distinct()
+      .write.mode("overwrite").parquet(s"$path/span_hashes")
+  }
+
+  /** q139's novelty answered FROM the stored hash index: delta windows
+    * are hashed with the same expression and left-joined against the
+    * 8-byte key table — the corpus text is never re-read. Result
+    * equality with the live [[noveltyScore]] is spec-asserted (a
+    * 64-bit hash collision could in principle mark a novel window
+    * seen; the birthday bound and its determinism are documented on
+    * [[DedupOps.spanWindowHashes]]). */
+  def noveltyScoreIndexed(spark: SparkSession, dir: String,
+      path: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val deltaWins = DedupOps.spanWindowHashes(
+      d.filter(isDeltaCol).select($"doc_id", $"text"), NoveltyK)
+    val stored = spark.read.parquet(s"$path/span_hashes")
+      .withColumn("seen", lit(true))
+    val flagged = deltaWins
+      .join(stored, Seq("gh"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when($"seen", 0L).otherwise(1L)).as("n_novel"))
+    d.filter(isDeltaCol).select($"doc_id")
+      .join(flagged, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_windows", lit(0L)).as("n_windows"),
+        coalesce($"n_novel", lit(0L)).as("n_novel"),
+        expr("CAST(IF(COALESCE(n_windows, 0) = 0, 0, " +
+          "(100 * COALESCE(n_novel, 0)) div n_windows) AS BIGINT)")
+          .as("novelty_pct"))
+  }
+
   // ---------------------------------------------------------------------
   // q139 — window-novelty score of the delta batch
   // ---------------------------------------------------------------------

@@ -127,6 +127,22 @@ class FusionOpsSpec extends SparkSuite {
       "index must exclude the delta side")
   }
 
+  test("persisted span index: indexed novelty == live q139, read from disk") {
+    val path = java.nio.file.Files
+      .createTempDirectory("span-index").toString
+    DedupFusionOps.spanWriteIndex(spark, sf0001, path)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val live = DedupFusionOps.noveltyScore(spark, sf0001)
+      .collect().map(key).toSet
+    val indexed = DedupFusionOps.noveltyScoreIndexed(spark, sf0001, path)
+    val got = indexed.collect().map(key).toSet
+    assert(got == live, "indexed novelty must equal the live form")
+    assert(got.nonEmpty)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains(path), s"plan must read the index at $path:\n$plan")
+  }
+
   test("q139 novelty matches a driver-side window recompute") {
     val k = 8
     val all = graft.sources.Tables(spark, sf0001, "documents")
