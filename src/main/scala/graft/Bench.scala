@@ -120,7 +120,7 @@ object Bench {
            "q45" -> "q59", "q45" -> "q64", "q45" -> "q78",
            "q45" -> "q88", "q45" -> "q90", "q45" -> "q92",
            "q45" -> "q93", "q45" -> "q102", "q45" -> "q103",
-           "q45" -> "q104",
+           "q45" -> "q104", "q45" -> "q143",
            "q66" -> "q67", "q66" -> "q68", "q66" -> "q76",
            "q66" -> "q83", "q101" -> "q106", "q101" -> "q135",
            "q122" -> "q123", "q134" -> "q137")

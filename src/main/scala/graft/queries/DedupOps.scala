@@ -804,6 +804,86 @@ object DedupOps {
       |      FROM cl GROUP BY cluster_id) s
       |GROUP BY size""".stripMargin
 
+  /** q143 — survivor-policy A/B report: the pre-ship comparison of
+    * three survivor selection policies over the SAME memoized cluster
+    * labels — keep-longest (q59's shipped policy), keep-shortest, and
+    * keep-first (min doc_id) — each as one summary row: survivors
+    * (identical by construction: one per cluster), total kept chars
+    * (the number that moves: longest maximizes retained text,
+    * shortest minimizes near-dup storage), and how many clusters pick
+    * a DIFFERENT survivor than the shipped policy. A data team reads
+    * this before changing the policy; the disagreement count says how
+    * much of the corpus the change actually touches.
+    *
+    * Scale shape: all three argmax/argmin choices come out of ONE
+    * partial-aggregatable groupBy over cluster_id (three struct
+    * aggregates in the same HashAggregate — no windows, no second
+    * shuffle), then a 3-row summary union. Rides the memoized q45
+    * labels (payer-before-rider: q45 → q143). */
+  def survivorPolicies(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables(spark, dir, "documents")
+      .select($"doc_id", $"n_chars")
+      .join(clusterLabels(spark, dir), "doc_id")
+      .groupBy($"cluster_id")
+      .agg(
+        max(struct($"n_chars".as("c"), (-$"doc_id").as("nid"))).as("lg"),
+        min(struct($"n_chars".as("c"), $"doc_id".as("id"))).as("sh"),
+        min(struct($"doc_id".as("id"), $"n_chars".as("c"))).as("fs"))
+      .select(
+        (-$"lg.nid").as("lg_id"), $"lg.c".as("lg_c"),
+        $"sh.id".as("sh_id"), $"sh.c".as("sh_c"),
+        $"fs.id".as("fs_id"), $"fs.c".as("fs_c"))
+    def row(policy: String, id: Column, c: Column) =
+      per.select(
+        lit(policy).as("policy"),
+        lit(1L).as("one"), c.as("c"),
+        when(id =!= $"lg_id", 1L).otherwise(0L).as("dif"))
+        .groupBy($"policy")
+        .agg(sum($"one").as("n_survivors"),
+          sum($"c").as("kept_chars"),
+          sum($"dif").as("n_differ_from_shipped"))
+    row("keep_longest", $"lg_id", $"lg_c")
+      .union(row("keep_shortest", $"sh_id", $"sh_c"))
+      .union(row("keep_first", $"fs_id", $"fs_c"))
+  }
+
+  private val survivorPoliciesSql = survivorCtes.replace(
+    "surv AS (",
+    """rk AS (
+      |  SELECT cluster_id, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |      ORDER BY n_chars DESC, doc_id ASC) AS r_lg,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |      ORDER BY n_chars ASC, doc_id ASC) AS r_sh,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |      ORDER BY doc_id ASC) AS r_fs
+      |  FROM cl),
+      |pol AS (
+      |  SELECT cluster_id,
+      |    MAX(CASE WHEN r_lg = 1 THEN doc_id END) AS lg_id,
+      |    MAX(CASE WHEN r_lg = 1 THEN n_chars END) AS lg_c,
+      |    MAX(CASE WHEN r_sh = 1 THEN doc_id END) AS sh_id,
+      |    MAX(CASE WHEN r_sh = 1 THEN n_chars END) AS sh_c,
+      |    MAX(CASE WHEN r_fs = 1 THEN doc_id END) AS fs_id,
+      |    MAX(CASE WHEN r_fs = 1 THEN n_chars END) AS fs_c
+      |  FROM rk GROUP BY cluster_id),
+      |surv AS (""".stripMargin) + "\n" +
+    """SELECT 'keep_longest' AS policy,
+      |  CAST(COUNT(*) AS BIGINT) AS n_survivors,
+      |  CAST(SUM(lg_c) AS BIGINT) AS kept_chars,
+      |  CAST(0 AS BIGINT) AS n_differ_from_shipped FROM pol
+      |UNION ALL
+      |SELECT 'keep_shortest', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(sh_c) AS BIGINT),
+      |  CAST(SUM(CASE WHEN sh_id <> lg_id THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM pol
+      |UNION ALL
+      |SELECT 'keep_first', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(fs_c) AS BIGINT),
+      |  CAST(SUM(CASE WHEN fs_id <> lg_id THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM pol""".stripMargin
+
   /** SimHash signatures via the codegen [[simhash64]] expression.
     * Term hash = first 15 hex chars of md5 (60 bits, fits signed int64
     * positive) — chosen because BOTH engines compute md5 identically, so
@@ -1261,6 +1341,12 @@ object DedupOps {
     Q("q78_cluster_sizes", clusterSizes, Some(clusterSizesSql),
       "dedup audit report: duplicate-cluster size distribution over " +
         "the memoized q45 labels (singletons included)"),
+    Q("q143_survivor_policies", survivorPolicies,
+      Some(survivorPoliciesSql),
+      "survivor-policy A/B: keep-longest vs keep-shortest vs " +
+        "keep-first over the same cluster labels — kept chars and " +
+        "disagreement counts, three struct argmins in one " +
+        "HashAggregate"),
     Q("q40_exact_dedup", exactDedup, Some(exactDedupSql),
       "normalize+md5 exact dedup, deterministic survivor"),
     Q("q41_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql),

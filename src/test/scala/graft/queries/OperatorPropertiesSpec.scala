@@ -755,6 +755,28 @@ class OperatorPropertiesSpec extends SparkSuite {
     assert(report("probe1")._3 <= report("probe2")._3)
   }
 
+  test("q143 survivor policies: one per cluster, longest maximizes chars") {
+    val rows = DedupOps.survivorPolicies(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet ==
+      Set("keep_longest", "keep_shortest", "keep_first"))
+    // every policy keeps exactly one survivor per cluster
+    val nClusters = DedupOps.clusterLabels(spark, sf0001)
+      .select("cluster_id").distinct().count()
+    rows.values.foreach { case (n, _, _) => assert(n == nClusters) }
+    // the shipped policy retains the most text, disagrees with itself 0
+    val (_, lgChars, lgDif) = rows("keep_longest")
+    assert(lgDif == 0)
+    assert(lgChars >= rows("keep_shortest")._2)
+    assert(lgChars >= rows("keep_first")._2)
+    // and it matches q59's survivors exactly
+    val q59Chars = DedupOps.dedupCorpus(spark, sf0001)
+      .join(graft.sources.Tables(spark, sf0001, "documents"), "doc_id")
+      .agg(sum(col("n_chars"))).head.getLong(0)
+    assert(lgChars == q59Chars, "keep_longest must BE the shipped q59")
+  }
+
   test("q142 vocab drift: head bounded, ppm arithmetic, top-k plan shape") {
     val df = TextOps.vocabDrift(spark, sf0001)
     val rows = df.collect().map(r => (r.getString(0), r.getLong(1),
