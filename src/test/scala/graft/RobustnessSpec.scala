@@ -106,4 +106,38 @@ class RobustnessSpec extends SparkSuite {
     assert(salted == plain)
     assert(plain.nonEmpty)
   }
+
+  test("degenerate vectors: short rows drop from cells, zero-norm never wins") {
+    import spark.implicits._
+    // a 64-dim corpus of two vectors + one SHORT (wrong-dim) + one
+    // all-zero; the short row must get a NULL cell (NearestIndex's
+    // degrade contract) and silently drop from every cell equi-join;
+    // the zero-norm row must never win a similarity argmax (NaN
+    // demotion) though it keeps a valid cell
+    def vec(seed: Int): Seq[Float] =
+      (0 until 64).map(d => ((seed * 31 + d) % 7 - 3) / 3.0f)
+    val frame = Seq(
+      (1L, vec(1), 0), (2L, vec(2), 1),
+      (3L, Seq(1.0f, 2.0f), 0), // wrong dims
+      (4L, Seq.fill(64)(0.0f), 1) // zero norm
+    ).toDF("vec_id", "embedding", "label")
+    val celled = graft.queries.VectorOps.withGridCell(frame)
+    val cells = celled.collect()
+      .map(r => r.getLong(0) -> Option(r.get(r.fieldIndex("cell")))).toMap
+    assert(cells(3L).isEmpty, "short vector must take a NULL cell")
+    assert(cells(1L).nonEmpty && cells(2L).nonEmpty && cells(4L).nonEmpty)
+    // the streaming hard-negative lookup on these frames (batch
+    // execution of the same plan): doc 3 contributes nothing, and a
+    // query landing in doc 4's cell can only pick 4 if NO real
+    // cross-label vector shares the cell — never over one
+    val qs = Seq((10L, vec(1), 1,
+      java.sql.Timestamp.valueOf("2025-01-25 16:00:01")))
+      .toDF("query_id", "embedding", "label", "event_ts")
+    val out = graft.streaming.StreamingQueries
+      .hardNegativeStream(qs, frame)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // query 10 (label 1) shares vec(1)'s cell with doc 1 (label 0):
+    // the real vector must win over any degenerate candidate
+    assert(out.get(10L).contains(1L), s"got $out")
+  }
 }
