@@ -1928,7 +1928,77 @@ object PipelineOps {
       |FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id
       |GROUP BY d.source""".stripMargin
 
+  /** q144's chunking geometry, ONE definition feeding the engine and
+    * the interpolated oracle: 32-token chunks on a 24-token stride
+    * (8-token overlap — the neighboring-context carry a RAG retriever
+    * wants at chunk boundaries). */
+  private val ChunkLen = 32
+  private val ChunkStride = 24
+
+  /** q144 — retrieval chunking: every document split into overlapping
+    * fixed-geometry chunks with explicit coordinates (chunk index,
+    * 1-based token start, actual token count — the tail chunk may be
+    * short but the end of the document is ALWAYS covered) and an md5
+    * chunk fingerprint. This is the RAG-side counterpart of q48's
+    * training packing: packing tiles tokens for a trainer (no overlap,
+    * padding accounting), chunking tiles them for a retriever
+    * (overlap, per-chunk identity — the fingerprint is what chunk-
+    * level dedup and index upserts key on). Chunk count =
+    * 1 + ⌈max(n−L, 0)/S⌉, so a document shorter than one chunk emits
+    * exactly one.
+    *
+    * Scale shape: pure map-side — one split + one bounded explode per
+    * document, codegen end to end; no shuffle exists in this query at
+    * all. At 100 TB it is scan-speed. */
+  def ragChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("tok"))
+      .withColumn("n", size($"tok").cast("long"))
+      .select($"doc_id", $"n", explode(expr(
+        s"""transform(
+           |  sequence(0, CAST(ceil(greatest(n - $ChunkLen, 0)
+           |    / CAST($ChunkStride AS DOUBLE)) AS BIGINT)),
+           |  j -> struct(
+           |    j AS idx,
+           |    j * $ChunkStride + 1 AS start,
+           |    concat_ws(' ', slice(tok, CAST(j * $ChunkStride + 1 AS INT),
+           |      $ChunkLen)) AS chunk))""".stripMargin)).as("c"))
+      .select($"doc_id",
+        $"c.idx".cast("long").as("chunk_idx"),
+        $"c.start".cast("long").as("start_tok"),
+        least(lit(ChunkLen.toLong), $"n" - $"c.idx" * ChunkStride)
+          .cast("long").as("n_tokens"),
+        md5($"c.chunk").as("chunk_hash"))
+  }
+
+  private val ragChunksSql =
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tok,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |j AS (
+      |  SELECT doc_id, tok, n, unnest(range(0,
+      |    2 + CAST(ceil(greatest(n - $ChunkLen, 0)
+      |      / CAST($ChunkStride AS DOUBLE)) AS BIGINT))) AS j
+      |  FROM d),
+      |k AS (SELECT * FROM j WHERE j <= ceil(greatest(n - $ChunkLen, 0)
+      |    / CAST($ChunkStride AS DOUBLE)))
+      |SELECT doc_id,
+      |  CAST(j AS BIGINT) AS chunk_idx,
+      |  CAST(j * $ChunkStride + 1 AS BIGINT) AS start_tok,
+      |  CAST(LEAST($ChunkLen, n - j * $ChunkStride) AS BIGINT)
+      |    AS n_tokens,
+      |  md5(array_to_string(
+      |    tok[j * $ChunkStride + 1 : j * $ChunkStride + $ChunkLen], ' '))
+      |    AS chunk_hash
+      |FROM k""".stripMargin
+
   def queries: Seq[Q] = Seq(
+    Q("q144_rag_chunks", ragChunks, Some(ragChunksSql),
+      "retrieval chunking: overlapping 32/24 fixed-geometry chunks " +
+        "with coordinates and md5 fingerprints — map-side only, the " +
+        "RAG counterpart of q48's training packing"),
     Q("q69_feature_hash", featureHash, Some(featureHashSql),
       "hashing-trick vectorization: sparse 64-dim term-count vectors, " +
         "integer-exact dims and weights (long form)"),

@@ -565,6 +565,31 @@ class PipelineOpsSpec extends SparkSuite {
       PipelineOps.trainingCorpus(spark, sf0001).count())
   }
 
+  test("q144 chunks tile every document and always cover the end") {
+    import spark.implicits._
+    val rows = PipelineOps.ragChunks(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = graft.sources.Tables(spark, sf0001, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.map(_._1).toSet == docs.keySet)
+    for ((id, n) <- docs) {
+      val ch = rows.filter(_._1 == id).sortBy(_._2)
+      val expect = 1 + math.ceil(math.max(n - 32, 0) / 24.0).toLong
+      assert(ch.length == expect, s"doc $id chunk count")
+      ch.zipWithIndex.foreach { case ((_, idx, st, nt), i) =>
+        assert(idx == i && st == i * 24 + 1)
+        assert(nt == math.min(32L, n - i * 24) && nt >= 1)
+      }
+      val last = ch.last
+      assert(last._3 + last._4 - 1 == n, s"doc $id end uncovered")
+      ch.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 <= a._3 + a._4, s"doc $id gap")
+        case _ => ()
+      }
+    }
+  }
+
   test("q133 apportions the budget exactly and fills every bin to " +
       "min(quota, available)") {
     import spark.implicits._
