@@ -1972,7 +1972,9 @@ object PipelineOps {
         md5($"c.chunk").as("chunk_hash"))
   }
 
-  private val ragChunksSql =
+  /** q144's chunking as a WITH-body ending in a `ch` CTE — shared with
+    * q145's chunk-dedup rollup (funnelCtes idiom). */
+  private val ragChunkCtes =
     s"""WITH d AS (
       |  SELECT doc_id, string_split(text, ' ') AS tok,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
@@ -1983,22 +1985,74 @@ object PipelineOps {
       |      / CAST($ChunkStride AS DOUBLE)) AS BIGINT))) AS j
       |  FROM d),
       |k AS (SELECT * FROM j WHERE j <= ceil(greatest(n - $ChunkLen, 0)
-      |    / CAST($ChunkStride AS DOUBLE)))
-      |SELECT doc_id,
-      |  CAST(j AS BIGINT) AS chunk_idx,
-      |  CAST(j * $ChunkStride + 1 AS BIGINT) AS start_tok,
-      |  CAST(LEAST($ChunkLen, n - j * $ChunkStride) AS BIGINT)
-      |    AS n_tokens,
-      |  md5(array_to_string(
-      |    tok[j * $ChunkStride + 1 : j * $ChunkStride + $ChunkLen], ' '))
-      |    AS chunk_hash
-      |FROM k""".stripMargin
+      |    / CAST($ChunkStride AS DOUBLE))),
+      |ch AS (
+      |  SELECT doc_id,
+      |    CAST(j AS BIGINT) AS chunk_idx,
+      |    CAST(j * $ChunkStride + 1 AS BIGINT) AS start_tok,
+      |    CAST(LEAST($ChunkLen, n - j * $ChunkStride) AS BIGINT)
+      |      AS n_tokens,
+      |    md5(array_to_string(
+      |      tok[j * $ChunkStride + 1 : j * $ChunkStride + $ChunkLen], ' '))
+      |      AS chunk_hash
+      |  FROM k)""".stripMargin
+
+  private val ragChunksSql = ragChunkCtes + "\n" +
+    "SELECT doc_id, chunk_idx, start_tok, n_tokens, chunk_hash FROM ch"
+
+  /** q145 — chunk-level dedup: fingerprints shared by more than one
+    * document, each with its occurrence/document counts and the
+    * CANONICAL occurrence (lowest doc_id, then lowest chunk index —
+    * the copy a RAG index keeps; every other occurrence upserts as a
+    * pointer). The chunk-granular sibling of q73's span report: spans
+    * find duplicated text anywhere, this finds it at exactly the
+    * retriever's storage granularity, where "index once, point many"
+    * is the dedup action.
+    *
+    * Scale shape: rides q144's map-side explode, then ONE two-level
+    * hash aggregate on chunk_hash (count + distinct-doc + min-struct
+    * in the same shuffle) — the q73 shape with an argmin carried
+    * along. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ragChunks(spark, dir)
+      .groupBy($"chunk_hash")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct($"doc_id").as("n_docs"),
+        min(struct($"doc_id".as("d"), $"chunk_idx".as("i"))).as("m"))
+      .filter($"n_docs" > 1)
+      .select($"chunk_hash", $"n_occurrences", $"n_docs",
+        $"m.d".as("canon_doc"), $"m.i".as("canon_idx"))
+  }
+
+  private val chunkDedupSql = ragChunkCtes + ",\n" +
+    """cd AS (
+      |  SELECT chunk_hash,
+      |    CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+      |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |  FROM ch GROUP BY chunk_hash),
+      |cn AS (
+      |  SELECT chunk_hash, doc_id AS canon_doc, chunk_idx AS canon_idx
+      |  FROM (
+      |    SELECT chunk_hash, doc_id, chunk_idx,
+      |      ROW_NUMBER() OVER (PARTITION BY chunk_hash
+      |        ORDER BY doc_id ASC, chunk_idx ASC) AS rn
+      |    FROM ch) t
+      |  WHERE rn = 1)
+      |SELECT cd.chunk_hash, cd.n_occurrences, cd.n_docs,
+      |  cn.canon_doc, cn.canon_idx
+      |FROM cd JOIN cn USING (chunk_hash)
+      |WHERE cd.n_docs > 1""".stripMargin
 
   def queries: Seq[Q] = Seq(
     Q("q144_rag_chunks", ragChunks, Some(ragChunksSql),
       "retrieval chunking: overlapping 32/24 fixed-geometry chunks " +
         "with coordinates and md5 fingerprints — map-side only, the " +
         "RAG counterpart of q48's training packing"),
+    Q("q145_chunk_dedup", chunkDedup, Some(chunkDedupSql),
+      "chunk-level dedup over the q144 fingerprints: cross-document " +
+        "chunks with counts and the canonical occurrence — index " +
+        "once, point many"),
     Q("q69_feature_hash", featureHash, Some(featureHashSql),
       "hashing-trick vectorization: sparse 64-dim term-count vectors, " +
         "integer-exact dims and weights (long form)"),
