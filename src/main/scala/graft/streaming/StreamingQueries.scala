@@ -540,6 +540,38 @@ object StreamingQueries {
           .as("n_symbols"))
   }
 
+  /** Running tokenizer-fertility rollup — q135's report as an
+    * ingest-time stream: the stateless per-document application
+    * projection (the SAME shared `preTokenPattern` +
+    * `applyMergesExpr` definitions as [[tokenizeStream]] and the
+    * batch chain, so the three surfaces cannot drift), rolled into a
+    * complete-mode per-source aggregate whose state is bounded by the
+    * source domain. The corpus card updates live as the crawl lands;
+    * the integer ratio columns are the q135 contract verbatim. */
+  def fertilityStream(docs: DataFrame,
+      merges: Seq[graft.queries.PipelineOps.BpeMerge]): DataFrame = {
+    import graft.queries.PipelineOps
+    docs.filter(col("text").isNotNull)
+      .withColumn("pt", regexp_extract_all(col("text"),
+        lit(PipelineOps.preTokenPattern), lit(0)))
+      .select(col("source"),
+        size(col("pt")).cast("long").as("np"),
+        aggregate(col("pt"), lit(0L),
+          (acc, t) => acc + length(t)).as("nc"),
+        aggregate(col("pt"), lit(0L),
+          (acc, t) => acc + length(PipelineOps.applyMergesExpr(t, merges)))
+          .as("ns"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum("np").as("n_pretokens"),
+        sum("nc").as("n_chars"), sum("ns").as("n_symbols"))
+      .withColumn("symbols_per_kchar",
+        expr("CAST(IF(n_chars = 0, 0, (1000 * n_symbols) div n_chars) " +
+          "AS BIGINT)"))
+      .withColumn("saved_pct",
+        expr("CAST(IF(n_chars = 0, 0, (100 * (n_chars - n_symbols)) " +
+          "div n_chars) AS BIGINT)"))
+  }
+
   // ------------------------------------------- funnel / retention twins
   final case class FEvent(user_id: Long, event_type: String, t: Long)
   /** Funnel snapshot row; None = stage not reached (batch q94's NULL). */

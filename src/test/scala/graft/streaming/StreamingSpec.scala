@@ -656,6 +656,34 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.map(_._4).sum < streamed.map(_._3).sum)
   }
 
+  test("streaming fertility rollup == batch q135 on the same corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.queries.PipelineOps.tokenizerFertility(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val merges = graft.queries.PipelineOps.minedMerges(spark, sf0001, 5)
+    val feed = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text", $"source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val ms = MemoryStream[(Long, String, String)]
+    val q = StreamingQueries.fertilityStream(
+        ms.toDF().toDF("doc_id", "text", "source"), merges)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("fert_out").start()
+    // two batches: the rollup must accumulate, not reset
+    val (h, t) = feed.splitAt(feed.length / 2)
+    ms.addData(h: _*)
+    q.processAllAvailable()
+    ms.addData(t: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("fert_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    q.stop()
+    assert(streamed == batch)
+  }
+
   test("funnel stream: per-user stateful snapshots equal batch q94") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
