@@ -1932,7 +1932,7 @@ object PipelineOps {
     * the interpolated oracle: 32-token chunks on a 24-token stride
     * (8-token overlap — the neighboring-context carry a RAG retriever
     * wants at chunk boundaries). */
-  private val ChunkLen = 32
+  private[queries] val ChunkLen = 32
   private val ChunkStride = 24
 
   /** q144 — retrieval chunking: every document split into overlapping
@@ -1950,7 +1950,10 @@ object PipelineOps {
     * Scale shape: pure map-side — one split + one bounded explode per
     * document, codegen end to end; no shuffle exists in this query at
     * all. At 100 TB it is scan-speed. */
-  def ragChunks(spark: SparkSession, dir: String): DataFrame = {
+  /** The chunk stream WITH text — q144/q145 derive their fingerprint
+    * views from it, q146's chunk retrieval vectorizes it. */
+  private[queries] def ragChunkTexts(spark: SparkSession,
+      dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir, "documents")
       .select($"doc_id", split($"text", " ").as("tok"))
@@ -1969,13 +1972,21 @@ object PipelineOps {
         $"c.start".cast("long").as("start_tok"),
         least(lit(ChunkLen.toLong), $"n" - $"c.idx" * ChunkStride)
           .cast("long").as("n_tokens"),
-        md5($"c.chunk").as("chunk_hash"))
+        $"c.chunk".as("chunk"))
   }
 
-  /** q144's chunking as a WITH-body ending in a `ch` CTE — shared with
-    * q145's chunk-dedup rollup (funnelCtes idiom). */
-  private val ragChunkCtes =
-    s"""WITH d AS (
+  def ragChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ragChunkTexts(spark, dir)
+      .select($"doc_id", $"chunk_idx", $"start_tok", $"n_tokens",
+        md5($"chunk").as("chunk_hash"))
+  }
+
+  /** q144's chunking as a WITH-body ending in a `ch` CTE (carrying the
+    * chunk TEXT — q144/q145 fingerprint it, q146 vectorizes it) —
+    * shared three ways so the geometries cannot drift. */
+  private[queries] val ragChunkCteBody =
+    s"""d AS (
       |  SELECT doc_id, string_split(text, ' ') AS tok,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
       |  FROM documents),
@@ -1992,13 +2003,16 @@ object PipelineOps {
       |    CAST(j * $ChunkStride + 1 AS BIGINT) AS start_tok,
       |    CAST(LEAST($ChunkLen, n - j * $ChunkStride) AS BIGINT)
       |      AS n_tokens,
-      |    md5(array_to_string(
-      |      tok[j * $ChunkStride + 1 : j * $ChunkStride + $ChunkLen], ' '))
-      |      AS chunk_hash
+      |    array_to_string(
+      |      tok[j * $ChunkStride + 1 : j * $ChunkStride + $ChunkLen], ' ')
+      |      AS chunk
       |  FROM k)""".stripMargin
 
+  private val ragChunkCtes = "WITH " + ragChunkCteBody
+
   private val ragChunksSql = ragChunkCtes + "\n" +
-    "SELECT doc_id, chunk_idx, start_tok, n_tokens, chunk_hash FROM ch"
+    "SELECT doc_id, chunk_idx, start_tok, n_tokens, md5(chunk) " +
+    "AS chunk_hash FROM ch"
 
   /** q145 — chunk-level dedup: fingerprints shared by more than one
     * document, each with its occurrence/document counts and the
@@ -2026,18 +2040,19 @@ object PipelineOps {
   }
 
   private val chunkDedupSql = ragChunkCtes + ",\n" +
-    """cd AS (
+    """hh AS (SELECT doc_id, chunk_idx, md5(chunk) AS chunk_hash FROM ch),
+      |cd AS (
       |  SELECT chunk_hash,
       |    CAST(COUNT(*) AS BIGINT) AS n_occurrences,
       |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
-      |  FROM ch GROUP BY chunk_hash),
+      |  FROM hh GROUP BY chunk_hash),
       |cn AS (
       |  SELECT chunk_hash, doc_id AS canon_doc, chunk_idx AS canon_idx
       |  FROM (
       |    SELECT chunk_hash, doc_id, chunk_idx,
       |      ROW_NUMBER() OVER (PARTITION BY chunk_hash
       |        ORDER BY doc_id ASC, chunk_idx ASC) AS rn
-      |    FROM ch) t
+      |    FROM hh) t
       |  WHERE rn = 1)
       |SELECT cd.chunk_hash, cd.n_occurrences, cd.n_docs,
       |  cn.canon_doc, cn.canon_idx

@@ -1200,12 +1200,10 @@ object VectorOps {
     * bit-identical (pinned by StreamingSpec). NULL text yields NULL —
     * callers filter it, mirroring the batch universe rule (a NULL
     * document produces no fh rows and no vector). */
-  private[graft] def rowDocVector(text: Column): Column = {
-    val dims = transform(split(text, " "),
-      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 64)
-    transform(sequence(lit(0), lit(63)),
-      d => size(filter(dims, x => x === d)).cast("float"))
-  }
+  private[graft] def rowDocVector(text: Column): Column =
+    graft.functions.VectorExpressions.dimCounts(
+      transform(split(text, " "),
+        t => conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 64), 64)
 
   /** The static eval-side index of the q126 policy over any
     * (doc_id, text) frame: md5 eval draw, vectors, grid cells, lifted
@@ -1831,6 +1829,96 @@ object VectorOps {
       |      ELSE (1000000 * n_corpus) // tc END AS BIGINT)) AS drift_ppm
       |FROM counts, t""".stripMargin
 
+  /** q146 — CHUNK-level retrieval, the RAG search loop closed end to
+    * end: q144's overlapping chunks vectorize with the row-local
+    * hashing lift ([[rowDocVector]] — one columnar expression per
+    * chunk row, exact integer counts in float), take a grid cell and
+    * a packed PQ code from the SAME data-independent quantizers as
+    * every other index here, and the query chunk (doc 0's first
+    * chunk) searches the corpus by probe-pruned ADC — excluding the
+    * query DOCUMENT entirely, the way a retriever must not surface
+    * the asking document's own chunks. q70 proved this loop at
+    * document granularity; chunks are the granularity RAG serving
+    * actually indexes, and the 32-token chunk keeps counts ≤ 32 — far
+    * inside the integer-exactness bounds, so probe membership AND
+    * distances hash-check. Chunk identity travels as
+    * `doc_id·4096 + chunk_idx` (chunk counts at these document
+    * lengths stay orders of magnitude under 4096; the split is
+    * recovered exactly in the output).
+    *
+    * Scale shape: map-side chunk explode + vectorize + quantize
+    * (codegen), probe-pruned codes-only candidate scan, ONE
+    * TakeOrderedAndProject — q70's audited shape with more, smaller
+    * rows. */
+  def chunkRetrieval(spark: SparkSession, dir: String,
+      probes: Int = 4, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val vecs = PipelineOps.ragChunkTexts(spark, dir)
+      .select((($"doc_id" * lit(4096L)) + $"chunk_idx").as("vec_id"),
+        $"doc_id", rowDocVector($"chunk").as("embedding"))
+    // query vector derived DRIVER-side from doc 0's first chunk text —
+    // the deployment shape (a retrieval query arrives externally, it is
+    // never a second pass over the index plan), and it spares one full
+    // analysis+execution of the heavy quantizer tree. Same arithmetic
+    // as rowDocVector: md5 first-8-hex dim, integer counts, exact in
+    // float.
+    val qTokens = Tables(spark, dir, "documents")
+      .filter($"doc_id" === 0).select($"text").head.getString(0)
+      .split(" ", -1).take(PipelineOps.ChunkLen)
+    val qRow = {
+      val counts = new Array[Float](64)
+      qTokens.foreach(t => counts((md5Long8(t) % 64).toInt) += 1f)
+      counts
+    }
+    val qQv = quantizeRow(qRow)
+    val index = withPqCode(withGridCell(vecs))
+      .filter($"doc_id" =!= 0 &&
+        $"cell".isin(gridProbeCells(qQv, probes): _*))
+    rankedAdcTopK(
+      index.withColumn("adc_dist", adcCol(adcLut(qQv)))
+        .select($"vec_id", $"adc_dist"), k)
+      .select($"rank", expr("vec_id div 4096").as("doc_id"),
+        expr("vec_id % 4096").as("chunk_idx"), $"adc_dist")
+  }
+
+  /** Oracle: the q70 composition over the shared chunk CTEs — chunk
+    * token counts per hashed dim, densified quantized vectors, the
+    * shared grid/PQ machinery, probe-pruned ADC ranking. */
+  private val chunkRetrievalSql =
+    "WITH " + Seq(
+      gridParamCtes,
+      pqParamCtes,
+      PipelineOps.ragChunkCteBody,
+      """cfh AS (SELECT cid, dim, CAST(COUNT(*) AS BIGINT) AS w FROM (
+        |    SELECT ch.doc_id * 4096 + ch.chunk_idx AS cid,
+        |      CAST(concat('0x', substr(md5(u.t), 1, 8)) AS BIGINT) % 64
+        |        AS dim
+        |    FROM ch, unnest(string_split(ch.chunk, ' ')) u(t)) z
+        |  GROUP BY cid, dim)""".stripMargin,
+      """cdq AS (SELECT cc.cid AS vec_id, g.d AS d,
+        |    CAST(floor(CAST(CAST(COALESCE(cfh.w, 0) AS FLOAT) AS DOUBLE)
+        |      * 1024) AS BIGINT) AS q
+        |  FROM (SELECT DISTINCT cid FROM cfh) cc
+        |  CROSS JOIN gdims g
+        |  LEFT JOIN cfh ON cfh.cid = cc.cid AND cfh.dim = g.d)""".stripMargin,
+      """cdq8 AS (SELECT vec_id, d // 8 AS s, d % 8 AS d, q FROM cdq)""",
+      gridSearchCtes("cdq"),
+      pqCodeCtes("cdq8")).mkString(",\n") + "\n" +
+      """SELECT rank, doc_id, chunk_idx, adc_dist FROM (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY t.adc ASC, t.vec_id ASC)
+        |      AS BIGINT) AS rank,
+        |    CAST(t.vec_id // 4096 AS BIGINT) AS doc_id,
+        |    CAST(t.vec_id % 4096 AS BIGINT) AS chunk_idx,
+        |    t.adc AS adc_dist
+        |  FROM (SELECT c.vec_id, CAST(SUM(l.dist) AS BIGINT) AS adc
+        |        FROM code c JOIN dist l
+        |          ON l.vec_id = 0 AND l.s = c.s AND l.w = c.cw
+        |        JOIN gassign a ON a.vec_id = c.vec_id
+        |        WHERE c.vec_id // 4096 <> 0
+        |          AND a.cell IN (SELECT cell FROM gprobe)
+        |        GROUP BY c.vec_id) t) u
+        |WHERE rank <= 5""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q30_knn_topk", knnTopK, Some(knnTopKSql),
       "brute-force cosine top-5 (broadcast query, codegen dot)"),
@@ -1855,6 +1943,10 @@ object VectorOps {
       "grid-cell occupancy drift of the delta batch vs the standing " +
         "corpus in integer ppm — the distribution-shift detector run " +
         "before trusting yesterday's ANN index on today's data"),
+    Q("q146_chunk_retrieval", chunkRetrieval(_, _), Some(chunkRetrievalSql),
+      "RAG retrieval loop at chunk granularity: q144 chunks -> " +
+        "row-local hash vectors -> grid+PQ index -> probe-pruned ADC " +
+        "top-5, query document excluded — integer-exact end to end"),
     Q("q111_semantic_dedup", semanticDedup, Some(semanticDedupSql),
       "SemDeDup: within-grid-cell cosine near-dup detection, " +
         "lowest-id exemplar survives; per-vector kept/dropped verdict"),

@@ -331,6 +331,22 @@ class VectorSearchSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("q146 chunk retrieval: query doc excluded, ranks tight, ids valid") {
+    import org.apache.spark.sql.functions._
+    val got = VectorOps.chunkRetrieval(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == (1L to got.length))
+    assert(got.forall(_._2 != 0L), "query document must never surface")
+    assert(got.map(_._4).toSeq.sliding(2).forall {
+      case Seq(a, b) => a <= b; case _ => true
+    }, "ADC distances must be ranked ascending")
+    // every returned (doc, chunk) coordinate exists in q144's chunking
+    val chunks = PipelineOps.ragChunks(spark, sf0001)
+      .select(col("doc_id"), col("chunk_idx")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.forall(g => chunks((g._2, g._3))))
+  }
+
   test("q141 drift report conserves vectors, ppm shares close to a million") {
     val rows = VectorOps.embeddingDrift(spark, sf0001).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
