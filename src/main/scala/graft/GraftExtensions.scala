@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.VectorExpressions.{FloatVecDot, MinHashLongs, SimHash64}
+import graft.functions.VectorExpressions.{DimCountVector, FloatVecDot, MinHashLongs, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the library's native
   * expressions as SQL functions so `spark.sql` text can call them.
@@ -44,6 +44,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"minhash_longs: k must be an integer literal, got $other")
         }
         MinHashLongs(args.head, k)
+      }))
+    e.injectFunction((FunctionIdentifier("dim_counts"),
+      info("dim_counts",
+        "dim_counts(dims, n) - n-length float histogram of dim ids"),
+      (args: Seq[Expression]) => {
+        // n must be a literal: it sizes the output array and the
+        // generated loop (the minhash_longs rule).
+        if (args.length != 2) throw new IllegalArgumentException(
+          "dim_counts(dims, n) takes exactly 2 arguments")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(v: java.lang.Number, _) => v.intValue()
+          case other => throw new IllegalArgumentException(
+            s"dim_counts: n must be an integer literal, got $other")
+        }
+        DimCountVector(args.head, n)
       }))
   }
 }

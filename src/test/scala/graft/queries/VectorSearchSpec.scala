@@ -251,6 +251,15 @@ class VectorSearchSpec extends SparkSuite {
       "SELECT fvec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
         "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))").head.getDouble(0)
     assert(d == 11.0)
+    // dim_counts through the same registry path: one-pass histogram
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dim_counts",
+      exprs => graft.functions.VectorExpressions
+        .DimCountVector(exprs(0), 4),
+      "scala_udf")
+    val h = spark.sql("SELECT dim_counts(array(0L, 1L, 1L, 3L, 7L), 4)")
+      .head.getSeq[Float](0)
+    assert(h == Seq(1f, 2f, 0f, 2f)) // 7 % 4 = 3 joins the last bucket
   }
 
   test("q134 hard negatives match a driver-side within-cell recompute") {
