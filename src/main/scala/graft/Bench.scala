@@ -123,6 +123,8 @@ object Bench {
            "q45" -> "q104", "q45" -> "q143",
            "q66" -> "q67", "q66" -> "q68", "q66" -> "q76",
            "q66" -> "q83", "q101" -> "q106", "q101" -> "q135",
+           "q111" -> "q124", "q111" -> "q125", "q111" -> "q134",
+           "q111" -> "q136", "q111" -> "q141",
            "q122" -> "q123", "q134" -> "q137")
          if pos(payer) >= 0 && pos(rider) >= 0)
       require(pos(payer) < pos(rider),

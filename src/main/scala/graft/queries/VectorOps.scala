@@ -397,23 +397,28 @@ object VectorOps {
     *    bounded tasks (the q29 salted-join device applied to a
     *    self-join). Unskewed cells have fan = 1 and pay nothing. */
   /** The salted within-cell pair miner behind every cell-scoped dedup
-    * shape: over any (cell, vec_id, embedding) frame — one row per
-    * (vector, probed cell), so a vector may appear under SEVERAL cells
-    * (multi-probe q124) or every vector under ONE synthetic cell (the
-    * q125 global verification arm) — emit the distinct ids having a
-    * lower-id co-celled neighbor satisfying `isDup`. Carries the two
-    * r8 scale devices (norm lifting, adaptive sub-cell salting)
-    * documented on [[cellScopedDedup]]. */
-  private def saltedDupIds(probed: DataFrame, normOf: Column => Column,
-      isDup: (Column, Column, Column, Column) => Column): DataFrame = {
+    * shape: over any (cell, vec_id, embedding, nrm) frame — one row
+    * per (vector, probed cell), so a vector may appear under SEVERAL
+    * cells (multi-probe q124) or every vector under ONE synthetic cell
+    * (the q125 global verification arm) — emit the (a_id, b_id) pairs
+    * (a_id < b_id) satisfying `isDup`. The norm column arrives LIFTED
+    * in the input (computed once per vector, ideally inside a
+    * persisted artifact like [[probeAssignment]]) rather than per join
+    * side. `cap` is the sub-block salt size: every within-cell pair
+    * lands in exactly one (sa, sb) block regardless of its value, so
+    * it is a pure parallelism lever — the r11 q125 drill showed the
+    * single synthetic global cell running as ONE task under the
+    * default [[CellBlockRows]] on a corpus smaller than one block. */
+  private def saltedDupPairs(probed: DataFrame,
+      isDup: (Column, Column, Column, Column) => Column,
+      cap: Int = CellBlockRows): DataFrame = {
     val spark = probed.sparkSession
     import spark.implicits._
     val fan = probed.groupBy($"cell").agg(
-      ceil(count(lit(1)) / lit(CellBlockRows.toDouble)).cast("int")
+      ceil(count(lit(1)) / lit(cap.toDouble)).cast("int")
         .as("fan"))
     val sided = probed
-      .select($"cell", $"vec_id", $"embedding",
-        normOf($"embedding").as("nrm"))
+      .select($"cell", $"vec_id", $"embedding", $"nrm")
       .join(broadcast(fan), "cell")
       .withColumn("own", pmod(xxhash64($"vec_id"), $"fan").cast("int"))
     val a = sided.select($"cell", $"own".as("sa"),
@@ -425,8 +430,15 @@ object VectorOps {
     a.join(b, Seq("cell", "sa", "sb"))
       .filter($"a_id" < $"b_id" &&
         isDup($"a_emb", $"b_emb", $"a_nrm", $"b_nrm"))
-      .select($"b_id".as("dup_id")).distinct()
+      .select($"a_id", $"b_id")
   }
+
+  /** Distinct lower-ranked ids flagged by [[saltedDupPairs]] — the
+    * kept/dropped verdict every dedup consumer joins against. */
+  private def saltedDupIds(probed: DataFrame,
+      isDup: (Column, Column, Column, Column) => Column): DataFrame =
+    saltedDupPairs(probed, isDup)
+      .select(col("b_id").as("dup_id")).distinct()
 
   private def cellScopedDedup(cells: DataFrame, normOf: Column => Column,
       isDup: (Column, Column, Column, Column) => Column,
@@ -442,8 +454,12 @@ object VectorOps {
     // corpus row count) and are released by the context cleaner with
     // the result. A 100 TB deployment writes this frame to storage
     // once — this is that materialization, in-session.
-    val mat = cells.persist()
-    val dropped = saltedDupIds(mat, normOf, isDup)
+    // The norm lift is computed BEFORE the persist so the cached
+    // blocks carry it (both join sides read it instead of each
+    // recomputing the dot).
+    val mat = cells.withColumn("nrm", normOf($"embedding")).persist()
+    val dropped = saltedDupIds(
+      mat.select($"cell", $"vec_id", $"embedding", $"nrm"), isDup)
     mat.select($"vec_id".as(idCol), $"cell")
       .join(dropped.withColumn("dup", lit(true)),
         col(idCol) === $"dup_id", "left")
@@ -451,17 +467,57 @@ object VectorOps {
         (!coalesce($"dup", lit(false))).as("kept"))
   }
 
+  /** The two-probe assignment table — (vec_id, embedding, |v|, nearest
+    * cell, second-nearest cell, label) from ONE scan of the embeddings
+    * — memoized per (context, dataset) like [[annIndexTable]]: at
+    * deployment this is THE assignment table a SemDeDup/contrastive
+    * pipeline writes to storage once and every policy joins. q111 pays
+    * the build (Bench payer-order-asserted); q124, q125, q134, q136
+    * and q141 ride it instead of each re-scanning the embeddings and
+    * re-deriving nearest/second-nearest cells and norms (the r10→r11
+    * q125 attribution drill: three arms × full re-derivation was the
+    * stage-count cost, not the dot products). Materialized eagerly —
+    * the q126 lesson: concurrent broadcast-exchange futures against a
+    * lazy persist each race the whole lineage. */
+  private val probeAsgMemo = new DedupOps.ArtifactMemo
+  private[graft] def probeAssignment(spark: SparkSession,
+      dir: String): DataFrame =
+    probeAsgMemo.get(spark, dir) {
+      import spark.implicits._
+      import graft.functions.VectorExpressions.{fvecDot, nearestIndex,
+        secondNearestIndex}
+      val df = Tables(spark, dir, "embeddings")
+        .select($"vec_id", $"embedding",
+          sqrt(fvecDot($"embedding", $"embedding")).as("nrm"),
+          nearestIndex($"embedding", ivfGridCentroids(), 0, QuantScale)
+            .as("cell"),
+          secondNearestIndex($"embedding", ivfGridCentroids(), 0,
+            QuantScale).as("cell2"),
+          $"label")
+        .persist()
+      df.count()
+      df
+    }
+
+  /** The SemDeDup near-dup predicate over lifted norms — same
+    * double-op order as cosine(): dot / (sqrt(a·a)·sqrt(b·b)); one
+    * definition for q111/q124/q125 so the arms cannot drift. */
+  private val cosDup35: (Column, Column, Column, Column) => Column = {
+    import graft.functions.VectorExpressions.fvecDot
+    (ae, be, an, bn) =>
+      nanvl(fvecDot(ae, be) / (an * bn), lit(-1d)) > 0.35
+  }
+
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.functions.VectorExpressions.fvecDot
-    cellScopedDedup(
-      withGridCell(Tables(spark, dir, "embeddings"))
-        .select($"vec_id", $"embedding", $"cell"),
-      normOf = v => sqrt(fvecDot(v, v)),
-      // same double-op order as cosine(): dot / (sqrt(a·a)·sqrt(b·b))
-      (ae, be, an, bn) =>
-        nanvl(fvecDot(ae, be) / (an * bn), lit(-1d)) > 0.35,
-      idCol = "vec_id")
+    val asg = probeAssignment(spark, dir)
+    val dropped = saltedDupIds(
+      asg.select($"cell", $"vec_id", $"embedding", $"nrm"), cosDup35)
+    asg.select($"vec_id", $"cell")
+      .join(dropped.withColumn("dup", lit(true)),
+        $"vec_id" === $"dup_id", "left")
+      .select($"vec_id", $"cell",
+        (!coalesce($"dup", lit(false))).as("kept"))
   }
 
   private val semanticDedupSql =
@@ -492,22 +548,12 @@ object VectorOps {
     * probed cell); the salting bounds task size exactly as in q111. */
   def semanticDedupProbe2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.functions.VectorExpressions.{fvecDot, nearestIndex,
-      secondNearestIndex}
-    val base = Tables(spark, dir, "embeddings")
-      .select($"vec_id", $"embedding",
-        nearestIndex($"embedding", ivfGridCentroids(), 0, QuantScale)
-          .as("cell"),
-        secondNearestIndex($"embedding", ivfGridCentroids(), 0, QuantScale)
-          .as("cell2"))
-      .persist()
-    val probed = base.select($"cell", $"vec_id", $"embedding")
-      .union(base.select($"cell2".as("cell"), $"vec_id", $"embedding"))
-    val dropped = saltedDupIds(probed,
-      v => sqrt(fvecDot(v, v)),
-      (ae, be, an, bn) =>
-        nanvl(fvecDot(ae, be) / (an * bn), lit(-1d)) > 0.35)
-    base.select($"vec_id", $"cell")
+    val asg = probeAssignment(spark, dir)
+    val probed = asg.select($"cell", $"vec_id", $"embedding", $"nrm")
+      .union(asg.select($"cell2".as("cell"), $"vec_id", $"embedding",
+        $"nrm"))
+    val dropped = saltedDupIds(probed, cosDup35)
+    asg.select($"vec_id", $"cell")
       .join(dropped.withColumn("dup", lit(true)),
         $"vec_id" === $"dup_id", "left")
       .select($"vec_id", $"cell",
@@ -556,19 +602,37 @@ object VectorOps {
     * report hash-checks. */
   def probeRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.functions.VectorExpressions.fvecDot
-    val normOf: Column => Column = v => sqrt(fvecDot(v, v))
-    val isDup = (ae: Column, be: Column, an: Column, bn: Column) =>
-      nanvl(fvecDot(ae, be) / (an * bn), lit(-1d)) > 0.35
-    val truth = saltedDupIds(
-      Tables(spark, dir, "embeddings")
-        .select(lit(0).as("cell"), $"vec_id", $"embedding"),
-      normOf, isDup)
-    val tagged = truth.select(lit("global").as("method"), $"dup_id")
-      .union(semanticDedup(spark, dir).filter(!$"kept")
-        .select(lit("probe1").as("method"), $"vec_id".as("dup_id")))
-      .union(semanticDedupProbe2(spark, dir).filter(!$"kept")
-        .select(lit("probe2").as("method"), $"vec_id".as("dup_id")))
+    val asg = probeAssignment(spark, dir)
+    // ONE pair-mining pass: the global truth arm's pairs are a
+    // superset of both probe arms' (identical predicate, candidates
+    // only ever restricted by cell agreement — "flagged ⊆ true by
+    // construction"), so probe1/probe2 flagged sets are derived by
+    // joining the truth pairs' ENDPOINTS against the assignment table
+    // instead of re-running two more self-join arms (the r10 shape:
+    // 3 arms × full probe re-derivation = 40 stages, 11.3 s on the
+    // driver box). cap = 256: the synthetic single global cell would
+    // otherwise fan into ceil(n/2048) ≈ 1 block at test scale — one
+    // task on a 32-core box; pair membership is block-size-invariant,
+    // so the smaller salt is pure parallelism.
+    val pairs = saltedDupPairs(
+      asg.select(lit(0).as("cell"), $"vec_id", $"embedding", $"nrm"),
+      cosDup35, cap = 256)
+      .persist() // read 3×; released by the context cleaner with the
+                 // result (the cellScopedDedup mat contract)
+    val ends = pairs
+      .join(asg.select($"vec_id".as("a_id"), $"cell".as("a_c"),
+        $"cell2".as("a_c2")), "a_id")
+      .join(asg.select($"vec_id".as("b_id"), $"cell".as("b_c"),
+        $"cell2".as("b_c2")), "b_id")
+    val tagged = pairs.select(lit("global").as("method"),
+        $"b_id".as("dup_id")).distinct()
+      .union(ends.filter($"a_c" === $"b_c")
+        .select(lit("probe1").as("method"), $"b_id".as("dup_id"))
+        .distinct())
+      .union(ends.filter($"a_c" === $"b_c" || $"a_c" === $"b_c2" ||
+          $"a_c2" === $"b_c" || $"a_c2" === $"b_c2")
+        .select(lit("probe2").as("method"), $"b_id".as("dup_id"))
+        .distinct())
     val counts = tagged.groupBy($"method")
       .agg(count(lit(1)).as("n_flagged"))
     // the 3-row rollup joins its own global row back on a constant
@@ -818,12 +882,13 @@ object VectorOps {
     * Bench's release policy, same contract as
     * [[DedupOps.isSharedArtifact]]. */
   private[graft] def isSharedArtifact(df: DataFrame): Boolean =
-    indexMemo.holds(df) || hardNegMemo.holds(df)
+    indexMemo.holds(df) || hardNegMemo.holds(df) || probeAsgMemo.holds(df)
 
   /** Drop the memoized artifacts (tests / long-lived JVMs). */
   def invalidateSharedArtifacts(): Unit = {
     indexMemo.invalidate()
     hardNegMemo.invalidate()
+    probeAsgMemo.invalidate()
   }
 
   /** The PQ index-build artifact: every vector's packed code. */
@@ -1595,14 +1660,15 @@ object VectorOps {
   private def mineHardNegatives(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.VectorExpressions.fvecDot
-    val emb = withGridCell(Tables(spark, dir, "embeddings"))
-      .select($"cell", $"vec_id", $"embedding", $"label")
-      .persist()
+    // rides the memoized [[probeAssignment]] artifact (cell, norm and
+    // label pre-lifted) — the r10 form persisted its own celled copy
+    // here and leaked it for the JVM lifetime (ADVICE r10)
+    val emb = probeAssignment(spark, dir)
+      .select($"cell", $"vec_id", $"embedding", $"nrm", $"label")
     val fan = emb.groupBy($"cell").agg(
       ceil(count(lit(1)) / lit(CellBlockRows.toDouble)).cast("int")
         .as("fan"))
     val sided = emb
-      .withColumn("nrm", sqrt(fvecDot($"embedding", $"embedding")))
       .join(broadcast(fan), "cell")
       .withColumn("own", pmod(xxhash64($"vec_id"), $"fan").cast("int"))
     val a = sided.select($"cell", $"own".as("sa"),
@@ -1716,8 +1782,7 @@ object VectorOps {
   def tripletMargins(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.VectorExpressions.fvecDot
-    val emb = withGridCell(Tables(spark, dir, "embeddings"))
-      .withColumn("nrm", sqrt(fvecDot($"embedding", $"embedding")))
+    val emb = probeAssignment(spark, dir)
       .select($"cell", $"vec_id", $"embedding", $"nrm", $"label")
     val a = emb.select($"cell", $"vec_id".as("a_id"),
       $"embedding".as("a_emb"), $"nrm".as("a_nrm"), $"label".as("a_label"))
@@ -1784,7 +1849,7 @@ object VectorOps {
     * 100 TB. */
   def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val celled = withGridCell(Tables(spark, dir, "embeddings"))
+    val celled = probeAssignment(spark, dir).select($"vec_id", $"cell")
       .withColumn("is_delta",
         substring(md5($"vec_id".cast("string")), 1, 2) < "1a")
     val counts = celled.groupBy($"cell")
