@@ -1953,9 +1953,19 @@ object PipelineOps {
   /** The chunk stream WITH text — q144/q145 derive their fingerprint
     * views from it, q146's chunk retrieval vectorizes it. */
   private[queries] def ragChunkTexts(spark: SparkSession,
-      dir: String): DataFrame = {
+      dir: String): DataFrame =
+    ragChunkTextsOf(Tables(spark, dir, "documents"))
+
+  /** [[ragChunkTexts]] over ANY (doc_id, text) frame — pure map-side
+    * (split + bounded explode, no shuffle), so it applies verbatim to
+    * an arriving micro-batch in the chunk-index upsert stream
+    * ([[graft.streaming.StreamingQueries.chunkIndexUpsertStream]]).
+    * NULL text emits no chunks (explode of a null array), mirroring
+    * the q144 oracle's universe. */
+  private[graft] def ragChunkTextsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables(spark, dir, "documents")
+    docs
       .select($"doc_id", split($"text", " ").as("tok"))
       .withColumn("n", size($"tok").cast("long"))
       .select($"doc_id", $"n", explode(expr(

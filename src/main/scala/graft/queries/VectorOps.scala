@@ -1919,7 +1919,7 @@ object VectorOps {
       probes: Int = 4, k: Int = 5): DataFrame = {
     import spark.implicits._
     val vecs = PipelineOps.ragChunkTexts(spark, dir)
-      .select((($"doc_id" * lit(4096L)) + $"chunk_idx").as("vec_id"),
+      .select(packedChunkId($"doc_id", $"chunk_idx").as("vec_id"),
         $"doc_id", rowDocVector($"chunk").as("embedding"))
     // query vector derived DRIVER-side from doc 0's first chunk text —
     // the deployment shape (a retrieval query arrives externally, it is
@@ -1927,14 +1927,9 @@ object VectorOps {
     // analysis+execution of the heavy quantizer tree. Same arithmetic
     // as rowDocVector: md5 first-8-hex dim, integer counts, exact in
     // float.
-    val qTokens = Tables(spark, dir, "documents")
-      .filter($"doc_id" === 0).select($"text").head.getString(0)
-      .split(" ", -1).take(PipelineOps.ChunkLen)
-    val qRow = {
-      val counts = new Array[Float](64)
-      qTokens.foreach(t => counts((md5Long8(t) % 64).toInt) += 1f)
-      counts
-    }
+    val qRow = chunkQueryVector(
+      Tables(spark, dir, "documents")
+        .filter($"doc_id" === 0).select($"text").head.getString(0))
     val qQv = quantizeRow(qRow)
     val index = withPqCode(withGridCell(vecs))
       .filter($"doc_id" =!= 0 &&
@@ -1983,6 +1978,100 @@ object VectorOps {
         |          AND a.cell IN (SELECT cell FROM gprobe)
         |        GROUP BY c.vec_id) t) u
         |WHERE rank <= 5""".stripMargin
+
+  /** Packed chunk identity `doc_id·4096 + chunk_idx`, with a LOUD
+    * overflow guard (ADVICE r10): a document with ≥ 4096 chunks
+    * (~98k tokens at the 32/24 geometry) would silently alias into
+    * another document's id space — corrupting retrieval output while
+    * still hash-matching an oracle that uses the same packing. The
+    * guard costs one comparison per row and turns the silent aliasing
+    * into a job-failing error naming the document. */
+  private[graft] val ChunkIdxCap = 4096L
+  private[graft] def packedChunkId(docId: Column, chunkIdx: Column): Column =
+    when(chunkIdx < lit(ChunkIdxCap), docId * lit(ChunkIdxCap) + chunkIdx)
+      .otherwise(raise_error(concat(
+        lit(s"chunk_idx >= $ChunkIdxCap overflows packed chunk id for doc_id="),
+        docId.cast("string"))))
+
+  /** The chunk-index ROW lift shared by the batch index build, and —
+    * via [[graft.streaming.StreamingQueries.chunkIndexUpsertStream]] —
+    * the streaming upsert: (doc_id, chunk_idx, chunk_hash, chunk) rows
+    * become (vec_id, doc_id, chunk_idx, chunk_hash, cell, code) index
+    * rows through the SAME row-local vectorize ([[rowDocVector]]) and
+    * data-independent grid/PQ quantizers as live q146 — stateless, so
+    * stream- and batch-built index rows are bit-identical. The
+    * fingerprint travels INTO the stored index: it is the upsert key
+    * (q145's "index once, point many" rule) and costs 32 bytes/row
+    * that the search path never reads (column pruning — plan-asserted
+    * in ChunkIndexSpec). */
+  private[graft] def chunkIndexRowsOf(chunks: DataFrame): DataFrame =
+    withPqCode(withGridCell(
+      chunks.select(
+        packedChunkId(col("doc_id"), col("chunk_idx")).as("vec_id"),
+        col("doc_id"), col("chunk_idx"), col("chunk_hash"),
+        rowDocVector(col("chunk")).as("embedding"))))
+      .select(col("vec_id"), col("doc_id"), col("chunk_idx"),
+        col("chunk_hash"), col("cell"), col("code"))
+
+  /** Persist the CHUNK-level compressed RAG index (VERDICT r10 #1 —
+    * the granularity RAG serving actually deploys): q144's chunks,
+    * vectorized and coded by [[chunkIndexRowsOf]], written
+    * cell-partitioned via
+    * [[graft.operators.Operators.writePartitioned]] with the
+    * centroid/codebook parameter siblings — the
+    * [[ivfPqWriteIndex]] storage loop applied at chunk granularity.
+    * A probe-P search reads P/nCells directories and only the
+    * (vec_id, doc_id, code) columns; chunk text never enters the
+    * index (the fingerprint stands in for identity). */
+  def chunkWriteIndex(spark: SparkSession, dir: String, path: String): Unit = {
+    import spark.implicits._
+    graft.operators.Operators.writePartitioned(
+      chunkIndexRowsOf(PipelineOps.ragChunkTextsOf(
+          Tables(spark, dir, "documents"))
+        .select($"doc_id", $"chunk_idx", md5($"chunk").as("chunk_hash"),
+          $"chunk")),
+      path, "cell")
+    writeIndexParams(spark, path)
+  }
+
+  /** Search a persisted chunk index: the q146 retrieval answered FROM
+    * storage — centroid/codebook siblings choose probes and build the
+    * ADC LUT driver-side, the scan reads ONLY the probed cell
+    * directories (planning-time PartitionFilters) and only the
+    * (vec_id, doc_id, code) columns (no chunk text, no fingerprint, no
+    * embedding — none needed to rank). `excludeDocId` drops the asking
+    * document's own chunks, the retriever's self-exclusion rule.
+    * Spec-pinned hash-equal to live [[chunkRetrieval]] in
+    * ChunkIndexSpec. */
+  def chunkSearchIndexed(spark: SparkSession, path: String,
+      query: Array[Float], probes: Int = 4, k: Int = 5,
+      excludeDocId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val (cents, cb) = readIndexParams(spark, path)
+    val qQv = quantizeRow(query)
+    val probeCells = gridProbeCells(cents, qQv, probes)
+    val scan = spark.read.parquet(path)
+      .filter($"cell".isin(probeCells: _*) && $"code".isNotNull)
+    val candidates = excludeDocId
+      .map(id => scan.filter($"doc_id" =!= id)).getOrElse(scan)
+    rankedAdcTopK(
+      candidates.withColumn("adc_dist", adcCol(adcLut(cb, qQv)))
+        .select($"vec_id", $"adc_dist"), k)
+      .select($"rank", expr(s"vec_id div $ChunkIdxCap").as("doc_id"),
+        expr(s"vec_id % $ChunkIdxCap").as("chunk_idx"), $"adc_dist")
+  }
+
+  /** The q146 query vector, derived driver-side from a document's
+    * first chunk text — one definition shared by live [[chunkRetrieval]]
+    * and the ChunkIndexSpec equality pin, exactly [[rowDocVector]]'s
+    * arithmetic (md5 first-8-hex dim, integer counts, exact in
+    * float). */
+  private[graft] def chunkQueryVector(text: String): Array[Float] = {
+    val counts = new Array[Float](64)
+    text.split(" ", -1).take(PipelineOps.ChunkLen)
+      .foreach(t => counts((md5Long8(t) % 64).toInt) += 1f)
+    counts
+  }
 
   def queries: Seq[Q] = Seq(
     Q("q30_knn_topk", knnTopK, Some(knnTopKSql),

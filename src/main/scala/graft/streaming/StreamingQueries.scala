@@ -828,4 +828,55 @@ object StreamingQueries {
   def toPartitionedParquet(df: DataFrame, path: String, checkpoint: String,
       partitionCol: String): StreamingQuery =
     toParquet(df, path, checkpoint, Some(partitionCol))
+
+  /** Streaming UPSERT into a persisted chunk index (VERDICT r10 #1's
+    * missing half): arriving (doc_id, text) documents chunk map-side
+    * ([[graft.queries.PipelineOps.ragChunkTextsOf]] — the q144 lift
+    * verbatim), fingerprint, and land in the index at `indexPath`
+    * under q145's "index once, point many" rule — a chunk whose
+    * fingerprint the index already holds is a POINTER, not a new index
+    * row, so only novel chunks are vectorized, coded and appended.
+    *
+    * Per micro-batch (foreachBatch — the upsert needs to SEE its own
+    * earlier appends, which a plain streaming sink cannot):
+    *  1. within-batch canonicalization: q145's exact min(doc_id,
+    *     chunk_idx) struct rule picks one occurrence per fingerprint;
+    *  2. anti-join against the STORED fingerprint column (re-read per
+    *     batch, so batch N dedups against batches 1..N−1's appends and
+    *     the original build — reading the fingerprint column only);
+    *  3. [[graft.queries.VectorOps.chunkIndexRowsOf]] codes the
+    *     survivors (bit-identical to the batch build — stateless
+    *     quantizers) and appends them cell-partitioned.
+    *
+    * Failure semantics: a replayed batch re-runs the anti-join, so
+    * rows that already landed are skipped — the fingerprint key makes
+    * replays idempotent at upsert granularity (the at-least-once
+    * foreachBatch caveat neutralized by the upsert itself). The
+    * small-files debt is [[graft.queries.VectorOps.compactIndex]]'s
+    * job, same as the doc-level appender. Requires the index to exist
+    * (the deployment shape: [[graft.queries.VectorOps.chunkWriteIndex]]
+    * builds it once; the stream maintains it). */
+  def chunkIndexUpsertStream(docs: DataFrame, indexPath: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val chunks = graft.queries.PipelineOps
+          .ragChunkTextsOf(batch.select($"doc_id", $"text"))
+          .select($"doc_id", $"chunk_idx", $"chunk",
+            md5($"chunk").as("chunk_hash"))
+        val canon = chunks.groupBy($"chunk_hash")
+          .agg(min(struct($"doc_id".as("d"), $"chunk_idx".as("i"),
+            $"chunk".as("c"))).as("m"))
+          .select($"chunk_hash", $"m.d".as("doc_id"),
+            $"m.i".as("chunk_idx"), $"m.c".as("chunk"))
+        val stored = spark.read.parquet(indexPath).select($"chunk_hash")
+        val novel = canon.join(stored, Seq("chunk_hash"), "left_anti")
+        graft.queries.VectorOps.chunkIndexRowsOf(novel)
+          .write.mode("append").partitionBy("cell").parquet(indexPath)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
 }
