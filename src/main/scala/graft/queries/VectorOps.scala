@@ -232,7 +232,10 @@ object VectorOps {
         .digest(seed.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(8), 16)
 
-  private val ivfGridCells = 16
+  /** Grid cell count — `private[graft]` so the streaming drift monitor
+    * ([[graft.streaming.StreamingQueries.cellDriftStream]]) tracks a
+    * grid resize instead of silently dropping cells (ADVICE r10). */
+  private[graft] val ivfGridCells = 16
   private[graft] def ivfGridCentroids(
       nCells: Int = ivfGridCells): IndexedSeq[IndexedSeq[Long]] =
     (0 until nCells).map { c =>

@@ -602,6 +602,51 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming vocab-drift monitor == batch q142 across a batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the stream can only pre-register terms the STANDING corpus has
+    // seen — batch q142's top-100 ranges over the union vocabulary, so
+    // when the vocabulary is smaller than 100 it also lists delta-only
+    // terms (n_corpus = 0) no ingest monitor could know in advance;
+    // the comparable surface is the n_corpus > 0 rows
+    val batch = graft.queries.TextOps.vocabDrift(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).filter(_._2 > 0).toSet
+    // q142's delta split, reproduced: md5 prefix < '1a' is the delta
+    val docs = Tables(spark, sf0001, "documents")
+      .withColumn("is_delta",
+        substring(md5($"doc_id".cast("string")), 1, 2) < "1a")
+    val corpus = docs.filter(!$"is_delta").select($"doc_id", $"text")
+    val feed = docs.filter($"is_delta").select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingQueries.vocabDriftStream(
+        ms.toDF().toDF("doc_id", "text", "event_ts"), corpus)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("vdrift_out").start()
+    val t0 = java.sql.Timestamp.valueOf("2025-01-25 16:00:01")
+    // two micro-batches inside ONE window: the stateful aggregate must
+    // accumulate the window's token mass across batches
+    val (h, t) = feed.splitAt(feed.length / 2)
+    ms.addData(h.map(d => (d._1, d._2, t0)).toIndexedSeq: _*)
+    q.processAllAvailable()
+    ms.addData(t.map(d => (d._1, d._2, t0)).toIndexedSeq: _*)
+    q.processAllAvailable()
+    // advance the watermark past the window so append mode emits
+    ms.addData((999999L, "x",
+      java.sql.Timestamp.valueOf("2025-01-25 16:05:00")))
+    q.processAllAvailable()
+    val got = spark.table("vdrift_out")
+      .filter($"window_start" ===
+        java.sql.Timestamp.valueOf("2025-01-25 16:00:00"))
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toSet
+    q.stop()
+    assert(got == batch, s"stream rows=${got.size} batch rows=${batch.size}")
+  }
+
   test("native session_window streams with watermark and matches batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -682,6 +727,39 @@ class StreamingSpec extends SparkSuite {
         r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
     q.stop()
     assert(streamed == batch)
+  }
+
+  test("tokenizer streams count NULL-text docs as zero-cost rows") {
+    // batch q106/q135 restore every document via left-join (NULL text
+    // ⇒ all-zero row still counted in n_docs); the streams must not
+    // silently drop such docs (ADVICE r10)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val merges = graft.queries.PipelineOps.minedMerges(spark, sf0001, 5)
+    val ms = MemoryStream[(Long, String, String)]
+    val tok = StreamingQueries.tokenizeStream(
+        ms.toDF().toDF("doc_id", "text", "source"), merges)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tok_null_out").start()
+    val ms2 = MemoryStream[(Long, String, String)]
+    val fert = StreamingQueries.fertilityStream(
+        ms2.toDF().toDF("doc_id", "text", "source"), merges)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("fert_null_out").start()
+    val feed = Seq((1L, "the cat sat", "web"), (2L, null: String, "web"),
+      (3L, "dog", "news"))
+    ms.addData(feed: _*); ms2.addData(feed: _*)
+    tok.processAllAvailable(); fert.processAllAvailable()
+    val tokGot = spark.table("tok_null_out").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val fertGot = spark.table("fert_null_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    tok.stop(); fert.stop()
+    assert(tokGot.keySet == Set(1L, 2L, 3L), s"docs dropped: $tokGot")
+    assert(tokGot(2L) == ((0L, 0L, 0L)), s"NULL doc not zero-cost: $tokGot")
+    // the NULL-text doc still counts toward its source's n_docs
+    assert(fertGot("web") == 2L, s"fertility n_docs: $fertGot")
   }
 
   test("funnel stream: per-user stateful snapshots equal batch q94") {
