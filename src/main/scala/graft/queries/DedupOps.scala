@@ -1310,7 +1310,63 @@ object DedupOps {
       |GROUP BY gram
       |HAVING COUNT(DISTINCT doc_id) > 1""".stripMargin
 
+  /** q150 — the cross-source NEAR-dup contamination MATRIX: the
+    * verified J ≥ 0.5 pair table (the memoized q42 artifact) rolled up
+    * into source × source cells — pair count and distinct documents
+    * touched per cell, source pair ordered lexically so the matrix is
+    * upper-triangular with the diagonal as within-source duplication.
+    * This is the report a data-acquisition team reads before buying a
+    * new crawl: off-diagonal mass = "this source is substantially a
+    * re-serving of that one" (mirror/scraper detection), diagonal
+    * mass = internal boilerplate. Complements q54, which is the
+    * EXACT-fingerprint form; near-dup catches the re-hosted copy with
+    * a new footer.
+    *
+    * Scale shape: two dimension joins from the persisted pair table
+    * to the (doc_id, source) projection, then bounded-key rollups
+    * (sources² cells); the doc-count leg dedups (cell, doc) before
+    * counting — no pairwise work beyond the already-mined table. */
+  def crossSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables(spark, dir, "documents").select($"doc_id", $"source")
+    val ps = verifiedPairs(spark, dir)
+      .join(src.select($"doc_id".as("a_id"), $"source".as("sa")), "a_id")
+      .join(src.select($"doc_id".as("b_id"), $"source".as("sb")), "b_id")
+      .select(least($"sa", $"sb").as("src_a"),
+        greatest($"sa", $"sb").as("src_b"), $"a_id", $"b_id")
+    val nPairs = ps.groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = ps
+      .select($"src_a", $"src_b", explode(array($"a_id", $"b_id"))
+        .as("doc_id")).distinct()
+      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_docs"))
+    nPairs.join(nDocs, Seq("src_a", "src_b"))
+  }
+
+  /** Oracle: the shared exact-pair CTE `p` (clusterCtes — DuckDB only
+    * evaluates referenced CTEs, so the recursive closure the other
+    * consumers need stays unevaluated here). */
+  private val crossSourceMatrixSql = clusterCtes + ",\n" +
+    """ps AS (SELECT least(da.source, db.source) AS src_a,
+      |    greatest(da.source, db.source) AS src_b, p.a_id, p.b_id
+      |  FROM p JOIN documents da ON da.doc_id = p.a_id
+      |         JOIN documents db ON db.doc_id = p.b_id),
+      |np AS (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |  FROM ps GROUP BY 1, 2),
+      |pd AS (SELECT DISTINCT src_a, src_b, doc_id FROM (
+      |  SELECT src_a, src_b, a_id AS doc_id FROM ps
+      |  UNION ALL SELECT src_a, src_b, b_id FROM ps) u),
+      |nd AS (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM pd GROUP BY 1, 2)
+      |SELECT np.src_a, np.src_b, np.n_pairs, nd.n_docs
+      |FROM np JOIN nd USING (src_a, src_b)""".stripMargin
+
   def queries: Seq[Q] = Seq(
+    Q("q150_cross_source_matrix", crossSourceMatrix,
+      Some(crossSourceMatrixSql),
+      "source x source near-dup contamination matrix over the " +
+        "memoized verified-pair table: pair + distinct-doc counts per " +
+        "lexically-ordered source cell — mirror/scraper detection"),
     Q("q73_dup_ngrams", dupNgrams, Some(dupNgramsSql),
       "sub-document dedup: cross-document duplicated 8-token spans " +
         "(rolling windows, two-level hash agg — no pairwise compare)"),

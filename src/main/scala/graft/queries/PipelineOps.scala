@@ -205,11 +205,51 @@ object PipelineOps {
     * round i+1 reads blocks, not a growing lineage. */
   /** One mined merge: the RAW two-code-point pair as it appears in the
     * sentinel-segmented stream (what `replace` replays), its decoded
-    * left/right symbol texts, and its count at selection time. */
+    * left/right symbol texts, its count at selection time, and the
+    * mining round that selected it (1-based; informational for the
+    * wide miner's report). */
   private[graft] final case class BpeMerge(pair: String, left: String,
-      right: String, cnt: Long)
+      right: String, cnt: Long, round: Int = 0)
 
-  private[queries] def bpeMineOf(docs: DataFrame, nMerges: Int)
+  /** Sentinel for global merge index `idx` (0-based): one code point
+    * at `base + idx`. The M=1 path keeps the historical chr(1..N)
+    * control-char range (the q101/q106/q135 oracles replay it as
+    * DuckDB `chr(i)`); the wide miner uses the Unicode Private Use
+    * Area ([[BpeWideSentinelBase]]) because 40+ merges would walk the
+    * sentinel range into PRINTABLE ASCII (chr(33)='!' onward) — code
+    * points the corpus genuinely contains, which would conflate
+    * sentinels with real symbols. Sentinel-absence stays a corpus
+    * assumption either way (see [[bpeMineOf]]'s doc); PUA points are
+    * absent from any natural-language corpus this side of a custom
+    * font foundry. */
+  private def bpeSentinel(idx: Int, base: Int): String =
+    new String(Character.toChars(base + idx))
+
+  /** Generalized greedy BPE miner: `nRounds` rounds, up to
+    * `mergesPerRound` merges selected per round (VERDICT r10 #3 — the
+    * scale lever: a real 32k-merge tokenizer at 1 merge/round means
+    * 32k sequential Spark jobs; at M per round it's 32k/M).
+    *
+    * Per round: ONE adjacent-pair count (partition-local substring
+    * explode, partial-aggregatable, bounded symbol-pair key space),
+    * then a bounded top-(8·M) candidate-window collect, then greedy
+    * selection in (cnt desc, pair asc) order of up to M pairwise-
+    * DISJOINT pairs — two merges sharing a symbol interact (replacing
+    * one can create/destroy occurrences of the other: "abd" holds
+    * both "ab" and "bd"), while disjoint pairs can neither overlap in
+    * the string nor be affected by each other's sentinel substitution,
+    * so each selected pair's count stays EXACT, equal to what a
+    * recount after the earlier same-round merges would have produced.
+    * The selected merges apply as ONE chained re-segmentation (M
+    * `replace`s in a single collapsed projection — still one corpus
+    * scan per round, the algorithm's irreducible cost).
+    *
+    * At M=1 the policy degenerates to the historical top-1 miner
+    * bit-for-bit (the window's first row IS the old `limit(1)` row,
+    * selection order and sentinels unchanged) — q101/q106/q135's
+    * oracles prove that path every round. */
+  private[queries] def bpeMineOf(docs: DataFrame, nRounds: Int,
+      mergesPerRound: Int = 1, sentinelBase: Int = 1)
       : (Vector[BpeMerge], DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -221,27 +261,45 @@ object PipelineOps {
       val s = new String(Character.toChars(cp))
       expand.getOrElse(s, s)
     }
+    var nextIdx = 0 // global merge index across rounds
+    val window = math.max(8 * mergesPerRound, 8)
     val (fin, _, _) = graft.operators.Operators.iterateCheckpointed(
-        pt, nMerges, checkpointLast = false) { (seg, i) =>
+        pt, nRounds, checkpointLast = false) { (seg, i) =>
       val top = seg.filter(length($"seg") >= 2)
         .select(explode(expr(
           "transform(sequence(1, length(seg) - 1), j -> substring(seg, j, 2))"))
           .as("pair"))
         .groupBy($"pair").agg(count(lit(1)).as("cnt"))
-        .orderBy($"cnt".desc, $"pair".asc).limit(1)
+        .orderBy($"cnt".desc, $"pair".asc).limit(window)
         .collect()
       require(top.nonEmpty,
         s"BPE merge round $i: no adjacent pairs left to merge")
-      val pair = top(0).getString(0)
-      val cnt = top(0).getLong(1)
-      // pair is TWO code points (symbols are 1 code point each; an
-      // astral char is one symbol, two UTF-16 units — split by code
-      // point, never by char index)
-      val cps = pair.codePoints().toArray
-      val (l, r) = (decode(cps(0)), decode(cps(1)))
-      merges += BpeMerge(pair, l, r, cnt)
-      expand(i.toChar.toString) = l + r
-      seg.select(replace($"seg", lit(pair), lit(i.toChar.toString)).as("seg"))
+      // greedy pairwise-disjoint selection over the ranked candidate
+      // window; a round that cannot fill M from the window mines
+      // fewer (documented policy — the window size is the lever)
+      val used = scala.collection.mutable.Set.empty[Int]
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var k = 0
+      while (k < top.length && picked.length < mergesPerRound) {
+        val pair = top(k).getString(0)
+        // pair is TWO code points (symbols are 1 code point each; an
+        // astral char is one symbol, two UTF-16 units — split by code
+        // point, never by char index)
+        val cps = pair.codePoints().toArray
+        if (!used(cps(0)) && !used(cps(1))) {
+          val sent = bpeSentinel(nextIdx, sentinelBase)
+          merges += BpeMerge(pair, decode(cps(0)), decode(cps(1)),
+            top(k).getLong(1), i)
+          expand(sent) = decode(cps(0)) + decode(cps(1))
+          used += cps(0); used += cps(1)
+          picked += ((pair, sent))
+          nextIdx += 1
+        }
+        k += 1
+      }
+      picked.foldLeft(seg) { case (s, (pair, sent)) =>
+        s.select(replace($"seg", lit(pair), lit(sent)).as("seg"))
+      }
     } { (_, _) => false }
     (merges.result(), fin)
   }
@@ -253,14 +311,18 @@ object PipelineOps {
     * (payer-before-rider in Bench). Entries for stopped contexts are
     * evicted on access, the ArtifactMemo rule. */
   private val bpeMergeMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.SparkContext, String, Int), Vector[BpeMerge]]
+    (org.apache.spark.SparkContext, String, Int, Int, Int),
+    Vector[BpeMerge]]
 
   private[graft] def minedMerges(spark: SparkSession, dir: String,
-      nMerges: Int): Vector[BpeMerge] = {
+      nMerges: Int, mergesPerRound: Int = 1,
+      sentinelBase: Int = 1): Vector[BpeMerge] = {
     bpeMergeMemo.keySet.removeIf(_._1.isStopped)
-    bpeMergeMemo.computeIfAbsent((spark.sparkContext, dir, nMerges), _ => {
+    bpeMergeMemo.computeIfAbsent(
+      (spark.sparkContext, dir, nMerges, mergesPerRound, sentinelBase), _ => {
       val (merges, fin) =
-        bpeMineOf(Tables(spark, dir, "documents"), nMerges)
+        bpeMineOf(Tables(spark, dir, "documents"), nMerges,
+          mergesPerRound, sentinelBase)
       // the final re-segmentation is not consumed here — release the
       // checkpoint blocks backing it
       fin.unpersist()
@@ -271,9 +333,10 @@ object PipelineOps {
 
   /** Sentinel decode of a 1-code-point symbol column: chr(i) maps to
     * merge i's expanded text, anything else passes through. */
-  private def decodeSymExpr(c: Column, merges: Seq[BpeMerge]): Column =
+  private def decodeSymExpr(c: Column, merges: Seq[BpeMerge],
+      sentinelBase: Int = 1): Column =
     merges.zipWithIndex.foldRight(c) { case ((m, i), els) =>
-      when(c === lit((i + 1).toChar.toString), lit(m.left + m.right))
+      when(c === lit(bpeSentinel(i, sentinelBase)), lit(m.left + m.right))
         .otherwise(els)
     }
 
@@ -283,9 +346,9 @@ object PipelineOps {
     * applying the artifact is map-only — the deployment property that
     * makes a trained tokenizer free to run over 100 TB). */
   private[graft] def applyMergesExpr(seg: Column,
-      merges: Seq[BpeMerge]): Column =
+      merges: Seq[BpeMerge], sentinelBase: Int = 1): Column =
     merges.zipWithIndex.foldLeft(seg) { case (c, (m, i)) =>
-      replace(c, lit(m.pair), lit((i + 1).toChar.toString))
+      replace(c, lit(m.pair), lit(bpeSentinel(i, sentinelBase)))
     }
 
   /** q85 — BPE tokenizer training, round TWO: apply the #1 merge q71
@@ -371,6 +434,42 @@ object PipelineOps {
     minedMerges(spark, dir, BpeMergeRounds).zipWithIndex
       .map { case (m, i) => (i + 1L, m.left, m.right, m.cnt) }
       .toDF("rank", "left_sym", "right_sym", "cnt")
+  }
+
+  /** Wide-mining parameters: [[BpeWideM]] merges per round × the same
+    * five rounds = 40 merges for a fifth of q101's sequential-job
+    * count; sentinels in the Private Use Area (see [[bpeSentinel]] —
+    * 40 control-range sentinels would collide with real punctuation
+    * symbols from chr(33) on). */
+  private val BpeWideM = 8
+  private val BpeWideSentinelBase = 0xE000
+
+  /** q147 — the SCALE path of BPE training (VERDICT r10 #3): the same
+    * greedy miner as q101 but selecting the top-[[BpeWideM]] pairwise-
+    * disjoint merges per round, applied as one chained
+    * re-segmentation. Five rounds produce 40 merges for five corpus
+    * scans instead of forty — the lever that turns a 32k-merge
+    * tokenizer from 32k sequential Spark jobs into 32k/M. Disjointness
+    * keeps every selected count EXACT (shared-symbol merges interact;
+    * disjoint ones commute — see [[bpeMineOf]]), so the table reads
+    * like a per-round batch of true greedy merges. Output: global
+    * rank, mining round, decoded symbol pair, selection-time count.
+    *
+    * No DuckDB oracle: the greedy-disjoint selection is a sequential
+    * fold over the ranked candidate window (state = symbols used so
+    * far this round) — expressible only as a 5×-unrolled recursive
+    * CTE, brittle far past its evidentiary value. Instead the round-
+    * structure gate is an INDEPENDENT in-memory reference
+    * implementation in PipelineOpsSpec (pure-Scala pair counting +
+    * selection + replace over the collected sf0.001 corpus) asserted
+    * equal to this output row-for-row, plus the M=1-degeneracy proof
+    * that q101's oracle checks every round. */
+  def bpeMergeTableWide(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    minedMerges(spark, dir, BpeMergeRounds, BpeWideM, BpeWideSentinelBase)
+      .zipWithIndex
+      .map { case (m, i) => (i + 1L, m.round.toLong, m.left, m.right, m.cnt) }
+      .toDF("rank", "round", "left_sym", "right_sym", "cnt")
   }
 
   /** CASE chain decoding a 1-char symbol to its expanded text via the
@@ -1403,16 +1502,80 @@ object PipelineOps {
       .select($"doc_id", $"n_tokens".cast("long").as("n_tokens"))
   }
 
-  private val trainingCorpusSql = DedupOps.survivorCtes + ",\n" +
+  /** The q64 corpus as a WITH-body ending in a `tc` CTE — shared by
+    * the q64 dump and the q149 repetition schedule (one definition,
+    * the schedule cannot drift from the corpus it epochs). */
+  private val corpusCtes = DedupOps.survivorCtes + ",\n" +
     """tk AS (
       |  SELECT d.doc_id, d.lang, string_split(d.text, ' ') AS tok
-      |  FROM documents d JOIN surv s ON s.doc_id = d.doc_id)
-      |SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens
-      |FROM tk
-      |WHERE lang = 'en' AND len(tok) BETWEEN 5 AND 10000
-      |  AND len(list_filter(tok,
-      |    x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) * 20
-      |      >= len(tok)""".stripMargin
+      |  FROM documents d JOIN surv s ON s.doc_id = d.doc_id),
+      |tc AS (
+      |  SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens
+      |  FROM tk
+      |  WHERE lang = 'en' AND len(tok) BETWEEN 5 AND 10000
+      |    AND len(list_filter(tok,
+      |      x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) * 20
+      |        >= len(tok))""".stripMargin
+
+  private val trainingCorpusSql =
+    corpusCtes + "\nSELECT doc_id, n_tokens FROM tc"
+
+  /** q149's per-source token budget: every source's training-corpus
+    * token mass is equalized toward this target — one constant,
+    * interpolated into the oracle (the [[NumShards]] idiom). */
+  private val RepBudgetTokens = 20000L
+
+  /** q149 — the data REPETITION schedule (epoching): per training-
+    * corpus document, how many times the loader should see it so that
+    * every source contributes ≈[[RepBudgetTokens]] tokens per training
+    * pass. One integer formula covers the whole policy spectrum:
+    * `n_repeats = budget div avail + (cum ≤ budget mod avail)` — an
+    * over-budget source (avail > budget) gets full_epochs = 0 and only
+    * a deterministic md5-ordered token-prefix selected once
+    * (DOWN-sampling); an under-budget source repeats full_epochs times
+    * with a prefix getting one extra pass (UP-sampling/epoching, the
+    * low-resource-source flattening of the published LLM data mixes).
+    * The remainder prefix is token-cumulative, so the overshoot is at
+    * most one document's tokens — and membership is md5-deterministic:
+    * re-runs schedule identical repeats.
+    *
+    * Scale shape: rides the q64 corpus (memoized dedup artifacts); the
+    * per-source totals are a broadcast side; the only shuffle is the
+    * per-source running-sum window (bounded partitions at real scale
+    * by sharding sources — the q80 lever composes). Fully integer →
+    * hash-checked. */
+  def repetitionSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = trainingCorpus(spark, dir)
+      .join(Tables(spark, dir, "documents").select($"doc_id", $"source"),
+        "doc_id")
+      .withColumn("ok", md5PrefixLong(
+        concat(lit("rep:"), $"doc_id".cast("string")), 15))
+    val avail = corpus.groupBy($"source").agg(sum($"n_tokens").as("avail"))
+    val w = Window.partitionBy($"source").orderBy($"ok".asc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    corpus
+      .join(broadcast(avail), "source")
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", $"source", $"n_tokens",
+        expr(s"CAST($RepBudgetTokens div avail + " +
+          s"IF(cum <= $RepBudgetTokens % avail, 1, 0) AS BIGINT)")
+          .as("n_repeats"))
+  }
+
+  private val repetitionScheduleSql = corpusCtes + ",\n" +
+    s"""c2 AS (SELECT tc.doc_id, d.source, tc.n_tokens,
+      |    CAST(concat('0x', substr(md5(concat('rep:',
+      |      CAST(tc.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS ok
+      |  FROM tc JOIN documents d USING (doc_id)),
+      |av AS (SELECT source, SUM(n_tokens) AS avail FROM c2 GROUP BY 1),
+      |cw AS (SELECT c2.*, SUM(n_tokens) OVER (PARTITION BY source
+      |    ORDER BY ok, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM c2)
+      |SELECT cw.doc_id, cw.source, cw.n_tokens,
+      |  CAST($RepBudgetTokens // av.avail +
+      |    CASE WHEN cw.cum <= $RepBudgetTokens % av.avail
+      |      THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+      |FROM cw JOIN av USING (source)""".stripMargin
 
   /** Training-mix sampler with TARGET PROPORTIONS: unlike q56's fixed
     * per-stratum thresholds, the per-language keep-rate here is DERIVED
@@ -2092,6 +2255,12 @@ object PipelineOps {
         "exact quality gates — the shipped end artifact"),
     Q("q54_contamination", contamination, Some(contaminationSql),
       "cross-source duplicate/contamination report via fingerprint join"),
+    Q("q149_repetition_schedule", repetitionSchedule,
+      Some(repetitionScheduleSql),
+      "per-document epoch/repeat schedule equalizing each source's " +
+        "token mass to a target budget: integer full-epochs + md5-" +
+        "deterministic token-prefix remainder — one formula does both " +
+        "down-sampling and low-resource epoching"),
     Q("q46_hash_sample", hashSample, Some(hashSampleSql),
       "deterministic md5-prefix sampling (reproducible, shuffle-free)"),
     Q("q56_stratified_sample", stratifiedSample, Some(stratifiedSampleSql),
@@ -2108,6 +2277,12 @@ object PipelineOps {
       "BPE merge mining to 5 rounds on the shared iterate harness: " +
         "the tokenizer-training merge table, oracle-checked against " +
         "five unrolled in-SQL rounds"),
+    Q("q147_bpe_wide_merges", bpeMergeTableWide, None,
+      "BPE training at scale: top-8 pairwise-disjoint merges per " +
+        "round, one chained re-segmentation — 40 merges in 5 corpus " +
+        "scans; selection policy pinned by an independent in-memory " +
+        "reference implementation (no SQL oracle: the greedy-disjoint " +
+        "fold is sequential state)"),
     Q("q106_tokenize_corpus", tokenizeCorpus, Some(tokenizeCorpusSql),
       "apply the trained tokenizer: stateless 5-replace projection " +
         "over every doc's pre-tokens, per-doc integer compression " +

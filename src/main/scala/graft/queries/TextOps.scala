@@ -689,9 +689,15 @@ object TextOps {
     * rollup — every shuffle keyed, nothing global. At 100 TB the scaled
     * product wants DECIMAL headroom or a per-1M-token frequency scale;
     * at any tested SF it fits a BIGINT with 6 orders to spare. */
-  def unigramScore(spark: SparkSession, dir: String): DataFrame = {
+  def unigramScore(spark: SparkSession, dir: String): DataFrame =
+    unigramScoreOf(Tables(spark, dir, "documents"))
+
+  /** q82 as a lift over any docs frame — shared by the registry query
+    * and the calibration family (batch q148 + its ingest twin), one
+    * definition so the scorer cannot drift from its calibrator. */
+  private[graft] def unigramScoreOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val docs = Tables(spark, dir, "documents")
     val tokens = docs
       .select($"doc_id", explode(toks($"text")).as("term"))
       .filter($"term" =!= "")
@@ -947,7 +953,7 @@ object TextOps {
   /** q138's policy constants, interpolated into the oracle from the
     * same definitions the engine binds: score-bin width (the sketch
     * resolution, q112's contract) and the quintile edges. */
-  private val CurrBinW = 1000000L
+  private[graft] val CurrBinW = 1000000L
   private val CurrCuts = Seq(20L, 40L, 60L, 80L)
 
   /** q138 — curriculum phase assignment: every training document gets
@@ -1017,6 +1023,85 @@ object TextOps {
       |  CAST(concat('0x', substr(md5(concat('curr:',
       |    CAST(sc.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS order_key
       |FROM sc, cuts""".stripMargin
+
+  /** q148's per-source keep threshold: drop each source's bottom
+    * [[CalPctCut]] percent (bin-granular), interpolated into the
+    * oracle from the same constant. */
+  private[graft] val CalPctCut = 30L
+
+  /** q148 — per-source quality-score CALIBRATION: every document's
+    * q82 unigram score becomes an integer percentile WITHIN ITS
+    * SOURCE (bin-granular, the q112/q138 sketch-resolution contract),
+    * plus the calibrated keep flag "above the source's own bottom
+    * 30 %". A single global threshold over-prunes whatever source
+    * happens to score low on the corpus-wide unigram model (a
+    * specialist domain's everyday vocabulary is rare corpus-wide);
+    * per-source percentile normalization is how production pipelines
+    * apply one quality policy across heterogeneous sources without
+    * flattening the mix. Fully integer → the whole table hash-checks.
+    *
+    * Scale shape: q82's keyed chain → a (source × score-bin) histogram
+    * (bounded keys) → per-source cumulative via a broadcast ≤-join on
+    * the sketch-sized histogram (the q138 cutoff-bin device, here kept
+    * per-source) → percentile and flag are map-side on the per-doc
+    * frame. No global window, no per-source sort. */
+  def sourceCalibratedScore(spark: SparkSession, dir: String): DataFrame =
+    sourceCalibratedScoreOf(Tables(spark, dir, "documents"))
+
+  /** The per-source score histogram over a docs frame: (source, bin,
+    * c) — the ONE definition batch calibration cumulates and the
+    * ingest twin collects as its parameter table. */
+  private[graft] def sourceBinHistOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    unigramScoreOf(docs)
+      .select($"doc_id", $"mean_freq_scaled".as("score"))
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .withColumn("bin", expr(s"score div $CurrBinW"))
+      .groupBy($"source", $"bin").agg(count(lit(1)).as("c"))
+  }
+
+  private[graft] def sourceCalibratedScoreOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = unigramScoreOf(docs)
+      .select($"doc_id", $"mean_freq_scaled".as("score"))
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .withColumn("bin", expr(s"score div $CurrBinW"))
+    val hist = sourceBinHistOf(docs)
+    val cum = hist
+      .join(broadcast(hist.select($"source".as("s2"), $"bin".as("b_bin"),
+        $"c".as("b_c"))), $"s2" === $"source" && $"b_bin" <= $"bin")
+      .groupBy($"source", $"bin").agg(sum($"b_c").as("cum"))
+    val tot = hist.groupBy($"source").agg(sum($"c").as("n"))
+    scored
+      .join(broadcast(cum), Seq("source", "bin"))
+      .join(broadcast(tot), "source")
+      .select($"doc_id", $"source", $"score",
+        expr("CAST((100 * cum) div n AS BIGINT)").as("src_pct"),
+        expr(s"CAST(IF((100 * cum) div n > $CalPctCut, 1, 0) AS BIGINT)")
+          .as("keep_calibrated"))
+  }
+
+  private val sourceCalibratedScoreSql = unigramCtes + ",\n" +
+    s"""sc AS (SELECT d.doc_id, d.source,
+      |    COALESCE(s.sum_freq * 1000000 // s.n_tokens, 0) AS score,
+      |    COALESCE(s.sum_freq * 1000000 // s.n_tokens, 0) // $CurrBinW
+      |      AS bin
+      |  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id),
+      |h AS (SELECT source, bin, COUNT(*) AS c FROM sc GROUP BY 1, 2),
+      |cw AS (SELECT a.source, a.bin, SUM(bb.c) AS cum
+      |       FROM h a JOIN h bb
+      |         ON bb.source = a.source AND bb.bin <= a.bin
+      |       GROUP BY 1, 2),
+      |n AS (SELECT source, SUM(c) AS n FROM h GROUP BY 1)
+      |SELECT sc.doc_id, sc.source, sc.score,
+      |  CAST((100 * cw.cum) // n.n AS BIGINT) AS src_pct,
+      |  CAST(CASE WHEN (100 * cw.cum) // n.n > $CalPctCut
+      |    THEN 1 ELSE 0 END AS BIGINT) AS keep_calibrated
+      |FROM sc
+      |JOIN cw ON cw.source = sc.source AND cw.bin = sc.bin
+      |JOIN n ON n.source = sc.source""".stripMargin
 
   /** q142 — vocabulary-drift report, the lexical twin of q141's
     * embedding drift: for the standing corpus's top-100 terms (by
@@ -1092,6 +1177,12 @@ object TextOps {
       "head-term share drift of the delta batch vs the standing " +
         "corpus in integer ppm — the lexical distribution-shift " +
         "detector, top-100 via TakeOrderedAndProject"),
+    Q("q148_source_calibration", sourceCalibratedScore,
+      Some(sourceCalibratedScoreSql),
+      "per-source quality-score calibration: integer percentile of " +
+        "each doc's unigram score within its source (per-source " +
+        "cutoff-bin device, no window) + the calibrated bottom-30% " +
+        "drop flag"),
     Q("q138_curriculum_phase", curriculumPhase, Some(curriculumPhaseSql),
       "easy-to-hard curriculum assignment: quintile phase from the " +
         "corpus's own unigram-score histogram (cutoff-bin device, no " +

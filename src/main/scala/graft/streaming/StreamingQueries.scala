@@ -314,6 +314,74 @@ object StreamingQueries {
       .select(col("doc_id"), col("score"),
         when(col("score") > 0, 1L).otherwise(0L).as("admit"))
 
+  /** Ingest-time CALIBRATED quality gate — the streaming twin of
+    * q148: every arriving document gets its q82 unigram score, its
+    * integer percentile within ITS SOURCE's standing-corpus score
+    * distribution, and the calibrated bottom-30% drop decision —
+    * stateless, per-row, the shape a per-source-fair admission gate
+    * runs at ingest (a single global threshold would over-prune
+    * whichever source scores low corpus-wide).
+    *
+    * Parameters, all read once from the standing corpus via the SAME
+    * batch lifts (anti-drift): the trained unigram LM (term→freq; the
+    * synthetic vocabulary is tiny so it folds into a literal map — at
+    * real scale the identical row shape comes from broadcasting the
+    * persisted freq table into a stream-static join), and the
+    * per-source score histograms ([[graft.queries.TextOps.sourceBinHistOf]]
+    * — genuinely bounded: sources × score bins). Scoring mirrors batch
+    * q82 exactly: tokens absent from the model are excluded from both
+    * the count and the sum (the batch inner join's semantics), NULL
+    * text scores 0 and stays a row. A source the corpus has never seen
+    * cannot be calibrated: src_pct is NULL and the gate fails closed
+    * (keep_calibrated = 0).
+    *
+    * For documents the standing corpus contains, output rows equal
+    * batch q148's verbatim — asserted in StreamingSpec. */
+  def calibratedScoreStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.queries.TextOps
+    // model: term → corpus frequency (bounded by the vocabulary)
+    val freq = corpus
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val freqMap = map(freq.toIndexedSeq.flatMap { case (t, f) =>
+      Seq(lit(t), lit(f)) }: _*)
+    // calibration: per-source (bin, count) histogram + totals
+    val hist = TextOps.sourceBinHistOf(corpus)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val histMap = map(hist.groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (src, rows) =>
+        Seq(lit(src), array(rows.sortBy(_._2).map { case (_, b, c) =>
+          struct(lit(b).as("b"), lit(c).as("c")) }.toIndexedSeq: _*))
+      }: _*)
+    val totMap = map(hist.groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (src, rows) =>
+        Seq(lit(src), lit(rows.map(_._3).sum)) }: _*)
+    docs
+      .withColumn("tk", filter(
+        split(coalesce(col("text"), lit("")), " "),
+        t => t =!= "" && element_at(freqMap, t).isNotNull))
+      .select(col("doc_id"), col("source"),
+        size(col("tk")).cast("long").as("n"),
+        aggregate(col("tk"), lit(0L),
+          (acc, t) => acc + element_at(freqMap, t)).as("sf"))
+      .select(col("doc_id"), col("source"),
+        expr("CAST(IF(n = 0, 0, sf * 1000000 div n) AS BIGINT)")
+          .as("score"))
+      .withColumn("bin", expr(s"score div ${TextOps.CurrBinW}"))
+      .withColumn("cum", aggregate(
+        element_at(histMap, col("source")), lit(0L),
+        (acc, x) => acc + when(x("b") <= col("bin"), x("c"))
+          .otherwise(lit(0L))))
+      .withColumn("n_src", element_at(totMap, col("source")))
+      .select(col("doc_id"), col("source"), col("score"),
+        expr("CAST((100 * cum) div n_src AS BIGINT)").as("src_pct"))
+      .withColumn("keep_calibrated",
+        when(col("src_pct") > graft.queries.TextOps.CalPctCut, 1L)
+          .otherwise(0L))
+  }
+
   /** Streaming ANN-index maintenance: arriving embedding rows get their
     * grid cell and packed PQ code from the SAME native-expression lifts
     * as the batch index build ([[graft.queries.VectorOps.annIndexTable]])

@@ -602,6 +602,39 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("calibrated-score stream == batch q148 for corpus docs; " +
+      "unknown source fails closed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.queries.TextOps.sourceCalibratedScore(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val corpus = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text", $"source")
+    val feed = corpus.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val ms = MemoryStream[(Long, String, String)]
+    val q = StreamingQueries.calibratedScoreStream(
+        ms.toDF().toDF("doc_id", "text", "source"), corpus)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cal_out").start()
+    ms.addData(feed.toIndexedSeq: _*)
+    // an unknown source cannot be calibrated: gate fails closed
+    ms.addData((999999L, "the cat", "brand-new-source"))
+    q.processAllAvailable()
+    val rows = spark.table("cal_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+    q.stop()
+    val streamed = rows.filter(_._1 != 999999L)
+      .map(t => (t._1, t._2, t._3, t._4, t._5)).toSet
+    assert(streamed == batch,
+      s"stream=${streamed.size} rows batch=${batch.size} rows")
+    val unknown = rows.find(_._1 == 999999L).get
+    assert(unknown._4 == -1L && unknown._5 == 0L,
+      s"unknown source must fail closed: $unknown")
+  }
+
   test("streaming vocab-drift monitor == batch q142 across a batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
