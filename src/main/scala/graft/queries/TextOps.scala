@@ -886,6 +886,71 @@ object TextOps {
       .limit(20)
   }
 
+  // ------------------------- persisted posting index (the BM25 loop)
+
+  /** Posting-index layout: [[PostingBuckets]] term-hash partitions, so
+    * a query's bucket set constant-folds into planning-time
+    * PartitionFilters — a search reads |query terms| buckets of a
+    * 100 TB index, never the index. 64 buckets is the test-scale
+    * setting; a deployment sizes buckets ≈ index size / file-target
+    * (the q80 lever applied to postings). */
+  private[graft] val PostingBuckets = 64L
+
+  private[graft] def postingBucket(term: Column): Column =
+    pmod(xxhash64(term), lit(PostingBuckets)).cast("int")
+
+  /** The PHYSICAL posting index q87/q89's 100 TB notes describe,
+    * closing the lexical-retrieval storage loop the ANN (doc + chunk)
+    * and LSH families already have: the corpus's postings written
+    * bucket-partitioned ONCE; searches read buckets, ingest appends
+    * novel documents' postings. Stored rows are df-FREE on purpose:
+    * document frequency changes with every append, so a denormalized
+    * df (q87's reporting shape) would force rewriting a term's every
+    * posting per ingest batch — instead df is derived at search time
+    * from the (already pruned) query-term postings, which is exact
+    * because a term's postings all live in its own bucket. A doc-id
+    * manifest sibling makes replayed appends idempotent without
+    * scanning the index. */
+  def postingWriteIndex(spark: SparkSession, dir: String,
+      path: String): Unit =
+    postingWriteIndexOf(Tables(spark, dir, "documents"), path)
+
+  private[graft] def postingWriteIndexOf(docs: DataFrame,
+      path: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.operators.Operators.writePartitioned(
+      invertedIndexOf(docs)
+        .select($"term", $"doc_id", $"tf", $"first_pos")
+        .withColumn("bucket", postingBucket($"term")),
+      s"$path/postings", "bucket")
+    docs.select($"doc_id").write.mode("overwrite")
+      .parquet(s"$path/docs")
+  }
+
+  /** q89 answered FROM the stored index: the query terms' buckets
+    * constant-fold into PartitionFilters (plan-asserted in
+    * PostingIndexSpec), df re-derives from the pruned postings
+    * (exact — bucket-complete by layout), then q89's integer scoring
+    * verbatim. Output equality with the live q89 is spec-asserted,
+    * and HOLDS AS THE INDEX GROWS: an appended document changes df
+    * and scores exactly as a batch rebuild would, because nothing
+    * stale is stored. */
+  def bm25SearchIndexed(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val idx = spark.read.parquet(s"$path/postings")
+    val bucketPred = bm25QueryTerms
+      .map(t => $"bucket" === postingBucket(lit(t))).reduce(_ || _)
+    val hits = idx.filter(bucketPred && $"term".isin(bm25QueryTerms: _*))
+    val dfTab = hits.groupBy($"term").agg(count(lit(1)).as("df"))
+    hits.join(broadcast(dfTab), "term")
+      .groupBy($"doc_id")
+      .agg(sum($"tf" * expr("1000000 div df")).cast("long").as("score"),
+        count(lit(1)).as("n_hit_terms"))
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(20)
+  }
+
   private val bm25TopKSql = invertedIndexCtes + ",\n" +
     s"""idx AS (
       |  SELECT p.term, p.doc_id, d.df, p.tf FROM p JOIN d USING (term))

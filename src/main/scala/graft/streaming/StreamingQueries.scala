@@ -992,6 +992,58 @@ object StreamingQueries {
     * job, same as the doc-level appender. Requires the index to exist
     * (the deployment shape: [[graft.queries.VectorOps.chunkWriteIndex]]
     * builds it once; the stream maintains it). */
+  /** Streaming UPSERT into the persisted POSTING index — the lexical
+    * sibling of [[chunkIndexUpsertStream]], completing the BM25
+    * serving loop ([[graft.queries.TextOps.postingWriteIndex]] builds,
+    * this maintains, [[graft.queries.TextOps.bm25SearchIndexed]]
+    * serves). Arriving documents' postings are doc-LOCAL rows (tf and
+    * first_pos never depend on other documents — the reason an
+    * inverted index appends cleanly), so each micro-batch:
+    *
+    *  1. anti-joins the doc-id MANIFEST sibling (not the index — no
+    *     full posting scan per batch) so replays and duplicate
+    *     deliveries never double-index a document;
+    *  2. computes the novel docs' postings with the SAME
+    *     [[graft.queries.TextOps.invertedIndexOf]] lift as the batch
+    *     build (df column dropped — the stored layout is df-free, df
+    *     re-derives at search time, which is what keeps appends O(new
+    *     postings) instead of O(term's postings));
+    *  3. appends postings bucket-partitioned FIRST, then extends the
+    *     manifest. A crash between the two replays the batch with its
+    *     postings already landed: the doc's tf doubles until a
+    *     (term, doc_id) compaction dedups it — detectable and
+    *     repairable. The reverse order would instead mark docs indexed
+    *     whose postings never landed: silent loss, the unrepairable
+    *     failure. At-least-once residue chosen accordingly.
+    *
+    * Search results over the maintained index equal a from-scratch
+    * batch rebuild on the grown corpus — asserted in
+    * PostingIndexSpec across a two-batch split. */
+  def postingUpsertStream(docs: DataFrame, indexPath: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        import graft.queries.TextOps
+        val indexed = spark.read.parquet(s"$indexPath/docs")
+        val novel = batch.select($"doc_id", $"text")
+          .join(indexed, Seq("doc_id"), "left_anti")
+          .persist()
+        TextOps.invertedIndexOf(novel)
+          .select($"term", $"doc_id", $"tf", $"first_pos")
+          .withColumn("bucket", TextOps.postingBucket($"term"))
+          .repartition(col("bucket"))
+          .write.mode("append").partitionBy("bucket")
+          .parquet(s"$indexPath/postings")
+        novel.select($"doc_id").write.mode("append")
+          .parquet(s"$indexPath/docs")
+        novel.unpersist(blocking = false)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+
   def chunkIndexUpsertStream(docs: DataFrame, indexPath: String,
       checkpoint: String): StreamingQuery =
     docs.writeStream.outputMode("append")

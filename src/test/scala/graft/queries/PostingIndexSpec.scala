@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The persisted BM25 posting-index loop (the lexical sibling of the
+  * ANN/LSH storage loops): batch build == live q89, plan-audited
+  * bucket pruning + column pruning, and the streaming posting upsert
+  * whose maintained index keeps answering searches exactly as a
+  * from-scratch rebuild on the grown corpus would. */
+class PostingIndexSpec extends SparkSuite {
+
+  test("posting index: indexed bm25 == live q89, bucket-pruned, " +
+      "df-free scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("postidx")
+      .toString + "/idx"
+    try {
+      TextOps.postingWriteIndex(spark, sf0001, tmp)
+      val expect = TextOps.bm25TopK(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val indexed = TextOps.bm25SearchIndexed(spark, tmp)
+      val got = indexed.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expect)
+      assert(got.size == 20)
+      // plan contract: the query terms' buckets constant-fold into
+      // planning-time PartitionFilters, and the scan reads ONLY
+      // (term, doc_id, tf) — first_pos (the q87 reporting column)
+      // never travels on the search path
+      val plan = indexed.queryExecution.executedPlan.toString
+        .replaceAll("#\\d+", "")
+      assert(plan.contains("PartitionFilters: ["), plan)
+      assert(plan.contains("bucket IN (") || plan.contains("(bucket = "),
+        plan)
+      assert(!plan.contains("first_pos"), plan)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(tmp).getParentFile)
+    }
+  }
+
+  test("posting upsert stream: maintained index == rebuild on the " +
+      "grown corpus; replays never double-index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("postups").toString
+    val idx = s"$base/idx"
+    try {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select($"doc_id", $"text")
+      val ids = docs.select($"doc_id").orderBy($"doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      val (baseIds, newIds) = ids.splitAt(ids.length / 2)
+      // seed: batch-build over the FIRST half of the corpus
+      TextOps.postingWriteIndexOf(docs.filter($"doc_id".isin(baseIds: _*)),
+        idx)
+      // stream the SECOND half in two micro-batches
+      val rows = docs.filter($"doc_id".isin(newIds: _*))
+        .orderBy($"doc_id").as[(Long, String)].collect().toSeq
+      val ms = MemoryStream[(Long, String)]
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      ms.addData(h1: _*)
+      graft.streaming.StreamingQueries.postingUpsertStream(
+        ms.toDF().toDF("doc_id", "text"), idx, s"$base/chk")
+        .awaitTermination()
+      ms.addData(h2: _*)
+      graft.streaming.StreamingQueries.postingUpsertStream(
+        ms.toDF().toDF("doc_id", "text"), idx, s"$base/chk")
+        .awaitTermination()
+      // the maintained index answers EXACTLY as live q89 over the full
+      // corpus: df re-derives at search time, so appended documents
+      // shift scores precisely as a batch rebuild would
+      val expect = TextOps.bm25TopK(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val got = TextOps.bm25SearchIndexed(spark, idx).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expect)
+      // replay: a fresh stream re-delivering the same documents adds
+      // NOTHING — the doc-manifest anti-join holds
+      val before = spark.read.parquet(s"$idx/postings").count()
+      val ms2 = MemoryStream[(Long, String)]
+      ms2.addData(rows: _*)
+      graft.streaming.StreamingQueries.postingUpsertStream(
+        ms2.toDF().toDF("doc_id", "text"), idx, s"$base/chk2")
+        .awaitTermination()
+      assert(spark.read.parquet(s"$idx/postings").count() == before)
+      // and the manifest covers the corpus exactly once
+      val manifest = spark.read.parquet(s"$idx/docs")
+        .collect().map(_.getLong(0)).toSeq
+      assert(manifest.length == ids.length)
+      assert(manifest.distinct.length == ids.length)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(base))
+    }
+  }
+}
