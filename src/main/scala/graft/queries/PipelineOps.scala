@@ -27,7 +27,7 @@ object PipelineOps {
     * the same idiom at 15 chars inside a SQL transform-lambda, where a
     * Column helper can't reach — its width is pinned by its own oracle
     * and golden tests.) */
-  private[queries] def md5PrefixLong(c: Column, hexChars: Int): Column =
+  private[graft] def md5PrefixLong(c: Column, hexChars: Int): Column =
     conv(substring(md5(c), 1, hexChars), 16, 10).cast("long")
 
   /** Deterministic ~10% sample: keep doc_ids whose md5 hex prefix falls
@@ -871,6 +871,71 @@ object PipelineOps {
     """SELECT doc_id, shard, pos, n_tokens, start_off, start_seq, end_seq
       |FROM pk""".stripMargin
 
+  /** q152's candidate context lengths, interpolated into the oracle. */
+  private val SweepSeqLens = Seq(16L, 32L, 64L)
+
+  /** q152 — packing-efficiency SWEEP: for each candidate context
+    * length, what the q91 packed stream would cost — sequences
+    * produced, pad tokens lost at shard tails, integer fill rate, and
+    * how many documents straddle a sequence boundary (each straddle
+    * is an attention-mask seam or a truncation decision for the
+    * loader). This is the capacity-planning table a training team
+    * reads BEFORE fixing the context length: longer sequences pad
+    * more per shard tail but seam fewer documents; the sweep makes
+    * the trade integer-exact from the same placements q91 ships.
+    *
+    * Scale shape: rides q91 (one window per shard); the sweep itself
+    * is an explode over |lengths| literals, a 3-key partial-
+    * aggregatable rollup, and a shard-count-sized ceil sum — no new
+    * shuffle beyond q91's. */
+  def packingSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pk = packedStream(spark, dir)
+    val lens = array(SweepSeqLens.map(lit): _*)
+    val cross = pk
+      .select($"start_off", $"n_tokens", explode(lens).as("seq_len"))
+      .groupBy($"seq_len")
+      .agg(sum(when(
+        expr("start_off div seq_len") =!=
+          expr("(start_off + n_tokens - 1) div seq_len"), 1L)
+        .otherwise(0L)).as("n_cross_docs"))
+    val shardTotals = pk.groupBy($"shard").agg(sum($"n_tokens").as("t"))
+    val seqs = shardTotals
+      .select($"t", explode(lens).as("seq_len"))
+      .groupBy($"seq_len")
+      .agg(sum(expr("(t + seq_len - 1) div seq_len")).as("n_seqs"),
+        sum($"t").as("n_tokens"))
+    seqs.join(cross, "seq_len")
+      .select($"seq_len", $"n_seqs", $"n_tokens",
+        ($"n_seqs" * $"seq_len" - $"n_tokens").as("pad_tokens"),
+        expr("CAST((1000000 * n_tokens) div (n_seqs * seq_len) " +
+          "AS BIGINT)").as("fill_ppm"),
+        $"n_cross_docs")
+  }
+
+  private val packingSweepSql = packedCtes + ",\n" +
+    s"""ls AS (SELECT CAST(unnest([${SweepSeqLens.mkString(", ")}])
+      |    AS BIGINT) AS seq_len),
+      |cr AS (
+      |  SELECT seq_len,
+      |    CAST(SUM(CASE WHEN start_off // seq_len
+      |        <> (start_off + n_tokens - 1) // seq_len
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_docs
+      |  FROM pk, ls GROUP BY 1),
+      |stt AS (SELECT shard, SUM(n_tokens) AS t FROM pk GROUP BY 1),
+      |sq AS (
+      |  SELECT seq_len,
+      |    CAST(SUM((t + seq_len - 1) // seq_len) AS BIGINT) AS n_seqs,
+      |    CAST(SUM(t) AS BIGINT) AS n_tokens
+      |  FROM stt, ls GROUP BY 1)
+      |SELECT sq.seq_len, sq.n_seqs, sq.n_tokens,
+      |  CAST(sq.n_seqs * sq.seq_len - sq.n_tokens AS BIGINT)
+      |    AS pad_tokens,
+      |  CAST((1000000 * sq.n_tokens) // (sq.n_seqs * sq.seq_len)
+      |    AS BIGINT) AS fill_ppm,
+      |  cr.n_cross_docs
+      |FROM sq JOIN cr USING (seq_len)""".stripMargin
+
   /** q100 — the training-shard MANIFEST: per shard, document and token
     * counts, the packed sequence count, the last read position, and an
     * md5 digest of the sorted member id list — exactly what a training
@@ -1621,6 +1686,109 @@ object PipelineOps {
       |    * 10000 * c.cnt
       |  < 65536::BIGINT * w.w_bp * 200""".stripMargin
 
+  /** q151's hashed-feature space size — the DSIR bucket count, one
+    * definition interpolated into the oracle. */
+  private[graft] val DsirDims = 256L
+
+  /** The q151 feature derivation as a lift: every document's hashed-
+    * bigram dims plus its target/raw side — shared by the batch
+    * scorer and the ingest twin's parameter build (one definition,
+    * the stream's weight table cannot drift from batch counting). */
+  private[graft] def dsirFeatures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select($"doc_id", split($"text", " ").as("tok"))
+      .filter(size($"tok") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(tok) - 1), " +
+          "i -> concat(tok[i-1], ' ', tok[i]))")).as("gram"))
+      .select($"doc_id", (md5PrefixLong($"gram", 8) % DsirDims).as("dim"))
+      .withColumn("bench",
+        substring(md5(concat(lit("bench:"), $"doc_id".cast("string"))),
+          1, 1) === "0")
+  }
+
+  /** q151 — DSIR-style importance weights (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more likely its hashed-bigram features are
+    * under the TARGET distribution (the q81 benchmark slice — in
+    * production, the eval/domain sample you want training data to
+    * resemble) than under the raw corpus. Per feature bucket b:
+    * add-one-smoothed probability ratio in integer ppm,
+    * `wppm[b] = 10⁶·(n_t[b]+1)·(Σn_r+B) div ((n_r[b]+1)·(Σn_t+B))`;
+    * per document: the mean wppm over its bigram occurrences, and the
+    * admit flag `dsir_ppm > 10⁶` ("more target-like than neutral").
+    * Hashed bigrams (not q69's unigram dims) because DSIR's published
+    * form is n-gram hashing — bigrams carry the phrase-level signal
+    * unigram buckets wash out. Fully integer → hash-checked.
+    *
+    * Scale shape: one bigram explode (map-side), one bounded-key
+    * (B=[[DsirDims]]) two-sided count, the weight table is a
+    * B-row broadcast, per-doc rollup partial-aggregatable, restore
+    * left-join keeps zero-feature docs as rows. Products stay under
+    * 2⁶³ through ~10¹² raw tokens; DECIMAL past that. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val bg = dsirFeatures(docs)
+    val ct = bg.groupBy($"dim").agg(
+      sum(when($"bench", 1L).otherwise(0L)).as("nt"),
+      sum(when($"bench", 0L).otherwise(1L)).as("nr"))
+    val tot = ct.withColumn("k", lit(0)).groupBy($"k")
+      .agg((sum($"nt") + DsirDims).as("st"), (sum($"nr") + DsirDims).as("sr"))
+    val w = ct.withColumn("k", lit(0)).join(broadcast(tot), "k")
+      .select($"dim",
+        expr("CAST((1000000 * (nt + 1) * sr) div ((nr + 1) * st) " +
+          "AS BIGINT)").as("wppm"))
+    val ds = bg.join(broadcast(w), "dim")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("nf"), sum($"wppm").as("sw"))
+    docs.select($"doc_id").join(ds, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"nf", lit(0L)).as("n_feats"),
+        expr("CAST(IF(COALESCE(nf, 0) = 0, 0, sw div nf) AS BIGINT)")
+          .as("dsir_ppm"))
+      .withColumn("keep_dsir",
+        expr("CAST(IF(dsir_ppm > 1000000, 1, 0) AS BIGINT)"))
+  }
+
+  private val dsirWeightsSql =
+    s"""WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(concat(tok[i], ' ', tok[i + 1])),
+      |      1, 8)) AS BIGINT) % $DsirDims AS dim,
+      |    substr(md5(concat('bench:', CAST(doc_id AS VARCHAR))), 1, 1)
+      |      = '0' AS bench
+      |  FROM (SELECT doc_id, tok, unnest(range(1, len(tok))) AS i
+      |        FROM tk WHERE len(tok) >= 2) u),
+      |ct AS (
+      |  SELECT dim,
+      |    CAST(SUM(CASE WHEN bench THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+      |    CAST(SUM(CASE WHEN bench THEN 0 ELSE 1 END) AS BIGINT) AS nr
+      |  FROM bg GROUP BY 1),
+      |tot AS (
+      |  SELECT SUM(nt) + $DsirDims AS st, SUM(nr) + $DsirDims AS sr
+      |  FROM ct),
+      |w AS (
+      |  SELECT dim, CAST((1000000 * (nt + 1) * sr)
+      |    // ((nr + 1) * st) AS BIGINT) AS wppm
+      |  FROM ct, tot),
+      |ds AS (
+      |  SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS nf,
+      |    CAST(SUM(w.wppm) AS BIGINT) AS sw
+      |  FROM bg JOIN w USING (dim) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(ds.nf, 0) AS n_feats,
+      |  CAST(CASE WHEN COALESCE(ds.nf, 0) = 0 THEN 0
+      |    ELSE ds.sw // ds.nf END AS BIGINT) AS dsir_ppm,
+      |  CAST(CASE WHEN COALESCE(ds.nf, 0) > 0
+      |      AND ds.sw // ds.nf > 1000000
+      |    THEN 1 ELSE 0 END AS BIGINT) AS keep_dsir
+      |FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id""".stripMargin
+
   /** Hashing-trick (feature-hash) vectorization: every document becomes
     * a sparse 64-dim term-count vector — dim = first 32 md5 bits of the
     * token mod 64, weight = token count in that bucket — emitted in
@@ -2255,6 +2423,15 @@ object PipelineOps {
         "exact quality gates — the shipped end artifact"),
     Q("q54_contamination", contamination, Some(contaminationSql),
       "cross-source duplicate/contamination report via fingerprint join"),
+    Q("q152_packing_sweep", packingSweep, Some(packingSweepSql),
+      "context-length capacity planning: sequences, tail padding, " +
+        "integer fill rate and document boundary-straddles per " +
+        "candidate length from the same q91 placements"),
+    Q("q151_dsir_weights", dsirWeights, Some(dsirWeightsSql),
+      "DSIR-style importance weights: add-one-smoothed target/raw " +
+        "probability ratio over hashed bigram features, integer ppm, " +
+        "mean per doc + admit flag — data selection toward the " +
+        "benchmark slice's distribution"),
     Q("q149_repetition_schedule", repetitionSchedule,
       Some(repetitionScheduleSql),
       "per-document epoch/repeat schedule equalizing each source's " +

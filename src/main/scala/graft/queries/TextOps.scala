@@ -928,6 +928,42 @@ object TextOps {
       .parquet(s"$path/docs")
   }
 
+  /** Posting-index COMPACTION — the repair/maintenance job the upsert
+    * stream's at-least-once residue and small-files debt both point
+    * at: re-read the index, drop exact duplicate posting rows (the
+    * only residue a replayed half-landed batch can leave — posting
+    * rows are deterministic functions of (term, doc_id), so
+    * `distinct()` IS the (term, doc_id) dedup), rewrite each bucket as
+    * fresh files, and dedup the doc manifest. Search results are
+    * invariant under compaction when no residue exists, and repaired
+    * to rebuild-equality when it does — both spec-asserted. */
+  def compactPostingIndex(spark: SparkSession, path: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete()
+    }
+    // write-aside + two atomic renames (the ANN compactIndex pattern:
+    // the live index is never the write target, and a crash between
+    // the renames leaves a restorable .pre-compact copy)
+    def swapIn(sub: String, write: String => Unit): Unit = {
+      val live = Paths.get(s"$path/$sub")
+      val retired = Paths.get(s"$path/$sub.pre-compact")
+      if (!Files.exists(live) && Files.exists(retired))
+        Files.move(retired, live, StandardCopyOption.ATOMIC_MOVE)
+      val tmp = s"$path/$sub.compacting"
+      write(tmp)
+      rmTree(retired.toFile)
+      Files.move(live, retired, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(Paths.get(tmp), live, StandardCopyOption.ATOMIC_MOVE)
+      rmTree(retired.toFile)
+    }
+    swapIn("postings", tmp => graft.operators.Operators.writePartitioned(
+      spark.read.parquet(s"$path/postings").distinct(), tmp, "bucket"))
+    swapIn("docs", tmp => spark.read.parquet(s"$path/docs").distinct()
+      .coalesce(1).write.parquet(tmp))
+  }
+
   /** q89 answered FROM the stored index: the query terms' buckets
     * constant-fold into PartitionFilters (plan-asserted in
     * PostingIndexSpec), df re-derives from the pruned postings

@@ -382,6 +382,55 @@ object StreamingQueries {
           .otherwise(0L))
   }
 
+  /** Ingest-time DSIR gate — the streaming twin of q151: every
+    * arriving document gets its importance score (how target-like its
+    * hashed-bigram features are) and admit decision map-side, the
+    * shape data selection runs in front of an ingest pipeline. The
+    * weight table is a COMPLETE [[graft.queries.PipelineOps.DsirDims]]-
+    * entry parameter derived from the standing corpus via the SAME
+    * counting lift as batch q151 (dims the corpus never produced get
+    * the pure-smoothing weight, so a genuinely novel phrase pattern
+    * scores neutral-by-prior rather than crashing the lookup).
+    * Stateless — no watermark, no state store; for corpus documents
+    * the emitted rows equal batch q151's verbatim (asserted in
+    * StreamingSpec). NULL/short texts are zero-feature rows with score
+    * 0, batch's restore-join semantics. */
+  def dsirStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.queries.PipelineOps
+    val nDims = PipelineOps.DsirDims.toInt
+    val ct = PipelineOps.dsirFeatures(corpus)
+      .groupBy(col("dim")).agg(
+        sum(when(col("bench"), 1L).otherwise(0L)).as("nt"),
+        sum(when(col("bench"), 0L).otherwise(1L)).as("nr"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val st = ct.values.map(_._1).sum + nDims
+    val sr = ct.values.map(_._2).sum + nDims
+    def wppm(d: Long): Long = {
+      val (nt, nr) = ct.getOrElse(d, (0L, 0L))
+      1000000L * (nt + 1) * sr / ((nr + 1) * st)
+    }
+    val wMap = map((0L until nDims.toLong).flatMap(d =>
+      Seq(lit(d), lit(wppm(d)))): _*)
+    docs
+      .withColumn("tk", split(coalesce(col("text"), lit("")), " "))
+      .withColumn("grams", when(size(col("tk")) >= 2, expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> concat(tk[i-1], ' ', tk[i]))"))
+        .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_feats"),
+        aggregate(col("grams"), lit(0L), (acc, g) => acc +
+          element_at(wMap,
+            PipelineOps.md5PrefixLong(g, 8) % PipelineOps.DsirDims))
+          .as("sw"))
+      .select(col("doc_id"), col("n_feats"),
+        expr("CAST(IF(n_feats = 0, 0, sw div n_feats) AS BIGINT)")
+          .as("dsir_ppm"))
+      .withColumn("keep_dsir",
+        expr("CAST(IF(dsir_ppm > 1000000, 1, 0) AS BIGINT)"))
+  }
+
   /** Streaming ANN-index maintenance: arriving embedding rows get their
     * grid cell and packed PQ code from the SAME native-expression lifts
     * as the batch index build ([[graft.queries.VectorOps.annIndexTable]])

@@ -95,4 +95,41 @@ class PostingIndexSpec extends SparkSuite {
         new java.io.File(base))
     }
   }
+
+  test("posting compaction repairs a half-landed replay to " +
+      "rebuild-equality") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("postcomp")
+      .toString + "/idx"
+    try {
+      TextOps.postingWriteIndex(spark, sf0001, tmp)
+      val clean = spark.read.parquet(s"$tmp/postings").count()
+      // simulate the documented at-least-once residue: a replayed
+      // batch whose postings landed but whose manifest write crashed
+      // re-appends identical posting rows for some documents
+      val dup = spark.read.parquet(s"$tmp/postings")
+        .filter($"doc_id" % 7 === 0)
+        .localCheckpoint() // materialize before appending to the same path
+      val nDup = dup.count()
+      dup.write.mode("append").partitionBy("bucket")
+        .parquet(s"$tmp/postings")
+      assert(spark.read.parquet(s"$tmp/postings").count() == clean + nDup)
+      TextOps.compactPostingIndex(spark, tmp)
+      // exact-duplicate rows are the ONLY possible residue (posting
+      // rows are deterministic in (term, doc_id)), so distinct-based
+      // compaction restores the clean index bit-for-bit
+      assert(spark.read.parquet(s"$tmp/postings").count() == clean)
+      val expect = TextOps.bm25TopK(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val got = TextOps.bm25SearchIndexed(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expect)
+      // no stray write-aside directories survive a clean compaction
+      val files = new java.io.File(tmp).listFiles().map(_.getName).toSet
+      assert(files == Set("postings", "docs"), files.toString)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(tmp).getParentFile)
+    }
+  }
 }

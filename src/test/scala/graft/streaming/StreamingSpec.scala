@@ -635,6 +635,33 @@ class StreamingSpec extends SparkSuite {
       s"unknown source must fail closed: $unknown")
   }
 
+  test("DSIR stream == batch q151 for corpus docs; novel dims score " +
+      "by prior") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.queries.PipelineOps.dsirWeights(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val corpus = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text")
+    val feed = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingQueries.dsirStream(
+        ms.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dsir_out").start()
+    ms.addData(feed.toIndexedSeq: _*)
+    // a one-token doc has no bigram: zero-feature row, score 0
+    ms.addData((888888L, "solitary"))
+    q.processAllAvailable()
+    val rows = spark.table("dsir_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    q.stop()
+    assert(rows.filter(_._1 != 888888L).toSet == batch)
+    val short = rows.find(_._1 == 888888L).get
+    assert(short == ((888888L, 0L, 0L, 0L)), short.toString)
+  }
+
   test("streaming vocab-drift monitor == batch q142 across a batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
