@@ -1310,6 +1310,63 @@ object DedupOps {
       |GROUP BY gram
       |HAVING COUNT(DISTINCT doc_id) > 1""".stripMargin
 
+  /** q153 — the cluster CHAIN audit: per duplicate-cluster size, how
+    * many member pairs are DIRECT verified near-dups versus IMPLIED
+    * only by transitivity (connected components chain A~B~C into one
+    * cluster even when A and C share nothing — the classic over-merge
+    * failure of transitive dedup at scale, where one templated page
+    * bridges unrelated families). implied = C(m,2) − direct per
+    * cluster, rolled up by cluster size with an integer implied-share
+    * ppm: a size band whose implied share approaches 10⁶ is chains,
+    * not cliques, and its survivor policy is destroying mostly-unique
+    * text. The audit that says WHEN to switch from q45's transitive
+    * labels to a stricter clique-ish policy.
+    *
+    * Scale shape: rides both memoized artifacts (labels + verified
+    * pairs); one count per cluster each, a size-keyed rollup —
+    * bounded keys, no pairwise work. */
+  def clusterChainAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labels = clusterLabels(spark, dir)
+    val cs = labels.groupBy($"cluster_id").agg(count(lit(1)).as("m"))
+    // every verified pair is within one cluster by construction —
+    // label one endpoint and count
+    val dp = verifiedPairs(spark, dir).select($"a_id")
+      .join(labels.select($"doc_id".as("a_id"), $"cluster_id"), "a_id")
+      .groupBy($"cluster_id").agg(count(lit(1)).as("direct"))
+    cs.join(dp, Seq("cluster_id"), "left")
+      .select($"m", coalesce($"direct", lit(0L)).as("direct"))
+      .withColumn("implied", expr("m * (m - 1) div 2 - direct"))
+      .groupBy($"m")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum($"direct").as("n_direct_pairs"),
+        sum($"implied").as("n_implied_pairs"))
+      .select($"m".as("cluster_size"), $"n_clusters",
+        $"n_direct_pairs", $"n_implied_pairs",
+        expr("CAST(IF(n_direct_pairs + n_implied_pairs = 0, 0, " +
+          "(1000000 * n_implied_pairs) div " +
+          "(n_direct_pairs + n_implied_pairs)) AS BIGINT)")
+          .as("implied_ppm"))
+  }
+
+  private val clusterChainAuditSql = survivorCtes + ",\n" +
+    """cm AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS m
+      |  FROM cl GROUP BY 1),
+      |dp AS (SELECT cl.cluster_id, CAST(COUNT(*) AS BIGINT) AS direct
+      |  FROM p JOIN cl ON cl.doc_id = p.a_id GROUP BY 1),
+      |per AS (
+      |  SELECT cm.cluster_id, cm.m,
+      |    COALESCE(dp.direct, 0) AS direct,
+      |    cm.m * (cm.m - 1) // 2 - COALESCE(dp.direct, 0) AS implied
+      |  FROM cm LEFT JOIN dp USING (cluster_id))
+      |SELECT m AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+      |  CAST(SUM(direct) AS BIGINT) AS n_direct_pairs,
+      |  CAST(SUM(implied) AS BIGINT) AS n_implied_pairs,
+      |  CAST(CASE WHEN SUM(direct) + SUM(implied) = 0 THEN 0
+      |    ELSE (1000000 * SUM(implied))
+      |      // (SUM(direct) + SUM(implied)) END AS BIGINT) AS implied_ppm
+      |FROM per GROUP BY 1""".stripMargin
+
   /** q150 — the cross-source NEAR-dup contamination MATRIX: the
     * verified J ≥ 0.5 pair table (the memoized q42 artifact) rolled up
     * into source × source cells — pair count and distinct documents
@@ -1362,6 +1419,11 @@ object DedupOps {
       |FROM np JOIN nd USING (src_a, src_b)""".stripMargin
 
   def queries: Seq[Q] = Seq(
+    Q("q153_cluster_chain_audit", clusterChainAudit,
+      Some(clusterChainAuditSql),
+      "transitive-chaining audit per cluster size: direct verified " +
+        "pairs vs transitivity-implied pairs with integer implied-" +
+        "share ppm — when to distrust connected-component dedup"),
     Q("q150_cross_source_matrix", crossSourceMatrix,
       Some(crossSourceMatrixSql),
       "source x source near-dup contamination matrix over the " +
