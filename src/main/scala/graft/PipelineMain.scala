@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * main that runs the shipped stage lifts VERBATIM — dedup survivors →
   * quality gates → training corpus (q64), shard packing (q80/q91),
   * leakage-safe split (q92), per-document lineage (q93), shard
-  * manifests (q100), and the per-source yield funnel (q88) — writes
+  * manifests (q100), the per-source yield funnel (q88), and the
+  * repetition/epoch schedule (q149) — writes
   * every artifact a deployment hands to the training loader, and
   * RECONCILES the counts across stages before declaring success.
   *
@@ -54,6 +55,7 @@ object PipelineMain {
     val lineage = PipelineOps.docLineage(spark, dir) // q93
     val manifest = PipelineOps.shardManifest(spark, dir) // q100
     val yld = PipelineOps.pipelineYield(spark, dir) // q88
+    val schedule = PipelineOps.repetitionSchedule(spark, dir) // q149
 
     // ---- artifacts: what a training run consumes. The packed stream
     // lands shard-partitioned (each shard one loader file set); the
@@ -67,6 +69,7 @@ object PipelineMain {
     writeOne(lineage, "lineage")
     writeOne(manifest, "manifest")
     writeOne(yld, "yield")
+    writeOne(schedule, "schedule")
 
     // ---- reconciliation (reads the frames just computed; the shared
     // memoized artifacts make these rollups cheap re-reads)
@@ -97,13 +100,25 @@ object PipelineMain {
       s"yield n_final $yieldFinal != lineage admitted $nAdmitted")
     check(manifestTokens == packedTokens,
       s"manifest tokens $manifestTokens != packed tokens $packedTokens")
+    // q149 invariants: the schedule covers the corpus exactly, and
+    // each source's scheduled token mass lands within one document of
+    // its budget whenever the source has repeats at all (the formula's
+    // contract: Σ repeats·tokens ∈ (budget − max_doc, budget] for
+    // under-budget remainders; sources with avail ≤ budget get every
+    // doc at least once, so their floor is avail, not budget)
+    val nSched = schedule.count()
+    check(nSched == nCorpus,
+      s"schedule covers $nSched of $nCorpus corpus docs")
+    val schedTokens = schedule
+      .agg(sum($"n_repeats" * $"n_tokens")).head.getLong(0)
+    check(schedTokens > 0, "schedule plans zero tokens")
 
     Seq("n_docs" -> nDocs, "n_corpus" -> nCorpus, "n_packed" -> nPacked,
       "n_split" -> nSplit, "n_lineage" -> nLineage,
       "n_admitted" -> nAdmitted, "packed_tokens" -> packedTokens,
       "manifest_docs" -> manifestDocs, "manifest_tokens" -> manifestTokens,
       "yield_docs" -> yieldDocs, "yield_train" -> yieldTrain,
-      "yield_final" -> yieldFinal)
+      "yield_final" -> yieldFinal, "scheduled_tokens" -> schedTokens)
   }
 
   def main(args: Array[String]): Unit = {

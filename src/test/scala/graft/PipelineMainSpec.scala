@@ -45,5 +45,22 @@ class PipelineMainSpec extends SparkSuite {
     // the admitted set is the corpus minus decon flags — admitted ⊆
     // corpus, and the difference is exactly the flagged trainers
     assert(admitted <= counters("n_corpus"))
+
+    // the epoch schedule's contract, re-derived: per source, the
+    // scheduled token mass lands in (budget − max_doc_tokens, budget]
+    // — the formula's one-document overshoot bound
+    val budget = 20000L
+    val sched = spark.read.parquet(s"$out/schedule")
+      .groupBy($"source")
+      .agg(sum($"n_repeats" * $"n_tokens").as("sched"),
+        max($"n_tokens").as("maxDoc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(sched.nonEmpty)
+    for ((src, s, maxDoc) <- sched) {
+      assert(s <= budget, s"$src schedules $s > budget $budget")
+      assert(s > budget - maxDoc,
+        s"$src schedules $s, more than one doc ($maxDoc) short of $budget")
+    }
+    assert(counters("scheduled_tokens") == sched.map(_._2).sum)
   }
 }

@@ -729,5 +729,32 @@ class PipelineOpsSpec extends SparkSuite {
     assert(narrow.head._2 == got.head._3 && narrow.head._3 == got.head._4
       && narrow.head._4 == got.head._5,
       "round-1 top pick must agree between q101 and q147")
+
+    // ---- APPLICATION parity: the trained wide tokenizer replays as
+    // one map-only replace-chain projection (applyMergesExpr at the
+    // PUA base), and its corpus symbol mass equals the reference
+    // implementation's final segmentation exactly
+    val wideMerges = PipelineOps.minedMerges(spark, sf0001, 5, 8, 0xE000)
+    assert(wideMerges.length == 40)
+    val engTotal = graft.sources.Tables(spark, sf0001, "documents")
+      .select(explode(regexp_extract_all($"text",
+        lit(PipelineOps.preTokenPattern), lit(0))).as("seg"))
+      .select(sum(length(
+        PipelineOps.applyMergesExpr($"seg", wideMerges, 0xE000))))
+      .head.getLong(0)
+    val refTotal = segs.map(s => s.codePointCount(0, s.length).toLong).sum
+    assert(engTotal == refTotal,
+      s"wide application: engine $engTotal vs reference $refTotal")
+    // 40 merges compress strictly beyond the 5 narrow ones (empirical
+    // on this corpus; per-doc monotonicity is not a theorem)
+    val narrowMerges = PipelineOps.minedMerges(spark, sf0001, 5)
+    val narrowTotal = graft.sources.Tables(spark, sf0001, "documents")
+      .select(explode(regexp_extract_all($"text",
+        lit(PipelineOps.preTokenPattern), lit(0))).as("seg"))
+      .select(sum(length(
+        PipelineOps.applyMergesExpr($"seg", narrowMerges))))
+      .head.getLong(0)
+    assert(engTotal < narrowTotal,
+      s"wide $engTotal should out-compress narrow $narrowTotal")
   }
 }
