@@ -140,4 +140,36 @@ class RobustnessSpec extends SparkSuite {
     // the real vector must win over any degenerate candidate
     assert(out.get(10L).contains(1L), s"got $out")
   }
+
+  test("calibration and DSIR lifts keep NULL/empty-text docs as rows") {
+    import spark.implicits._
+    // the synthetic corpus never carries NULL or empty text, so the
+    // oracle hash can't witness these paths — pin them here (the
+    // fertilityStream ADVICE lesson, applied batch-side)
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog sat too", "web"),
+      (2L, null.asInstanceOf[String], "web"),
+      (3L, "", "web"),
+      (4L, "dog cat dog cat dog", "news"))
+      .toDF("doc_id", "text", "source")
+
+    val cal = graft.queries.TextOps.sourceCalibratedScoreOf(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(cal.keySet == Set(1L, 2L, 3L, 4L), s"docs dropped: $cal")
+    // NULL and empty text score 0 and land in the bottom bin — their
+    // percentile is the share of their source in bin ≤ 0, never null
+    assert(cal(2L)._1 == 0L && cal(3L)._1 == 0L)
+    assert(cal(2L) == cal(3L), "NULL and empty text must calibrate alike")
+    // every percentile is a valid integer in (0, 100]
+    assert(cal.values.forall(v => v._2 > 0 && v._2 <= 100), cal.toString)
+
+    val feats = graft.queries.PipelineOps.dsirFeatures(docs)
+    // NULL text yields no bigrams; single-token and empty texts none
+    // either — feature rows exist only for docs 1 and 4
+    val byDoc = feats.groupBy($"doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.keySet == Set(1L, 4L), byDoc.toString)
+    assert(byDoc(1L) == 10L && byDoc(4L) == 4L, byDoc.toString)
+  }
 }
