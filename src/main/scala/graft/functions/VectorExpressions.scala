@@ -339,13 +339,18 @@ object VectorExpressions {
     * the dedup verdict — stays oracle-hash-checkable (the oracle's
     * mirror is `ROW_NUMBER() OVER (ORDER BY dist, c) <= 2`). */
   case class NearestIndex(child: Expression, table: Array[Array[Long]],
-      start: Int, scale: Long, rank: Int = 0) extends UnaryExpression {
+      start: Int, scale: Long, rank: Int = 0,
+      emitDist: Boolean = false) extends UnaryExpression {
     require(rank == 0 || rank == 1, s"rank must be 0 or 1, got $rank")
+    require(!emitDist || rank == 0, "emitDist only defined for rank 0")
     private val rows = table.length
     private val rowLen = table(0).length
     override def nullIntolerant: Boolean = true
-    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
-    override def prettyName: String = "nearest_index"
+    override def dataType: DataType =
+      if (emitDist) org.apache.spark.sql.types.LongType
+      else org.apache.spark.sql.types.IntegerType
+    override def prettyName: String =
+      if (emitDist) "nearest_dist" else "nearest_index"
 
     // short or null-element arrays yield NULL (the row drops out of
     // assignment) — same contract as FloatVecDot, and an INTENTIONAL
@@ -380,7 +385,8 @@ object VectorExpressions {
         } else if (acc < second) { second = acc; si = w }
         w += 1
       }
-      java.lang.Integer.valueOf(if (rank == 0) bi else si)
+      if (emitDist) java.lang.Long.valueOf(best)
+      else java.lang.Integer.valueOf(if (rank == 0) bi else si)
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -412,7 +418,7 @@ object VectorExpressions {
              |  if ($acc < $best) { $best = $acc; $bi = $w; }
              |}
              |${ev.isNull} = $bad;
-             |${ev.value} = $bi;
+             |${ev.value} = ${if (emitDist) best else bi};
            """.stripMargin
         else {
           val second = ctx.freshName("second")
@@ -457,6 +463,15 @@ object VectorExpressions {
       start: Int, scale: Long): Column =
     GraftBridge.column(NearestIndex(GraftBridge.expression(emb),
       table.map(_.toArray).toArray, start, scale, rank = 1))
+
+  /** The squared-L2 distance TO the nearest row (the argmin's value,
+    * not its index) — the quantization/reconstruction error of an
+    * assignment, emitted by the same compiled loop as [[nearestIndex]]
+    * so the two can never disagree about which row won. */
+  def nearestDistance(emb: Column, table: IndexedSeq[IndexedSeq[Long]],
+      start: Int, scale: Long): Column =
+    GraftBridge.column(NearestIndex(GraftBridge.expression(emb),
+      table.map(_.toArray).toArray, start, scale, emitDist = true))
 
   /** srp_bucket(array<float>) → long: the signed-random-projection
     * bucket — bit b set iff the dot product of the floor(v×scale)

@@ -937,6 +937,57 @@ object VectorOps {
     """SELECT vec_id, CAST(SUM(cw * (1::BIGINT << (4 * s))) AS BIGINT) AS code
       |FROM code GROUP BY vec_id""".stripMargin
 
+  /** q154 — PQ reconstruction-error AUDIT: per grid cell, how much
+    * signal the 8×4-bit product quantization destroys — each vector's
+    * total squared-L2 quantization error (Σ over subspaces of the
+    * distance to its ASSIGNED codeword, via
+    * [[graft.functions.VectorExpressions.nearestDistance]] — the same
+    * compiled argmin loop that assigns codes, now emitting the argmin's
+    * value, so code and error cannot disagree), rolled up to
+    * (n_vectors, integer mean, max) per cell. This is the index-HEALTH
+    * monitor the ANN storage loop was missing: a cell whose mean error
+    * drifts up as upserts land is a cell whose residents the shared
+    * codebook no longer represents — the retrain-the-codebook trigger,
+    * read next to q83's recall audit (recall tells you search quality
+    * dropped; THIS tells you why, and where). Integer end to end (the
+    * quantized space is exact in both engines) → fully hash-checked.
+    *
+    * Scale shape: one embeddings scan, all error math inside one
+    * codegen projection (8 compiled loops), a 16-key partial-
+    * aggregatable rollup. At deployment the same projection runs over
+    * arriving vectors in the index-maintenance stream — error tracking
+    * costs nothing extra at ingest. */
+  def pqReconError(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.nearestDistance
+    val cb = pqCodebook()
+    val err = (0 until pqSub).map(s =>
+      nearestDistance($"embedding", cb(s), s * pqSubDim, QuantScale))
+      .reduce(_ + _)
+    withGridCell(Tables(spark, dir, "embeddings"))
+      .select($"cell", err.as("err"))
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_vectors"), sum($"err").as("sum_err"),
+        max($"err").as("max_err"))
+      .select($"cell", $"n_vectors",
+        expr("CAST(sum_err div n_vectors AS BIGINT)").as("mean_err"),
+        $"max_err")
+  }
+
+  /** Oracle: the assigned codeword's distance IS min(dist) per
+    * (vec_id, subspace) — the shared pq dist CTE aggregated by min,
+    * summed per vector, cell-joined via the shared grid assignment. */
+  private val pqReconErrorSql = pqCodebookCtes + ",\n" + gridCtes + ",\n" +
+    """verr AS (
+      |  SELECT vec_id, CAST(SUM(md) AS BIGINT) AS err FROM (
+      |    SELECT vec_id, s, MIN(dist) AS md FROM dist GROUP BY 1, 2) t
+      |  GROUP BY 1)
+      |SELECT g.cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+      |  CAST(SUM(v.err) // COUNT(*) AS BIGINT) AS mean_err,
+      |  CAST(MAX(v.err) AS BIGINT) AS max_err
+      |FROM verr v JOIN gassign g USING (vec_id)
+      |GROUP BY 1""".stripMargin
+
   /** The query's ADC lookup table — per (subspace, codeword) squared-L2
     * to the quantized query. Driver integer math over parameters. The
     * `cb` overload serves readers that load the codebook from a
@@ -2132,6 +2183,11 @@ object VectorOps {
     Q("q58_srp_ann", srpAnn(_, _), Some(srpAnnSql),
       "SRP-LSH bucketed ANN, hamming-1 multi-probe — integer-exact " +
         "buckets make the restricted-probe result itself oracle-checked"),
+    Q("q154_pq_recon_error", pqReconError, Some(pqReconErrorSql),
+      "PQ index-health audit: per-cell quantization error (integer " +
+        "mean + max squared-L2 to the assigned codewords) via the " +
+        "argmin loop's distance mode — the retrain-codebook trigger " +
+        "beside q83's recall audit"),
     Q("q66_pq_codes", pqCodes, Some(pqCodesSql),
       "PQ index build: 8x4-bit product-quantization codes (64x vector " +
         "compression), integer-exact codebook, hash-checked per vector"),

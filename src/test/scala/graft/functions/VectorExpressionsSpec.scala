@@ -93,4 +93,31 @@ class VectorExpressionsSpec extends SparkSuite {
         s"id=$id got=${got(id)} want=${(ranked(0)._2, ranked(1)._2)}")
     }
   }
+
+  test("NearestIndex distance mode emits the argmin's value, with the " +
+      "same NULL contract") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.{nearestDistance, nearestIndex}
+    val rnd = new scala.util.Random(99)
+    val table: IndexedSeq[IndexedSeq[Long]] =
+      IndexedSeq.fill(5)(IndexedSeq.fill(4)(rnd.nextInt(5).toLong))
+    val vecs = Seq.fill(50)(Array.fill(4)(rnd.nextFloat() * 4))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val got = vecs.toDF("id", "v")
+      .select($"id", nearestIndex($"v", table, 0, 1L).as("c"),
+        nearestDistance($"v", table, 0, 1L).as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    for ((id, v) <- vecs) {
+      val q = v.map(x => math.floor(x.toDouble).toLong)
+      val dists = table.map(ct => ct.zip(q)
+        .map { case (c, x) => val t = x - c; t * t }.sum)
+      val (c, d) = got(id)
+      assert(d == dists.min && d == dists(c),
+        s"id=$id got=$d want=${dists.min} at index $c")
+    }
+    // short vector: NULL distance, matching the index mode's contract
+    val short = Seq((0L, Array(1f, 2f))).toDF("id", "v")
+      .select(nearestDistance($"v", table, 0, 1L).as("d")).collect()
+    assert(short.head.isNullAt(0))
+  }
 }
