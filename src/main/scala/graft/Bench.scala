@@ -117,7 +117,7 @@ object Bench {
     def pos(prefix: String) = ordered.indexWhere(_.startsWith(prefix))
     for ((payer, rider) <- Seq("q42" -> "q45", "q42" -> "q54",
            "q42" -> "q150", "q45" -> "q149", "q42" -> "q153",
-           "q45" -> "q153",
+           "q45" -> "q153", "q42" -> "q155", "q45" -> "q155",
            "q42" -> "q97", "q42" -> "q98", "q42" -> "q105",
            "q45" -> "q59", "q45" -> "q64", "q45" -> "q78",
            "q45" -> "q88", "q45" -> "q90", "q45" -> "q92",

@@ -1789,6 +1789,55 @@ object PipelineOps {
       |    THEN 1 ELSE 0 END AS BIGINT) AS keep_dsir
       |FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id""".stripMargin
 
+  /** q155 — the ADMISSION MATRIX: every gate signal the pipeline has
+    * built, joined into the one per-document decision table a
+    * deployment actually acts on — dedup survivorship + heuristic
+    * quality + decontamination (q93's lineage flags), per-source
+    * calibrated quality (q148) and DSIR target-likeness (q151) —
+    * plus the integer vote count and the strict all-gates admit.
+    * Policies then become one-line filters over THIS table instead of
+    * five scattered joins, and a gate's marginal effect is a GROUP BY
+    * away (which is how admission thresholds actually get tuned).
+    *
+    * Scale shape: three keyed equi-joins of per-doc tables that each
+    * carry their own audited plan; the lineage side rides the memoized
+    * dedup artifacts. Oracle: the three shipped oracle bodies nested
+    * verbatim as sub-CTEs (DuckDB allows WITH inside a derived table),
+    * so the matrix provably equals its member queries row-for-row. */
+  def admissionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lin = docLineage(spark, dir)
+      .select($"doc_id", $"is_survivor", $"passes_quality",
+        (lit(1L) - $"decon_flagged").as("decon_ok"), $"admitted")
+    val cal = TextOps.sourceCalibratedScore(spark, dir)
+      .select($"doc_id", $"keep_calibrated")
+    val dsir = dsirWeights(spark, dir).select($"doc_id", $"keep_dsir")
+    lin.join(cal, "doc_id").join(dsir, "doc_id")
+      .select($"doc_id", $"is_survivor", $"passes_quality", $"decon_ok",
+        $"keep_calibrated", $"keep_dsir",
+        ($"is_survivor" + $"passes_quality" + $"decon_ok" +
+          $"keep_calibrated" + $"keep_dsir").as("n_votes"),
+        ($"admitted" * $"keep_calibrated" * $"keep_dsir")
+          .as("admit_strict"))
+  }
+
+  // lazy: composes vals defined later in this file (initialization
+  // order), resolved at registry access time
+  private lazy val admissionMatrixSql =
+    s"""WITH lin AS (${docLineageSql}),
+      |cal AS (${TextOps.sourceCalibratedScoreSql}),
+      |dsir AS (${dsirWeightsSql})
+      |SELECT l.doc_id, l.is_survivor, l.passes_quality,
+      |  1 - l.decon_flagged AS decon_ok,
+      |  c.keep_calibrated, w.keep_dsir,
+      |  CAST(l.is_survivor + l.passes_quality + (1 - l.decon_flagged)
+      |    + c.keep_calibrated + w.keep_dsir AS BIGINT) AS n_votes,
+      |  CAST(l.admitted * c.keep_calibrated * w.keep_dsir AS BIGINT)
+      |    AS admit_strict
+      |FROM lin l
+      |JOIN cal c ON c.doc_id = l.doc_id
+      |JOIN dsir w ON w.doc_id = l.doc_id""".stripMargin
+
   /** Hashing-trick (feature-hash) vectorization: every document becomes
     * a sparse 64-dim term-count vector — dim = first 32 md5 bits of the
     * token mod 64, weight = token count in that bucket — emitted in
@@ -2423,6 +2472,10 @@ object PipelineOps {
         "exact quality gates — the shipped end artifact"),
     Q("q54_contamination", contamination, Some(contaminationSql),
       "cross-source duplicate/contamination report via fingerprint join"),
+    Q("q155_admission_matrix", admissionMatrix, Some(admissionMatrixSql),
+      "the per-document decision table: all five gate signals " +
+        "(survivor, quality, decon, calibrated, DSIR) + vote count + " +
+        "strict admit, oracle-proven equal to its member queries"),
     Q("q152_packing_sweep", packingSweep, Some(packingSweepSql),
       "context-length capacity planning: sequences, tail padding, " +
         "integer fill rate and document boundary-straddles per " +

@@ -1184,7 +1184,7 @@ object TextOps {
           .as("keep_calibrated"))
   }
 
-  private val sourceCalibratedScoreSql = unigramCtes + ",\n" +
+  private[queries] val sourceCalibratedScoreSql = unigramCtes + ",\n" +
     s"""sc AS (SELECT d.doc_id, d.source,
       |    COALESCE(s.sum_freq * 1000000 // s.n_tokens, 0) AS score,
       |    COALESCE(s.sum_freq * 1000000 // s.n_tokens, 0) // $CurrBinW
