@@ -297,7 +297,7 @@ object TextOps {
     * two cannot drift (the [[graft.queries.PipelineOps.NumShards]]
     * idiom, ADVICE r5). Defined above its first val use: object vals
     * initialize in source order. */
-  private val bm25QueryTerms = Seq("spark", "window", "merge")
+  private[queries] val bm25QueryTerms = Seq("spark", "window", "merge")
 
   /** q122's geometry: 4 independent hash rows × 256 buckets. One
     * definition feeds the engine and the interpolated oracle. */
@@ -840,7 +840,7 @@ object TextOps {
   /** The q87 posting-table derivation as a WITH-body, shared by the
     * q87 dump and the q89 retrieval oracle (same reuse idiom as
     * DedupOps.survivorCtes). */
-  private val invertedIndexCtes =
+  private[queries] val invertedIndexCtes =
     """WITH s AS (
       |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
       |t AS (

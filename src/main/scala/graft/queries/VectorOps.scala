@@ -988,6 +988,137 @@ object VectorOps {
       |FROM verr v JOIN gassign g USING (vec_id)
       |GROUP BY 1""".stripMargin
 
+  /** One Lloyd refinement pass: assign every vector to its nearest
+    * centroid (the compiled argmin), then move each centroid to the
+    * INTEGER mean of its members' quantized coordinates — `sum / n`
+    * in Long arithmetic (truncation toward zero, exactly DuckDB's
+    * `//`), so the refined table stays in the same integer quantized
+    * space as the md5 seeds and every downstream assignment remains
+    * hash-checkable. Empty cells keep their old centroid (standard
+    * Lloyd degenerate-cell rule). The per-cell (n + 64 sums) rollup is
+    * partial-aggregatable and the collect is a ≤nCells-row bounded
+    * parameter read (the centroid-table precedent). */
+  private def refineCentroids(emb: DataFrame,
+      cents: IndexedSeq[IndexedSeq[Long]]): IndexedSeq[IndexedSeq[Long]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorExpressions.nearestIndex
+    val rows = emb
+      .withColumn("cell", nearestIndex($"embedding", cents, 0, QuantScale))
+      .select($"cell" +: (0 until 64).map(d =>
+        floor(element_at($"embedding", d + 1).cast("double") * QuantScale)
+          .cast("long").as(s"s$d")): _*)
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n"),
+        (0 until 64).map(d => sum(col(s"s$d")).as(s"s$d")): _*)
+      .collect()
+    val byCell = rows.filter(!_.isNullAt(0))
+      .map(r => r.getInt(0) -> r).toMap
+    cents.indices.map { c =>
+      byCell.get(c) match {
+        case Some(r) =>
+          val n = r.getLong(1)
+          (0 until 64).map(d => r.getLong(2 + d) / n)
+        case None => cents(c)
+      }
+    }
+  }
+
+  /** Per-cell occupancy + SSE under a given centroid table — argmin
+    * assignment and its squared-L2 error from the ONE compiled loop
+    * ([[graft.functions.VectorExpressions.nearestDistance]]), so the
+    * audit can never disagree with the assignment it audits. */
+  private def lloydStats(emb: DataFrame,
+      cents: IndexedSeq[IndexedSeq[Long]], round: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorExpressions.{nearestIndex, nearestDistance}
+    emb.select(
+        nearestIndex($"embedding", cents, 0, QuantScale).as("cell"),
+        nearestDistance($"embedding", cents, 0, QuantScale).as("err"))
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_vectors"), sum($"err").as("sse"))
+      .select(lit(round.toLong).as("round"), $"cell", $"n_vectors",
+        $"sse".cast("long").as("sse"))
+  }
+
+  /** q157 — k-means (Lloyd) refinement of the coarse quantizer: two
+    * refinement rounds over the md5-seeded grid, reported as the
+    * round-by-round (cell, occupancy, SSE) table — the convergence
+    * audit that justifies TRAINING the IVF coarse quantizer instead of
+    * shipping arbitrary seeds (every production IVF index — FAISS
+    * et al. — trains its centroids this way; the md5 grid the engine
+    * has used since q33 is exactly a k-means INIT). Integer-exact end
+    * to end: assignments argmin over integer centroid tables, refined
+    * centroids are truncated integer means, SSE is the argmin's own
+    * emitted distance — so occupancy AND error are hash-checked, and
+    * the oracle's unrolled two rounds must agree bit-for-bit. Round 0
+    * is the untrained grid; the SSE drop to rounds 1-2 quantifies what
+    * training buys (Lloyd guarantees monotone non-increasing total
+    * SSE; the oracle re-derives it independently).
+    *
+    * Scale shape: each round is one corpus scan (all math in the
+    * compiled argmin loop) + a 16-key partial-aggregatable rollup +
+    * a ≤16-row driver read — the canonical distributed-k-means round.
+    * Rounds are inherently sequential (Lloyd is iterative); the
+    * iterate-harness/BPE precedent. At 100 TB a deployment refines on
+    * a hash-sample (q46's device) and assigns the full corpus once —
+    * same plan, sampled input. */
+  def kmeansRefine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val c0 = ivfGridCentroids()
+    val c1 = refineCentroids(emb, c0)
+    val c2 = refineCentroids(emb, c1)
+    lloydStats(emb, c0, 0)
+      .union(lloydStats(emb, c1, 1))
+      .union(lloydStats(emb, c2, 2))
+  }
+
+  /** Oracle: both Lloyd rounds unrolled — refined centroids as
+    * truncated integer means over the previous assignment (empty cells
+    * inherit the seed row via the LEFT JOIN COALESCE), per-round SSE as
+    * min-distance re-derived from the full distance table. */
+  private val kmeansRefineSql = {
+    def statsCte(dist: String, name: String, round: Int): String =
+      s"""$name AS (
+        |  SELECT $round AS round, a.cell,
+        |    CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |    CAST(SUM(m.md) AS BIGINT) AS sse
+        |  FROM (SELECT vec_id, c AS cell FROM (
+        |      SELECT vec_id, c,
+        |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        |      FROM $dist) t WHERE rn = 1) a
+        |  JOIN (SELECT vec_id, MIN(dist) AS md FROM $dist GROUP BY 1) m
+        |    USING (vec_id)
+        |  GROUP BY 1, 2)""".stripMargin
+    def refineCtes(prevDist: String, prevCent: String, n: Int): String =
+      s"""a$n AS (SELECT vec_id, c AS cell FROM (
+        |    SELECT vec_id, c,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        |    FROM $prevDist) t WHERE rn = 1),
+        |sums$n AS (SELECT a.cell AS c, g.d, SUM(g.q) AS sq, COUNT(*) AS n
+        |  FROM gqv g JOIN a$n a USING (vec_id) GROUP BY 1, 2),
+        |cent$n AS (SELECT pc.c, pc.d,
+        |    COALESCE(CAST(s.sq // s.n AS BIGINT), pc.ct) AS ct
+        |  FROM $prevCent pc LEFT JOIN sums$n s ON s.c = pc.c AND s.d = pc.d),
+        |dist$n AS (SELECT vec_id, c, SUM((q - ct) * (q - ct)) AS dist
+        |  FROM gqv JOIN cent$n USING (d) GROUP BY 1, 2)""".stripMargin
+    "WITH " + Seq(
+      gridParamCtes,
+      gridQvEmbeddings,
+      """gdist AS (SELECT vec_id, c, SUM((q - ct) * (q - ct)) AS dist
+        |  FROM gqv JOIN gcent USING (d) GROUP BY vec_id, c)""".stripMargin,
+      refineCtes("gdist", "gcent", 1),
+      refineCtes("dist1", "cent1", 2),
+      statsCte("gdist", "r0", 0),
+      statsCte("dist1", "r1", 1),
+      statsCte("dist2", "r2", 2)).mkString(",\n") + "\n" +
+      """SELECT round, cell, n_vectors, sse FROM (
+        |  SELECT * FROM r0 UNION ALL
+        |  SELECT * FROM r1 UNION ALL
+        |  SELECT * FROM r2) u""".stripMargin
+  }
+
   /** The query's ADC lookup table — per (subspace, codeword) squared-L2
     * to the quantized query. Driver integer math over parameters. The
     * `cb` overload serves readers that load the codebook from a
@@ -1639,6 +1770,126 @@ object VectorOps {
         |        GROUP BY c.vec_id) t) u
         |WHERE rank <= 5""".stripMargin
 
+  /** The q156 query vector: [[graft.queries.TextOps.bm25QueryTerms]]
+    * feature-hashed through the q69 trick (each term counts 1 in its
+    * md5 dim) — pure driver arithmetic over the same [[md5Long8]] the
+    * corpus-side hashing uses, so the one query string is represented
+    * in BOTH retrieval systems' native spaces without a learned
+    * embedding model. */
+  private def termQueryVector(): Array[Float] = {
+    val counts = new Array[Float](64)
+    TextOps.bm25QueryTerms.foreach(t =>
+      counts((md5Long8(t) % 64).toInt) += 1f)
+    counts
+  }
+
+  /** q156 — HYBRID retrieval: reciprocal-rank fusion (Cormack et al.'s
+    * RRF, the stock hybrid-search combiner) of the two retrieval
+    * systems the engine already serves — the q89 lexical arm (BM25-
+    * style integer tf·idf over the posting table, top-20) and a vector
+    * arm that answers the SAME query ([[graft.queries.TextOps
+    * .bm25QueryTerms]]) by probe-pruned ADC over the q70 document
+    * vectors, the query string entering vector space through the same
+    * hashing-trick vectorizer as the corpus. Fused score per doc is
+    * Σ_arms 10⁶ div (60 + rank) — the classic k=60 constant, in exact
+    * integer micro-units so the fusion is hash-checked — with absent
+    * arms contributing 0 (rank reported as 0 = "not in this arm's
+    * top-20"). Top-10 by (rrf_score, doc_id).
+    *
+    * Scale shape: each arm is its own audited plan (term-filtered
+    * posting aggregate → TakeOrderedAndProject; probe-pruned ADC →
+    * TakeOrderedAndProject); the fusion is a full-outer join of two
+    * ≤20-row frames — free at any corpus size. The oracle nests q89's
+    * shipped SQL body and the docAnn CTE machinery (corpus ids shifted
+    * +1 so the shared vec_id-0 probe CTEs serve the term query),
+    * making the fused table hash-proven consistent with both member
+    * systems. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lexW = Window.orderBy($"score".desc, $"doc_id".asc)
+    val lex = TextOps.bm25TopK(spark, dir)
+      .withColumn("lex_rank", row_number().over(lexW).cast("long"))
+      .select($"doc_id", $"lex_rank")
+    val qQv = quantizeRow(termQueryVector())
+    val index = withPqCode(withGridCell(docVectors(spark, dir)))
+      .filter($"cell".isin(gridProbeCells(qQv, 4): _*))
+    val vec = rankedAdcTopK(
+      index.withColumn("adc_dist", adcCol(adcLut(qQv)))
+        .select($"vec_id", $"adc_dist"), 20)
+      .select($"vec_id".as("doc_id"), $"rank".as("vec_rank"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        coalesce($"lex_rank", lit(0L)).as("lex_rank"),
+        coalesce($"vec_rank", lit(0L)).as("vec_rank"),
+        (coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + vec_rank)"), lit(0L)))
+          .as("rrf_score"))
+      .orderBy($"rrf_score".desc, $"doc_id".asc)
+      .limit(10)
+  }
+
+  private val hybridRrfSql =
+    TextOps.invertedIndexCtes + ",\n" + Seq(
+      """idx AS (
+        |  SELECT p.term, p.doc_id, d.df, p.tf FROM p JOIN d USING (term))""".stripMargin,
+      s"""larm AS (
+        |  SELECT doc_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+        |      AS lex_rank
+        |  FROM (
+        |    SELECT doc_id, CAST(SUM(tf * (1000000 // df)) AS BIGINT) AS score
+        |    FROM idx
+        |    WHERE term IN (${TextOps.bm25QueryTerms.map("'" + _ + "'").mkString(", ")})
+        |    GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20) t)""".stripMargin,
+      gridParamCtes,
+      pqParamCtes,
+      PipelineOps.featureHashCte,
+      s"""tq AS (
+        |  SELECT CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 64 AS dim,
+        |    CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM (SELECT unnest([${TextOps.bm25QueryTerms.map("'" + _ + "'").mkString(", ")}]) AS t) u
+        |  GROUP BY 1)""".stripMargin,
+      // query at vec_id 0 (so the shared vec_id-0 probe CTE serves the
+      // term query), corpus doc vectors at doc_id + 1
+      """dq AS (
+        |  SELECT 0 AS vec_id, g.d AS d,
+        |    CAST(floor(CAST(CAST(COALESCE(tq.w, 0) AS FLOAT) AS DOUBLE) * 1024)
+        |      AS BIGINT) AS q
+        |  FROM gdims g LEFT JOIN tq ON tq.dim = g.d
+        |  UNION ALL
+        |  SELECT dd.doc_id + 1 AS vec_id, g.d AS d,
+        |    CAST(floor(CAST(CAST(COALESCE(fh.w, 0) AS FLOAT) AS DOUBLE) * 1024)
+        |      AS BIGINT) AS q
+        |  FROM (SELECT DISTINCT doc_id FROM fh) dd
+        |  CROSS JOIN gdims g
+        |  LEFT JOIN fh ON fh.doc_id = dd.doc_id AND fh.dim = g.d)""".stripMargin,
+      """dq8 AS (SELECT vec_id, d // 8 AS s, d % 8 AS d, q FROM dq)""",
+      gridSearchCtes("dq"),
+      pqCodeCtes("dq8"),
+      """varm AS (
+        |  SELECT vec_id - 1 AS doc_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY adc ASC, vec_id ASC) AS BIGINT)
+        |      AS vec_rank
+        |  FROM (SELECT c.vec_id, CAST(SUM(l.dist) AS BIGINT) AS adc
+        |        FROM code c JOIN dist l
+        |          ON l.vec_id = 0 AND l.s = c.s AND l.w = c.cw
+        |        JOIN gassign a ON a.vec_id = c.vec_id
+        |        WHERE c.vec_id <> 0
+        |          AND a.cell IN (SELECT cell FROM gprobe)
+        |        GROUP BY c.vec_id
+        |        ORDER BY adc ASC, c.vec_id ASC LIMIT 20) t)""".stripMargin
+    ).mkString(",\n") + "\n" +
+      """SELECT doc_id, lex_rank, vec_rank, rrf_score FROM (
+        |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        |    CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+        |    CAST(COALESCE(v.vec_rank, 0) AS BIGINT) AS vec_rank,
+        |    CAST(COALESCE(1000000 // (60 + l.lex_rank), 0)
+        |       + COALESCE(1000000 // (60 + v.vec_rank), 0) AS BIGINT)
+        |      AS rrf_score
+        |  FROM larm l FULL OUTER JOIN varm v ON l.doc_id = v.doc_id) u
+        |ORDER BY rrf_score DESC, doc_id ASC
+        |LIMIT 10""".stripMargin
+
   /** q83 — ANN index quality audit: per-rank recall of the IVF-PQ
     * search (q68's probe-pruned ADC top-5) against the exact
     * brute-force ranking (q30) — the recall@k report every ANN
@@ -2183,6 +2434,11 @@ object VectorOps {
     Q("q58_srp_ann", srpAnn(_, _), Some(srpAnnSql),
       "SRP-LSH bucketed ANN, hamming-1 multi-probe — integer-exact " +
         "buckets make the restricted-probe result itself oracle-checked"),
+    Q("q157_kmeans_refine", kmeansRefine, Some(kmeansRefineSql),
+      "Lloyd refinement of the IVF coarse quantizer: two integer-" +
+        "exact k-means rounds over the md5-seeded grid with per-round " +
+        "(cell, occupancy, SSE) — the train-the-centroids convergence " +
+        "audit, oracle-unrolled round for round"),
     Q("q154_pq_recon_error", pqReconError, Some(pqReconErrorSql),
       "PQ index-health audit: per-cell quantization error (integer " +
         "mean + max squared-L2 to the assigned codewords) via the " +
@@ -2201,6 +2457,11 @@ object VectorOps {
       "text->vector->index->search closed loop: q69 hashed vectors " +
         "densified, grid+PQ indexed with the q66/q68 lifts, query doc " +
         "ADC-searched — probe set and distances hash-checked"),
+    Q("q156_hybrid_rrf", hybridRrf, Some(hybridRrfSql),
+      "hybrid retrieval: reciprocal-rank fusion (k=60, integer " +
+        "micro-units) of the q89 lexical arm and a vector arm " +
+        "answering the same terms via hashed-query ADC over the q70 " +
+        "doc vectors — fusion hash-proven consistent with both arms"),
     Q("q76_ivfpq_rerank", ivfPqRerank(_, _), Some(ivfPqRerankSql),
       "two-stage retrieval: integer-exact ADC shortlist (q68 stage) + " +
         "exact cosine rerank of only the shortlist's raw vectors"),

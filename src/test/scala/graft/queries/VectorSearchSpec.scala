@@ -374,6 +374,22 @@ class VectorSearchSpec extends SparkSuite {
     }
   }
 
+  test("q157 Lloyd refinement: SSE monotone non-increasing, mass conserved") {
+    val rows = VectorOps.kmeansRefine(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byRound = rows.groupBy(_._1)
+    assert(byRound.keySet == Set(0L, 1L, 2L))
+    // every vector is assigned every round (mass conservation)
+    val ns = byRound.view.mapValues(_.map(_._3).sum).toMap
+    assert(ns(0L) > 0 && ns(1L) == ns(0L) && ns(2L) == ns(0L))
+    // Lloyd's invariant: total SSE never increases round over round
+    val sse = byRound.view.mapValues(_.map(_._4).sum).toMap
+    assert(sse(1L) <= sse(0L), s"round 1 SSE ${sse(1L)} > round 0 ${sse(0L)}")
+    assert(sse(2L) <= sse(1L), s"round 2 SSE ${sse(2L)} > round 1 ${sse(1L)}")
+    // training must actually buy something over the md5 seeds here
+    assert(sse(1L) < sse(0L))
+  }
+
   test("q137 confusion matrix conserves anchors, excludes the diagonal") {
     import org.apache.spark.sql.functions._
     val conf = VectorOps.labelConfusion(spark, sf0001).collect()
