@@ -337,7 +337,15 @@ object StreamingQueries {
     *
     * For documents the standing corpus contains, output rows equal
     * batch q148's verbatim — asserted in StreamingSpec. */
-  def calibratedScoreStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+  def calibratedScoreStream(docs: DataFrame, corpus: DataFrame): DataFrame =
+    calibratedScorer(corpus)(docs)
+
+  /** The calibrated-gate TRANSFORM with its corpus parameters hoisted:
+    * derives the frozen parameter tables once and returns the
+    * stateless per-row scorer — so a caller that gates every
+    * micro-batch ([[admissionStream]]) pays the corpus read once, not
+    * per batch. [[calibratedScoreStream]] is this applied directly. */
+  def calibratedScorer(corpus: DataFrame): DataFrame => DataFrame = {
     import graft.queries.TextOps
     // model: term → corpus frequency (bounded by the vocabulary)
     val freq = corpus
@@ -358,7 +366,7 @@ object StreamingQueries {
     val totMap = map(hist.groupBy(_._1).toSeq.sortBy(_._1)
       .flatMap { case (src, rows) =>
         Seq(lit(src), lit(rows.map(_._3).sum)) }: _*)
-    docs
+    (docs: DataFrame) => docs
       .withColumn("tk", filter(
         split(coalesce(col("text"), lit("")), " "),
         t => t =!= "" && element_at(freqMap, t).isNotNull))
@@ -395,7 +403,13 @@ object StreamingQueries {
     * the emitted rows equal batch q151's verbatim (asserted in
     * StreamingSpec). NULL/short texts are zero-feature rows with score
     * 0, batch's restore-join semantics. */
-  def dsirStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+  def dsirStream(docs: DataFrame, corpus: DataFrame): DataFrame =
+    dsirScorer(corpus)(docs)
+
+  /** The DSIR gate TRANSFORM with its corpus weight table hoisted —
+    * same split as [[calibratedScorer]], for the same per-batch
+    * reuse. */
+  def dsirScorer(corpus: DataFrame): DataFrame => DataFrame = {
     import graft.queries.PipelineOps
     val nDims = PipelineOps.DsirDims.toInt
     val ct = PipelineOps.dsirFeatures(corpus)
@@ -412,7 +426,7 @@ object StreamingQueries {
     }
     val wMap = map((0L until nDims.toLong).flatMap(d =>
       Seq(lit(d), lit(wppm(d)))): _*)
-    docs
+    (docs: DataFrame) => docs
       .withColumn("tk", split(coalesce(col("text"), lit("")), " "))
       .withColumn("grams", when(size(col("tk")) >= 2, expr(
         "transform(sequence(1, size(tk) - 1), " +
@@ -443,6 +457,99 @@ object StreamingQueries {
     import graft.queries.VectorOps
     VectorOps.withPqCode(VectorOps.withGridCell(vectors))
       .select(col("vec_id"), col("cell"), col("code"))
+  }
+
+  /** Ingest-time ADMISSION — the deployment form of the q155 decision
+    * matrix: ONE decision row per arriving document, all five gate
+    * signals computed per micro-batch against FROZEN standing-corpus
+    * artifacts (band/shingle index, benchmark 8-gram set, calibration
+    * histograms, DSIR weight table — each derived once via the SAME
+    * batch lifts, the anti-drift rule of every twin here). foreachBatch
+    * because the decision composes joins and per-doc rollups the
+    * single-pass streaming operators can't express — the
+    * [[postingUpsertStream]] precedent.
+    *
+    * Semantics vs batch q155, per arm:
+    *  - `passes_quality`, `keep_calibrated`, `keep_dsir`: stateless
+    *    per-row gates under frozen parameters — EQUAL to batch rows for
+    *    standing-corpus documents (each arm's own twin spec pins this).
+    *  - `decon_ok`: the arriving non-bench document shares an 8-gram
+    *    with the corpus's benchmark slice — batch q93's relation
+    *    against the frozen bench-gram set.
+    *  - `is_survivor`: an arriving document that near-dup-collides
+    *    (jaccard ≥ 0.5 via the LSH band route) with the standing
+    *    corpus is quarantined (0). Batch survivorship is a
+    *    batch-GLOBAL choice (longest member of each cluster wins,
+    *    `DedupOps.dedupCorpus`) that an ingest gate cannot make — a
+    *    new, longer near-dup still quarantines here and displaces the
+    *    incumbent only in the next batch sweep. For documents in
+    *    singleton clusters the two definitions coincide (spec-pinned).
+    *
+    * 100×: every join is equi-shaped against a persisted index
+    * (band_key / gram / map lookups); batch-side work is one scan of
+    * the ARRIVING batch per arm; nothing rescans the corpus. */
+  def admissionStream(docs: DataFrame, corpus: DataFrame,
+      outPath: String, checkpoint: String): StreamingQuery = {
+    import graft.queries.{DedupOps, PipelineOps}
+    // frozen standing-corpus artifacts (in-session stand-ins for the
+    // persisted tables a deployment writes once)
+    val corpusLift = DedupOps.withShinglesAndMinhash(
+      corpus.select(col("doc_id"), col("text")))
+    val corpusBands = DedupOps.explodeBandKeys(corpusLift)
+      .select(col("doc_id").as("b_id"), col("band_key")).persist()
+    val corpusShingles = corpusLift
+      .select(col("doc_id").as("b_id"), col("sh").as("b_sh")).persist()
+    val benchGrams = DedupOps.spanWindows(
+        corpus.filter(substring(md5(concat(lit("bench:"),
+          col("doc_id").cast("string"))), 1, 1) === "0"), 8)
+      .select(col("gram")).distinct().persist()
+    val calibrate = calibratedScorer(corpus)
+    val dsir = dsirScorer(corpus)
+    docs.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val b = batch.persist()
+        val dupHits = DedupOps.explodeBandKeys(
+            DedupOps.withShinglesAndMinhash(b.select($"doc_id", $"text")))
+          .join(corpusBands, "band_key")
+          .filter($"doc_id" =!= $"b_id")
+          .join(corpusShingles, "b_id")
+          .filter(size(array_intersect($"sh", $"b_sh")).cast("double") /
+            size(array_union($"sh", $"b_sh")) >= 0.5)
+          .select($"doc_id").distinct()
+          .withColumn("dup", lit(1L))
+        val isBench = substring(md5(concat(lit("bench:"),
+          $"doc_id".cast("string"))), 1, 1) === "0"
+        val deconHits = DedupOps.spanWindows(b.filter(!isBench), 8)
+          .join(benchGrams, "gram")
+          .select($"doc_id").distinct()
+          .withColumn("dec", lit(1L))
+        val qual = PipelineOps.qualityGate(b)
+          .select($"doc_id").withColumn("q", lit(1L))
+        b.select($"doc_id")
+          .join(dupHits, Seq("doc_id"), "left")
+          .join(deconHits, Seq("doc_id"), "left")
+          .join(qual, Seq("doc_id"), "left")
+          .join(calibrate(b).select($"doc_id", $"keep_calibrated"), "doc_id")
+          .join(dsir(b).select($"doc_id", $"keep_dsir"), "doc_id")
+          .select($"doc_id",
+            (lit(1L) - coalesce($"dup", lit(0L))).as("is_survivor"),
+            coalesce($"q", lit(0L)).as("passes_quality"),
+            (lit(1L) - coalesce($"dec", lit(0L))).as("decon_ok"),
+            $"keep_calibrated", $"keep_dsir")
+          .withColumn("n_votes",
+            $"is_survivor" + $"passes_quality" + $"decon_ok" +
+              $"keep_calibrated" + $"keep_dsir")
+          .withColumn("admit_strict",
+            $"is_survivor" * $"passes_quality" * $"decon_ok" *
+              $"keep_calibrated" * $"keep_dsir")
+          .write.mode("append").parquet(outPath)
+        b.unpersist(blocking = false)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
   }
 
   /** Streaming ANN lookup: a stream of query vectors answered against
