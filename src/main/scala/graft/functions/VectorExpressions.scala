@@ -452,6 +452,94 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** pq_adc_dist(emb, code) → long: the asymmetric distance (ADC) of a
+    * QUERY vector against a corpus PQ code, per row, with the codebook
+    * as an expression parameter — Σ over subspaces of the squared-L2
+    * between the query's quantized sub-vector and the codeword each
+    * 4-bit nibble of `code` names. This removes the per-query
+    * driver-side LUT from the search path entirely: a TABLE (or
+    * stream) of query vectors equi-joins the codes table on probe
+    * cell and every (query, candidate) pair scores inside whole-stage
+    * codegen — the multi-query serving form, where per-query driver
+    * work would serialize the batch. NULL contract: short or
+    * null-element arrays yield NULL and a NULL code row drops
+    * (FloatVecDot's rule). */
+  case class PqAdcDist(left: Expression, right: Expression,
+      codebook: Array[Array[Array[Long]]], scale: Long)
+      extends BinaryExpression {
+    private val subs = codebook.length
+    private val words = codebook(0).length
+    private val subDim = codebook(0)(0).length
+    require(words == 16, "packed 4-bit nibble layout requires 16 words")
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "pq_adc_dist"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val code = b.asInstanceOf[Long]
+      if (v.numElements() < subs * subDim) return null
+      var acc = 0L
+      var s = 0
+      while (s < subs) {
+        val w = ((code >> (4 * s)) & 15L).toInt
+        var d = 0
+        while (d < subDim) {
+          if (v.isNullAt(s * subDim + d)) return null
+          val q = math.floor(
+            v.getFloat(s * subDim + d).toDouble * scale).toLong
+          val t = q - codebook(s)(w)(d)
+          acc += t * t
+          d += 1
+        }
+        s += 1
+      }
+      java.lang.Long.valueOf(acc)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tbl = ctx.addReferenceObj("pqCodebook", codebook, "long[][][]")
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val s = ctx.freshName("s")
+        val d = ctx.freshName("d")
+        val w = ctx.freshName("w")
+        val q = ctx.freshName("q")
+        val t = ctx.freshName("t")
+        val acc = ctx.freshName("acc")
+        val bad = ctx.freshName("bad")
+        val idx = ctx.freshName("idx")
+        s"""
+           |boolean $bad = $a.numElements() < ${subs * subDim};
+           |long $acc = 0L;
+           |for (int $s = 0; !$bad && $s < $subs; $s++) {
+           |  int $w = (int)(($b >> (4 * $s)) & 15L);
+           |  for (int $d = 0; $d < $subDim; $d++) {
+           |    int $idx = $s * $subDim + $d;
+           |    if ($a.isNullAt($idx)) { $bad = true; break; }
+           |    long $q = (long) Math.floor((double) $a.getFloat($idx) * ${scale}L);
+           |    long $t = $q - $tbl[$s][$w][$d];
+           |    $acc += $t * $t;
+           |  }
+           |}
+           |${ev.isNull} = $bad;
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): PqAdcDist =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def pqAdcDist(emb: Column, code: Column,
+      codebook: IndexedSeq[IndexedSeq[IndexedSeq[Long]]],
+      scale: Long): Column =
+    GraftBridge.column(PqAdcDist(GraftBridge.expression(emb),
+      GraftBridge.expression(code),
+      codebook.map(_.map(_.toArray).toArray).toArray, scale))
+
   def nearestIndex(emb: Column, table: IndexedSeq[IndexedSeq[Long]],
       start: Int, scale: Long): Column =
     GraftBridge.column(NearestIndex(GraftBridge.expression(emb),

@@ -1890,6 +1890,123 @@ object VectorOps {
         |ORDER BY rrf_score DESC, doc_id ASC
         |LIMIT 10""".stripMargin
 
+  /** The q158 serving batch: three query strings, fixed here and
+    * interpolated into the oracle's VALUES list (the NumShards idiom)
+    * so engine and oracle answer the same queries. */
+  private[graft] val ServeQueries = Seq(
+    (0L, "spark window merge"),
+    (1L, "stream batch join"),
+    (2L, "vector hash sort"))
+
+  /** q158 — MULTI-QUERY ANN serving: a TABLE of queries answered in
+    * ONE pass, with zero driver-side per-query work. Every other
+    * search in the registry (q33/q67/q68/q70/q146/q156) derives its
+    * probe cells and ADC lookup table on the driver from the ONE
+    * collected query row — correct for one query, but a serving
+    * deployment answers thousands per batch, and a driver loop would
+    * serialize them. Here the whole search is columnar: each query
+    * row vectorizes ([[rowDocVector]]), takes its 2-probe cell set
+    * from the compiled argmin pair (`nearestIndex`/
+    * `secondNearestIndex`, q124's multi-probe), equi-joins the codes
+    * index on cell, and scores every candidate with the new
+    * [[graft.functions.VectorExpressions.PqAdcDist]] codegen
+    * expression (the per-query LUT folded into the compiled loop, the
+    * codebook a parameter). Per-query top-k is a window PARTITIONED
+    * by query — each partition is probe-cell-bounded (q134's
+    * per-anchor precedent), never corpus-bounded.
+    *
+    * Scale shape: queries × probes join the cell-partitioned index as
+    * a plain equi-join (broadcast when the query batch is small,
+    * shuffle-on-cell when it isn't); candidate scoring is whole-stage
+    * codegen; nothing collects. At 100 TB with a persisted index the
+    * same plan prunes to the probed cells' partitions. Integer-exact
+    * end to end — ranks AND distances hash-checked. */
+  def multiQueryAnn(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.{nearestIndex, secondNearestIndex, pqAdcDist}
+    val cents = ivfGridCentroids()
+    val queries = ServeQueries.toDF("query_id", "qtext")
+      .select($"query_id", rowDocVector($"qtext").as("q_emb"))
+      .withColumn("c1", nearestIndex($"q_emb", cents, 0, QuantScale))
+      .withColumn("c2", secondNearestIndex($"q_emb", cents, 0, QuantScale))
+      .select($"query_id", $"q_emb",
+        explode(array($"c1", $"c2")).as("cell"))
+    val index = withPqCode(withGridCell(docVectors(spark, dir)))
+      .select($"vec_id".as("doc_id"), $"cell", $"code")
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"adc_dist".asc, $"doc_id".asc)
+    queries.join(index, "cell")
+      .withColumn("adc_dist",
+        pqAdcDist($"q_emb", $"code", pqCodebook(), QuantScale))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"doc_id", $"adc_dist")
+  }
+
+  /** Oracle: the query universe re-derived from the same literal
+    * strings (feature-hash → quantize → per-query 2-probe cells →
+    * per-(query, subspace, codeword) distances), candidates via the
+    * shared corpus grid/PQ CTEs, ADC as the codeword-distance sum. */
+  private val multiQueryAnnSql = {
+    val qvals = ServeQueries
+      .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    "WITH " + Seq(
+      gridParamCtes,
+      pqParamCtes,
+      PipelineOps.featureHashCte,
+      s"""qt(query_id, qtext) AS (SELECT * FROM (VALUES $qvals))""",
+      """qfh AS (
+        |  SELECT query_id,
+        |    CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 64 AS dim,
+        |    CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS t
+        |        FROM qt) u
+        |  GROUP BY 1, 2)""".stripMargin,
+      """qdq AS (
+        |  SELECT qt.query_id, g.d AS d,
+        |    CAST(floor(CAST(CAST(COALESCE(qfh.w, 0) AS FLOAT) AS DOUBLE) * 1024)
+        |      AS BIGINT) AS q
+        |  FROM qt CROSS JOIN gdims g
+        |  LEFT JOIN qfh ON qfh.query_id = qt.query_id AND qfh.dim = g.d)""".stripMargin,
+      """qdist AS (SELECT query_id, c, SUM((q - ct) * (q - ct)) AS dist
+        |  FROM qdq JOIN gcent USING (d) GROUP BY 1, 2),
+        |qprobe AS (SELECT query_id, c AS cell FROM (
+        |    SELECT query_id, c,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, c) AS rn
+        |    FROM qdist) t
+        |  WHERE rn <= 2)""".stripMargin,
+      """dq AS (SELECT dd.doc_id AS vec_id, g.d AS d,
+        |    CAST(floor(CAST(CAST(COALESCE(fh.w, 0) AS FLOAT) AS DOUBLE) * 1024)
+        |      AS BIGINT) AS q
+        |  FROM (SELECT DISTINCT doc_id FROM fh) dd
+        |  CROSS JOIN gdims g
+        |  LEFT JOIN fh ON fh.doc_id = dd.doc_id AND fh.dim = g.d)""".stripMargin,
+      """dq8 AS (SELECT vec_id, d // 8 AS s, d % 8 AS d, q FROM dq)""",
+      gridSearchCtes("dq"),
+      pqCodeCtes("dq8"),
+      """qdq8 AS (SELECT query_id, d // 8 AS s, d % 8 AS d, q FROM qdq),
+        |qwdist AS (SELECT query_id, s, w, SUM((q - cw) * (q - cw)) AS dist2
+        |  FROM qdq8 JOIN cb USING (s, d) GROUP BY 1, 2, 3)""".stripMargin,
+      """adc AS (
+        |  SELECT p.query_id, a.vec_id AS doc_id,
+        |    CAST(SUM(l.dist2) AS BIGINT) AS adc_dist
+        |  FROM qprobe p
+        |  JOIN gassign a ON a.cell = p.cell
+        |  JOIN code k ON k.vec_id = a.vec_id
+        |  JOIN qwdist l ON l.query_id = p.query_id
+        |    AND l.s = k.s AND l.w = k.cw
+        |  GROUP BY 1, 2)""".stripMargin
+    ).mkString(",\n") + "\n" +
+      """SELECT query_id, rank, doc_id, adc_dist FROM (
+        |  SELECT query_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY adc_dist, doc_id) AS BIGINT) AS rank,
+        |    doc_id, adc_dist
+        |  FROM adc) t
+        |WHERE rank <= 5""".stripMargin
+  }
+
   /** q83 — ANN index quality audit: per-rank recall of the IVF-PQ
     * search (q68's probe-pruned ADC top-5) against the exact
     * brute-force ranking (q30) — the recall@k report every ANN
@@ -2457,6 +2574,11 @@ object VectorOps {
       "text->vector->index->search closed loop: q69 hashed vectors " +
         "densified, grid+PQ indexed with the q66/q68 lifts, query doc " +
         "ADC-searched — probe set and distances hash-checked"),
+    Q("q158_multi_query_ann", multiQueryAnn(_, _), Some(multiQueryAnnSql),
+      "multi-query ANN serving: a query TABLE vectorized, 2-probe " +
+        "assigned, and ADC-scored columnar via the pq_adc_dist " +
+        "codegen expression — zero driver-side per-query work, " +
+        "per-query top-5 window bounded by probe cells"),
     Q("q156_hybrid_rrf", hybridRrf, Some(hybridRrfSql),
       "hybrid retrieval: reciprocal-rank fusion (k=60, integer " +
         "micro-units) of the q89 lexical arm and a vector arm " +

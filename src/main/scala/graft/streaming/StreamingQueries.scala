@@ -600,6 +600,46 @@ object StreamingQueries {
         (-col("m.neg")).cast("long").as("nn_id"))
   }
 
+  /** Streaming ANN serving — q158's multi-query search with the query
+    * TABLE replaced by a query STREAM: each arriving query string
+    * vectorizes row-locally ([[graft.queries.VectorOps.rowDocVector]]),
+    * takes its 2-probe cell pair from the compiled argmin expressions,
+    * equi-joins the STATIC codes index on cell, and scores candidates
+    * with the [[graft.functions.VectorExpressions.PqAdcDist]] codegen
+    * expression — no driver-side per-query LUT, no state beyond the
+    * per-query windowed top-k (bounded by the probed cells' contents).
+    * Emits (query_id, window_start, topk) where topk is the sorted
+    * (adc_dist, doc_id) top-k — batch q158's ranking exactly, asserted
+    * stream == batch in StreamingSpec. The serving shape: index as the
+    * write-once artifact, queries as traffic. */
+  def annServeStream(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+      eventTime: String = "event_ts",
+      delay: String = "10 seconds"): DataFrame = {
+    import graft.queries.{PipelineOps, VectorOps}
+    import graft.functions.VectorExpressions.{nearestIndex, secondNearestIndex, pqAdcDist}
+    val index = VectorOps.withPqCode(VectorOps.withGridCell(
+        VectorOps.docVectorsOf(PipelineOps.featureHashOf(
+          corpus.select(col("doc_id"), col("text"))))))
+      .select(col("vec_id").as("doc_id"), col("cell"), col("code"))
+      .persist()
+    val cents = VectorOps.ivfGridCentroids()
+    queries.withWatermark(eventTime, delay)
+      .filter(col("qtext").isNotNull)
+      .select(col("query_id"), col(eventTime),
+        VectorOps.rowDocVector(col("qtext")).as("q_emb"))
+      .withColumn("cell", explode(array(
+        nearestIndex(col("q_emb"), cents, 0, VectorOps.QuantScale),
+        secondNearestIndex(col("q_emb"), cents, 0, VectorOps.QuantScale))))
+      .join(index, "cell")
+      .withColumn("adc_dist", pqAdcDist(col("q_emb"), col("code"),
+        VectorOps.pqCodebook(), VectorOps.QuantScale))
+      .groupBy(col("query_id"), window(col(eventTime), "1 minute"))
+      .agg(slice(array_sort(collect_list(struct(
+        col("adc_dist"), col("doc_id")))), 1, k).as("topk"))
+      .select(col("query_id"), col("window.start").as("window_start"),
+        col("topk"))
+  }
+
   /** Ingest-time hard-negative lookup — q134's mining as a stream-static
     * join: each ARRIVING vector (a new training example) is assigned its
     * integer grid cell with the same codegen expression as the batch

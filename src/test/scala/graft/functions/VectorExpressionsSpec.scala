@@ -120,4 +120,36 @@ class VectorExpressionsSpec extends SparkSuite {
       .select(nearestDistance($"v", table, 0, 1L).as("d")).collect()
     assert(short.head.isNullAt(0))
   }
+
+  test("PqAdcDist equals the driver-side codeword-distance sum; " +
+      "short vectors yield NULL") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.pqAdcDist
+    val rnd = new scala.util.Random(7)
+    // 2 subspaces x 16 words x 3 dims; packed 4-bit nibble codes
+    val cb: IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
+      IndexedSeq.fill(2)(IndexedSeq.fill(16)(
+        IndexedSeq.fill(3)(rnd.nextInt(9).toLong - 4)))
+    val rows = Seq.fill(40)((
+      Array.fill(6)(rnd.nextFloat() * 8 - 4),
+      ((rnd.nextInt(16) | (rnd.nextInt(16) << 4))).toLong))
+      .zipWithIndex.map { case ((v, c), i) => (i.toLong, v, c) }
+    val got = rows.toDF("id", "v", "code")
+      .select($"id", pqAdcDist($"v", $"code", cb, 2L).as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, v, code) <- rows) {
+      val want = (0 until 2).map { s =>
+        val w = ((code >> (4 * s)) & 15L).toInt
+        (0 until 3).map { d =>
+          val q = math.floor(v(s * 3 + d).toDouble * 2L).toLong
+          val t = q - cb(s)(w)(d); t * t
+        }.sum
+      }.sum
+      assert(got(id) == want, s"id=$id got=${got(id)} want=$want")
+    }
+    // short vector: NULL, FloatVecDot's degradation rule
+    val short = Seq((0L, Array(1f, 2f), 3L)).toDF("id", "v", "code")
+      .select(pqAdcDist($"v", $"code", cb, 2L).as("adc")).collect()
+    assert(short.head.isNullAt(0))
+  }
 }

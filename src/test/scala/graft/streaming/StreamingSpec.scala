@@ -1075,4 +1075,37 @@ class StreamingSpec extends SparkSuite {
         s.duration_s)).toSet
     assert(stateful == batch)
   }
+
+  test("streaming ANN serving == batch q158 multi-query search") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf0001 = "/root/testdata/sf0.001"
+    // batch expectation: per query, the rank-ordered (adc_dist, doc_id)
+    val expect = graft.queries.VectorOps.multiQueryAnn(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(t => (t._4, t._3)).toSeq).toMap
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text")
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingQueries.annServeStream(
+        ms.toDF().toDF("query_id", "qtext", "event_ts"), corpus)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("serve_out").start()
+    val t0 = java.sql.Timestamp.valueOf("2025-01-25 16:00:01")
+    ms.addData(graft.queries.VectorOps.ServeQueries
+      .map { case (id, t) => (id, t, t0) }: _*)
+    q.processAllAvailable()
+    // advance the watermark past the window so append mode emits it
+    ms.addData((999999L, "late watermark advance",
+      java.sql.Timestamp.valueOf("2025-01-25 16:05:00")))
+    q.processAllAvailable()
+    val got = spark.table("serve_out").collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](2)
+        .map(s => (s.getLong(0), s.getLong(1)))).toMap
+    q.stop()
+    for ((id, want) <- expect)
+      assert(got(id) == want, s"query $id: got=${got(id)} want=$want")
+  }
 }
