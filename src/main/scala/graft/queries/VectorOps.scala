@@ -1078,46 +1078,114 @@ object VectorOps {
     * truncated integer means over the previous assignment (empty cells
     * inherit the seed row via the LEFT JOIN COALESCE), per-round SSE as
     * min-distance re-derived from the full distance table. */
-  private val kmeansRefineSql = {
-    def statsCte(dist: String, name: String, round: Int): String =
-      s"""$name AS (
-        |  SELECT $round AS round, a.cell,
-        |    CAST(COUNT(*) AS BIGINT) AS n_vectors,
-        |    CAST(SUM(m.md) AS BIGINT) AS sse
-        |  FROM (SELECT vec_id, c AS cell FROM (
-        |      SELECT vec_id, c,
-        |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
-        |      FROM $dist) t WHERE rn = 1) a
-        |  JOIN (SELECT vec_id, MIN(dist) AS md FROM $dist GROUP BY 1) m
-        |    USING (vec_id)
-        |  GROUP BY 1, 2)""".stripMargin
-    def refineCtes(prevDist: String, prevCent: String, n: Int): String =
-      s"""a$n AS (SELECT vec_id, c AS cell FROM (
-        |    SELECT vec_id, c,
-        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
-        |    FROM $prevDist) t WHERE rn = 1),
-        |sums$n AS (SELECT a.cell AS c, g.d, SUM(g.q) AS sq, COUNT(*) AS n
-        |  FROM gqv g JOIN a$n a USING (vec_id) GROUP BY 1, 2),
-        |cent$n AS (SELECT pc.c, pc.d,
-        |    COALESCE(CAST(s.sq // s.n AS BIGINT), pc.ct) AS ct
-        |  FROM $prevCent pc LEFT JOIN sums$n s ON s.c = pc.c AND s.d = pc.d),
-        |dist$n AS (SELECT vec_id, c, SUM((q - ct) * (q - ct)) AS dist
-        |  FROM gqv JOIN cent$n USING (d) GROUP BY 1, 2)""".stripMargin
+  private def kmeansStatsCte(dist: String, name: String,
+      round: Int): String =
+    s"""$name AS (
+      |  SELECT $round AS round, a.cell,
+      |    CAST(COUNT(*) AS BIGINT) AS n_vectors,
+      |    CAST(SUM(m.md) AS BIGINT) AS sse
+      |  FROM (SELECT vec_id, c AS cell FROM (
+      |      SELECT vec_id, c,
+      |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+      |      FROM $dist) t WHERE rn = 1) a
+      |  JOIN (SELECT vec_id, MIN(dist) AS md FROM $dist GROUP BY 1) m
+      |    USING (vec_id)
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private def kmeansRefineCtes(prevDist: String, prevCent: String,
+      n: Int): String =
+    s"""a$n AS (SELECT vec_id, c AS cell FROM (
+      |    SELECT vec_id, c,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+      |    FROM $prevDist) t WHERE rn = 1),
+      |sums$n AS (SELECT a.cell AS c, g.d, SUM(g.q) AS sq, COUNT(*) AS n
+      |  FROM gqv g JOIN a$n a USING (vec_id) GROUP BY 1, 2),
+      |cent$n AS (SELECT pc.c, pc.d,
+      |    COALESCE(CAST(s.sq // s.n AS BIGINT), pc.ct) AS ct
+      |  FROM $prevCent pc LEFT JOIN sums$n s ON s.c = pc.c AND s.d = pc.d),
+      |dist$n AS (SELECT vec_id, c, SUM((q - ct) * (q - ct)) AS dist
+      |  FROM gqv JOIN cent$n USING (d) GROUP BY 1, 2)""".stripMargin
+
+  /** The two-round Lloyd chain as a CTE list (seed distances `gdist`,
+    * refined centroid tables `cent1`/`cent2`, their distance tables
+    * `dist1`/`dist2`) — shared by the q157 convergence oracle and the
+    * q159 recall audit. */
+  private val kmeansChainCtes = Seq(
+    gridParamCtes,
+    gridQvEmbeddings,
+    """gdist AS (SELECT vec_id, c, SUM((q - ct) * (q - ct)) AS dist
+      |  FROM gqv JOIN gcent USING (d) GROUP BY vec_id, c)""".stripMargin,
+    kmeansRefineCtes("gdist", "gcent", 1),
+    kmeansRefineCtes("dist1", "cent1", 2)).mkString(",\n")
+
+  private val kmeansRefineSql =
     "WITH " + Seq(
-      gridParamCtes,
-      gridQvEmbeddings,
-      """gdist AS (SELECT vec_id, c, SUM((q - ct) * (q - ct)) AS dist
-        |  FROM gqv JOIN gcent USING (d) GROUP BY vec_id, c)""".stripMargin,
-      refineCtes("gdist", "gcent", 1),
-      refineCtes("dist1", "cent1", 2),
-      statsCte("gdist", "r0", 0),
-      statsCte("dist1", "r1", 1),
-      statsCte("dist2", "r2", 2)).mkString(",\n") + "\n" +
+      kmeansChainCtes,
+      kmeansStatsCte("gdist", "r0", 0),
+      kmeansStatsCte("dist1", "r1", 1),
+      kmeansStatsCte("dist2", "r2", 2)).mkString(",\n") + "\n" +
       """SELECT round, cell, n_vectors, sse FROM (
         |  SELECT * FROM r0 UNION ALL
         |  SELECT * FROM r1 UNION ALL
         |  SELECT * FROM r2) u""".stripMargin
+
+  /** q159 — WHAT TRAINING BUYS, measured where it matters: per-rank
+    * probe recall of the 4-probe coarse search under the SEED (md5)
+    * grid versus the q157-TRAINED centroids, against the exact q30
+    * top-5. q157 proves SSE drops 5× when the quantizer trains; this
+    * query asks the deployment question — do the true nearest
+    * neighbors now land in the probed cells? One row per exact top-5
+    * neighbor with its membership under each quantizer, so the recall
+    * lift (or its absence) is itself hash-checked. Everything integer:
+    * both assignments from the compiled argmin over integer centroid
+    * tables, both probe sets pure driver arithmetic over parameters.
+    *
+    * Scale shape: the exact arm is q30's TakeOrderedAndProject; the
+    * audit adds one embeddings projection (two compiled argmins per
+    * row) and a 5-row broadcast join. Like q83 this runs per
+    * query-vector batch at deployment and aggregates recall over it. */
+  def refinedRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.nearestIndex
+    val emb = Tables(spark, dir, "embeddings")
+    val c0 = ivfGridCentroids()
+    val c1 = refineCentroids(emb, c0)
+    val c2 = refineCentroids(emb, c1)
+    val qQv = quantizeRow(emb.filter($"vec_id" === 0)
+      .select($"embedding").head.getSeq[Float](0).toArray)
+    val seedProbes = gridProbeCells(qQv, 4)
+    val trainedProbes = gridProbeCells(c2, qQv, 4)
+    val cells = emb.select($"vec_id",
+      nearestIndex($"embedding", c0, 0, QuantScale).as("sc"),
+      nearestIndex($"embedding", c2, 0, QuantScale).as("tc"))
+    knnTopK(spark, dir).join(cells, "vec_id")
+      .select($"rank", $"vec_id",
+        $"sc".isin(seedProbes: _*).as("in_seed_probe"),
+        $"tc".isin(trainedProbes: _*).as("in_trained_probe"))
   }
+
+  /** Oracle: the shared two-round Lloyd chain supplies both quantizers
+    * (`gdist`/`a1` = seed distances/assignment, `dist2` = trained);
+    * probe sets re-derived as each table's 4 nearest cells to vec 0;
+    * exact ranking is q30's shipped SQL verbatim. */
+  private val refinedRecallSql =
+    "WITH " + kmeansChainCtes + ",\n" +
+      """sprobe AS (SELECT c AS cell FROM gdist WHERE vec_id = 0
+        |  ORDER BY dist, c LIMIT 4),
+        |tprobe AS (SELECT c AS cell FROM dist2 WHERE vec_id = 0
+        |  ORDER BY dist, c LIMIT 4),
+        |ta AS (SELECT vec_id, c AS cell FROM (
+        |    SELECT vec_id, c,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        |    FROM dist2) t WHERE rn = 1),
+        |exact AS (
+        |""".stripMargin + knnTopKSql + ")\n" +
+      """SELECT e.rank, e.vec_id,
+        |  a1.cell IN (SELECT cell FROM sprobe) AS in_seed_probe,
+        |  ta.cell IN (SELECT cell FROM tprobe) AS in_trained_probe
+        |FROM exact e
+        |JOIN a1 ON a1.vec_id = e.vec_id
+        |JOIN ta ON ta.vec_id = e.vec_id""".stripMargin
 
   /** The query's ADC lookup table — per (subspace, codeword) squared-L2
     * to the quantized query. Driver integer math over parameters. The
@@ -2556,6 +2624,11 @@ object VectorOps {
         "exact k-means rounds over the md5-seeded grid with per-round " +
         "(cell, occupancy, SSE) — the train-the-centroids convergence " +
         "audit, oracle-unrolled round for round"),
+    Q("q159_refined_recall", refinedRecall, Some(refinedRecallSql),
+      "train-and-deploy audit: per-rank probe recall of the 4-probe " +
+        "coarse search under seed vs q157-trained centroids against " +
+        "the exact q30 top-5 — the recall lift training buys, " +
+        "hash-checked"),
     Q("q154_pq_recon_error", pqReconError, Some(pqReconErrorSql),
       "PQ index-health audit: per-cell quantization error (integer " +
         "mean + max squared-L2 to the assigned codewords) via the " +
