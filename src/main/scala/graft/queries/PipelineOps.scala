@@ -2057,6 +2057,109 @@ object PipelineOps {
     * running-sum window — q91's shape with lang as the partition key.
     * `cum_before` doubles as the doc's token offset within its
     * language's draw (the loader-facing coordinate). */
+  /** q160 — UniMax-style waterfilling mix: the OTHER canonical budget
+    * policy beside q110's proportional apportionment. Proportional
+    * mirrors the corpus (a 100× source gets 100× the tokens); UniMax
+    * (Chung et al., 2023) maximizes source DIVERSITY instead — split
+    * the budget EQUALLY across sources, cap each source at its
+    * available mass, and waterfill the freed budget back into the
+    * larger sources. Budget is half the corpus's total tokens (scale-
+    * relative, so both branches exercise at every SF). Sources below
+    * the water level are consumed whole (`capped` = 1); the rest split
+    * the remainder equally, ±1 token by the largest-remainder rule so
+    * the allocation sums EXACTLY to the budget. All arithmetic is
+    * integer (the capped-iff test multiplies instead of dividing:
+    * c·(S−i+1) > B−P ⟺ c > (B−P) div (S−i+1), proven both ways), so
+    * allocations AND epoch ppms are hash-checked.
+    *
+    * Scale shape: one partial-aggregatable rollup on the bounded
+    * source domain, then windows over the ≤1000-row parameter frame
+    * (the q110 orderBy+limit device) — no data-scale exchange. */
+  def unimaxMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    unimaxMixOf(
+      Tables(spark, dir, "documents")
+        .groupBy($"source")
+        .agg(sum(size(split($"text", " ")).cast("long")).as("n_tokens"))
+        .orderBy($"source".asc).limit(1000))
+  }
+
+  /** The waterfill over any bounded (source, n_tokens) frame —
+    * frame-based so the property spec can assert the invariants
+    * (Σ alloc == budget; capped ⟹ alloc == mass; uncapped allocs
+    * within 1 of each other) on random count vectors. */
+  private[graft] def unimaxMixOf(counts: DataFrame): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val all = Window.orderBy($"source".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val asc = Window.orderBy($"n_tokens".asc, $"source".asc)
+    counts
+      .withColumn("total", sum($"n_tokens").over(all))
+      .withColumn("s", count(lit(1)).over(all))
+      .withColumn("i", row_number().over(asc).cast("long"))
+      .withColumn("pfx", coalesce(sum($"n_tokens").over(
+        asc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("viol", expr(
+        "CAST(IF(n_tokens * (s - i + 1) > total div 2 - pfx, 1, 0) AS BIGINT)"))
+      .withColumn("capped", lit(1L) - max($"viol").over(
+        asc.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("k", sum($"capped").over(all))
+      .withColumn("pk", sum($"n_tokens" * $"capped").over(all))
+      .withColumn("alloc_tokens", expr(
+        """CAST(CASE WHEN capped = 1 THEN n_tokens
+          |  ELSE (total div 2 - pk) div (s - k)
+          |     + IF(i - k <= (total div 2 - pk) % (s - k), 1, 0)
+          |  END AS BIGINT)""".stripMargin))
+      .select($"source", $"n_tokens", $"alloc_tokens", $"capped",
+        expr("CAST(IF(n_tokens = 0, 0, alloc_tokens * 1000000 div n_tokens) AS BIGINT)")
+          .as("epoch_ppm"))
+  }
+
+  private val unimaxMixSql =
+    """WITH c AS (
+      |  SELECT source,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |t AS (
+      |  SELECT source, n_tokens,
+      |    CAST(SUM(n_tokens) OVER () AS BIGINT) AS total,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS s,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY n_tokens ASC, source ASC)
+      |      AS BIGINT) AS i,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (
+      |        ORDER BY n_tokens ASC, source ASC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS pfx
+      |  FROM c),
+      |v AS (
+      |  SELECT *, CASE WHEN n_tokens * (s - i + 1) > total // 2 - pfx
+      |    THEN 1 ELSE 0 END AS viol
+      |  FROM t),
+      |w AS (
+      |  SELECT *, 1 - MAX(viol) OVER (
+      |      ORDER BY n_tokens ASC, source ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped
+      |  FROM v),
+      |y AS (
+      |  SELECT *, CAST(SUM(capped) OVER () AS BIGINT) AS k,
+      |    CAST(SUM(n_tokens * capped) OVER () AS BIGINT) AS pk
+      |  FROM w),
+      |z AS (
+      |  SELECT source, n_tokens,
+      |    CAST(CASE WHEN capped = 1 THEN n_tokens
+      |      ELSE (total // 2 - pk) // (s - k)
+      |         + CASE WHEN i - k <= (total // 2 - pk) % (s - k)
+      |           THEN 1 ELSE 0 END
+      |      END AS BIGINT) AS alloc_tokens,
+      |    CAST(capped AS BIGINT) AS capped
+      |  FROM y)
+      |SELECT source, n_tokens, alloc_tokens, capped,
+      |  CAST(CASE WHEN n_tokens = 0 THEN 0
+      |    ELSE alloc_tokens * 1000000 // n_tokens END AS BIGINT)
+      |    AS epoch_ppm
+      |FROM z""".stripMargin
+
   /** q128's policy constants: token-count bin width and the kept
     * percentile band [p5, p95], interpolated into the oracle. */
   private val LenBinW = 8.0
@@ -2571,6 +2674,11 @@ object PipelineOps {
       "corpus-derived length-outlier gate: histogram-sketch p5/p95 " +
         "cutoff bins, 1-row broadcast verdict — no global window, " +
         "no single-partition exchange"),
+    Q("q160_unimax_mix", unimaxMix, Some(unimaxMixSql),
+      "UniMax waterfilling mix: equal-per-source budget with " +
+        "availability caps and exact largest-remainder closure — the " +
+        "diversity-maximizing complement to q110's proportional " +
+        "apportionment, integer-exact allocations + epoch ppm"),
     Q("q113_quota_sample", quotaSample(_, _), Some(quotaSampleSql),
       "quota-filling corpus draw: md5-ordered per-language documents " +
         "until the q110 quota closes — the executed training mix"),

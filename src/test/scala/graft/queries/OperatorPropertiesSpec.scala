@@ -832,4 +832,36 @@ class OperatorPropertiesSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.toSet == again.toSet)
   }
+
+  test("q160 waterfill invariants on skewed random masses: budget " +
+      "closes exactly, caps respected, uncapped shares within 1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // heavy skew so BOTH branches exercise (sf data caps nothing:
+    // every source there is above the water level)
+    for (trial <- 0 until 5) {
+      val masses = (0 until 12).map(i =>
+        (s"s$i%02d", if (rnd.nextBoolean()) rnd.nextInt(20).toLong + 1
+         else rnd.nextInt(100000).toLong + 1000))
+      val rows = PipelineOps.unimaxMixOf(masses.toDF("source", "n_tokens"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      val total = masses.map(_._2).sum
+      assert(rows.map(_._3).sum == total / 2,
+        s"trial $trial: allocation must close exactly at the budget")
+      for ((src, n, alloc, capped, ppm) <- rows) {
+        assert(alloc <= n, s"$src overdraws")
+        if (capped == 1L) assert(alloc == n, s"$src capped but partial")
+        assert(ppm == (if (n == 0) 0L else alloc * 1000000L / n))
+      }
+      val uncapped = rows.filter(_._4 == 0L).map(_._3)
+      if (uncapped.nonEmpty)
+        assert(uncapped.max - uncapped.min <= 1L,
+          s"trial $trial: uncapped shares must be equal within 1")
+      // the skew must actually produce capped sources in most trials
+      if (masses.count(_._2 < 100) >= 3)
+        assert(rows.exists(_._4 == 1L), s"trial $trial: no caps hit")
+    }
+  }
 }
