@@ -1064,11 +1064,31 @@ object VectorOps {
     * iterate-harness/BPE precedent. At 100 TB a deployment refines on
     * a hash-sample (q46's device) and assigns the full corpus once —
     * same plan, sampled input. */
+  /** The two-round trained centroid tables, memoized per (context,
+    * dir) — q157 derives them, q159 rides them. A driver-side
+    * PARAMETER artifact (two 16×64 long tables), not a DataFrame, so
+    * this is a plain map with ArtifactMemo's stopped-context eviction
+    * rule rather than a persist/unpersist cell. Payer order (q157
+    * before q159) is asserted in Bench like the other shared
+    * artifacts. */
+  private val kmeansMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String),
+    (IndexedSeq[IndexedSeq[Long]], IndexedSeq[IndexedSeq[Long]])]
+
+  private def refinedCentroidPair(spark: SparkSession, dir: String):
+      (IndexedSeq[IndexedSeq[Long]], IndexedSeq[IndexedSeq[Long]]) = {
+    kmeansMemo.keySet.removeIf(k => k._1.isStopped)
+    kmeansMemo.computeIfAbsent((spark.sparkContext, dir), _ => {
+      val emb = Tables(spark, dir, "embeddings")
+      val c1 = refineCentroids(emb, ivfGridCentroids())
+      (c1, refineCentroids(emb, c1))
+    })
+  }
+
   def kmeansRefine(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     val c0 = ivfGridCentroids()
-    val c1 = refineCentroids(emb, c0)
-    val c2 = refineCentroids(emb, c1)
+    val (c1, c2) = refinedCentroidPair(spark, dir)
     lloydStats(emb, c0, 0)
       .union(lloydStats(emb, c1, 1))
       .union(lloydStats(emb, c2, 2))
@@ -1149,8 +1169,7 @@ object VectorOps {
     import graft.functions.VectorExpressions.nearestIndex
     val emb = Tables(spark, dir, "embeddings")
     val c0 = ivfGridCentroids()
-    val c1 = refineCentroids(emb, c0)
-    val c2 = refineCentroids(emb, c1)
+    val (_, c2) = refinedCentroidPair(spark, dir)
     val qQv = quantizeRow(emb.filter($"vec_id" === 0)
       .select($"embedding").head.getSeq[Float](0).toArray)
     val seedProbes = gridProbeCells(qQv, 4)
