@@ -871,6 +871,59 @@ object PipelineOps {
     """SELECT doc_id, shard, pos, n_tokens, start_off, start_seq, end_seq
       |FROM pk""".stripMargin
 
+  /** q161 — block-diagonal ATTENTION-SPAN metadata: the per-sequence
+    * segment table a packed-pretraining loader feeds its attention
+    * mask from. q91 places each document in the shard token stream and
+    * q152 counts the boundary seams; this emits the seams' RESOLUTION:
+    * for every training sequence, the documents inside it with their
+    * in-sequence offset and length (`segment_idx` ordering the blocks)
+    * — cross-document attention is masked exactly along these rows,
+    * and a sequence's padding is 16 − Σ len on its last row. Derived
+    * arithmetically from the SAME q91 placements (shared `packedCtes`
+    * in the oracle), so the mask can never disagree with the packing
+    * that shipped. Zero-token documents contribute no span (filtered
+    * symmetrically in both engines — a degenerate doc has no tokens to
+    * attend to).
+    *
+    * Scale shape: rides q91's one window per shard; the explode is
+    * bounded by n_tokens div 16 + 2 rows per doc (a document names
+    * only the sequences it touches) and the segment window partitions
+    * by (shard, seq) — at most 16 one-token docs per partition, a
+    * constant. No shuffle beyond q91's. */
+  def attentionSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"shard", $"seq")
+      .orderBy($"start_in_seq".asc)
+    packedStream(spark, dir)
+      .filter($"n_tokens" > 0)
+      .withColumn("seq", explode(expr("sequence(start_seq, end_seq)")))
+      .withColumn("start_in_seq",
+        expr("greatest(start_off, seq * 16) - seq * 16"))
+      .withColumn("len_in_seq", expr(
+        "least(start_off + n_tokens, (seq + 1) * 16)" +
+          " - greatest(start_off, seq * 16)"))
+      .withColumn("segment_idx", row_number().over(w).cast("long"))
+      .select($"shard", $"seq", $"segment_idx", $"doc_id",
+        $"start_in_seq", $"len_in_seq")
+  }
+
+  private val attentionSpansSql = packedCtes + ",\n" +
+    """sp AS (
+      |  SELECT doc_id, shard,
+      |    unnest(range(start_seq, end_seq + 1)) AS seq,
+      |    start_off, n_tokens
+      |  FROM pk WHERE n_tokens > 0)
+      |SELECT shard, seq,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY shard, seq
+      |    ORDER BY GREATEST(start_off, seq * 16) - seq * 16) AS BIGINT)
+      |    AS segment_idx,
+      |  doc_id,
+      |  CAST(GREATEST(start_off, seq * 16) - seq * 16 AS BIGINT)
+      |    AS start_in_seq,
+      |  CAST(LEAST(start_off + n_tokens, (seq + 1) * 16)
+      |    - GREATEST(start_off, seq * 16) AS BIGINT) AS len_in_seq
+      |FROM sp""".stripMargin
+
   /** q152's candidate context lengths, interpolated into the oracle. */
   private val SweepSeqLens = Seq(16L, 32L, 64L)
 
@@ -2579,6 +2632,11 @@ object PipelineOps {
       "the per-document decision table: all five gate signals " +
         "(survivor, quality, decon, calibrated, DSIR) + vote count + " +
         "strict admit, oracle-proven equal to its member queries"),
+    Q("q161_attention_spans", attentionSpans, Some(attentionSpansSql),
+      "block-diagonal attention-span table: per training sequence, " +
+        "the documents inside it with in-sequence offset/length and " +
+        "segment order — the loader's mask metadata, derived from " +
+        "the shared q91 placements so mask and packing cannot drift"),
     Q("q152_packing_sweep", packingSweep, Some(packingSweepSql),
       "context-length capacity planning: sequences, tail padding, " +
         "integer fill rate and document boundary-straddles per " +
