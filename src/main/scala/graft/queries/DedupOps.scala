@@ -317,6 +317,120 @@ object DedupOps {
   def clusterLabels(spark: SparkSession, dir: String): DataFrame =
     clustersMemo.get(spark, dir)(dupClusters(spark, dir))
 
+  /** q164's portable hash family: [[CalHashes]] universal hashes
+    * h_i(x) = (a_i·x + b_i) mod p over p = 2³¹−1, coefficients drawn
+    * once from the md5 device and interpolated as LITERALS into both
+    * the Spark plan and the oracle SQL (the NumShards idiom, applied
+    * to a whole coefficient table). p < 2³¹ keeps every product under
+    * 2⁶² — no overflow in either engine's BIGINT. */
+  private[queries] val CalHashes = 16
+  private val CalP = 2147483647L
+  private val calCoeffs: Seq[(Long, Long)] = {
+    def h15(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+    }
+    (0 until CalHashes).map(i =>
+      ((h15(s"mha:$i") % (CalP - 1)) + 1, h15(s"mhb:$i") % CalP))
+  }
+
+  /** q164 — MinHash estimator CALIBRATION: the empirical table behind
+    * the band/row design choice every MinHash deployment makes. For
+    * each pair in a deterministic ~10% document sample (same-source
+    * blocks, q41's audit shape), count how many of [[CalHashes]]
+    * independent minhashes agree (k — the estimator says J ≈ k/16)
+    * and whether the EXACT shingle Jaccard clears the τ=0.5 and τ=0.8
+    * thresholds; roll up per k. The result is P(J ≥ τ | k) measured
+    * on this corpus — exactly the curve that justifies (or indicts)
+    * q42's r=2/b=31 operating point, produced as data instead of the
+    * (1−J^r)^b formula's iid assumption. Integer-exact throughout:
+    * k is a match count and the threshold tests cross-multiply
+    * (2·|∩| ≥ |∪| ⟺ J ≥ 0.5), so no float crosses the rollup.
+    *
+    * The hash family here is md5-seeded universal hashing, NOT
+    * production's codegen xxhash64 [[minhashLongs]] — deliberately:
+    * the audit must be oracle-checkable, so every hash must be
+    * computable in both engines, and the two families have identical
+    * collision statistics (pairwise-independent over p). The audit
+    * validates the ESTIMATOR SHAPE (match-count vs true Jaccard);
+    * production keeps the faster hash.
+    *
+    * Scale shape: the pair universe is the q41 verification-spec
+    * shape — all pairs within same-source blocks (equi-join, no
+    * cartesian). At 100 TB the lever is the md5 block sample (q46's
+    * draw keyed on source): the calibration curve is a corpus
+    * property, not a per-doc artifact, so a sub-permille block sample
+    * saturates it — at test SFs the full block set IS the
+    * measurement (a row sample thins dup pairs quadratically and
+    * empties the k > 0 buckets, measured). Everything else is one
+    * equi-join + a 17-key rollup. */
+  def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lifted = Tables(spark, dir, "documents")
+      .select($"doc_id", $"source", $"text")
+      .withColumn("tok", split($"text", " "))
+      .filter(size($"tok") >= 3)
+      .withColumn("sh", shingleCol)
+      .withColumn("hs", expr("transform(sh, t -> " +
+        s"cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) % $CalP)"))
+      .withColumn("mh", array(calCoeffs.map { case (a, b) =>
+        expr(s"array_min(transform(hs, h -> ($a * h + $b) % $CalP))")
+      }: _*))
+      .select($"doc_id", $"source", $"sh", $"mh")
+    val a = lifted.select($"doc_id".as("a_id"), $"source",
+      $"sh".as("a_sh"), $"mh".as("a_mh"))
+    val b = lifted.select($"doc_id".as("b_id"), $"source".as("b_source"),
+      $"sh".as("b_sh"), $"mh".as("b_mh"))
+    a.join(b, $"source" === $"b_source" && $"a_id" < $"b_id")
+      .withColumn("k", expr(s"cast(size(filter(sequence(1, $CalHashes), " +
+        "i -> element_at(a_mh, i) = element_at(b_mh, i))) as bigint)"))
+      .withColumn("inter", size(array_intersect($"a_sh", $"b_sh")))
+      .withColumn("uni", size($"a_sh") + size($"b_sh") - $"inter")
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"inter" * 2 >= $"uni", 1L).otherwise(0L)).as("n_j50"),
+        sum(when($"inter" * 5 >= $"uni" * 4, 1L).otherwise(0L))
+          .as("n_j80"))
+  }
+
+  private val minhashCalibrationSql = {
+    val mhList = calCoeffs.map { case (a, b) =>
+      s"list_min(list_transform(hs, x -> ($a * x + $b) % $CalP))"
+    }.mkString("[\n      ", ",\n      ", "]")
+    s"""WITH d AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(list_transform(
+      |      range(1, len(string_split(text, ' ')) - 1),
+      |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))
+      |      AS sh
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |h AS (
+      |  SELECT doc_id, source, sh,
+      |    list_transform(sh, t ->
+      |      CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % $CalP)
+      |      AS hs
+      |  FROM d),
+      |m AS (
+      |  SELECT doc_id, source, sh, $mhList AS mh
+      |  FROM h),
+      |p AS (
+      |  SELECT
+      |    CAST(len(list_filter(range(1, ${CalHashes + 1}),
+      |      i -> a.mh[i] = b.mh[i])) AS BIGINT) AS k,
+      |    len(list_intersect(a.sh, b.sh)) AS inter,
+      |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+      |  FROM m a JOIN m b ON a.source = b.source AND a.doc_id < b.doc_id)
+      |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(CASE WHEN 2 * inter >= uni THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_j50,
+      |  CAST(SUM(CASE WHEN 5 * inter >= 4 * uni THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_j80
+      |FROM p GROUP BY 1""".stripMargin
+  }
+
   /** Whether `df` IS a live memoized shared artifact (reference
     * identity): the pair table (q42/q45/q54) or the cluster-label table
     * (q45/q59/q64). Bench uses this to release each query's persisted
@@ -1472,6 +1586,12 @@ object DedupOps {
     Q("q38_jaccard_prefix", jaccardPairsPrefix, Some(jaccardPairsSql),
       "same pairs via PPJoin prefix filtering — the 100 TB candidate path, " +
         "hash-proven equal to q41's oracle"),
+    Q("q164_minhash_calibration", minhashCalibration,
+      Some(minhashCalibrationSql),
+      "MinHash estimator calibration: per match-count k of 16 " +
+        "portable universal hashes, the measured P(J>=0.5) and " +
+        "P(J>=0.8) over the same-source pair blocks — the " +
+        "empirical curve behind q42's band/row operating point"),
     Q("q42_minhash_lsh", verifiedPairs, Some(minhashLshSql),
       "MinHash 62-hash/31-band LSH + exact verification == global shingle J>=0.5"),
     Q("q45_dup_clusters", clusterLabels, Some(dupClustersSql),

@@ -924,6 +924,82 @@ object PipelineOps {
       |    - GREATEST(start_off, seq * 16) AS BIGINT) AS len_in_seq
       |FROM sp""".stripMargin
 
+  /** q163's pass count — one constant interpolated into the oracle
+    * (the [[NumShards]] idiom). */
+  private[queries] val ShuffleEpochs = 3L
+
+  /** q163 — the deterministic EPOCH SHUFFLE: for every training epoch,
+    * the order in which the loader visits the q91 packed sequences.
+    * This is the artifact that closes the loader chain — q91 places
+    * documents in sequences, q161 gives each sequence its attention
+    * mask, q149 says how often a document repeats; what remained
+    * unshipped is the VISIT ORDER, and "order by rand()" is exactly
+    * the non-reproducible thing a training run cannot contain. Here
+    * each epoch permutes sequences by the md5 device salted with the
+    * epoch number ("epoch:e:shard:seq"), so every epoch's order is a
+    * different but fully deterministic permutation: a preempted run
+    * re-derives byte-identical order, and two data-parallel workers
+    * agree without talking to each other.
+    *
+    * The shuffle is WITHIN-shard, shards interleaved round-robin into
+    * the global step coordinate (`global_step = (pos−1)·S + shard`) —
+    * deliberately NOT a global permutation: at 100 TB a global
+    * shuffle is a full-corpus exchange every epoch, while the
+    * within-shard + round-robin scheme is what sharded training
+    * loaders (Megatron/T5-style samplers) actually run, needs one
+    * bounded window per shard, and still decorrelates batches because
+    * shard assignment (q80) already hashed documents apart. Consumed
+    * as: loader at rank r reads shard r's rows in pos order; the
+    * union over ranks visits global_step order.
+    *
+    * Scale shape: sequence ids derive from the per-shard token totals
+    * (a 16-row aggregate over q91), the per-epoch keying is row-local,
+    * and the one shuffle is the (epoch, shard) row_number window —
+    * partitions are sequences-per-shard sized, the q80 lever bounds
+    * them. Integer-exact end to end → hash-checked. */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"epoch", $"shard")
+      .orderBy($"okey".asc, $"seq".asc)
+    packedStream(spark, dir)
+      .groupBy($"shard").agg(sum($"n_tokens").as("t"))
+      .withColumn("n_seqs", expr("(t + 15) div 16"))
+      .filter($"n_seqs" > 0)
+      .withColumn("seq", explode(expr("sequence(0, n_seqs - 1)")))
+      .withColumn("epoch",
+        explode(expr(s"sequence(0L, ${ShuffleEpochs - 1}L)")))
+      .withColumn("okey", md5PrefixLong(
+        concat(lit("epoch:"), $"epoch".cast("string"), lit(":"),
+          $"shard".cast("string"), lit(":"), $"seq".cast("string")), 15))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($"epoch", $"shard", $"seq", $"pos",
+        expr(s"(pos - 1) * $NumShards + shard").as("global_step"))
+  }
+
+  private val epochShuffleSql = packedCtes + ",\n" +
+    s"""st AS (
+      |  SELECT shard, (CAST(SUM(n_tokens) AS BIGINT) + 15) // 16 AS n_seqs
+      |  FROM pk GROUP BY 1),
+      |sq AS (
+      |  SELECT shard, unnest(range(n_seqs)) AS seq
+      |  FROM st WHERE n_seqs > 0),
+      |ep AS (
+      |  SELECT shard, seq, unnest(range($ShuffleEpochs)) AS epoch
+      |  FROM sq),
+      |ky AS (
+      |  SELECT epoch, shard, seq,
+      |    CAST(concat('0x', substr(md5(concat('epoch:',
+      |      CAST(epoch AS VARCHAR), ':', CAST(shard AS VARCHAR), ':',
+      |      CAST(seq AS VARCHAR))), 1, 15)) AS BIGINT) AS okey
+      |  FROM ep)
+      |SELECT epoch, shard, seq,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard
+      |    ORDER BY okey, seq) AS BIGINT) AS pos,
+      |  CAST((ROW_NUMBER() OVER (PARTITION BY epoch, shard
+      |    ORDER BY okey, seq) - 1) * $NumShards + shard AS BIGINT)
+      |    AS global_step
+      |FROM ky""".stripMargin
+
   /** q152's candidate context lengths, interpolated into the oracle. */
   private val SweepSeqLens = Seq(16L, 32L, 64L)
 
@@ -1842,6 +1918,95 @@ object PipelineOps {
       |    THEN 1 ELSE 0 END AS BIGINT) AS keep_dsir
       |FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id""".stripMargin
 
+  /** q165's draw target and weight-bin width, interpolated into the
+    * oracle (the NumShards idiom). */
+  private[queries] val DsirDrawDocs = 100L
+  private[queries] val DsirBinW = 250000L
+
+  /** q165 — DSIR importance resampling EXECUTED: q151 ships the
+    * importance weights, but DSIR's published output is the resampled
+    * corpus — documents drawn with probability ∝ weight. This is that
+    * draw, made deterministic and integer-exact by composing three
+    * shipped devices: weights quantize into [[DsirBinW]]-ppm BINS
+    * (q112's contract — the estimator's resolution is the bin width),
+    * a [[DsirDrawDocs]]-document budget apportions across bins by
+    * Hamilton largest-remainder ∝ each bin's total weight mass (so
+    * expected draw probability within a bin is ∝ the bin's mean
+    * weight — the resampling semantics at bin granularity), and the
+    * per-bin quota fills in md5 order ("dsir:"-salted, q113's draw
+    * rule) so membership is reproducible across runs AND engines.
+    * Zero-weight documents occupy a zero-mass bin and are never
+    * drawn — exactly DSIR's behavior. A bin smaller than its quota
+    * yields what it has (reported: `bin_quota` vs the drawn ranks);
+    * the property spec pins closure when no bin is starved.
+    *
+    * Scale shape: rides q151's audited plan; the bin rollup is a
+    * bounded-key aggregate coalesced by the orderBy+limit device; the
+    * draw is one window per bin (bins bound partitions the way q113's
+    * languages do — salt wide bins by the q80 lever at 100 TB); the
+    * quota table is a broadcast. Fully integer → hash-checked. */
+  def dsirDraw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = dsirWeights(spark, dir)
+      .select($"doc_id", $"dsir_ppm",
+        expr(s"dsir_ppm div $DsirBinW").as("wbin"))
+    val mass = ds.groupBy($"wbin")
+      .agg(sum($"dsir_ppm").as("m"))
+      .filter($"m" > 0)
+      .orderBy($"wbin".asc).limit(10000)
+    val all = Window.orderBy($"wbin".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byRem = Window.orderBy($"rem".desc, $"wbin".asc)
+    val quota = mass
+      .withColumn("mm", sum($"m").over(all))
+      .withColumn("base", expr(s"($DsirDrawDocs * m) div mm"))
+      .withColumn("rem", expr(s"($DsirDrawDocs * m) % mm"))
+      .withColumn("rk", row_number().over(byRem).cast("long"))
+      .withColumn("allocated", sum($"base").over(all))
+      .select($"wbin",
+        expr(s"CAST(base + IF(rk <= $DsirDrawDocs - allocated, 1, 0) " +
+          "AS BIGINT)").as("bin_quota"))
+    val draw = Window.partitionBy($"wbin").orderBy($"ok".asc, $"doc_id".asc)
+    ds.join(broadcast(quota), "wbin")
+      .withColumn("ok", md5PrefixLong(
+        concat(lit("dsir:"), $"doc_id".cast("string")), 15))
+      .withColumn("draw_rank", row_number().over(draw).cast("long"))
+      .filter($"draw_rank" <= $"bin_quota")
+      .select($"doc_id", $"wbin", $"dsir_ppm", $"bin_quota", $"draw_rank")
+  }
+
+  // lazy: nests dsirWeightsSql (defined above) at registry access time
+  private lazy val dsirDrawSql =
+    s"""WITH ds0 AS (${dsirWeightsSql}),
+      |ds AS (
+      |  SELECT doc_id, dsir_ppm, dsir_ppm // $DsirBinW AS wbin FROM ds0),
+      |ms AS (
+      |  SELECT wbin, CAST(SUM(dsir_ppm) AS BIGINT) AS m
+      |  FROM ds GROUP BY 1 HAVING SUM(dsir_ppm) > 0),
+      |b AS (
+      |  SELECT wbin, m, CAST(SUM(m) OVER () AS BIGINT) AS mm FROM ms),
+      |r AS (
+      |  SELECT wbin, ($DsirDrawDocs * m) // mm AS base,
+      |    ROW_NUMBER() OVER (ORDER BY ($DsirDrawDocs * m) % mm DESC,
+      |      wbin ASC) AS rk,
+      |    CAST(SUM(($DsirDrawDocs * m) // mm) OVER () AS BIGINT)
+      |      AS allocated
+      |  FROM b),
+      |q AS (
+      |  SELECT wbin, CAST(base + CASE
+      |      WHEN rk <= $DsirDrawDocs - allocated THEN 1 ELSE 0 END
+      |    AS BIGINT) AS bin_quota
+      |  FROM r),
+      |k AS (
+      |  SELECT ds.doc_id, ds.wbin, ds.dsir_ppm, q.bin_quota,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY ds.wbin
+      |      ORDER BY CAST(concat('0x', substr(md5(concat('dsir:',
+      |        CAST(ds.doc_id AS VARCHAR))), 1, 15)) AS BIGINT),
+      |        ds.doc_id) AS BIGINT) AS draw_rank
+      |  FROM ds JOIN q USING (wbin))
+      |SELECT doc_id, wbin, dsir_ppm, bin_quota, draw_rank
+      |FROM k WHERE draw_rank <= bin_quota""".stripMargin
+
   /** q155 — the ADMISSION MATRIX: every gate signal the pipeline has
     * built, joined into the one per-document decision table a
     * deployment actually acts on — dedup survivorship + heuristic
@@ -2208,6 +2373,101 @@ object PipelineOps {
       |    CAST(capped AS BIGINT) AS capped
       |  FROM y)
       |SELECT source, n_tokens, alloc_tokens, capped,
+      |  CAST(CASE WHEN n_tokens = 0 THEN 0
+      |    ELSE alloc_tokens * 1000000 // n_tokens END AS BIGINT)
+      |    AS epoch_ppm
+      |FROM z""".stripMargin
+
+  /** q162 — temperature-scaled mixture at α = 1/2: the THIRD canonical
+    * mixing policy, sitting exactly between its two shipped neighbors
+    * on the α axis — q110's proportional apportionment is α = 1
+    * (mirror the corpus), q160's UniMax is the α → 0 limit (equal
+    * shares), and multilingual pretraining in practice trains at an
+    * intermediate temperature (mBERT exponent-smoothed sampling,
+    * mT5/PaLM report α ≈ 0.3–0.7) so low-resource languages are
+    * upweighted without letting them dominate. Allocation is
+    * ∝ n_lang^(1/2) with Hamilton largest-remainder closure, i.e.
+    * literally q110's apportionment device run over sqrt-scaled
+    * weights — one policy engine, three policies.
+    *
+    * Integer-exactness is why α is 1/2 and not 0.3: the weight is
+    * floor(sqrt(n)) where sqrt is the ONE power function IEEE 754
+    * requires correctly rounded (both JVM and DuckDB delegate to it),
+    * so the Long weight is bit-identical in both engines — a generic
+    * pow(n, 0.3) carries no such guarantee and would put the hash
+    * check at the mercy of libm. floor(sqrt) is exact while n < 2⁵²
+    * (the double holds n exactly and the half-ulp at √n ≤ 2²⁶ is
+    * below the 1/(2√n) gap to the next integer square); at 4·10¹⁵
+    * tokens per language, revisit. Σ sqrt_w and the remainder rank
+    * are Long arithmetic — no float ever crosses an exchange.
+    *
+    * Scale shape: identical to q110 — one partial-aggregatable rollup
+    * on the bounded lang domain, then the orderBy+limit coalesce
+    * device; no data-scale exchange at any corpus size. epoch_ppm
+    * (tokens drawn per million available, q160's column) is the
+    * cross-policy comparison coordinate: proportional gives every
+    * lang the same ppm, temperature tilts ppm ∝ n^(−1/2). */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    temperatureMixOf(
+      Tables(spark, dir, "documents")
+        .groupBy($"lang")
+        .agg(sum(size(split($"text", " ")).cast("long")).as("n_tokens"))
+        .orderBy($"lang".asc).limit(1000),
+      TrainBudget)
+  }
+
+  /** The sqrt-weighted apportionment over any bounded (lang, n_tokens)
+    * frame — frame-based so the property spec can assert the closure
+    * and the low-resource-upweighting tilt on random count vectors. */
+  private[graft] def temperatureMixOf(counts: DataFrame,
+      budget: Long): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val all = Window.orderBy($"lang".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val based = counts
+      .withColumn("sqrt_w",
+        expr("CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+      .withColumn("wtotal", sum($"sqrt_w").over(all))
+      .withColumn("base", expr(s"($budget * sqrt_w) div wtotal"))
+      .withColumn("rem", expr(s"($budget * sqrt_w) % wtotal"))
+    val byRem = Window.orderBy($"rem".desc, $"lang".asc)
+    based
+      .withColumn("rk", row_number().over(byRem).cast("long"))
+      .withColumn("allocated", sum($"base").over(all))
+      .withColumn("alloc_tokens",
+        expr(s"CAST(base + IF(rk <= $budget - allocated, 1, 0) AS BIGINT)"))
+      .select($"lang", $"n_tokens", $"sqrt_w", $"alloc_tokens",
+        expr("CAST(IF(n_tokens = 0, 0, alloc_tokens * 1000000 div n_tokens) AS BIGINT)")
+          .as("epoch_ppm"))
+  }
+
+  private val temperatureMixSql =
+    s"""WITH c AS (
+      |  SELECT lang,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |s AS (
+      |  SELECT lang, n_tokens,
+      |    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS sqrt_w
+      |  FROM c),
+      |t AS (
+      |  SELECT *, CAST(SUM(sqrt_w) OVER () AS BIGINT) AS wtotal FROM s),
+      |b AS (
+      |  SELECT *, ($TrainBudget * sqrt_w) // wtotal AS base,
+      |    ($TrainBudget * sqrt_w) % wtotal AS rem
+      |  FROM t),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) AS rk,
+      |    CAST(SUM(base) OVER () AS BIGINT) AS allocated
+      |  FROM b),
+      |z AS (
+      |  SELECT lang, n_tokens, sqrt_w,
+      |    CAST(base + CASE WHEN rk <= $TrainBudget - allocated
+      |      THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+      |  FROM r)
+      |SELECT lang, n_tokens, sqrt_w, alloc_tokens,
       |  CAST(CASE WHEN n_tokens = 0 THEN 0
       |    ELSE alloc_tokens * 1000000 // n_tokens END AS BIGINT)
       |    AS epoch_ppm
@@ -2737,6 +2997,20 @@ object PipelineOps {
         "availability caps and exact largest-remainder closure — the " +
         "diversity-maximizing complement to q110's proportional " +
         "apportionment, integer-exact allocations + epoch ppm"),
+    Q("q165_dsir_draw", dsirDraw, Some(dsirDrawSql),
+      "DSIR importance resampling executed: weight-bin quantization, " +
+        "Hamilton bin quotas proportional to weight mass, md5-ordered " +
+        "per-bin draw — the deterministic integer form of " +
+        "probability-proportional-to-weight document resampling"),
+    Q("q163_epoch_shuffle", epochShuffle, Some(epochShuffleSql),
+      "deterministic per-epoch loader order: md5-salted within-shard " +
+        "permutation of the q91 packed sequences with a round-robin " +
+        "global step — reproducible epochs, no global exchange"),
+    Q("q162_temperature_mix", temperatureMix, Some(temperatureMixSql),
+      "temperature-scaled mix at alpha=1/2: q110's largest-remainder " +
+        "apportionment over floor(sqrt(n)) weights — the " +
+        "low-resource-upweighting midpoint between proportional " +
+        "(alpha=1) and UniMax (alpha->0), integer-exact end to end"),
     Q("q113_quota_sample", quotaSample(_, _), Some(quotaSampleSql),
       "quota-filling corpus draw: md5-ordered per-language documents " +
         "until the q110 quota closes — the executed training mix"),

@@ -864,4 +864,105 @@ class OperatorPropertiesSpec extends SparkSuite {
         assert(rows.exists(_._4 == 1L), s"trial $trial: no caps hit")
     }
   }
+
+  test("q162 temperature-mix invariants on random masses: budget " +
+      "closes exactly, allocation monotone in mass, epoch share " +
+      "tilts toward low-resource langs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    for (trial <- 0 until 5) {
+      val budget = 1000000L
+      val masses = (0 until 12).map(i =>
+        (f"l$i%02d", rnd.nextInt(1000000).toLong + 100))
+      val rows = PipelineOps
+        .temperatureMixOf(masses.toDF("lang", "n_tokens"), budget)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      // Hamilton closure: the allocation sums EXACTLY to the budget
+      assert(rows.map(_._4).sum == budget,
+        s"trial $trial: allocation must close exactly")
+      for ((lang, n, w, alloc, ppm) <- rows) {
+        assert(w == math.sqrt(n.toDouble).floor.toLong, s"$lang weight")
+        assert(ppm == (if (n == 0) 0L else alloc * 1000000L / n))
+      }
+      // monotone in weight up to the ±1 largest-remainder grain
+      for (Array(a, b) <- rows.sortBy(_._3).sliding(2))
+        assert(b._4 >= a._4 - 1,
+          s"trial $trial: alloc must not decrease in weight " +
+            s"(${a._1}:${a._4} vs ${b._1}:${b._4})")
+      // the temperature tilt: a lang with >=4x the mass gets at most
+      // ~half the per-token draw rate (alpha=1/2), never more
+      for (big <- rows; small <- rows
+           if big._2 >= 4 * small._2 && small._5 > 100)
+        assert(big._5 <= small._5,
+          s"trial $trial: epoch_ppm must tilt low-resource " +
+            s"(${big._1}:${big._5} vs ${small._1}:${small._5})")
+    }
+    // at equal masses temperature == proportional == equal split
+    val eq = PipelineOps.temperatureMixOf(
+      (0 until 8).map(i => (f"e$i%02d", 4096L)).toDF("lang", "n_tokens"),
+      800L).collect()
+    assert(eq.forall(_.getLong(3) == 100L),
+      "equal masses must split the budget equally at any alpha")
+  }
+
+  test("q165 DSIR draw: per-bin ranks contiguous from 1, quota " +
+      "respected, zero-weight docs never drawn, re-run identical") {
+    val rows = PipelineOps.dsirDraw(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 > 0), "zero-weight docs must never draw")
+    for ((bin, g) <- rows.groupBy(_._2)) {
+      val q = g.head._4
+      assert(g.forall(_._4 == q), s"bin $bin: one quota per bin")
+      assert(g.length <= q, s"bin $bin overdraws its quota")
+      assert(g.map(_._5).sorted.toSeq == (1L to g.length.toLong),
+        s"bin $bin: draw ranks must be contiguous from 1")
+    }
+    // if every bin filled its quota, the draw closes at the target
+    val totalQuota = rows.groupBy(_._2).view.mapValues(_.head._4)
+      .values.sum
+    if (rows.groupBy(_._2).forall { case (_, g) => g.length == g.head._4 }
+        && totalQuota == PipelineOps.DsirDrawDocs)
+      assert(rows.length.toLong == PipelineOps.DsirDrawDocs)
+    val again = PipelineOps.dsirDraw(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.toSet == again.toSet)
+  }
+
+  test("q163 epoch shuffle: every epoch is a valid within-shard " +
+      "permutation, epochs genuinely reorder, re-run is identical") {
+    val rows = PipelineOps.epochShuffle(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // per (epoch, shard): pos is exactly 1..n and seq is exactly 0..n-1
+    for (((e, sh), g) <- rows.groupBy(r => (r._1, r._2))) {
+      assert(g.map(_._4).sorted.toSeq == (1L to g.length.toLong),
+        s"epoch $e shard $sh: pos must be a 1..n permutation")
+      assert(g.map(_._3).sorted.toSeq == (0L until g.length.toLong),
+        s"epoch $e shard $sh: every sequence visited exactly once")
+    }
+    // same sequence set every epoch; different visit order (the salt
+    // works) for at least one multi-sequence shard
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == (0L until PipelineOps.ShuffleEpochs).toSet)
+    val orders = byEpoch.view.mapValues(
+      _.sortBy(r => (r._2, r._4)).map(r => (r._2, r._3)).toSeq).toMap
+    assert(orders(0L).toSet == orders(1L).toSet)
+    assert(orders(0L) != orders(1L) || orders(1L) != orders(2L),
+      "epoch salt must produce distinct permutations")
+    // global_step round-robin: distinct across rows within an epoch
+    for ((e, g) <- byEpoch)
+      assert(g.map(_._5).distinct.length == g.length,
+        s"epoch $e: global_step must be collision-free")
+    // determinism: a second derivation is byte-identical
+    val again = PipelineOps.epochShuffle(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.toSet == again.toSet)
+  }
 }
