@@ -260,29 +260,47 @@ object VectorExpressions {
   def dimCounts(dims: Column, n: Int): Column =
     GraftBridge.column(DimCountVector(GraftBridge.expression(dims), n))
 
-  /** sorted_intersect_size(array<string>, array<string>) → int: merge-scan
-    * intersection count over two SORTED, de-duplicated string arrays.
-    * Replaces `size(array_intersect(a, b))` in the Jaccard hot loop —
-    * the built-in builds a hash set per row pair; the merge scan is a
-    * single pass and needs no per-pair allocation. Jaccard follows as
-    * inter / (|a| + |b| - inter). Caller contract: inputs sorted+distinct
-    * (array_sort(array_distinct(...)) once per document, BEFORE the
-    * pair join — amortized over all pairs the document appears in). */
+  /** sorted_intersect_size(array<T>, array<T>) → int for T ∈ {string,
+    * long}: merge-scan intersection count over two SORTED,
+    * de-duplicated arrays. Replaces `size(array_intersect(a, b))` in
+    * the Jaccard hot loop — the built-in builds a hash set per row
+    * pair; the merge scan is a single pass and needs no per-pair
+    * allocation. Jaccard follows as inter / (|a| + |b| - inter). The
+    * long specialization (element compare = one branch, no UTF8String
+    * dispatch) serves hashed-domain set comparison (q164). Caller
+    * contract: inputs sorted+distinct (array_sort(array_distinct(...))
+    * once per document, BEFORE the pair join — amortized over all
+    * pairs the document appears in). */
   case class SortedIntersectSize(left: Expression, right: Expression)
       extends BinaryExpression {
     override def nullIntolerant: Boolean = true
     override def dataType: DataType = org.apache.spark.sql.types.IntegerType
     override def prettyName: String = "sorted_intersect_size"
 
+    private lazy val longElems = left.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
       var i = 0; var j = 0; var n = 0
-      while (i < x.numElements() && j < y.numElements()) {
-        val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-        if (c == 0) { n += 1; i += 1; j += 1 }
-        else if (c < 0) i += 1
-        else j += 1
+      if (longElems) {
+        while (i < x.numElements() && j < y.numElements()) {
+          val l = x.getLong(i); val r = y.getLong(j)
+          if (l == r) { n += 1; i += 1; j += 1 }
+          else if (l < r) i += 1
+          else j += 1
+        }
+      } else {
+        while (i < x.numElements() && j < y.numElements()) {
+          val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+          if (c == 0) { n += 1; i += 1; j += 1 }
+          else if (c < 0) i += 1
+          else j += 1
+        }
       }
       java.lang.Integer.valueOf(n)
     }
@@ -293,14 +311,27 @@ object VectorExpressions {
         val j = ctx.freshName("j")
         val n = ctx.freshName("n")
         val c = ctx.freshName("c")
+        val body = if (longElems)
+          s"""
+             |while ($i < $a.numElements() && $j < $b.numElements()) {
+             |  long ${c}l = $a.getLong($i); long ${c}r = $b.getLong($j);
+             |  if (${c}l == ${c}r) { $n++; $i++; $j++; }
+             |  else if (${c}l < ${c}r) $i++;
+             |  else $j++;
+             |}
+           """.stripMargin
+        else
+          s"""
+             |while ($i < $a.numElements() && $j < $b.numElements()) {
+             |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+             |  if ($c == 0) { $n++; $i++; $j++; }
+             |  else if ($c < 0) $i++;
+             |  else $j++;
+             |}
+           """.stripMargin
         s"""
            |int $i = 0; int $j = 0; int $n = 0;
-           |while ($i < $a.numElements() && $j < $b.numElements()) {
-           |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-           |  if ($c == 0) { $n++; $i++; $j++; }
-           |  else if ($c < 0) $i++;
-           |  else $j++;
-           |}
+           |$body
            |${ev.value} = $n;
          """.stripMargin
       })

@@ -152,4 +152,25 @@ class VectorExpressionsSpec extends SparkSuite {
       .select(pqAdcDist($"v", $"code", cb, 2L).as("adc")).collect()
     assert(short.head.isNullAt(0))
   }
+
+  test("SortedIntersectSize long specialization == array_intersect " +
+      "size on sorted-distinct random long sets; string path intact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 50).map { i =>
+      def set() = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong)
+        .distinct.sorted.toArray
+      (i.toLong, set(), set())
+    }
+    val got = rows.toDF("id", "a", "b")
+      .select($"id", sortedIntersectSize($"a", $"b").as("n"),
+        size(array_intersect($"a", $"b")).as("want"))
+      .collect()
+    got.foreach(r => assert(r.getInt(1) == r.getInt(2), r.toString))
+    // the string path (q41's contract) still merge-scans correctly
+    val s = Seq((Array("a", "b", "d"), Array("b", "c", "d", "e")))
+      .toDF("x", "y")
+      .select(sortedIntersectSize($"x", $"y")).collect()
+    assert(s.head.getInt(0) == 2)
+  }
 }
