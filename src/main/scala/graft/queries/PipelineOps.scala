@@ -1000,6 +1000,76 @@ object PipelineOps {
       |    AS global_step
       |FROM ky""".stripMargin
 
+  /** q167 — dedup-aware LOSS WEIGHTS per packed sequence: the
+    * "count-once" training correction. Training on a corpus where a
+    * document survives in k near-identical copies over-weights its
+    * content k× in the loss; the standard correction (kept-duplicates
+    * regimes, repetition-aware sampling) down-weights each copy to
+    * 1/k so every cluster contributes unit mass. This emits the
+    * loader-facing form: per (shard, seq) training sequence, the
+    * token-weighted mean discount over the documents inside it
+    * (`seq_weight_ppm`; 10⁶ = all-unique content, lower = the
+    * sequence carries duplicated text), averaged over REAL tokens
+    * only (padding carries no loss). Discounts derive from the q45
+    * cluster labels (memoized — q45 pays, this rides), placements
+    * from the same q91 arithmetic as q161, so the weights can never
+    * disagree with either the dedup verdicts or the shipped packing.
+    * `1e6 div k` is integer — hash-checked end to end.
+    *
+    * Scale shape: the per-doc discount is a two-aggregate rollup on
+    * cluster_id (bounded by cluster sizes) joined back per doc; the
+    * span explode is q161's bounded fan; the final rollup shuffles on
+    * (shard, seq) — partitions bounded by 16 one-token docs per
+    * sequence, the q161 constant. */
+  def lossWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labels = DedupOps.clusterLabels(spark, dir)
+    val sizes = labels.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("csize"))
+    val docw = labels.join(sizes, "cluster_id")
+      .select($"doc_id", expr("CAST(1000000 div csize AS BIGINT)")
+        .as("w_ppm"))
+    packedStream(spark, dir)
+      .filter($"n_tokens" > 0)
+      .withColumn("seq", explode(expr("sequence(start_seq, end_seq)")))
+      .withColumn("len_in_seq", expr(
+        "least(start_off + n_tokens, (seq + 1) * 16)" +
+          " - greatest(start_off, seq * 16)"))
+      .join(docw, "doc_id")
+      .groupBy($"shard", $"seq")
+      .agg(sum($"len_in_seq").as("n_real"),
+        sum($"len_in_seq" * $"w_ppm").as("wsum"))
+      .select($"shard", $"seq", $"n_real",
+        expr("CAST(wsum div n_real AS BIGINT)").as("seq_weight_ppm"))
+  }
+
+  // survivorCtes opens WITH RECURSIVE, so the packing CTEs append
+  // after a comma (single WITH list; names are disjoint by
+  // construction)
+  private lazy val lossWeightsSql =
+    DedupOps.survivorCtes + ",\n" +
+      packedCtes.stripPrefix("WITH ") + ",\n" +
+      """sp AS (
+        |  SELECT doc_id, shard,
+        |    unnest(range(start_seq, end_seq + 1)) AS seq,
+        |    start_off, n_tokens
+        |  FROM pk WHERE n_tokens > 0),
+        |ln AS (
+        |  SELECT doc_id, shard, seq,
+        |    LEAST(start_off + n_tokens, (seq + 1) * 16)
+        |      - GREATEST(start_off, seq * 16) AS len_in_seq
+        |  FROM sp),
+        |cw AS (
+        |  SELECT cl.doc_id, CAST(1000000 // cnt.csize AS BIGINT) AS w_ppm
+        |  FROM cl JOIN (SELECT cluster_id, COUNT(*) AS csize
+        |                FROM cl GROUP BY 1) cnt USING (cluster_id))
+        |SELECT ln.shard, ln.seq,
+        |  CAST(SUM(ln.len_in_seq) AS BIGINT) AS n_real,
+        |  CAST(SUM(ln.len_in_seq * cw.w_ppm) // SUM(ln.len_in_seq)
+        |    AS BIGINT) AS seq_weight_ppm
+        |FROM ln JOIN cw USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin
+
   /** q152's candidate context lengths, interpolated into the oracle. */
   private val SweepSeqLens = Seq(16L, 32L, 64L)
 
@@ -2473,6 +2543,163 @@ object PipelineOps {
       |    AS epoch_ppm
       |FROM z""".stripMargin
 
+  /** q166 — the mixing-policy COMPARISON table: all three shipped
+    * policies (q110 proportional α=1, q162 temperature α=1/2, q160
+    * UniMax α→0) evaluated on ONE domain (lang) at ONE scale-relative
+    * budget (half the corpus tokens, q160's convention), side by
+    * side — the table a data lead actually reads when choosing the
+    * mix, where the α axis becomes visible as a row-wise monotone
+    * tilt: for every lang, prop ≤/≥ temp ≤/≥ unimax depending on
+    * whether it is above or below its fair share. `spread_ppm`
+    * quantifies how much the policy choice matters per lang (0 =
+    * policies agree; large = the lang's budget swings on α).
+    *
+    * One policy engine, re-derived: the two Hamilton arms run as
+    * column-form largest-remainder (budget is a COLUMN here — total
+    * div 2 — so the apportionment device works unchanged with window
+    * arithmetic), and the UniMax arm is literally [[unimaxMixOf]]
+    * under a column rename (the policy engines are shared, so q166
+    * cannot drift from the policies it compares; the q110/q162
+    * literal-budget forms stay as shipped).
+    *
+    * Scale shape: one bounded-domain rollup + the orderBy+limit
+    * coalesce device, then windows on the ≤1000-row parameter frame —
+    * q110's shape, three policies wide. Integer-exact throughout. */
+  def mixPolicyCompare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables(spark, dir, "documents")
+      .groupBy($"lang")
+      .agg(sum(size(split($"text", " ")).cast("long")).as("n_tokens"))
+      .orderBy($"lang".asc).limit(1000)
+    val all = Window.orderBy($"lang".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withProp = {
+      val byRem = Window.orderBy($"prop_rem".desc, $"lang".asc)
+      counts
+        .withColumn("total", sum($"n_tokens").over(all))
+        .withColumn("budget", expr("total div 2"))
+        .withColumn("prop_base", expr("(budget * n_tokens) div total"))
+        .withColumn("prop_rem", expr("(budget * n_tokens) % total"))
+        .withColumn("sum_prop_base", sum($"prop_base").over(all))
+        .withColumn("prop_rk", row_number().over(byRem).cast("long"))
+        .withColumn("prop_tokens", expr(
+          "CAST(prop_base + IF(prop_rk <= budget - sum_prop_base, 1, 0)" +
+            " AS BIGINT)"))
+    }
+    val withTemp = {
+      val byRem = Window.orderBy($"temp_rem".desc, $"lang".asc)
+      withProp
+        .withColumn("temp_w",
+          expr("CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+        .withColumn("temp_tw", sum($"temp_w").over(all))
+        .withColumn("temp_base", expr("(budget * temp_w) div temp_tw"))
+        .withColumn("temp_rem", expr("(budget * temp_w) % temp_tw"))
+        .withColumn("sum_temp_base", sum($"temp_base").over(all))
+        .withColumn("temp_rk", row_number().over(byRem).cast("long"))
+        .withColumn("temp_tokens", expr(
+          "CAST(temp_base + IF(temp_rk <= budget - sum_temp_base, 1, 0)" +
+            " AS BIGINT)"))
+    }
+    val unimax = unimaxMixOf(counts.withColumnRenamed("lang", "source"))
+      .select($"source".as("lang"), $"alloc_tokens".as("unimax_tokens"))
+    withTemp
+      .select($"lang", $"n_tokens", $"prop_tokens", $"temp_tokens")
+      .join(unimax, "lang")
+      .withColumn("spread_ppm", expr(
+        "CAST(IF(greatest(prop_tokens, temp_tokens, unimax_tokens) = 0," +
+          " 0, (greatest(prop_tokens, temp_tokens, unimax_tokens) - " +
+          "least(prop_tokens, temp_tokens, unimax_tokens)) * 1000000 " +
+          "div greatest(prop_tokens, temp_tokens, unimax_tokens)) " +
+          "AS BIGINT)"))
+  }
+
+  private val mixPolicyCompareSql =
+    """WITH c AS (
+      |  SELECT lang,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |t0 AS (
+      |  SELECT lang, n_tokens,
+      |    CAST(SUM(n_tokens) OVER () AS BIGINT) AS total,
+      |    CAST(SUM(n_tokens) OVER () AS BIGINT) // 2 AS budget
+      |  FROM c),
+      |pr AS (
+      |  SELECT lang, n_tokens, total, budget,
+      |    (budget * n_tokens) // total AS pb,
+      |    ROW_NUMBER() OVER (ORDER BY (budget * n_tokens) % total DESC,
+      |      lang ASC) AS prk,
+      |    CAST(SUM((budget * n_tokens) // total) OVER () AS BIGINT)
+      |      AS spb
+      |  FROM t0),
+      |p1 AS (
+      |  SELECT lang, n_tokens, total, budget,
+      |    CAST(pb + CASE WHEN prk <= budget - spb THEN 1 ELSE 0 END
+      |      AS BIGINT) AS prop_tokens
+      |  FROM pr),
+      |tw AS (
+      |  SELECT lang,
+      |    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w
+      |  FROM c),
+      |tr AS (
+      |  SELECT p1.lang, tw.w,
+      |    CAST(SUM(tw.w) OVER () AS BIGINT) AS twt,
+      |    p1.budget
+      |  FROM p1 JOIN tw USING (lang)),
+      |t2 AS (
+      |  SELECT lang, (budget * w) // twt AS tb,
+      |    ROW_NUMBER() OVER (ORDER BY (budget * w) % twt DESC, lang ASC)
+      |      AS trk,
+      |    CAST(SUM((budget * w) // twt) OVER () AS BIGINT) AS stb,
+      |    budget
+      |  FROM tr),
+      |t3 AS (
+      |  SELECT lang,
+      |    CAST(tb + CASE WHEN trk <= budget - stb THEN 1 ELSE 0 END
+      |      AS BIGINT) AS temp_tokens
+      |  FROM t2),
+      |ut AS (
+      |  SELECT lang, n_tokens,
+      |    CAST(SUM(n_tokens) OVER () AS BIGINT) AS total,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS s,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY n_tokens ASC, lang ASC)
+      |      AS BIGINT) AS i,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (
+      |        ORDER BY n_tokens ASC, lang ASC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS pfx
+      |  FROM c),
+      |uv AS (
+      |  SELECT *, CASE WHEN n_tokens * (s - i + 1) > total // 2 - pfx
+      |    THEN 1 ELSE 0 END AS viol
+      |  FROM ut),
+      |uw AS (
+      |  SELECT *, 1 - MAX(viol) OVER (
+      |      ORDER BY n_tokens ASC, lang ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped
+      |  FROM uv),
+      |uy AS (
+      |  SELECT *, CAST(SUM(capped) OVER () AS BIGINT) AS k,
+      |    CAST(SUM(n_tokens * capped) OVER () AS BIGINT) AS pk
+      |  FROM uw),
+      |uz AS (
+      |  SELECT lang,
+      |    CAST(CASE WHEN capped = 1 THEN n_tokens
+      |      ELSE (total // 2 - pk) // (s - k)
+      |         + CASE WHEN i - k <= (total // 2 - pk) % (s - k)
+      |           THEN 1 ELSE 0 END
+      |      END AS BIGINT) AS unimax_tokens
+      |  FROM uy)
+      |SELECT p1.lang, p1.n_tokens, p1.prop_tokens, t3.temp_tokens,
+      |  uz.unimax_tokens,
+      |  CAST(CASE WHEN GREATEST(p1.prop_tokens, t3.temp_tokens,
+      |      uz.unimax_tokens) = 0 THEN 0
+      |    ELSE (GREATEST(p1.prop_tokens, t3.temp_tokens,
+      |        uz.unimax_tokens)
+      |      - LEAST(p1.prop_tokens, t3.temp_tokens, uz.unimax_tokens))
+      |      * 1000000 // GREATEST(p1.prop_tokens, t3.temp_tokens,
+      |        uz.unimax_tokens) END AS BIGINT) AS spread_ppm
+      |FROM p1 JOIN t3 USING (lang) JOIN uz USING (lang)""".stripMargin
+
   /** q128's policy constants: token-count bin width and the kept
     * percentile band [p5, p95], interpolated into the oracle. */
   private val LenBinW = 8.0
@@ -2997,6 +3224,15 @@ object PipelineOps {
         "availability caps and exact largest-remainder closure — the " +
         "diversity-maximizing complement to q110's proportional " +
         "apportionment, integer-exact allocations + epoch ppm"),
+    Q("q167_loss_weights", lossWeights, Some(lossWeightsSql),
+      "dedup-aware count-once loss correction per packed sequence: " +
+        "token-weighted mean 1e6/cluster_size discount over the " +
+        "documents inside each training sequence, real tokens only"),
+    Q("q166_mix_policy_compare", mixPolicyCompare,
+      Some(mixPolicyCompareSql),
+      "the three mixing policies (proportional / temperature / " +
+        "UniMax) side by side on one lang domain at one budget, with " +
+        "per-lang spread_ppm — the alpha-axis decision table"),
     Q("q165_dsir_draw", dsirDraw, Some(dsirDrawSql),
       "DSIR importance resampling executed: weight-bin quantization, " +
         "Hamilton bin quotas proportional to weight mass, md5-ordered " +
