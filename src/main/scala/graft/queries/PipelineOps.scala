@@ -957,15 +957,36 @@ object PipelineOps {
     * and the one shuffle is the (epoch, shard) row_number window —
     * partitions are sequences-per-shard sized, the q80 lever bounds
     * them. Integer-exact end to end → hash-checked. */
-  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+  /** The packed-sequence universe — every (shard, seq) the q91
+    * packing produces, derived from the 16-row per-shard token
+    * totals. Shared by q163 (visit order) and q168 (objective
+    * assignment): one definition, the loader tables cannot disagree
+    * about which sequences exist. */
+  private def packedSeqs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"epoch", $"shard")
-      .orderBy($"okey".asc, $"seq".asc)
     packedStream(spark, dir)
       .groupBy($"shard").agg(sum($"n_tokens").as("t"))
       .withColumn("n_seqs", expr("(t + 15) div 16"))
       .filter($"n_seqs" > 0)
       .withColumn("seq", explode(expr("sequence(0, n_seqs - 1)")))
+      .select($"shard", $"seq")
+  }
+
+  /** The st/sq CTE pair deriving that universe, shared by both
+    * oracles. */
+  private val packedSeqCtes = packedCtes + ",\n" +
+    """st AS (
+      |  SELECT shard, (CAST(SUM(n_tokens) AS BIGINT) + 15) // 16 AS n_seqs
+      |  FROM pk GROUP BY 1),
+      |sq AS (
+      |  SELECT shard, unnest(range(n_seqs)) AS seq
+      |  FROM st WHERE n_seqs > 0)""".stripMargin
+
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"epoch", $"shard")
+      .orderBy($"okey".asc, $"seq".asc)
+    packedSeqs(spark, dir)
       .withColumn("epoch",
         explode(expr(s"sequence(0L, ${ShuffleEpochs - 1}L)")))
       .withColumn("okey", md5PrefixLong(
@@ -976,14 +997,8 @@ object PipelineOps {
         expr(s"(pos - 1) * $NumShards + shard").as("global_step"))
   }
 
-  private val epochShuffleSql = packedCtes + ",\n" +
-    s"""st AS (
-      |  SELECT shard, (CAST(SUM(n_tokens) AS BIGINT) + 15) // 16 AS n_seqs
-      |  FROM pk GROUP BY 1),
-      |sq AS (
-      |  SELECT shard, unnest(range(n_seqs)) AS seq
-      |  FROM st WHERE n_seqs > 0),
-      |ep AS (
+  private val epochShuffleSql = packedSeqCtes + ",\n" +
+    s"""ep AS (
       |  SELECT shard, seq, unnest(range($ShuffleEpochs)) AS epoch
       |  FROM sq),
       |ky AS (
@@ -999,6 +1014,76 @@ object PipelineOps {
       |    ORDER BY okey, seq) - 1) * $NumShards + shard AS BIGINT)
       |    AS global_step
       |FROM ky""".stripMargin
+
+  /** q168's objective-mixture parameters: the span-corruption noise
+    * rate in ppm and the prefix-length modulus, interpolated into the
+    * oracle (the NumShards idiom). Ratios are causal : prefix : span
+    * = 2 : 1 : 1 — the per-example mixture UL2-style training draws
+    * (UL2/PaLM-2 mixture-of-denoisers; exact published ratios vary,
+    * the DEVICE — a deterministic per-sequence draw with per-
+    * objective parameters — is what the loader needs). */
+  private[queries] val SpanNoisePpm = 150000L
+  private val PrefixMod = 14L
+
+  /** q168 — per-sequence training OBJECTIVE assignment: the
+    * mixture-of-denoisers coordinate of the loader chain. Each packed
+    * sequence draws its objective deterministically from the md5
+    * device ("obj:"-salted, so the assignment is independent of q163's
+    * visit order): draw % 4 ∈ {0,1} → causal LM, 2 → prefix LM (with
+    * a deterministic visible-prefix length 1..14 of the 16-token
+    * context, its own salt), 3 → span corruption (noise rate
+    * [[SpanNoisePpm]], plus a 60-bit `noise_seed` the loader expands
+    * into span placements — the engine ships the seed, not the spans,
+    * because placement is loader-local randomness that must differ
+    * per epoch replay while REMAINING reproducible: seed + epoch is
+    * exactly that). Inapplicable parameters are NULL, not sentinel
+    * values. Together q161 (segment masks) + q163 (visit order) +
+    * q167 (loss weights) + q168 (objective) are the four tables a
+    * packed-pretraining loader joins on (shard, seq).
+    *
+    * Scale shape: rides the shared [[packedSeqs]] universe (16-row
+    * aggregate + bounded explode); everything else is row-local md5
+    * arithmetic — no shuffle beyond q91's. Integer/string throughout
+    * → hash-checked. */
+  def seqObjectives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def salt(s: String) = md5PrefixLong(
+      concat(lit(s), $"shard".cast("string"), lit(":"),
+        $"seq".cast("string")), if (s == "nseed:") 15 else 2)
+    packedSeqs(spark, dir)
+      .withColumn("draw", salt("obj:") % 4)
+      .select($"shard", $"seq",
+        when($"draw" <= 1, "causal")
+          .when($"draw" === 2, "prefix")
+          .otherwise("span").as("objective"),
+        when($"draw" === 2, (salt("plen:") % PrefixMod) + 1L)
+          .cast("long").as("visible_prefix"),
+        when($"draw" === 3, lit(SpanNoisePpm)).otherwise(lit(0L))
+          .as("noise_ppm"),
+        when($"draw" === 3, salt("nseed:")).cast("long").as("noise_seed"))
+  }
+
+  private val seqObjectivesSql = packedSeqCtes + ",\n" +
+    s"""dr AS (
+      |  SELECT shard, seq,
+      |    CAST(concat('0x', substr(md5(concat('obj:',
+      |      CAST(shard AS VARCHAR), ':', CAST(seq AS VARCHAR))), 1, 2))
+      |      AS BIGINT) % 4 AS draw
+      |  FROM sq)
+      |SELECT shard, seq,
+      |  CASE WHEN draw <= 1 THEN 'causal'
+      |    WHEN draw = 2 THEN 'prefix' ELSE 'span' END AS objective,
+      |  CASE WHEN draw = 2 THEN
+      |    CAST(concat('0x', substr(md5(concat('plen:',
+      |      CAST(shard AS VARCHAR), ':', CAST(seq AS VARCHAR))), 1, 2))
+      |      AS BIGINT) % $PrefixMod + 1 END AS visible_prefix,
+      |  CAST(CASE WHEN draw = 3 THEN $SpanNoisePpm ELSE 0 END AS BIGINT)
+      |    AS noise_ppm,
+      |  CASE WHEN draw = 3 THEN
+      |    CAST(concat('0x', substr(md5(concat('nseed:',
+      |      CAST(shard AS VARCHAR), ':', CAST(seq AS VARCHAR))), 1, 15))
+      |      AS BIGINT) END AS noise_seed
+      |FROM dr""".stripMargin
 
   /** q167 — dedup-aware LOSS WEIGHTS per packed sequence: the
     * "count-once" training correction. Training on a corpus where a
@@ -3224,6 +3309,10 @@ object PipelineOps {
         "availability caps and exact largest-remainder closure — the " +
         "diversity-maximizing complement to q110's proportional " +
         "apportionment, integer-exact allocations + epoch ppm"),
+    Q("q168_seq_objectives", seqObjectives, Some(seqObjectivesSql),
+      "UL2-style per-sequence objective draw: causal/prefix/span in " +
+        "2:1:1 by the md5 device, with per-objective parameters " +
+        "(visible prefix length, noise rate + 60-bit placement seed)"),
     Q("q167_loss_weights", lossWeights, Some(lossWeightsSql),
       "dedup-aware count-once loss correction per packed sequence: " +
         "token-weighted mean 1e6/cluster_size discount over the " +
