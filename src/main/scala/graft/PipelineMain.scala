@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
   * main that runs the shipped stage lifts VERBATIM — dedup survivors →
   * quality gates → training corpus (q64), shard packing (q80/q91),
   * leakage-safe split (q92), per-document lineage (q93), shard
-  * manifests (q100), the per-source yield funnel (q88), and the
-  * repetition/epoch schedule (q149) — writes
+  * manifests (q100), the per-source yield funnel (q88), the
+  * repetition/epoch schedule (q149), and the four loader-chain tables
+  * (q161 attention spans, q163 epoch order, q167 loss weights, q168
+  * objectives — shard-partitioned so each loader rank reads its own
+  * slice) — writes
   * every artifact a deployment hands to the training loader, and
   * RECONCILES the counts across stages before declaring success.
   *
@@ -56,6 +59,12 @@ object PipelineMain {
     val manifest = PipelineOps.shardManifest(spark, dir) // q100
     val yld = PipelineOps.pipelineYield(spark, dir) // q88
     val schedule = PipelineOps.repetitionSchedule(spark, dir) // q149
+    // the loader chain: the four tables the training loader joins on
+    // (shard, seq) — masks, visit order, loss weights, objectives
+    val spans = PipelineOps.attentionSpans(spark, dir) // q161
+    val order = PipelineOps.epochShuffle(spark, dir) // q163
+    val weights = PipelineOps.lossWeights(spark, dir) // q167
+    val objectives = PipelineOps.seqObjectives(spark, dir) // q168
 
     // ---- artifacts: what a training run consumes. The packed stream
     // lands shard-partitioned (each shard one loader file set); the
@@ -70,6 +79,16 @@ object PipelineMain {
     writeOne(manifest, "manifest")
     writeOne(yld, "yield")
     writeOne(schedule, "schedule")
+    // loader tables land shard-partitioned like the shards themselves
+    // (the loader reads its own shard's slice of each)
+    graft.operators.Operators.writePartitioned(
+      spans, s"$outDir/loader_spans", "shard")
+    graft.operators.Operators.writePartitioned(
+      order, s"$outDir/loader_order", "shard")
+    graft.operators.Operators.writePartitioned(
+      weights, s"$outDir/loader_weights", "shard")
+    graft.operators.Operators.writePartitioned(
+      objectives, s"$outDir/loader_objectives", "shard")
 
     // ---- reconciliation (reads the frames just computed; the shared
     // memoized artifacts make these rollups cheap re-reads)
@@ -113,12 +132,36 @@ object PipelineMain {
       .agg(sum($"n_repeats" * $"n_tokens")).head.getLong(0)
     check(schedTokens > 0, "schedule plans zero tokens")
 
+    // ---- loader-chain reconciliation: the four (shard, seq) tables
+    // must agree on which sequences exist, and the masks must account
+    // for every packed token exactly once
+    val nSeqs = objectives.count()
+    val nSpanSeqs = spans.select($"shard", $"seq").distinct().count()
+    val nWeightSeqs = weights.count()
+    val nOrder = order.count()
+    val spanTokens = spans.agg(sum($"len_in_seq")).head.getLong(0)
+    check(nSpanSeqs == nSeqs,
+      s"attention spans cover $nSpanSeqs of $nSeqs sequences")
+    check(nWeightSeqs == nSeqs,
+      s"loss weights cover $nWeightSeqs of $nSeqs sequences")
+    check(nOrder == nSeqs * graft.queries.PipelineOps.ShuffleEpochs,
+      s"epoch order has $nOrder rows for $nSeqs sequences")
+    check(spanTokens == packedTokens,
+      s"span tokens $spanTokens != packed tokens $packedTokens " +
+        "(a token left some mask, or entered two)")
+    val wB = weights.agg(min($"seq_weight_ppm"), max($"seq_weight_ppm"))
+      .head
+    check(wB.getLong(0) > 0L && wB.getLong(1) <= 1000000L,
+      s"loss weights out of (0, 1e6]: ${wB.getLong(0)}..${wB.getLong(1)}")
+
     Seq("n_docs" -> nDocs, "n_corpus" -> nCorpus, "n_packed" -> nPacked,
       "n_split" -> nSplit, "n_lineage" -> nLineage,
       "n_admitted" -> nAdmitted, "packed_tokens" -> packedTokens,
       "manifest_docs" -> manifestDocs, "manifest_tokens" -> manifestTokens,
       "yield_docs" -> yieldDocs, "yield_train" -> yieldTrain,
-      "yield_final" -> yieldFinal, "scheduled_tokens" -> schedTokens)
+      "yield_final" -> yieldFinal, "scheduled_tokens" -> schedTokens,
+      "n_sequences" -> nSeqs, "n_order_rows" -> nOrder,
+      "span_tokens" -> spanTokens)
   }
 
   def main(args: Array[String]): Unit = {

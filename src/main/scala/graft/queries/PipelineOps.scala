@@ -926,7 +926,7 @@ object PipelineOps {
 
   /** q163's pass count — one constant interpolated into the oracle
     * (the [[NumShards]] idiom). */
-  private[queries] val ShuffleEpochs = 3L
+  private[graft] val ShuffleEpochs = 3L
 
   /** q163 — the deterministic EPOCH SHUFFLE: for every training epoch,
     * the order in which the loader visits the q91 packed sequences.
