@@ -1656,6 +1656,72 @@ object PipelineOps {
       |LEFT JOIN qq ON qq.doc_id = d.doc_id
       |LEFT JOIN fl f ON f.doc_id = d.doc_id""".stripMargin
 
+  /** q169 — cluster-consensus QUALITY (near-dup quality contagion):
+    * near-identical copies of one document routinely disagree at the
+    * quality gate — one copy carries boilerplate the other had
+    * stripped, a truncated mirror loses the stopword ratio — and
+    * gating each copy independently makes the pipeline's verdict
+    * depend on WHICH copy survived dedup. The robust rule is
+    * cluster-level: the q45 near-dup cluster votes (each member's
+    * q93 quality bit), strict majority decides for every member, and
+    * ties DEMOTE — contested content drops, the conservative choice a
+    * filtering pipeline wants. Emits per document: its own verdict,
+    * the cluster verdict, the consensus strength in ppm, and the
+    * `overridden` bit (the rows where contagion changed the outcome —
+    * the table a gate-tuning review reads). Measured at sf0.01: 11 of
+    * 22 non-trivial clusters carry a mixed vote, so the override set
+    * is non-vacuous at every SF.
+    *
+    * Scale shape: rides the memoized q45 labels; one
+    * partial-aggregatable rollup on cluster_id (bounded by cluster
+    * sizes) joined back per doc — q93's exact shape, one extra
+    * bounded aggregate. Fully integer → hash-checked. */
+  def clusterQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val qual = qualityGate(docs).select($"doc_id", lit(1L).as("q"))
+    val base = docs.select($"doc_id")
+      .join(DedupOps.clusterLabels(spark, dir), "doc_id")
+      .join(qual, Seq("doc_id"), "left")
+      .select($"doc_id", $"cluster_id",
+        coalesce($"q", lit(0L)).as("own_pass"))
+    val votes = base.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("csize"), sum($"own_pass").as("n_pass"))
+    base.join(votes, "cluster_id")
+      .select($"doc_id", $"cluster_id", $"csize", $"own_pass",
+        expr("CAST(IF(2 * n_pass > csize, 1, 0) AS BIGINT)")
+          .as("cluster_pass"),
+        expr("CAST(n_pass * 1000000 div csize AS BIGINT)")
+          .as("consensus_ppm"),
+        expr("CAST(IF(IF(2 * n_pass > csize, 1, 0) <> own_pass, 1, 0)" +
+          " AS BIGINT)").as("overridden"))
+  }
+
+  private val clusterQualitySql = DedupOps.survivorCtes + ",\n" +
+    """qq AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, lang, string_split(text, ' ') AS tok
+      |    FROM documents) t
+      |  WHERE lang = 'en' AND len(tok) BETWEEN 5 AND 10000
+      |    AND len(list_filter(tok,
+      |      x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) * 20
+      |        >= len(tok)),
+      |b AS (
+      |  SELECT cl.doc_id, cl.cluster_id,
+      |    CASE WHEN qq.doc_id IS NOT NULL THEN 1 ELSE 0 END AS own_pass
+      |  FROM cl LEFT JOIN qq USING (doc_id)),
+      |a AS (
+      |  SELECT cluster_id, COUNT(*) AS csize, SUM(own_pass) AS n_pass
+      |  FROM b GROUP BY 1)
+      |SELECT b.doc_id, b.cluster_id, CAST(a.csize AS BIGINT) AS csize,
+      |  CAST(b.own_pass AS BIGINT) AS own_pass,
+      |  CAST(CASE WHEN 2 * a.n_pass > a.csize THEN 1 ELSE 0 END
+      |    AS BIGINT) AS cluster_pass,
+      |  CAST(a.n_pass * 1000000 // a.csize AS BIGINT) AS consensus_ppm,
+      |  CAST(CASE WHEN (CASE WHEN 2 * a.n_pass > a.csize THEN 1 ELSE 0
+      |      END) <> b.own_pass THEN 1 ELSE 0 END AS BIGINT) AS overridden
+      |FROM b JOIN a USING (cluster_id)""".stripMargin
+
   /** q104 — WHAT-IF re-admission (VERDICT r5 #5): q93 explains why a
     * document was dropped; the next operational question is "what
     * changes if I re-run with threshold X". This query re-evaluates
@@ -3309,6 +3375,10 @@ object PipelineOps {
         "availability caps and exact largest-remainder closure — the " +
         "diversity-maximizing complement to q110's proportional " +
         "apportionment, integer-exact allocations + epoch ppm"),
+    Q("q169_cluster_quality", clusterQuality, Some(clusterQualitySql),
+      "near-dup quality contagion: strict-majority cluster vote over " +
+        "per-copy quality bits (ties demote), with consensus strength " +
+        "and the overridden rows a gate-tuning review reads"),
     Q("q168_seq_objectives", seqObjectives, Some(seqObjectivesSql),
       "UL2-style per-sequence objective draw: causal/prefix/span in " +
         "2:1:1 by the md5 device, with per-objective parameters " +
