@@ -1784,6 +1784,90 @@ object VectorOps {
   /** Oracle: q115's dq/gassign scaffold plus the md5 eval draw; the
     * contamination verdict is a LEFT JOIN against the distinct
     * eval→train within-cell hits in the ×1024² quantized domain. */
+  /** q170 — BITEXT candidate mining: cross-lingual near-translation
+    * pairs by embedding proximity — the CCMatrix/LASER-style miner
+    * that turns a multilingual crawl into MT training pairs. Every
+    * within-cell document pair whose languages DIFFER and whose
+    * embedding distance clears the q126 threshold is a candidate
+    * (lang_a < lang_b orients each unordered pair exactly once); the
+    * quantized integer distance ships in the output, so ranking and
+    * membership both hash-check. Reuses the whole audited SemDeDup
+    * machinery — [[docVectors]], the grid cell assignment, the
+    * lifted-norm distance in [[deconHit]]'s exact double-op order —
+    * pointed at the cross-language slice of the pair space instead of
+    * the within-language one dedup mines. The emitted `d2q` is
+    * Σ(1024·(aᵢ−bᵢ))² exactly (counts are integers, so the double
+    * arithmetic is exact and the ×1024² lift is the oracle's
+    * quantized domain, the q115 equivalence).
+    *
+    * Scale shape: the pair miner is the salted-fan within-cell join
+    * (q134's device — every task bounded by [[CellBlockRows]]²);
+    * cross-lang filtering drops ~1/5 of pairs here but the BOUND is
+    * the same Σ cell² as the dedup family it rides beside. At 100 TB
+    * with real multilingual encoders (LASER/LaBSE embeddings in the
+    * embedding column), nCells is the volume lever and the margin
+    * criterion (ratio to k-th neighbor) is the documented refinement.
+    */
+  def bitextMining(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.fvecDot
+    val vecs = docVectors(spark, dir)
+      .join(Tables(spark, dir, "documents")
+        .select($"doc_id".as("vec_id"), $"lang"), "vec_id")
+      .withColumn("cell",
+        graft.functions.VectorExpressions.nearestIndex(
+          $"embedding", ivfGridCentroids(), 0, QuantScale))
+      .withColumn("nrm", fvecDot($"embedding", $"embedding"))
+    val fan = vecs.groupBy($"cell").agg(
+      ceil(count(lit(1)) / lit(CellBlockRows.toDouble)).cast("int")
+        .as("fan"))
+    val sided = vecs.join(broadcast(fan), "cell")
+      .withColumn("own", pmod(xxhash64($"vec_id"), $"fan").cast("int"))
+    val a = sided.select($"cell", $"own".as("sa"),
+      explode(expr("sequence(0, fan - 1)")).as("sb"),
+      $"vec_id".as("a_id"), $"lang".as("a_lang"),
+      $"embedding".as("a_emb"), $"nrm".as("a_nrm"))
+    val b = sided.select($"cell",
+      explode(expr("sequence(0, fan - 1)")).as("sa"), $"own".as("sb"),
+      $"vec_id".as("b_id"), $"lang".as("b_lang"),
+      $"embedding".as("b_emb"), $"nrm".as("b_nrm"))
+    a.join(b, Seq("cell", "sa", "sb"))
+      .filter($"a_lang" < $"b_lang")
+      .filter(deconHit($"a_emb", $"b_emb", $"a_nrm", $"b_nrm"))
+      .select($"a_id", $"a_lang", $"b_id", $"b_lang",
+        (($"a_nrm" + $"b_nrm" - lit(2d) * fvecDot($"a_emb", $"b_emb"))
+          * lit((QuantScale * QuantScale).toDouble)).cast("long")
+          .as("d2q"))
+  }
+
+  private val bitextMiningSql =
+    "WITH " + Seq(
+      gridParamCtes,
+      PipelineOps.featureHashCte,
+      """dq AS (SELECT dd.doc_id AS vec_id, g.d AS d,
+        |    CAST(floor(CAST(CAST(COALESCE(fh.w, 0) AS FLOAT) AS DOUBLE) * 1024)
+        |      AS BIGINT) AS q
+        |  FROM (SELECT DISTINCT doc_id FROM fh) dd
+        |  CROSS JOIN gdims g
+        |  LEFT JOIN fh ON fh.doc_id = dd.doc_id AND fh.dim = g.d)""".stripMargin,
+      gridSearchCtes("dq")).mkString(",\n") + ",\n" +
+      s"""lg AS (SELECT doc_id AS vec_id, lang FROM documents),
+        |prs AS (
+        |  SELECT ga.vec_id AS a_id, la.lang AS a_lang,
+        |    gb.vec_id AS b_id, lb.lang AS b_lang
+        |  FROM gassign ga JOIN lg la ON la.vec_id = ga.vec_id
+        |  JOIN gassign gb ON gb.cell = ga.cell
+        |  JOIN lg lb ON lb.vec_id = gb.vec_id AND la.lang < lb.lang),
+        |dst AS (
+        |  SELECT p.a_id, p.a_lang, p.b_id, p.b_lang,
+        |    CAST(SUM((xa.q - xb.q) * (xa.q - xb.q)) AS BIGINT) AS d2q
+        |  FROM prs p
+        |  JOIN dq xa ON xa.vec_id = p.a_id
+        |  JOIN dq xb ON xb.vec_id = p.b_id AND xb.d = xa.d
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT a_id, a_lang, b_id, b_lang, d2q
+        |FROM dst WHERE d2q <= ${DeconTau * QuantScale * QuantScale}""".stripMargin
+
   private val semanticDeconSql =
     "WITH " + Seq(
       gridParamCtes,
@@ -2624,6 +2708,11 @@ object VectorOps {
     Q("q125_probe_recall", probeRecall, Some(probeRecallSql),
       "recall audit of cell-scoped dedup: global exact pair mass vs " +
         "probe-1 vs probe-2 flagged counts, all integer-exact"),
+    Q("q170_bitext_mining", bitextMining, Some(bitextMiningSql),
+      "cross-lingual near-translation candidates: within-cell pairs " +
+        "with differing languages under the q126 distance threshold, " +
+        "quantized integer distance in the output — the " +
+        "CCMatrix-style MT-pair miner on the audited SemDeDup shape"),
     Q("q126_semantic_decon", semanticDecon, Some(semanticDeconSql),
       "cross-corpus semantic decontamination: train docs within " +
         "embedding radius of any held-out eval doc, bipartite " +
