@@ -1818,6 +1818,11 @@ object VectorOps {
         graft.functions.VectorExpressions.nearestIndex(
           $"embedding", ivfGridCentroids(), 0, QuantScale))
       .withColumn("nrm", fvecDot($"embedding", $"embedding"))
+      .persist()
+    // materialize NOW (q126's measured lesson): the fan histogram and
+    // the two join sides are three readers of this lift — against an
+    // unmaterialized persist each races the whole docVectors lineage
+    vecs.count()
     val fan = vecs.groupBy($"cell").agg(
       ceil(count(lit(1)) / lit(CellBlockRows.toDouble)).cast("int")
         .as("fan"))
