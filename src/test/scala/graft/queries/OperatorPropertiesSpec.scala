@@ -933,6 +933,38 @@ class OperatorPropertiesSpec extends SparkSuite {
     assert(rows.toSet == again.toSet)
   }
 
+  test("q169/q170: contagion votes are cluster-consistent and bitext " +
+      "pairs are oriented, cross-lingual, and within threshold") {
+    val cq = PipelineOps.clusterQuality(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(cq.nonEmpty)
+    for ((_, g) <- cq.groupBy(_._2)) {
+      // every member of a cluster sees the same size, verdict, and
+      // consensus — the vote is cluster-level by construction
+      assert(g.map(t => (t._3, t._5, t._6)).distinct.length == 1)
+      val (csize, nPassPpm) = (g.head._3, g.head._6)
+      assert(g.length.toLong == csize, "csize must equal member count")
+      val nPass = g.map(_._4).sum
+      assert(nPassPpm == nPass * 1000000L / csize)
+      assert(g.head._5 == (if (2 * nPass > csize) 1L else 0L),
+        "strict majority with ties demoting")
+      g.foreach(t => assert(t._7 == (if (t._5 != t._4) 1L else 0L)))
+    }
+    val bt = graft.queries.VectorOps.bitextMining(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    for ((aId, aLang, bId, bLang, d2q) <- bt) {
+      assert(aLang < bLang, "pairs oriented by language order")
+      assert(aId != bId)
+      assert(d2q >= 0 && d2q <= 32L * 1024L * 1024L,
+        s"distance $d2q outside the q126 threshold domain")
+    }
+    // no unordered pair twice
+    assert(bt.map(t => (t._1, t._3)).distinct.length == bt.length)
+  }
+
   test("q163 epoch shuffle: every epoch is a valid within-shard " +
       "permutation, epochs genuinely reorder, re-run is identical") {
     val rows = PipelineOps.epochShuffle(spark, sf0001).collect()
