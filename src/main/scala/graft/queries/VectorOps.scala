@@ -892,6 +892,7 @@ object VectorOps {
     indexMemo.invalidate()
     hardNegMemo.invalidate()
     probeAsgMemo.invalidate()
+    bitextMemo.invalidate()
   }
 
   /** The PQ index-build artifact: every vector's packed code. */
@@ -1808,7 +1809,8 @@ object VectorOps {
     * embedding column), nCells is the volume lever and the margin
     * criterion (ratio to k-th neighbor) is the documented refinement.
     */
-  def bitextMining(spark: SparkSession, dir: String): DataFrame = {
+  private def bitextMining(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     import graft.functions.VectorExpressions.fvecDot
     val vecs = docVectors(spark, dir)
@@ -1836,16 +1838,20 @@ object VectorOps {
       explode(expr("sequence(0, fan - 1)")).as("sa"), $"own".as("sb"),
       $"vec_id".as("b_id"), $"lang".as("b_lang"),
       $"embedding".as("b_emb"), $"nrm".as("b_nrm"))
-    a.join(b, Seq("cell", "sa", "sb"))
+    val res = a.join(b, Seq("cell", "sa", "sb"))
       .filter($"a_lang" < $"b_lang")
       .filter(deconHit($"a_emb", $"b_emb", $"a_nrm", $"b_nrm"))
       .select($"a_id", $"a_lang", $"b_id", $"b_lang",
         (($"a_nrm" + $"b_nrm" - lit(2d) * fvecDot($"a_emb", $"b_emb"))
           * lit((QuantScale * QuantScale).toDouble)).cast("long")
           .as("d2q"))
+    (res, vecs)
   }
 
-  private val bitextMiningSql =
+  /** The q170 computation as a CTE chain ending in
+    * `cand(a_id, a_lang, b_id, b_lang, d2q)` — shared by the q170
+    * dump and q171's margin refinement (the packedCtes idiom). */
+  private val bitextCtes =
     "WITH " + Seq(
       gridParamCtes,
       PipelineOps.featureHashCte,
@@ -1869,9 +1875,99 @@ object VectorOps {
         |  FROM prs p
         |  JOIN dq xa ON xa.vec_id = p.a_id
         |  JOIN dq xb ON xb.vec_id = p.b_id AND xb.d = xa.d
-        |  GROUP BY 1, 2, 3, 4)
-        |SELECT a_id, a_lang, b_id, b_lang, d2q
-        |FROM dst WHERE d2q <= ${DeconTau * QuantScale * QuantScale}""".stripMargin
+        |  GROUP BY 1, 2, 3, 4),
+        |cand AS (
+        |  SELECT a_id, a_lang, b_id, b_lang, d2q
+        |  FROM dst WHERE d2q <= ${DeconTau * QuantScale * QuantScale})"""
+        .stripMargin
+
+  private val bitextMiningSql = bitextCtes + "\n" +
+    "SELECT a_id, a_lang, b_id, b_lang, d2q FROM cand"
+
+  /** The mined candidate table, memoized per (context, dataset):
+    * q170 is a write-once artifact at deployment (the aligner reads
+    * it; the margin filter reads it once) — q170 pays, q171 rides
+    * (the verifiedPairs idiom). The build materializes the RESULT
+    * through the cached lift, then releases the intermediate — the
+    * memo never traps a persisted lineage it cannot free (the ADVICE
+    * r10 leak, fixed at birth here). */
+  private val bitextMemo = new DedupOps.ArtifactMemo
+  def bitextPairs(spark: SparkSession, dir: String): DataFrame =
+    bitextMemo.get(spark, dir) {
+      val (res, vecs) = bitextMining(spark, dir)
+      val r = res.persist()
+      r.count()
+      vecs.unpersist()
+      r
+    }
+
+  /** q171 — bitext MARGIN filtering: the criterion CCMatrix actually
+    * ships pairs under — mutual nearest neighbors with a margin. A
+    * raw distance threshold (q170) admits hubs: a document that sits
+    * close to MANY foreign documents yields many mediocre pairs, and
+    * absolute distance cannot tell a confident alignment from a
+    * crowded neighborhood. The published fix is relative: keep (a, b)
+    * only when each is the OTHER's best candidate in its language
+    * direction (mutual rank-1), and score the pair by how much better
+    * the best is than the runner-up — `margin_ppm = d2(next) · 10⁶
+    * div (d2(best) + 1)` per direction (+1 guards the exact-duplicate
+    * zero distance; margin NULL when no alternative exists, which IS
+    * the no-competition signal, not a sentinel). Both directions'
+    * margins ship — an aligner thresholds on min(fwd, rev).
+    *
+    * Scale shape: rides the memoized q170 table; the directional view
+    * is a union of two projections; ranking is one window per
+    * (doc, target-lang) — partitions bounded by a document's
+    * within-cell candidate count, the same Σ cell² bound as the
+    * miner; the mutual join is doc-keyed equi. Integer throughout →
+    * hash-checked including the NULL margins. */
+  def bitextMargin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cand = bitextPairs(spark, dir)
+    val dirs = cand.select($"a_id".as("id"), $"a_lang".as("lang"),
+        $"b_id".as("o_id"), $"b_lang".as("o_lang"), $"d2q")
+      .unionAll(cand.select($"b_id".as("id"), $"b_lang".as("lang"),
+        $"a_id".as("o_id"), $"a_lang".as("o_lang"), $"d2q"))
+    val w = Window.partitionBy($"id", $"o_lang")
+      .orderBy($"d2q".asc, $"o_id".asc)
+    val ranked = dirs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nd2", lead($"d2q", 1).over(w))
+    val best = ranked.filter($"rn" === 1)
+    best.as("x")
+      .join(best.as("y"),
+        col("y.id") === col("x.o_id") && col("y.o_id") === col("x.id"))
+      .filter(col("x.lang") < col("x.o_lang"))
+      .select(col("x.id").as("a_id"), col("x.lang").as("a_lang"),
+        col("x.o_id").as("b_id"), col("x.o_lang").as("b_lang"),
+        col("x.d2q"),
+        expr("CAST(x.nd2 * 1000000 div (x.d2q + 1) AS BIGINT)")
+          .as("margin_fwd_ppm"),
+        expr("CAST(y.nd2 * 1000000 div (y.d2q + 1) AS BIGINT)")
+          .as("margin_rev_ppm"))
+  }
+
+  private val bitextMarginSql = bitextCtes + ",\n" +
+    """dirs AS (
+      |  SELECT a_id AS id, a_lang AS lang, b_id AS o_id,
+      |    b_lang AS o_lang, d2q FROM cand
+      |  UNION ALL
+      |  SELECT b_id, b_lang, a_id, a_lang, d2q FROM cand),
+      |rk AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id, o_lang
+      |      ORDER BY d2q, o_id) AS rn,
+      |    LEAD(d2q) OVER (PARTITION BY id, o_lang
+      |      ORDER BY d2q, o_id) AS nd2
+      |  FROM dirs),
+      |b1 AS (SELECT * FROM rk WHERE rn = 1)
+      |SELECT x.id AS a_id, x.lang AS a_lang, x.o_id AS b_id,
+      |  x.o_lang AS b_lang, x.d2q,
+      |  CAST(x.nd2 * 1000000 // (x.d2q + 1) AS BIGINT)
+      |    AS margin_fwd_ppm,
+      |  CAST(y.nd2 * 1000000 // (y.d2q + 1) AS BIGINT)
+      |    AS margin_rev_ppm
+      |FROM b1 x JOIN b1 y ON y.id = x.o_id AND y.o_id = x.id
+      |WHERE x.lang < x.o_lang""".stripMargin
 
   private val semanticDeconSql =
     "WITH " + Seq(
@@ -2713,11 +2809,16 @@ object VectorOps {
     Q("q125_probe_recall", probeRecall, Some(probeRecallSql),
       "recall audit of cell-scoped dedup: global exact pair mass vs " +
         "probe-1 vs probe-2 flagged counts, all integer-exact"),
-    Q("q170_bitext_mining", bitextMining, Some(bitextMiningSql),
+    Q("q170_bitext_mining", bitextPairs, Some(bitextMiningSql),
       "cross-lingual near-translation candidates: within-cell pairs " +
         "with differing languages under the q126 distance threshold, " +
         "quantized integer distance in the output — the " +
         "CCMatrix-style MT-pair miner on the audited SemDeDup shape"),
+    Q("q171_bitext_margin", bitextMargin, Some(bitextMarginSql),
+      "mutual-best + margin refinement of the bitext candidates: " +
+        "rank-1 in both language directions with runner-up distance " +
+        "ratios per direction (NULL = no competitor) — the criterion " +
+        "CCMatrix ships pairs under"),
     Q("q126_semantic_decon", semanticDecon, Some(semanticDeconSql),
       "cross-corpus semantic decontamination: train docs within " +
         "embedding radius of any held-out eval doc, bipartite " +

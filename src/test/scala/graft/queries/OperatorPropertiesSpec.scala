@@ -951,7 +951,7 @@ class OperatorPropertiesSpec extends SparkSuite {
         "strict majority with ties demoting")
       g.foreach(t => assert(t._7 == (if (t._5 != t._4) 1L else 0L)))
     }
-    val bt = graft.queries.VectorOps.bitextMining(spark, sf0001)
+    val bt = graft.queries.VectorOps.bitextPairs(spark, sf0001)
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         r.getString(3), r.getLong(4)))
