@@ -885,7 +885,8 @@ object VectorOps {
     * Bench's release policy, same contract as
     * [[DedupOps.isSharedArtifact]]. */
   private[graft] def isSharedArtifact(df: DataFrame): Boolean =
-    indexMemo.holds(df) || hardNegMemo.holds(df) || probeAsgMemo.holds(df)
+    indexMemo.holds(df) || hardNegMemo.holds(df) ||
+      probeAsgMemo.holds(df) || bitextMemo.holds(df)
 
   /** Drop the memoized artifacts (tests / long-lived JVMs). */
   def invalidateSharedArtifacts(): Unit = {
