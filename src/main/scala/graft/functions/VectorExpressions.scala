@@ -277,6 +277,25 @@ object VectorExpressions {
     override def dataType: DataType = org.apache.spark.sql.types.IntegerType
     override def prettyName: String = "sorted_intersect_size"
 
+    /** Only the two specialized element types are implemented; anything
+      * else (array<int>, array<double>, …) must fail at ANALYSIS time —
+      * without this check the string branch below would ClassCastException
+      * at execution (ADVICE r11). */
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst
+        .analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      import org.apache.spark.sql.types.{ArrayType, StringType}
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<string> or two array<bigint> " +
+            s"arguments (sorted, distinct), got ${l.sql} and ${r.sql}")
+      }
+    }
+
     private lazy val longElems = left.dataType match {
       case org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.LongType, _) => true

@@ -338,8 +338,8 @@ object DedupOps {
 
   /** q164 — MinHash estimator CALIBRATION: the empirical table behind
     * the band/row design choice every MinHash deployment makes. For
-    * each pair in a deterministic ~10% document sample (same-source
-    * blocks, q41's audit shape), count how many of [[CalHashes]]
+    * each pair within the same-source blocks (q41's audit shape; the
+    * md5 block-sampled scale form is q176), count how many of [[CalHashes]]
     * independent minhashes agree (k — the estimator says J ≈ k/16)
     * and whether the exact Jaccard of the hashed shingle sets (the
     * same universe the estimator draws minima from; collision bias
@@ -366,12 +366,60 @@ object DedupOps {
     * property, not a per-doc artifact, so a sub-permille block sample
     * saturates it — at test SFs the full block set IS the
     * measurement (a row sample thins dup pairs quadratically and
-    * empties the k > 0 buckets, measured). Everything else is one
-    * equi-join + a 17-key rollup. */
-  def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    * empties the k > 0 buckets, measured). The sampled form is
+    * SHIPPED as [[minhashCalibrationSampled]] (q176). Everything
+    * else is one equi-join + a 17-key rollup. */
+  def minhashCalibration(spark: SparkSession, dir: String): DataFrame =
+    minhashCalibrationOf(
+      Tables(spark, dir, "documents").select(
+        col("doc_id"), col("source"), col("text")))
+
+  /** q176's sampling constants — one definition, interpolated into the
+    * Spark plan and the oracle (the NumShards anti-drift rule).
+    * [[CalSampleCut]]: sources whose md5 first hex char is below it
+    * are drawn (< '4' ≈ 25%). [[CalBlockCap]]: within a drawn source,
+    * the audit keeps the [[CalBlockCap]] docs with the smallest
+    * md5('calcap:'+doc_id) — a deterministic uniform draw that bounds
+    * EVERY block regardless of its size. */
+  private[queries] val CalSampleCut = "4"
+  private[queries] val CalBlockCap = 128
+
+  /** q176 — the q164 audit at its SCALE operating point (VERDICT r11
+    * #7): the same calibration measurement over a deterministic
+    * md5-sampled pair universe, O(blocks_drawn · [[CalBlockCap]]²) at
+    * ANY corpus size. Two levers, both pair-structure-preserving where
+    * it matters: (1) whole same-source BLOCKS are drawn by source
+    * hash — a dropped source drops its pairs entirely but a kept
+    * source keeps its pair set intact, so the k-vs-J curve (a corpus
+    * property, not a per-doc one) is estimated without the quadratic
+    * pair thinning a row sample causes; (2) within a drawn block, a
+    * deterministic md5-rank cap bounds the block at [[CalBlockCap]]
+    * docs — the one place row thinning is accepted, in exchange for a
+    * hard per-block work bound (at test SFs where blocks are near or
+    * under the cap, the cap is inactive or mild). The oracle runs the
+    * SAME sampled universe, so membership and every rollup count
+    * hash-check. */
+  def minhashCalibrationSampled(spark: SparkSession,
+      dir: String): DataFrame = {
     import spark.implicits._
-    val lifted = Tables(spark, dir, "documents")
-      .select($"doc_id", $"source", $"text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source")
+      .orderBy(md5(concat(lit("calcap:"), $"doc_id".cast("string"))).asc,
+        $"doc_id".asc)
+    minhashCalibrationOf(
+      Tables(spark, dir, "documents")
+        .select($"doc_id", $"source", $"text")
+        .filter(substring(md5(concat(lit("calsample:"), $"source")), 1, 1)
+          < CalSampleCut)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= CalBlockCap)
+        .select($"doc_id", $"source", $"text"))
+  }
+
+  private[queries] def minhashCalibrationOf(docsIn: DataFrame): DataFrame = {
+    val spark = docsIn.sparkSession
+    import spark.implicits._
+    val lifted = docsIn
       .withColumn("tok", split($"text", " "))
       .filter(size($"tok") >= 3)
       .withColumn("sh", shingleCol)
@@ -410,17 +458,21 @@ object DedupOps {
           .as("n_j80"))
   }
 
-  private val minhashCalibrationSql = {
+  /** The q164 oracle body over any base relation providing
+    * (doc_id, source, text) — q164 runs it on `documents`, q176 on the
+    * sampled CTE. */
+  private def minhashCalibrationSqlOver(prelude: String,
+      base: String): String = {
     val mhList = calCoeffs.map { case (a, b) =>
       s"list_min(list_transform(hs, x -> ($a * x + $b) % $CalP))"
     }.mkString("[\n      ", ",\n      ", "]")
-    s"""WITH d AS (
+    s"""WITH ${prelude}d AS (
       |  SELECT doc_id, source,
       |    list_distinct(list_transform(
       |      range(1, len(string_split(text, ' ')) - 1),
       |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))
       |      AS sh
-      |  FROM documents
+      |  FROM $base
       |  WHERE len(string_split(text, ' ')) >= 3),
       |h AS (
       |  SELECT doc_id, source,
@@ -445,6 +497,27 @@ object DedupOps {
       |    AS BIGINT) AS n_j80
       |FROM p GROUP BY 1""".stripMargin
   }
+
+  private val minhashCalibrationSql =
+    minhashCalibrationSqlOver("", "documents")
+
+  /** q176's oracle: the identical measurement over the identical
+    * sampled universe — the block draw and the per-block md5-rank cap
+    * expressed as one windowed CTE. MATERIALIZED: `d` explodes
+    * shingles over it and the pair join reads it twice. */
+  private val minhashCalibrationSampledSql =
+    minhashCalibrationSqlOver(
+      s"""scal AS MATERIALIZED (
+         |  SELECT doc_id, source, text FROM (
+         |    SELECT doc_id, source, text,
+         |      ROW_NUMBER() OVER (PARTITION BY source
+         |        ORDER BY md5(concat('calcap:', CAST(doc_id AS VARCHAR))),
+         |          doc_id) AS rn
+         |    FROM documents
+         |    WHERE substr(md5(concat('calsample:', source)), 1, 1)
+         |      < '$CalSampleCut') t
+         |  WHERE rn <= $CalBlockCap),
+         |""".stripMargin, "scal")
 
   /** Whether `df` IS a live memoized shared artifact (reference
     * identity): the pair table (q42/q45/q54) or the cluster-label table
@@ -1607,6 +1680,12 @@ object DedupOps {
         "portable universal hashes, the measured P(J>=0.5) and " +
         "P(J>=0.8) over the same-source pair blocks — the " +
         "empirical curve behind q42's band/row operating point"),
+    Q("q176_minhash_calibration_sampled", minhashCalibrationSampled,
+      Some(minhashCalibrationSampledSql),
+      "the q164 audit at scale: deterministic md5 draw of whole " +
+        "same-source blocks (pair structure intact) plus an md5-rank " +
+        "cap bounding every block — O(drawn blocks x cap^2) at any " +
+        "corpus size, same oracle measurement over the same sample"),
     Q("q42_minhash_lsh", verifiedPairs, Some(minhashLshSql),
       "MinHash 62-hash/31-band LSH + exact verification == global shingle J>=0.5"),
     Q("q45_dup_clusters", clusterLabels, Some(dupClustersSql),

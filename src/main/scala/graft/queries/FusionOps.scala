@@ -85,7 +85,7 @@ object DedupFusionOps {
   /** The q46 deterministic-split device: ~10 % of documents (by md5
     * prefix of the id) play "tonight's crawl"; the rest are the standing
     * corpus. Portable across engines, stable across runs. */
-  private[queries] def isDeltaCol: Column =
+  private[graft] def isDeltaCol: Column =
     substring(md5(col("doc_id").cast("string")), 1, 2) < "1a"
 
   private val isDeltaSql =
@@ -547,5 +547,22 @@ object DedupFusionOps {
     Q("q139_novelty_score", noveltyScore, Some(noveltyScoreSql),
       "window-novelty of the delta batch: percent of each new doc's " +
         "8-token windows unseen in the standing corpus — the " +
-        "stitched-boilerplate curation metric, equi-join-shaped"))
+        "stitched-boilerplate curation metric, equi-join-shaped"),
+    // q172/q173 — the INDEXED serving twins (VERDICT r11 #6): same
+    // answers as q130/q139 (same oracles; live==indexed is also
+    // spec-asserted), but the corpus side reads the persisted index
+    // built once per JVM by ServingIndexes — the number a deployment
+    // actually pays per ingest batch.
+    Q("q172_delta_dedup_served",
+      (s, d) => deltaDedupIndexed(s, d, ServingIndexes.lshIndex(s, d)),
+      Some(deltaDedupSql),
+      "q130 answered FROM the persisted LSH band+shingle index: delta " +
+        "lifted live, corpus side a storage read — the per-ingest " +
+        "deployment cost, same oracle as the live form"),
+    Q("q173_novelty_served",
+      (s, d) => noveltyScoreIndexed(s, d, ServingIndexes.spanIndex(s, d)),
+      Some(noveltyScoreSql),
+      "q139 answered FROM the persisted span-hash index: delta " +
+        "windows hashed live and left-joined against the stored " +
+        "8-byte key table, corpus text never re-read"))
 }

@@ -472,6 +472,107 @@ object PipelineOps {
       .toDF("rank", "round", "left_sym", "right_sym", "cnt")
   }
 
+  /** q147's oracle sentinel for round `i`, slot `j` — FIXED per
+    * (round, slot), unlike the engine's global running pick index
+    * (data-dependent when a round under-fills its M). The renumbering
+    * is harmless by construction: both schemes assign PUA code points
+    * that strictly increase in pick order, so the two sentinel
+    * alphabets are order-isomorphic — every `pair ASC` tie-break and
+    * every equality the mining loop evaluates comes out identical —
+    * and the decoded output contains no sentinels at all. */
+  private def bpeWideSentSql(i: Int, j: Int): String =
+    s"chr(${BpeWideSentinelBase + (i - 1) * BpeWideM + (j - 1)})"
+
+  /** CASE chain decoding a 1-code-point symbol to its expanded text
+    * via every possible earlier pick's e-CTE (rounds 1..upto, all
+    * [[BpeWideM]] slots). A slot that never picked leaves its e-CTE
+    * empty — but then its sentinel never occurs in any segmentation,
+    * so the NULL-yielding branch is unreachable. */
+  private def bpeWideDecodeSql(ch: String, uptoRound: Int): String =
+    if (uptoRound == 0) ch
+    else s"CASE $ch " + (for { p <- 1 to uptoRound; q <- 1 to BpeWideM }
+      yield s"WHEN ${bpeWideSentSql(p, q)} THEN (SELECT sym FROM e${p}_$q)")
+      .mkString(" ") + s" ELSE $ch END"
+
+  /** One unrolled q147 round: pair counts of ws_{i-1} → ranked top-64
+    * candidate window ww_i → M greedy-disjoint picks g_i_1..g_i_M,
+    * each pick a RANKED ANTI-JOIN (lowest-rank candidate sharing no
+    * symbol with any earlier pick — exactly the engine's sequential
+    * used-set walk, because the used set after k picks IS the union of
+    * those picks' symbols) → decoded rows e_i_j → one chained
+    * re-segmentation ws_i in pick order. An absent pick COALESCEs its
+    * replace pattern to its own sentinel — a no-op — and empty picks
+    * form a suffix of the round (the same min over a shrinking
+    * candidate set), mirroring the engine's early loop exit. */
+  private def bpeWideRoundCtes(i: Int): String = {
+    val win = 8 * BpeWideM
+    // MATERIALIZED throughout: the picks/decodes reference each other
+    // densely (round 5's decode chain alone reads 32 e-CTEs), and
+    // inlined expansion is exponential in round depth — DuckDB
+    // actually exhausts file descriptors re-opening the parquet scan.
+    // Every materialization is tiny (≤64 rows) except ws_i, which is
+    // the corpus segmentation each round must scan once anyway.
+    val head =
+      s"""wp$i AS (SELECT substr(seg, CAST(j AS INTEGER), 2) AS pair
+         |  FROM (SELECT seg, unnest(range(1, length(seg))) AS j
+         |        FROM ws${i - 1} WHERE length(seg) >= 2) u),
+         |wc$i AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+         |        FROM wp$i GROUP BY pair),
+         |ww$i AS MATERIALIZED (SELECT pair, cnt,
+         |    ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS rk
+         |  FROM wc$i ORDER BY cnt DESC, pair ASC LIMIT $win)""".stripMargin
+    val picks = (1 to BpeWideM).map { j =>
+      if (j == 1)
+        s"g${i}_1 AS MATERIALIZED (SELECT pair, cnt FROM ww$i ORDER BY rk LIMIT 1)"
+      else {
+        val prev = (1 until j).map(q => s"SELECT pair FROM g${i}_$q")
+          .mkString(" UNION ALL ")
+        s"""g${i}_$j AS MATERIALIZED (SELECT pair, cnt FROM ww$i w
+           |  WHERE NOT EXISTS (SELECT 1 FROM ($prev) p
+           |    WHERE substr(w.pair, 1, 1) IN
+           |        (substr(p.pair, 1, 1), substr(p.pair, 2, 1))
+           |      OR substr(w.pair, 2, 1) IN
+           |        (substr(p.pair, 1, 1), substr(p.pair, 2, 1)))
+           |  ORDER BY rk LIMIT 1)""".stripMargin
+      }
+    }
+    val decoded = (1 to BpeWideM).map { j =>
+      s"""e${i}_$j AS MATERIALIZED (SELECT l, r, l || r AS sym, cnt FROM (
+         |  SELECT ${bpeWideDecodeSql("substr(pair, 1, 1)", i - 1)} AS l,
+         |    ${bpeWideDecodeSql("substr(pair, 2, 1)", i - 1)} AS r, cnt
+         |  FROM g${i}_$j) t)""".stripMargin
+    }
+    val reseg = (1 to BpeWideM).foldLeft("seg") { (acc, j) =>
+      val s = bpeWideSentSql(i, j)
+      s"replace($acc, COALESCE((SELECT pair FROM g${i}_$j), $s), $s)"
+    }
+    (Seq(head) ++ picks ++ decoded :+
+      s"ws$i AS MATERIALIZED (SELECT $reseg AS seg FROM ws${i - 1})")
+      .mkString(",\n")
+  }
+
+  /** q147's full oracle (VERDICT r11 #4 — the registry's last
+    * rows-only query gets its hash gate): [[BpeMergeRounds]] unrolled
+    * greedy-disjoint rounds, then the global merge table with rank =
+    * pick order. ROW_NUMBER over (round, slot) equals the engine's
+    * running index because within a round the engine picks slots in
+    * order and an under-filled round's empty slots are a suffix. */
+  private lazy val bpeMergeTableWideSql =
+    s"""WITH wt AS MATERIALIZED (SELECT unnest(regexp_extract_all(text,
+       |    '$preTokenPatSql')) AS seg
+       |  FROM documents),
+       |ws0 AS (SELECT seg FROM wt),
+       |""".stripMargin +
+      (1 to BpeMergeRounds).map(bpeWideRoundCtes).mkString(",\n") + ",\n" +
+      s"""allp AS (
+         |${(for { i <- 1 to BpeMergeRounds; j <- 1 to BpeWideM } yield
+             s"  SELECT $i AS rnd, $j AS slot, l, r, cnt FROM e${i}_$j")
+             .mkString("\n  UNION ALL\n")})
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rnd, slot) AS BIGINT)
+         |    AS rank,
+         |  CAST(rnd AS BIGINT) AS round, l AS left_sym, r AS right_sym, cnt
+         |FROM allp""".stripMargin
+
   /** CASE chain decoding a 1-char symbol to its expanded text via the
     * earlier rounds' e_j CTEs. */
   private def bpeDecodeSql(ch: String, upto: Int): String =
@@ -3306,12 +3407,13 @@ object PipelineOps {
       "BPE merge mining to 5 rounds on the shared iterate harness: " +
         "the tokenizer-training merge table, oracle-checked against " +
         "five unrolled in-SQL rounds"),
-    Q("q147_bpe_wide_merges", bpeMergeTableWide, None,
+    Q("q147_bpe_wide_merges", bpeMergeTableWide, Some(bpeMergeTableWideSql),
       "BPE training at scale: top-8 pairwise-disjoint merges per " +
         "round, one chained re-segmentation — 40 merges in 5 corpus " +
-        "scans; selection policy pinned by an independent in-memory " +
-        "reference implementation (no SQL oracle: the greedy-disjoint " +
-        "fold is sequential state)"),
+        "scans; selection policy pinned twice: an independent " +
+        "in-memory reference implementation in the spec, and an " +
+        "unrolled SQL oracle expressing each greedy-disjoint pick as " +
+        "a ranked anti-join against the round's earlier picks"),
     Q("q106_tokenize_corpus", tokenizeCorpus, Some(tokenizeCorpusSql),
       "apply the trained tokenizer: stateless 5-replace projection " +
         "over every doc's pre-tokens, per-doc integer compression " +

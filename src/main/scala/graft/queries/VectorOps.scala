@@ -2718,11 +2718,18 @@ object VectorOps {
     * A probe-P search reads P/nCells directories and only the
     * (vec_id, doc_id, code) columns; chunk text never enters the
     * index (the fingerprint stands in for identity). */
-  def chunkWriteIndex(spark: SparkSession, dir: String, path: String): Unit = {
+  def chunkWriteIndex(spark: SparkSession, dir: String, path: String): Unit =
+    chunkWriteIndexOf(Tables(spark, dir, "documents"), path)
+
+  /** [[chunkWriteIndex]] over an explicit (doc_id, text) frame — the
+    * ingest tick builds its corpus-side index from the non-delta slice
+    * (IngestMain), the registry build from the whole table. */
+  private[graft] def chunkWriteIndexOf(docs: DataFrame,
+      path: String): Unit = {
+    val spark = docs.sparkSession
     import spark.implicits._
     graft.operators.Operators.writePartitioned(
-      chunkIndexRowsOf(PipelineOps.ragChunkTextsOf(
-          Tables(spark, dir, "documents"))
+      chunkIndexRowsOf(PipelineOps.ragChunkTextsOf(docs)
         .select($"doc_id", $"chunk_idx", md5($"chunk").as("chunk_hash"),
           $"chunk")),
       path, "cell")
@@ -2796,6 +2803,22 @@ object VectorOps {
       "RAG retrieval loop at chunk granularity: q144 chunks -> " +
         "row-local hash vectors -> grid+PQ index -> probe-pruned ADC " +
         "top-5, query document excluded — integer-exact end to end"),
+    // q175 — the INDEXED serving twin (VERDICT r11 #6): q146 answered
+    // from the cell-partitioned chunk PQ index built once per JVM by
+    // ServingIndexes; same oracle, live==indexed also spec-asserted
+    // (ChunkIndexSpec).
+    Q("q175_chunk_retrieval_served",
+      (s, d) => {
+        import s.implicits._
+        val qv = chunkQueryVector(Tables(s, d, "documents")
+          .filter($"doc_id" === 0).select($"text").head.getString(0))
+        chunkSearchIndexed(s, ServingIndexes.chunkIndex(s, d), qv,
+          probes = 4, k = 5, excludeDocId = Some(0L))
+      },
+      Some(chunkRetrievalSql),
+      "q146 answered FROM the persisted chunk index: probed cells " +
+        "prune at planning time, codes-only scan, ADC LUT built " +
+        "driver-side — the per-query RAG serving cost"),
     Q("q111_semantic_dedup", semanticDedup, Some(semanticDedupSql),
       "SemDeDup: within-grid-cell cosine near-dup detection, " +
         "lowest-id exemplar survives; per-vector kept/dropped verdict"),

@@ -173,4 +173,21 @@ class VectorExpressionsSpec extends SparkSuite {
       .select(sortedIntersectSize($"x", $"y")).collect()
     assert(s.head.getInt(0) == 2)
   }
+
+  test("SortedIntersectSize rejects unimplemented element types at " +
+      "analysis time (ADVICE r11)") {
+    import spark.implicits._
+    // array<int> has no specialization — before checkInputDataTypes it
+    // fell into the string branch and ClassCastExceptioned at RUN time
+    val ints = Seq((Array(1, 2), Array(2, 3))).toDF("a", "b")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(sortedIntersectSize($"a", $"b")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("sorted_intersect_size"))
+    // mixed long/string must also fail analysis, not execution
+    val mixed = Seq((Array(1L, 2L), Array("a"))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      mixed.select(sortedIntersectSize($"a", $"b")).collect()
+    }
+  }
 }

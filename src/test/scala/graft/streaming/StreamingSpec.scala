@@ -635,6 +635,32 @@ class StreamingSpec extends SparkSuite {
       s"unknown source must fail closed: $unknown")
   }
 
+  test("calibratedScorer vocab cap bounds the model: out-of-cap terms " +
+      "score like unseen terms (VERDICT r11 #5)") {
+    import spark.implicits._
+    // corpus masses: a=4, b=3, c=2 — cap 2 keeps {a, b}, drops c
+    val corpus = Seq(
+      (1L, "a a a a b", "s1"), (2L, "b b c c", "s1"))
+      .toDF("doc_id", "text", "source")
+    val gate = StreamingQueries.calibratedScorer(corpus, vocabCap = 2)
+    // the transform is stateless, so it applies to a batch frame too
+    val got = gate(Seq(
+        (10L, "c c c", "s1"), // all out-of-vocab -> n=0 -> score 0
+        (11L, "a c", "s1"), // c dropped -> n=1, sf=freq(a)=4
+        (12L, "a b", "s1")) // fully in-vocab -> (4+3)*1e6 div 2
+        .toDF("doc_id", "text", "source"))
+      .select($"doc_id", $"score").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(10L) == 0L, s"out-of-vocab doc: ${got(10L)}")
+    assert(got(11L) == 4000000L, s"partial-vocab doc: ${got(11L)}")
+    assert(got(12L) == 3500000L, s"in-vocab doc: ${got(12L)}")
+    // an uncapped run over the same corpus sees c (freq 2)
+    val full = StreamingQueries.calibratedScorer(corpus)(
+        Seq((10L, "c c c", "s1")).toDF("doc_id", "text", "source"))
+      .select($"score").collect().head.getLong(0)
+    assert(full == 2000000L, s"uncapped must keep c: $full")
+  }
+
   test("DSIR stream == batch q151 for corpus docs; novel dims score " +
       "by prior") {
     import spark.implicits._

@@ -1,12 +1,19 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [<jsonOut>]
 
 Loads each <verifyOutDir>/<name> parquet (Spark output), runs the matching
 oracle SQL from oracle_sql.json in DuckDB over <sfDir>'s tables, and
 compares: column names (sorted), row counts, and a hash over all values
 with columns sorted by name and rows sorted canonically.
+
+When <jsonOut> is given, also writes the driver-shaped per-query record
+({"rows_match","schema_match","hash_match","spark_rows","oracle_rows",
+"err"}; rows-only queries get {"rows_only": true, "spark_rows": N}) —
+the VERDICT r11 ask: round 11's driver artifact arrived as an empty {}
+while the code passed 170/170, so each round now commits its own
+CORRECTNESS_local_r{N}.json as the self-evidencing fallback record.
 
 Tooling only — the shipped Scala library never depends on this.
 """
@@ -36,7 +43,7 @@ def h(df: pd.DataFrame) -> str:
     return hashlib.md5(df.to_csv(index=False, float_format="%.17g").encode()).hexdigest()
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -44,6 +51,11 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    record = {}
+
+    def rec(name, **kw):
+        record[name] = kw
+
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
@@ -52,11 +64,14 @@ def main(sf_dir, out_dir):
         got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
         if name not in oracles:
             print(f"  [rows-only] {name}: {len(got)} rows")
+            rec(name, rows_only=True, spark_rows=len(got))
             continue
         try:
             want = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"  [FAIL-sql ] {name}: {e}")
+            rec(name, rows_match=False, schema_match=False, hash_match=False,
+                spark_rows=len(got), oracle_rows=None, err=str(e)[:500])
             n_fail += 1
             continue
         gc, wc = canon(got), canon(want)
@@ -76,6 +91,13 @@ def main(sf_dir, out_dir):
                    if not ((len(gc) > 0 and gc[c].isna().all()) or
                            (len(wc) > 0 and wc[c].isna().all()))}
         kinds_w = {c: wc[c].dtype.kind for c in kinds_g}
+        rows_match = len(gc) == len(wc)
+        schema_match = (sorted(gc.columns) == sorted(wc.columns)
+                        and kinds_g == kinds_w)
+        hash_match = rows_match and schema_match and h(gc) == h(wc)
+        rec(name, rows_match=rows_match, schema_match=schema_match,
+            hash_match=hash_match, spark_rows=len(gc), oracle_rows=len(wc),
+            err=None)
         if sorted(gc.columns) != sorted(wc.columns):
             print(f"  [FAIL-cols] {name}: spark={list(gc.columns)} duck={list(wc.columns)}")
             n_fail += 1
@@ -87,7 +109,7 @@ def main(sf_dir, out_dir):
         elif len(gc) != len(wc):
             print(f"  [FAIL-rows] {name}: spark={len(gc)} duck={len(wc)}")
             n_fail += 1
-        elif h(gc) != h(wc):
+        elif not hash_match:
             print(f"  [FAIL-hash] {name}: {len(gc)} rows")
             diff = gc.compare(wc) if gc.shape == wc.shape else None
             if diff is not None and not diff.empty:
@@ -97,8 +119,14 @@ def main(sf_dir, out_dir):
             print(f"  [ok       ] {name}: {len(gc)} rows")
             n_pass += 1
     print(f"{n_pass} pass / {n_fail} fail")
+    if json_out:
+        assert record, "refusing to write an empty correctness record"
+        with open(json_out, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(record)} entries)")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
