@@ -133,7 +133,8 @@ object Bench {
            "q111" -> "q124", "q111" -> "q125", "q111" -> "q134",
            "q111" -> "q136", "q111" -> "q141", "q111" -> "q178",
            "q122" -> "q123", "q134" -> "q137", "q157" -> "q159",
-           "q170" -> "q171")
+           "q170" -> "q171", "q93" -> "q155", "q148" -> "q155",
+           "q151" -> "q155", "q151" -> "q165")
          if pos(payer) >= 0 && pos(rider) >= 0)
       require(pos(payer) < pos(rider),
         s"bench attribution: shared-artifact payer $payer must run before rider $rider")
@@ -157,7 +158,8 @@ object Bench {
         if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
             && !graft.queries.DedupOps.isSharedArtifact(df)
             && !graft.queries.VectorOps.isSharedArtifact(df)
-            && !graft.queries.TextOps.isSharedArtifact(df))
+            && !graft.queries.TextOps.isSharedArtifact(df)
+            && !graft.queries.PipelineOps.isSharedArtifact(df))
           df.unpersist(blocking = false)
         t
       } catch { case e: Throwable =>

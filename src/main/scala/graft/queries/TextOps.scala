@@ -397,12 +397,14 @@ object TextOps {
   /** Whether `df` IS the live memoized sketch — Bench's release
     * policy, same contract as [[DedupOps.isSharedArtifact]]. */
   private[graft] def isSharedArtifact(df: DataFrame): Boolean =
-    cmMemo.holds(df) || hhMemo.holds(df)
+    cmMemo.holds(df) || hhMemo.holds(df) || calMemo.holds(df)
 
-  /** Drop the memoized sketches (tests / long-lived JVMs). */
+  /** Drop the memoized sketches + gate table (tests / long-lived
+    * JVMs). */
   def invalidateSharedArtifacts(): Unit = {
     cmMemo.invalidate()
     hhMemo.invalidate()
+    calMemo.invalidate()
   }
 
   private[graft] def cmSketchOf(docs: DataFrame): DataFrame = {
@@ -1237,8 +1239,18 @@ object TextOps {
     * the sketch-sized histogram (the q138 cutoff-bin device, here kept
     * per-source) → percentile and flag are map-side on the per-doc
     * frame. No global window, no per-source sort. */
+  /** The calibrated-gate table as a shared artifact ([[cmMemo]]'s
+    * contract; the PipelineOps lineage/DSIR memos' sibling): q148
+    * pays the build, q155's admission matrix rides. */
+  private val calMemo = new DedupOps.ArtifactMemo
+
   def sourceCalibratedScore(spark: SparkSession, dir: String): DataFrame =
-    sourceCalibratedScoreOf(Tables(spark, dir, "documents"))
+    calMemo.get(spark, dir) {
+      val df = sourceCalibratedScoreOf(
+        Tables(spark, dir, "documents")).persist()
+      df.count()
+      df
+    }
 
   /** The per-source score histogram over a docs frame: (source, bin,
     * c) — the ONE definition batch calibration cumulates and the

@@ -404,6 +404,40 @@ object StreamingQueries {
           .otherwise(0L))
   }
 
+  /** Ingest-time TRAINED-MODEL gate — the serving side of q177: the
+    * perceptron trained on the standing corpus
+    * ([[graft.queries.PipelineOps.perceptronTrainOf]], the same lift
+    * the oracle checks) scores every arriving document statelessly —
+    * margin is additive over tokens (Σ w[dim(token)] + bias), so the
+    * per-row fold equals the batch featureHash-join-aggregate exactly
+    * (stream == batch asserted in StreamingSpec). This closes the
+    * train→serve loop AT INGEST: q177 trains, this deploys — the
+    * fastText-style gate shape, with a genuinely trained 65-long
+    * parameter vector instead of q72's md5 stand-ins. NULL text
+    * scores the bare bias and stays a row (the batch restore-join's
+    * no-feature semantics). */
+  def perceptronScoreStream(docs: DataFrame, corpus: DataFrame): DataFrame =
+    perceptronScorer(corpus)(docs)
+
+  /** The trained-gate TRANSFORM with its model hoisted — the
+    * [[calibratedScorer]] split, for per-batch reuse. */
+  def perceptronScorer(corpus: DataFrame): DataFrame => DataFrame = {
+    val w = graft.queries.PipelineOps.trainedPerceptronOf(corpus)
+    val wLit = typedLit(w.dropRight(1)) // token dims 0..63
+    val bias = w.last
+    (docs: DataFrame) => docs
+      .select(col("doc_id"),
+        aggregate(
+          coalesce(split(col("text"), " "), typedLit(Seq.empty[String])),
+          lit(bias),
+          (acc, t) => acc + element_at(wLit,
+            (graft.queries.PipelineOps.md5PrefixLong(t, 8) % 64 + 1)
+              .cast("int")))
+          .as("margin"))
+      .select(col("doc_id"), col("margin"),
+        when(col("margin") > 0, 1L).otherwise(0L).as("admit"))
+  }
+
   /** Ingest-time DSIR gate — the streaming twin of q151: every
     * arriving document gets its importance score (how target-like its
     * hashed-bigram features are) and admit decision map-side, the

@@ -139,6 +139,17 @@ object Stress10xSpec {
       "q137_label_confusion", "q138_curriculum_phase")
       .foreach(runAndAudit)
 
+    // round-12 families at 10x. q176 is the query whose whole point
+    // is this regime: the md5 block draw + per-block rank cap must
+    // hold the audit at O(drawn·cap²) while the corpus (and every
+    // same-source block) grows 10x — blocks are 2,500 docs here, so
+    // the 128-cap is doing real work. q178 inherits q111's
+    // exact-copy-per-cell regime on the assignment artifact; q179's
+    // only 10x exposure is the TakeOrdered cap and the lit-folded
+    // total (a plan flip, which the audit asserts against).
+    Seq("q176_minhash_calibration_sampled", "q178_cell_prototypes",
+      "q179_vocab_coverage").foreach(runAndAudit)
+
     // q115's scale lever, measured on the quantity that matters at
     // scale: candidate-pair volume Σ cell·(cell−1)/2. Local wall-time
     // at 50k docs is join-strategy/task-scheduling bound, so pair

@@ -661,6 +661,41 @@ class StreamingSpec extends SparkSuite {
     assert(full == 2000000L, s"uncapped must keep c: $full")
   }
 
+  test("trained-perceptron stream == batch margins for corpus docs; " +
+      "NULL text scores the bare bias") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text")
+    // batch margins: the q177 feature lift joined with the trained
+    // weights — the exact aggregation the fold must reproduce
+    val w = graft.queries.PipelineOps.trainedPerceptronOf(corpus)
+    val wDf = w.dropRight(1).zipWithIndex
+      .map { case (v, d) => (d.toLong, v) }.toDF("dim", "wv")
+    val batch = graft.queries.PipelineOps.featureHashOf(corpus)
+      .join(wDf, "dim")
+      .groupBy($"doc_id").agg(sum($"w" * $"wv").as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) + w.last)).toMap
+    val feed = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingQueries.perceptronScoreStream(
+        ms.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ptron_out").start()
+    ms.addData(feed.toIndexedSeq: _*)
+    ms.addData((777777L, null: String))
+    q.processAllAvailable()
+    val rows = spark.table("ptron_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    q.stop()
+    for ((id, m, admit) <- rows if id != 777777L) {
+      assert(m == batch.getOrElse(id, w.last), s"doc $id margin $m")
+      assert(admit == (if (m > 0) 1L else 0L))
+    }
+    val nullRow = rows.find(_._1 == 777777L).get
+    assert(nullRow._2 == w.last, s"NULL text must score bias: $nullRow")
+  }
+
   test("DSIR stream == batch q151 for corpus docs; novel dims score " +
       "by prior") {
     import spark.implicits._
