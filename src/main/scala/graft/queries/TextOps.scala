@@ -1031,30 +1031,67 @@ object TextOps {
     * invariant under compaction when no residue exists, and repaired
     * to rebuild-equality when it does — both spec-asserted. */
   def compactPostingIndex(spark: SparkSession, path: String): Unit = {
+    swapInPosting(spark, path, "postings",
+      tmp => graft.operators.Operators.writePartitioned(
+        spark.read.parquet(s"$path/postings").distinct(), tmp, "bucket"))
+    swapInPosting(spark, path, "docs",
+      tmp => spark.read.parquet(s"$path/docs").distinct()
+        .coalesce(1).write.parquet(tmp))
+  }
+
+  /** Write-aside + two atomic renames (the ANN compactIndex pattern:
+    * the live table is never the write target, and a crash between
+    * the renames leaves a restorable .pre-compact copy) — shared by
+    * [[compactPostingIndex]] and [[deleteFromPostingIndex]]. */
+  private def swapInPosting(spark: SparkSession, path: String,
+      sub: String, write: String => Unit): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     def rmTree(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rmTree))
       f.delete()
     }
-    // write-aside + two atomic renames (the ANN compactIndex pattern:
-    // the live index is never the write target, and a crash between
-    // the renames leaves a restorable .pre-compact copy)
-    def swapIn(sub: String, write: String => Unit): Unit = {
-      val live = Paths.get(s"$path/$sub")
-      val retired = Paths.get(s"$path/$sub.pre-compact")
-      if (!Files.exists(live) && Files.exists(retired))
-        Files.move(retired, live, StandardCopyOption.ATOMIC_MOVE)
-      val tmp = s"$path/$sub.compacting"
-      write(tmp)
-      rmTree(retired.toFile)
-      Files.move(live, retired, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(Paths.get(tmp), live, StandardCopyOption.ATOMIC_MOVE)
-      rmTree(retired.toFile)
-    }
-    swapIn("postings", tmp => graft.operators.Operators.writePartitioned(
-      spark.read.parquet(s"$path/postings").distinct(), tmp, "bucket"))
-    swapIn("docs", tmp => spark.read.parquet(s"$path/docs").distinct()
-      .coalesce(1).write.parquet(tmp))
+    val live = Paths.get(s"$path/$sub")
+    val retired = Paths.get(s"$path/$sub.pre-compact")
+    if (!Files.exists(live) && Files.exists(retired))
+      Files.move(retired, live, StandardCopyOption.ATOMIC_MOVE)
+    val tmp = s"$path/$sub.compacting"
+    write(tmp)
+    rmTree(retired.toFile)
+    Files.move(live, retired, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), live, StandardCopyOption.ATOMIC_MOVE)
+    rmTree(retired.toFile)
+  }
+
+  /** DELETE documents from the persisted posting index — the
+    * take-down/right-to-be-forgotten path that completes the index
+    * lifecycle (build → serve → append → compact → delete). Postings
+    * are doc-local rows, so deletion is a filter-and-rewrite of the
+    * bucket tables through [[compactPostingIndex]]'s write-aside +
+    * atomic-swap machinery (the live index is never the write target;
+    * a crash between the swaps leaves a restorable .pre-compact
+    * copy). The manifest shrinks with the postings — in THAT order's
+    * reverse concern: postings are rewritten first, so a crash
+    * between the two can only leave deleted docs still listed in the
+    * manifest with no postings — a doc that scores nothing and
+    * re-indexes as a no-op — never manifest-absent docs with live
+    * postings (which would double-index on the next append). Search
+    * over the shrunk index equals a from-scratch rebuild without the
+    * deleted docs — spec-asserted, because df re-derives from the
+    * pruned postings and nothing stale is stored. At 100 TB the
+    * rewrite touches every bucket file containing a deleted doc's
+    * postings; batching take-downs amortizes it, and the bucket
+    * layout bounds each file's rewrite to its own bucket. */
+  def deleteFromPostingIndex(spark: SparkSession, path: String,
+      docIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    swapInPosting(spark, path, "postings", tmp =>
+      graft.operators.Operators.writePartitioned(
+        spark.read.parquet(s"$path/postings")
+          .filter(!$"doc_id".isin(docIds: _*)), tmp, "bucket"))
+    swapInPosting(spark, path, "docs", tmp =>
+      spark.read.parquet(s"$path/docs")
+        .filter(!$"doc_id".isin(docIds: _*))
+        .coalesce(1).write.parquet(tmp))
   }
 
   /** q89 answered FROM the stored index: the query terms' buckets

@@ -132,4 +132,49 @@ class PostingIndexSpec extends SparkSuite {
         new java.io.File(tmp).getParentFile)
     }
   }
+
+  test("posting delete: shrunk index == rebuild without the deleted " +
+      "docs; a deleted doc can re-index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("postdel").toString
+    val tmp = s"$base/idx"
+    try {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select($"doc_id", $"text")
+      TextOps.postingWriteIndex(spark, sf0001, tmp)
+      // take down the live top-1 answer doc plus two more — deletion
+      // must shift df and ranks exactly as a rebuild would
+      val top1 = TextOps.bm25SearchIndexed(spark, tmp)
+        .collect().head.getLong(0)
+      val gone = Seq(top1, top1 + 7, top1 + 13)
+      TextOps.deleteFromPostingIndex(spark, tmp, gone)
+      val rebuilt = s"$base/rebuilt"
+      TextOps.postingWriteIndexOf(
+        docs.filter(!$"doc_id".isin(gone: _*)), rebuilt)
+      def served(p: String) = TextOps.bm25SearchIndexed(spark, p)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      assert(served(tmp) == served(rebuilt))
+      assert(!served(tmp).exists(r => gone.contains(r._1)))
+      // the manifest shrank with the postings
+      val manifest = spark.read.parquet(s"$tmp/docs")
+        .collect().map(_.getLong(0)).toSet
+      assert(gone.forall(id => !manifest.contains(id)))
+      // a deleted doc RE-INDEXES through the normal append path (the
+      // manifest anti-join no longer blocks it), restoring the
+      // original full-corpus answers
+      graft.streaming.StreamingQueries.postingAppendBatch(
+        docs.filter($"doc_id".isin(gone: _*)), tmp)
+      val full = TextOps.bm25TopK(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(served(tmp) == full)
+      // no stray write-aside directories survive a clean delete
+      val files = new java.io.File(tmp).listFiles().map(_.getName).toSet
+      assert(files == Set("postings", "docs"), files.toString)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(base))
+    }
+  }
 }
