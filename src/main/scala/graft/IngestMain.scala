@@ -47,16 +47,24 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB shape: per-tick cost is O(delta) lifts + keyed joins
   * against stored index tables (each audited under its own query's
-  * PLANS.md row); the only corpus-sized work is the one-time index
-  * build this main performs when the indexes don't exist yet — at
-  * deployment that build is the prior batch job's output. */
+  * PLANS.md row). Two pieces are corpus-sized and deliberately
+  * outside that story: the one-time index build when the indexes
+  * don't exist yet (at deployment, the prior batch job's output),
+  * and the maintained-equals-rebuilt serving audit (`auditRebuild`,
+  * default on — the periodic verification, not per-tick cost). */
 object IngestMain {
 
   /** Runs the tick into `outDir`; returns the reconciliation counters
     * (insertion-ordered for the JSON dump). Throws if any invariant
-    * fails. */
+    * fails. `auditRebuild` controls the maintained-equals-rebuilt
+    * serving check, which is deliberately O(corpus) — a full
+    * from-scratch posting build over (corpus ∪ survivors) — and
+    * therefore NOT part of the O(delta) per-tick cost story: it is
+    * the verification a deployment runs periodically or at test
+    * scale (default on here; the gates and index appends themselves
+    * stay O(delta)). */
   def runIngest(spark: SparkSession, dir: String,
-      outDir: String): Seq[(String, Long)] = {
+      outDir: String, auditRebuild: Boolean = true): Seq[(String, Long)] = {
     import spark.implicits._
     import graft.queries.{DedupFusionOps, ServingIndexes, TextOps, VectorOps}
     import graft.streaming.StreamingQueries
@@ -78,16 +86,19 @@ object IngestMain {
     val spanPath = ServingIndexes.spanIndex(spark, dir)
     val postingPath = s"$outDir/posting_index"
     val chunkPath = s"$outDir/chunk_index"
+    // existence probes target each build's LAST-written artifact (the
+    // docs manifest; the .codebook sibling), so a crash mid-build is
+    // retried as a rebuild instead of silently serving a partial
+    // index — review r12
     if (!new java.io.File(s"$postingPath/docs").exists())
       TextOps.postingWriteIndexOf(corpus.select($"doc_id", $"text"),
         postingPath)
-    if (!new java.io.File(chunkPath).exists())
+    if (!new java.io.File(s"$chunkPath.codebook").exists())
       VectorOps.chunkWriteIndexOf(corpus.select($"doc_id", $"text"),
         chunkPath)
     val postingsBefore = spark.read.parquet(s"$postingPath/postings").count()
     val manifestBefore = spark.read.parquet(s"$postingPath/docs").count()
-    val chunksBefore = spark.read.parquet(chunkPath)
-      .filter($"code".isNotNull).count()
+    val chunksBefore = spark.read.parquet(chunkPath).count()
 
     // ---- stage 1: admission (q148's calibrated gate, frozen corpus)
     val admission = StreamingQueries.calibratedScorer(corpus)(delta)
@@ -145,8 +156,7 @@ object IngestMain {
 
     val postingsAfter = spark.read.parquet(s"$postingPath/postings").count()
     val manifestAfter = spark.read.parquet(s"$postingPath/docs").count()
-    val chunksAfter = spark.read.parquet(chunkPath)
-      .filter($"code".isNotNull).count()
+    val chunksAfter = spark.read.parquet(chunkPath).count()
     check(postingsAfter == postingsBefore + postingsAppended,
       s"postings $postingsBefore + $postingsAppended != $postingsAfter")
     check(manifestAfter == manifestBefore + novelAppended,
@@ -157,20 +167,23 @@ object IngestMain {
     // ---- rebuild equality: the maintained posting index must serve
     // exactly what a from-scratch rebuild over (corpus ∪ survivors)
     // serves — a maintained index that drifts from its rebuild is
-    // serving silently wrong df/scores
-    val rebuildPath = s"$outDir/posting_rebuild"
-    TextOps.postingWriteIndexOf(
-      corpus.select($"doc_id", $"text").unionByName(survivorDocs),
-      rebuildPath)
-    val servedMaintained = TextOps.bm25SearchIndexed(spark, postingPath)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      .toSeq
-    val servedRebuilt = TextOps.bm25SearchIndexed(spark, rebuildPath)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      .toSeq
-    check(servedMaintained == servedRebuilt,
-      s"maintained index serves $servedMaintained, rebuild serves " +
-        s"$servedRebuilt")
+    // serving silently wrong df/scores. O(corpus) by design (see the
+    // runIngest doc): the periodic audit, not per-tick cost.
+    if (auditRebuild) {
+      val rebuildPath = s"$outDir/posting_rebuild"
+      TextOps.postingWriteIndexOf(
+        corpus.select($"doc_id", $"text").unionByName(survivorDocs),
+        rebuildPath)
+      val servedMaintained = TextOps.bm25SearchIndexed(spark, postingPath)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      val servedRebuilt = TextOps.bm25SearchIndexed(spark, rebuildPath)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      check(servedMaintained == servedRebuilt,
+        s"maintained index serves $servedMaintained, rebuild serves " +
+          s"$servedRebuilt")
+    }
 
     Seq(delta, admission, dupPairs, novelty, dupped, survivors)
       .foreach(_.unpersist(blocking = false))

@@ -1689,7 +1689,11 @@ object PipelineOps {
     * Scale shape: doc_id-keyed left joins onto row-local flags; the
     * heavy inputs (labels, decon grams) are the memoized/broadcast
     * artifacts the component queries already pay for; the cluster-size
-    * rollup is one partial-aggregatable shuffle on cluster_id. */
+    * rollup is one partial-aggregatable shuffle on cluster_id.
+    *
+    * Shipped as a shared artifact through [[lineageMemo]] below —
+    * [[docLineage]] is the memoized read, [[docLineageBuild]] the
+    * build. */
   /** The lineage and DSIR gate tables as shared artifacts (VERDICT
     * r12 watch item — q155 composed its three member gates LIVE,
     * 3.7 s of member re-derivation per run): a deployment writes each
@@ -2585,21 +2589,26 @@ object PipelineOps {
     import spark.implicits._
     val teacherW = scoreWeights.zipWithIndex
       .map { case (tw, d) => (d.toLong, tw) }.toDF("dim", "tw")
+    // ONE materialized feature lift feeds both the teacher labels and
+    // the training table (review r12: two lazy featureHashOf
+    // references ran the tokenize+hash+group corpus pass twice)
+    val fh = featureHashOf(docs).persist()
     // teacher decision over the SAME features; docs with no tokens
     // never match a feature row and restore-join to score 0 → y = −1
-    val score = featureHashOf(docs)
+    val score = fh
       .join(broadcast(teacherW), "dim")
       .groupBy($"doc_id").agg(sum($"w" * $"tw").as("ts"))
     val labels = docs.select($"doc_id")
       .join(score, Seq("doc_id"), "left")
       .select($"doc_id",
         when(coalesce($"ts", lit(0L)) > 0, 1L).otherwise(-1L).as("y"))
-    val feats = featureHashOf(docs)
+    val feats = fh
       .unionByName(labels.select($"doc_id",
         lit(PerceptronBiasDim).as("dim"), lit(1L).as("w")))
       .join(labels, "doc_id")
       .persist()
     feats.count()
+    fh.unpersist(blocking = false)
     val nDims = PerceptronBiasDim.toInt + 1
     val w = Array.fill(nDims)(0L)
     val out = Vector.newBuilder[(Long, Long, Long, Long)]

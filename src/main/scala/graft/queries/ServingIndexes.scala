@@ -33,8 +33,13 @@ object ServingIndexes {
     buildLock.synchronized {
       val again = built.get(k)
       if (again != null) return again
+      // path carries the FULL sanitized dir (a bare hashCode suffix
+      // could collide across two dataset dirs and silently serve one
+      // dataset's queries from the other's index — review r12); the
+      // hex suffix only disambiguates dirs that sanitize identically
       val p = base.resolve(
-        kind + "-" + Integer.toHexString(dir.hashCode)).toString
+        kind + "-" + dir.replaceAll("[^A-Za-z0-9.-]", "_") +
+          "-" + Integer.toHexString(dir.hashCode)).toString
       build(p)
       built.put(k, p)
       p

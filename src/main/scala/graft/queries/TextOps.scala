@@ -82,22 +82,27 @@ object TextOps {
     * 10⁶·cum stays under 2⁶³ through ~9·10¹² corpus tokens. */
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // ONE materialized term count serves both the total and the
+    // ranked head (review r12: the lazy frame re-ran the corpus scan
+    // for each), and the ≤13-row result lands as a driver value — the
+    // q101 parameter-table precedent; the corpus-scale work is the
+    // one count shuffle + one TakeOrderedAndProject
     val counts = Tables(spark, dir, "documents")
       .select(explode(toks($"text")).as("term"))
       .filter($"term" =!= "")
       .groupBy($"term").agg(count(lit(1)).as("cnt"))
+      .persist()
     val total = counts.agg(sum($"cnt")).head.getLong(0)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"cnt".desc, $"term".asc)
-    val ranked = counts.orderBy($"cnt".desc, $"term".asc).limit(CovCap)
-      .withColumn("rk", row_number().over(w).cast("long"))
-    val ks = CovKs.map(_.toLong).toDF("k")
-    ranked.join(broadcast(ks), $"rk" <= $"k")
-      .groupBy($"k")
-      .agg(count(lit(1)).as("n_terms"), sum($"cnt").as("cum_tokens"))
-      .select($"k", $"n_terms", $"cum_tokens",
-        expr(s"CAST((1000000 * cum_tokens) div $total AS BIGINT)")
-          .as("cum_ppm"))
+    val top = counts
+      .orderBy($"cnt".desc, $"term".asc).limit(CovCap)
+      .select($"cnt").collect().map(_.getLong(0))
+    counts.unpersist(blocking = false)
+    val cum = top.scanLeft(0L)(_ + _).drop(1) // cum(i) = top(0..i) sum
+    CovKs.map { k =>
+      val n = math.min(k, top.length)
+      val ct = if (n == 0) 0L else cum(n - 1)
+      (k.toLong, n.toLong, ct, 1000000L * ct / total)
+    }.toDF("k", "n_terms", "cum_tokens", "cum_ppm")
   }
 
   private lazy val vocabCoverageSql =
@@ -1055,6 +1060,11 @@ object TextOps {
     if (!Files.exists(live) && Files.exists(retired))
       Files.move(retired, live, StandardCopyOption.ATOMIC_MOVE)
     val tmp = s"$path/$sub.compacting"
+    // a crash between write(tmp) and the renames leaves a stale tmp
+    // dir; without this sweep every later maintenance call would die
+    // on path-already-exists (the docs writer uses the default
+    // ErrorIfExists mode) — review r12
+    rmTree(new java.io.File(tmp))
     write(tmp)
     rmTree(retired.toFile)
     Files.move(live, retired, StandardCopyOption.ATOMIC_MOVE)
@@ -1475,15 +1485,15 @@ object TextOps {
     Q("q89_bm25_topk", bm25TopK, Some(bm25TopKSql),
       "ranked retrieval over the posting table: tf x integer-exact idf " +
         "surrogate, deterministic top-20 via TakeOrderedAndProject"),
-    // q174 — the INDEXED serving twin (VERDICT r11 #6): q89 answered
-    // from the bucket-partitioned posting index built once per JVM by
-    // ServingIndexes; same oracle, live==indexed also spec-asserted
-    // (PostingIndexSpec).
     Q("q179_vocab_coverage", vocabCoverage, Some(vocabCoverageSql),
       "vocabulary coverage curve: corpus token mass covered by the " +
         "top-k terms at power-of-two budgets k, absolute + ppm — the " +
         "tokenizer vocab-size budgeting table (q131's Zipf integral " +
         "as data)"),
+    // q174 — the INDEXED serving twin (VERDICT r11 #6): q89 answered
+    // from the bucket-partitioned posting index built once per JVM by
+    // ServingIndexes; same oracle, live==indexed also spec-asserted
+    // (PostingIndexSpec).
     Q("q174_bm25_served",
       (s, d) => bm25SearchIndexed(s, ServingIndexes.postingIndex(s, d)),
       Some(bm25TopKSql),
