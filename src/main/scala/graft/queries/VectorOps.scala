@@ -1443,7 +1443,15 @@ object VectorOps {
     * segments meanwhile). A crash between the renames is recoverable:
     * the next compactIndex call restores the retired original before
     * proceeding, so the segment is never lost. */
-  def compactIndex(spark: SparkSession, path: String): Unit = {
+  def compactIndex(spark: SparkSession, path: String): Unit =
+    swapCodes(spark, path)(identity)
+
+  /** Rewrite a cell-partitioned codes table through `transform` with
+    * the write-aside + atomic-swap crash discipline — shared by
+    * [[compactIndex]] (identity rewrite) and [[deleteFromChunkIndex]]
+    * (doc filter). */
+  private def swapCodes(spark: SparkSession, path: String)(
+      transform: DataFrame => DataFrame): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     def rmTree(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rmTree))
@@ -1454,13 +1462,74 @@ object VectorOps {
     // left the only live copy at .pre-compact — restore it first
     if (!Files.exists(Paths.get(path)) && Files.exists(retired))
       Files.move(retired, Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
-    val codes = spark.read.parquet(path)
+    val codes = transform(spark.read.parquet(path))
     val tmp = path + ".compacting"
+    // writePartitioned overwrites, so a stale .compacting from a
+    // crashed run cannot wedge this one
     graft.operators.Operators.writePartitioned(codes, tmp, "cell")
     rmTree(retired.toFile) // stale retiree must not block the rename
     Files.move(Paths.get(path), retired, StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
     rmTree(retired.toFile)
+  }
+
+  /** ONE append body for the chunk PQ index — within-batch
+    * canonicalization by fingerprint, then a hash anti-join against
+    * storage so only NOVEL fingerprints land (q145's index-once
+    * rule). Shared verbatim by the streaming upsert
+    * ([[graft.streaming.StreamingQueries.chunkIndexUpsertStream]]),
+    * the composed ingest tick ([[graft.IngestMain]]), and
+    * [[deleteFromChunkIndex]]'s re-offer pass. Returns the rows
+    * appended; counted BEFORE the write — `novel` anti-joins the
+    * index it extends, so an unmaterialized cache re-evaluated after
+    * the append would see its own output and report zero. */
+  private[graft] def chunkAppendBatch(batch: DataFrame,
+      indexPath: String): Long = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val chunks = PipelineOps
+      .ragChunkTextsOf(batch.select($"doc_id", $"text"))
+      .select($"doc_id", $"chunk_idx", $"chunk",
+        md5($"chunk").as("chunk_hash"))
+    val canon = chunks.groupBy($"chunk_hash")
+      .agg(min(struct($"doc_id".as("d"), $"chunk_idx".as("i"),
+        $"chunk".as("c"))).as("m"))
+      .select($"chunk_hash", $"m.d".as("doc_id"),
+        $"m.i".as("chunk_idx"), $"m.c".as("chunk"))
+    val stored = spark.read.parquet(indexPath).select($"chunk_hash")
+    val novel = chunkIndexRowsOf(
+      canon.join(stored, Seq("chunk_hash"), "left_anti")).persist()
+    val n = novel.count()
+    novel.write.mode("append").partitionBy("cell").parquet(indexPath)
+    novel.unpersist(blocking = false)
+    n
+  }
+
+  /** DELETE documents from the persisted chunk index — the take-down
+    * path, which on THIS index is two steps by necessity: canonical
+    * chunk rows are shared across identical chunks from different
+    * documents (q145's index-once rule), so dropping a document's
+    * rows can orphan content that still exists in surviving
+    * documents. Step 1 filter-rewrites the codes table without the
+    * deleted docs (the [[compactIndex]] swap discipline); step 2
+    * RE-OFFERS the caller-provided surviving documents through the
+    * standard append body — the fingerprint anti-join admits exactly
+    * the vanished hashes (zero when the index was batch-built with
+    * every occurrence; precisely the orphaned canonicals when it was
+    * stream-appended). Returns the re-canonicalized row count.
+    * Crash safety composes from the parts: a crash between the steps
+    * leaves a smaller-but-consistent index whose re-offer is the
+    * retry, and the append is manifest-free but idempotent by the
+    * same anti-join. At 100 TB the rewrite is bucket-local per cell
+    * and the re-offer is O(surviving docs OFFERED), so the caller
+    * scopes it — typically the dedup-cluster neighbors of the
+    * deleted docs, not the corpus. */
+  def deleteFromChunkIndex(spark: SparkSession, path: String,
+      docIds: Seq[Long], reoffer: DataFrame): Long = {
+    import spark.implicits._
+    swapCodes(spark, path)(_.filter(!$"doc_id".isin(docIds: _*)))
+    chunkAppendBatch(
+      reoffer.filter(!col("doc_id").isin(docIds: _*)), path)
   }
 
   /** Write just the parameter siblings (centroid + codebook tables)

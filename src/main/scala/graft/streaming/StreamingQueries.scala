@@ -1320,29 +1320,12 @@ object StreamingQueries {
       }
       .trigger(Trigger.AvailableNow()).start()
 
-  /** ONE append body for the chunk PQ index ([[postingAppendBatch]]'s
-    * sibling). Returns the novel canonical chunk rows appended. */
+  /** The chunk append body ([[postingAppendBatch]]'s sibling) lives
+    * with the index owner — [[graft.queries.VectorOps.chunkAppendBatch]]
+    * — because the take-down path
+    * ([[graft.queries.VectorOps.deleteFromChunkIndex]]) re-offers
+    * through it too; this delegate keeps the streaming call site. */
   private[graft] def chunkAppendBatch(batch: DataFrame,
-      indexPath: String): Long = {
-    val spark = batch.sparkSession
-    import spark.implicits._
-    val chunks = graft.queries.PipelineOps
-      .ragChunkTextsOf(batch.select($"doc_id", $"text"))
-      .select($"doc_id", $"chunk_idx", $"chunk",
-        md5($"chunk").as("chunk_hash"))
-    val canon = chunks.groupBy($"chunk_hash")
-      .agg(min(struct($"doc_id".as("d"), $"chunk_idx".as("i"),
-        $"chunk".as("c"))).as("m"))
-      .select($"chunk_hash", $"m.d".as("doc_id"),
-        $"m.i".as("chunk_idx"), $"m.c".as("chunk"))
-    val stored = spark.read.parquet(indexPath).select($"chunk_hash")
-    val novel = graft.queries.VectorOps.chunkIndexRowsOf(
-      canon.join(stored, Seq("chunk_hash"), "left_anti")).persist()
-    // count BEFORE the write — same self-read hazard as
-    // [[postingAppendBatch]]: `novel` anti-joins the index it extends
-    val n = novel.count()
-    novel.write.mode("append").partitionBy("cell").parquet(indexPath)
-    novel.unpersist(blocking = false)
-    n
-  }
+      indexPath: String): Long =
+    graft.queries.VectorOps.chunkAppendBatch(batch, indexPath)
 }

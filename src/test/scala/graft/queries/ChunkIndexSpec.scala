@@ -125,6 +125,83 @@ class ChunkIndexSpec extends SparkSuite {
         new java.io.File(base))
     }
   }
+
+  test("chunk take-down: batch-built index equals a survivor rebuild " +
+      "with zero re-offers; canonical index re-canonicalizes orphaned " +
+      "fingerprints") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("chunkdel").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text")
+    def rows(p: String) = spark.read.parquet(p)
+      .select($"vec_id", $"doc_id", $"chunk_idx", $"chunk_hash",
+        $"cell", $"code")
+      .collect().map(_.toString).toSet
+    try {
+      // ---- A: all-occurrence (batch-built) index. Every surviving
+      // occurrence keeps its own row, so nothing can orphan: the
+      // re-offer must admit ZERO rows and the shrunk index must equal
+      // a from-scratch rebuild over the survivors, row for row.
+      val idxA = s"$base/a"
+      VectorOps.chunkWriteIndex(spark, sf0001, idxA)
+      val gone = docs.select($"doc_id").orderBy($"doc_id").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      val reA = VectorOps.deleteFromChunkIndex(spark, idxA, gone, docs)
+      assert(reA == 0L,
+        s"all-occurrence index re-offered $reA rows — nothing can orphan")
+      val rebuiltA = s"$base/a_rebuild"
+      VectorOps.chunkWriteIndexOf(
+        docs.filter(!$"doc_id".isin(gone: _*)), rebuiltA)
+      assert(rows(idxA) == rows(rebuiltA))
+      val top = VectorOps.chunkSearchIndexed(spark, idxA,
+        queryRow(sf0001), probes = 4, excludeDocId = Some(0L)).collect()
+      assert(top.length == 5 && top.forall(r => !gone.contains(r.getLong(1))))
+
+      // ---- B: canonical (appender-maintained) index, one row per
+      // fingerprint. Deleting a canonical OWNER of a fingerprint that
+      // other documents share orphans content the survivors still
+      // have — the re-offer must restore it under the min surviving
+      // occurrence, landing exactly a canonical survivor rebuild.
+      val chunks = PipelineOps.ragChunkTextsOf(docs)
+        .select($"doc_id", $"chunk_idx", md5($"chunk").as("chunk_hash"),
+          $"chunk")
+      def canonOf(cs: org.apache.spark.sql.DataFrame) =
+        cs.groupBy($"chunk_hash")
+          .agg(min(struct($"doc_id".as("d"), $"chunk_idx".as("i"),
+            $"chunk".as("c"))).as("m"))
+          .select($"chunk_hash", $"m.d".as("doc_id"),
+            $"m.i".as("chunk_idx"), $"m.c".as("chunk"))
+      val shared = chunks.groupBy($"chunk_hash")
+        .agg(countDistinct($"doc_id").as("nd"), min($"doc_id").as("owner"))
+        .filter($"nd" >= 2).orderBy($"chunk_hash").limit(1).collect()
+      assert(shared.nonEmpty,
+        "test corpus lost its cross-document duplicate chunks")
+      val owner = shared.head.getLong(2)
+      val idxB = s"$base/b"
+      graft.operators.Operators.writePartitioned(
+        VectorOps.chunkIndexRowsOf(canonOf(chunks)), idxB, "cell")
+      VectorOps.writeIndexParams(spark, idxB)
+      val reB = VectorOps.deleteFromChunkIndex(spark, idxB, Seq(owner),
+        docs)
+      assert(reB >= 1L,
+        "the orphaned shared fingerprint must re-canonicalize")
+      val rebuiltB = s"$base/b_rebuild"
+      graft.operators.Operators.writePartitioned(
+        VectorOps.chunkIndexRowsOf(canonOf(
+          PipelineOps.ragChunkTextsOf(docs.filter($"doc_id" =!= owner))
+            .select($"doc_id", $"chunk_idx",
+              md5($"chunk").as("chunk_hash"), $"chunk"))),
+        rebuiltB, "cell")
+      assert(rows(idxB) == rows(rebuiltB))
+      // no write-aside residue from a clean take-down
+      val siblings = new java.io.File(base).listFiles().map(_.getName)
+      assert(!siblings.exists(_.contains("compact")), siblings.mkString(","))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(base))
+    }
+  }
 }
 
 /** Indirection for the streaming upsert call so the spec reads at one
