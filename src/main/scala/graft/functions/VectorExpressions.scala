@@ -364,6 +364,80 @@ object VectorExpressions {
     GraftBridge.column(SortedIntersectSize(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** longvec_sqdist(array<bigint>, array<bigint>) → bigint: squared L2
+    * between two integer code vectors — the SQ8 serving distance
+    * (q184), [[FloatVecDot]]'s integer sibling. Same NULL contract:
+    * unequal lengths or any null element yield NULL, matching the
+    * `aggregate(zip_with(...))` HOF it replaces in the hot path (the
+    * HOF lambda is interpreted per element; this is one codegen loop).
+    * Caller bounds the element domain (|a−b| ≤ 255 at 64 dims keeps
+    * the sum < 2³², far from overflow). */
+  case class LongVecSqDist(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "longvec_sqdist"
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst
+        .analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      import org.apache.spark.sql.types.ArrayType
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<bigint> arguments, " +
+            s"got ${l.sql} and ${r.sql}")
+      }
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n != y.numElements()) return null
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        val d = x.getLong(i) - y.getLong(i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        val bad = ctx.freshName("bad")
+        s"""
+           |int $n = $a.numElements();
+           |long $acc = 0L;
+           |boolean $bad = ($n != $b.numElements());
+           |for (int $i = 0; !$bad && $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+           |  long $d = $a.getLong($i) - $b.getLong($i);
+           |  $acc += $d * $d;
+           |}
+           |${ev.isNull} = $bad;
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): LongVecSqDist =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def longVecSqDist(a: Column, b: Column): Column =
+    GraftBridge.column(LongVecSqDist(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
   /** nearest_index(array<float>) → int: quantize the embedding slice
     * [start, start+rowLen) by floor(v×scale) — exact: float→double cast
     * and ×2^k are lossless, floor is unambiguous — then argmin over the

@@ -757,6 +757,67 @@ object EventOps {
       |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)"""
       .stripMargin
 
+  /** q180's time-grid pitch. 300 s divides evenly into the ≤ 60+490 s
+    * promo durations below, so every interval covers at most 3 grid
+    * cells — the replication factor the decomposition pays. */
+  private val promoGridS = 300L
+
+  /** q180 — UNKEYED variable-length interval join via time-grid
+    * decomposition. q108 joins points to intervals through a shared
+    * user key, so its bucket decomposition rides an equi join that
+    * already existed; here there is NO key — every purchase opens a
+    * global promo window [t, t + 60 + floor(value)) and the question
+    * is total click traffic inside it, the shape where a naive plan
+    * is a pure theta join (BroadcastNestedLoopJoin — the oracle runs
+    * exactly that, and only DuckDB gets to). The engine instead
+    * manufactures the equi key: each interval explodes to the ≤ 3
+    * grid cells it overlaps (replication bounded by maxDur/grid + 1,
+    * a constant — never data-sized), each point hashes to exactly its
+    * own cell, and the join is shuffle-hash on `bucket` with the
+    * precise range predicate as a post-join filter. Each (interval,
+    * point) pair meets in exactly one cell (the point's), so no
+    * dedup pass is needed. At 100 TB this is the standard range-join
+    * rewrite: replicate the SHORT-duration side by a constant, keep
+    * the big point stream unreplicated, and pick the grid pitch ≈
+    * max interval length; a hot cell (flash-sale second) salts like
+    * any skewed equi key. */
+  def promoWindowLoad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+    val pur = ev.filter($"event_type" === "purchase")
+      .select($"event_id", epochS($"ts").as("start_s"),
+        (epochS($"ts") + lit(60L) + floor($"value").cast("long"))
+          .as("end_s"))
+    val iv = pur.withColumn("bucket",
+      explode(sequence(expr(s"start_s div $promoGridS"),
+        expr(s"(end_s - 1) div $promoGridS"))))
+    val ck = ev.filter($"event_type" === "click")
+      .select(epochS($"ts").as("c_s"))
+      .withColumn("bucket", expr(s"c_s div $promoGridS"))
+    val matched = iv.join(ck, "bucket")
+      .filter($"c_s" >= $"start_s" && $"c_s" < $"end_s")
+      .groupBy($"event_id").agg(count(lit(1)).as("n_clicks"))
+    pur.select($"event_id").join(matched, Seq("event_id"), "left")
+      .select($"event_id", coalesce($"n_clicks", lit(0L)).as("n_clicks"))
+  }
+
+  /** Oracle: the theta join the engine refuses to run — DuckDB can
+    * afford it at oracle scale, and COUNT(c.c_s) over the left join
+    * scores unmatched purchases 0 like the engine's coalesce. */
+  private val promoWindowLoadSql =
+    """WITH pur AS (
+      |  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS start_s,
+      |    CAST(floor(epoch(ts)) AS BIGINT) + 60
+      |      + CAST(floor(value) AS BIGINT) AS end_s
+      |  FROM events WHERE event_type = 'purchase'),
+      |ck AS (
+      |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS c_s
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, CAST(COUNT(c.c_s) AS BIGINT) AS n_clicks
+      |FROM pur p LEFT JOIN ck c
+      |  ON c.c_s >= p.start_s AND c.c_s < p.end_s
+      |GROUP BY 1""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q10_hourly_event_counts", hourlyCounts, Some(hourlyCountsSql),
       "hour-of-day histogram (ref Q2 affluence shape)"),
@@ -807,5 +868,10 @@ object EventOps {
         "type-to-type counts with integer probability surrogates"),
     Q("q119_ntile_deciles", ntileDeciles, Some(ntileDecilesSql),
       "quantile binning: per-type ntile deciles + percent_rank under " +
-        "a deterministic total order — the rank-feature transform"))
+        "a deterministic total order — the rank-feature transform"),
+    Q("q180_promo_window_load", promoWindowLoad, Some(promoWindowLoadSql),
+      "unkeyed variable-length interval join via time-grid " +
+        "decomposition: per-purchase promo-window click load as an " +
+        "equi join on manufactured grid cells (<=3x replication), " +
+        "where the naive plan is a nested-loop theta join"))
 }

@@ -1421,6 +1421,144 @@ object TextOps {
       |      ELSE (1000000 * n_corpus) // tc END AS BIGINT)) AS drift_ppm
       |FROM top, t""".stripMargin
 
+  /** q185 — pairwise cross-source vocabulary-overlap SKETCHES: for
+    * every source pair, the merged q114 HLL register table of the
+    * union vocabulary. The mergeability law (sketch(A ∪ B) =
+    * elementwise MIN of register tails) is the entire query: the 45
+    * union sketches are produced from the ≤ 64·|sources| standing
+    * register rows alone — the corpus text is scanned ONCE (by the
+    * shared q114 lift), after which every pairwise overlap estimate
+    * |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B) is derivable from
+    * kilobytes of sufficient statistics. The exact alternative
+    * (pairwise countDistinct over the token sets — q49 crossed with
+    * itself) re-shuffles the vocabulary per pair; at 100 TB and S
+    * sources that is S²/2 full-vocab shuffles vs this query's none.
+    *
+    * Shape: the pair frame is a theta self-join of the SOURCE DIM
+    * (|S| rows — dimension-sized, never data-sized), each register
+    * row replicates to the ≤ |S|−1 pairs containing its source via
+    * two equi joins, and the merge is a partial-aggregatable MIN on
+    * (pair, register). The estimate derivation and its accuracy
+    * against exact intersections are spec-asserted
+    * (OperatorPropertiesSpec), like q114's single-source estimate. */
+  def vocabOverlapSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val regs = hllRegistersOf(Tables(spark, dir, "documents"))
+    val srcs = Tables(spark, dir, "documents").select($"source").distinct()
+    val pairs = srcs.select($"source".as("src_a"))
+      .join(srcs.select($"source".as("src_b")), $"src_a" < $"src_b")
+    pairs.join(regs.withColumnRenamed("source", "src_a"), "src_a")
+      .select($"src_a", $"src_b", $"register", $"min_tail")
+      .union(pairs.join(regs.withColumnRenamed("source", "src_b"), "src_b")
+        .select($"src_a", $"src_b", $"register", $"min_tail"))
+      .groupBy($"src_a", $"src_b", $"register")
+      .agg(min($"min_tail").as("min_tail"))
+  }
+
+  private val vocabOverlapSketchSql =
+    s"""WITH regs AS ($hllRegistersSql),
+      |srcs AS (SELECT DISTINCT source FROM documents),
+      |pairs AS (SELECT a.source AS src_a, b.source AS src_b
+      |  FROM srcs a JOIN srcs b ON a.source < b.source),
+      |u AS (
+      |  SELECT p.src_a, p.src_b, r.register, r.min_tail
+      |  FROM pairs p JOIN regs r ON r.source = p.src_a
+      |  UNION ALL
+      |  SELECT p.src_a, p.src_b, r.register, r.min_tail
+      |  FROM pairs p JOIN regs r ON r.source = p.src_b)
+      |SELECT src_a, src_b, register, CAST(MIN(min_tail) AS BIGINT)
+      |    AS min_tail
+      |FROM u GROUP BY 1, 2, 3""".stripMargin
+
+  /** q186 — inter-scorer agreement audit (Cohen's-kappa sufficient
+    * statistics): do the cheap stopword gate and the corpus-relative
+    * unigram gate agree on which documents are "quality"? Gate A is
+    * the absolute rule stopword_mass ≥ 5 % in cross-multiplied
+    * integer form (n_stop·20 ≥ n_tokens — no ratio float, SF-
+    * invariant); gate B is mean token frequency above the CORPUS
+    * mean (both in the q82 ×10⁶ integer domain — the threshold is
+    * one partial-aggregatable scalar, not a global sort). Output is
+    * the 2×2 confusion matrix plus observed/expected agreement in
+    * ppm and the kappa numerator/denominator as integers — the
+    * division that can go negative stays unevaluated, so every
+    * column is engine-exact; the spec derives the float kappa.
+    * pe is computed as ((na1·10⁶ div n)·nb1 + (na0·10⁶ div n)·nb0)
+    * div n — the same formula verbatim in both engines, and the
+    * interleaved divisions keep every intermediate below n·10⁶. */
+  def scorerAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val ga = docs.select($"doc_id",
+      (size(expr(
+        "filter(split(text, ' '), x -> x IN ('the','a','of','and','to','in'))"))
+        .cast("long") * 20 >= size(split($"text", " ")).cast("long"))
+        .as("ga"))
+    val ub = unigramScoreOf(docs)
+    val tot = ub.agg(sum($"sum_freq").as("tf"), sum($"n_tokens").as("tn"))
+    val gb = ub.crossJoin(broadcast(tot))
+      .select($"doc_id",
+        ($"mean_freq_scaled" >= expr("tf * 1000000 div tn")).as("gb"))
+    ga.join(gb, "doc_id")
+      .agg(
+        sum(when($"ga" && $"gb", 1L).otherwise(0L)).as("n11"),
+        sum(when($"ga" && !$"gb", 1L).otherwise(0L)).as("n10"),
+        sum(when(!$"ga" && $"gb", 1L).otherwise(0L)).as("n01"),
+        sum(when(!$"ga" && !$"gb", 1L).otherwise(0L)).as("n00"))
+      .select($"n11", $"n10", $"n01", $"n00",
+        expr("(n11 + n00) * 1000000 div (n11 + n10 + n01 + n00)")
+          .as("po_ppm"),
+        expr("(((n11 + n10) * 1000000 div (n11 + n10 + n01 + n00)) " +
+          "* (n11 + n01) + ((n01 + n00) * 1000000 div " +
+          "(n11 + n10 + n01 + n00)) * (n10 + n00)) div " +
+          "(n11 + n10 + n01 + n00)").as("pe_ppm"))
+      .select($"n11", $"n10", $"n01", $"n00", $"po_ppm", $"pe_ppm",
+        ($"po_ppm" - $"pe_ppm").as("kappa_num_ppm"),
+        (lit(1000000L) - $"pe_ppm").as("kappa_den_ppm"))
+  }
+
+  private val scorerAgreementSql = unigramCtes + ",\n" +
+    """ga AS (SELECT doc_id,
+      |    len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the','a','of','and','to','in'))) * 20
+      |      >= len(string_split(text, ' ')) AS ga
+      |  FROM documents),
+      |ub AS (SELECT d.doc_id,
+      |    COALESCE(s.n_tokens, 0) AS n_tokens,
+      |    COALESCE(s.sum_freq, 0) AS sum_freq,
+      |    COALESCE(s.sum_freq * 1000000 // s.n_tokens, 0)
+      |      AS mean_freq_scaled
+      |  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id),
+      |tot AS (SELECT SUM(sum_freq) AS tf, SUM(n_tokens) AS tn FROM ub),
+      |gb AS (SELECT doc_id, mean_freq_scaled >= tf * 1000000 // tn AS gb
+      |  FROM ub, tot),
+      |cm AS (SELECT
+      |    CAST(SUM(CASE WHEN ga AND gb THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n11,
+      |    CAST(SUM(CASE WHEN ga AND NOT gb THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n10,
+      |    CAST(SUM(CASE WHEN NOT ga AND gb THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n01,
+      |    CAST(SUM(CASE WHEN NOT ga AND NOT gb THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n00
+      |  FROM ga JOIN gb USING (doc_id))
+      |SELECT n11, n10, n01, n00,
+      |  (n11 + n00) * 1000000 // (n11 + n10 + n01 + n00) AS po_ppm,
+      |  (((n11 + n10) * 1000000 // (n11 + n10 + n01 + n00))
+      |      * (n11 + n01)
+      |    + ((n01 + n00) * 1000000 // (n11 + n10 + n01 + n00))
+      |      * (n10 + n00)) // (n11 + n10 + n01 + n00) AS pe_ppm,
+      |  (n11 + n00) * 1000000 // (n11 + n10 + n01 + n00)
+      |    - (((n11 + n10) * 1000000 // (n11 + n10 + n01 + n00))
+      |        * (n11 + n01)
+      |      + ((n01 + n00) * 1000000 // (n11 + n10 + n01 + n00))
+      |        * (n10 + n00)) // (n11 + n10 + n01 + n00)
+      |    AS kappa_num_ppm,
+      |  1000000 - ((((n11 + n10) * 1000000 // (n11 + n10 + n01 + n00))
+      |      * (n11 + n01)
+      |    + ((n01 + n00) * 1000000 // (n11 + n10 + n01 + n00))
+      |      * (n10 + n00)) // (n11 + n10 + n01 + n00)) AS kappa_den_ppm
+      |FROM cm""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q20_token_stats", tokenStats, Some(tokenStatsSql),
       "whitespace + subword-chunk token counting"),
@@ -1499,5 +1637,15 @@ object TextOps {
       Some(bm25TopKSql),
       "q89 answered FROM the persisted posting index: query-term " +
         "buckets prune at planning time, df re-derived exactly from " +
-        "the pruned postings — the per-query serving cost"))
+        "the pruned postings — the per-query serving cost"),
+    Q("q185_vocab_overlap_sketch", vocabOverlapSketch,
+      Some(vocabOverlapSketchSql),
+      "pairwise cross-source vocab-overlap sketches: merged q114 HLL " +
+        "registers per source pair (sketch(A∪B) = elementwise MIN) — " +
+        "every pairwise overlap estimate from one corpus scan; " +
+        "estimate accuracy spec-asserted"),
+    Q("q186_scorer_agreement", scorerAgreement, Some(scorerAgreementSql),
+      "inter-scorer agreement audit: 2x2 confusion of the stopword " +
+        "gate vs the corpus-relative unigram gate + Cohen's-kappa " +
+        "sufficient statistics in integer ppm"))
 }

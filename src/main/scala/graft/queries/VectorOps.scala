@@ -315,9 +315,11 @@ object VectorOps {
       |  FROM embeddings, gdims)""".stripMargin
 
   /** Per-(vector, cell) distances, argmin cell assignment, and the
-    * probe-4 set of the query row (vec_id 0), over the quantized CTE
-    * named by `qv`. */
-  private def gridSearchCtes(qv: String): String =
+    * probe set of the query row (vec_id 0), over the quantized CTE
+    * named by `qv`. `probes` widens gprobe for the over-probe
+    * consumers (q181's filtered search); every other caller keeps the
+    * default 4. */
+  private def gridSearchCtes(qv: String, probes: Int = 4): String =
     s"""gdist AS (SELECT vec_id, c, SUM((q - ct) * (q - ct)) AS dist
       |  FROM $qv JOIN gcent USING (d) GROUP BY vec_id, c),
       |gassign AS (SELECT vec_id, c AS cell FROM (
@@ -326,7 +328,7 @@ object VectorOps {
       |    FROM gdist) t
       |  WHERE rn = 1),
       |gprobe AS (SELECT c AS cell FROM gdist WHERE vec_id = 0
-      |  ORDER BY dist, c LIMIT 4)""".stripMargin
+      |  ORDER BY dist, c LIMIT $probes)""".stripMargin
 
   private val gridCtes = Seq(gridParamCtes, gridQvEmbeddings,
     gridSearchCtes("gqv")).mkString(",\n")
@@ -345,6 +347,267 @@ object VectorOps {
       |    e.vec_id
       |  FROM embeddings e JOIN gassign a ON e.vec_id = a.vec_id, q
       |  WHERE e.vec_id <> 0 AND a.cell IN (SELECT cell FROM gprobe)) t
+      |WHERE rank <= 5""".stripMargin
+
+  /** q181's over-probe width: the metadata filter keeps ~1/3 of the
+    * corpus, so the probe set doubles (4 → 8 of 16 cells) to hold
+    * candidate volume — the standard filtered-search compensation. */
+  private val FilteredProbes = 8
+
+  /** q181 — METADATA-FILTERED ANN: top-5 cosine among vectors whose
+    * label ≡ 0 (mod 3), served from the q33 grid index. The two
+    * decisions that make filtered vector search work at scale are
+    * both visible in the plan: (1) the predicate is applied INSIDE
+    * the probed-cell scan (filter-during-search), never as a
+    * post-filter over an unfiltered top-k — a post-filter returns
+    * < k rows whenever the top-k is predicate-poor, the classic
+    * filtered-ANN failure; (2) the probe set widens 4 → 8 to restore
+    * candidate volume lost to the ~1/3-selective predicate. Both the
+    * probe choice and cell assignment stay integer-exact, so the
+    * restricted-probe result hash-checks like q33's. On the persisted
+    * form of this index the label would be a codes-table column and
+    * this filter a parquet pushed predicate beside the cell partition
+    * prune. */
+  def filteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+    val qRow = emb.filter($"vec_id" === 0)
+      .select($"embedding").head.getSeq[Float](0).toArray
+    val probeCells = gridProbeCells(quantizeRow(qRow), FilteredProbes)
+    rankAgainstQuery(
+      withGridCell(emb)
+        .filter($"vec_id" =!= 0 && $"label" % 3 === 0 &&
+          $"cell".isin(probeCells: _*))
+        .select($"vec_id", $"embedding"),
+      qRow, k = 5)
+  }
+
+  /** Oracle: q33's grid CTEs with the widened probe LIMIT and the
+    * label predicate inside the candidate scan. */
+  private val filteredAnnSql =
+    s"""WITH ${Seq(gridParamCtes, gridQvEmbeddings,
+        gridSearchCtes("gqv", FilteredProbes)).mkString(",\n")},
+      |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+      |SELECT rank, vec_id FROM (
+      |  SELECT CAST(ROW_NUMBER() OVER (
+      |      ORDER BY ${duckNanvl("list_cosine_similarity(e.embedding, q.q_emb)")} DESC,
+      |               e.vec_id ASC) AS BIGINT) AS rank,
+      |    e.vec_id
+      |  FROM embeddings e JOIN gassign a ON e.vec_id = a.vec_id, q
+      |  WHERE e.vec_id <> 0 AND e.label % 3 = 0
+      |    AND a.cell IN (SELECT cell FROM gprobe)) t
+      |WHERE rank <= 5""".stripMargin
+
+  /** q182 — recall audit of the filtered search: |q181 ∩ exact
+    * filtered top-5| as a one-row report. The exact arm is the
+    * brute-force filtered ranking (what q181 approximates); the
+    * audit is the number every filtered-ANN deployment publishes,
+    * and both arms are deterministic here so the count itself
+    * hash-checks. Same shape as q83's unfiltered recall audit, over
+    * the predicate-constrained search q181 adds. */
+  def filteredRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+    val qRow = emb.filter($"vec_id" === 0)
+      .select($"embedding").head.getSeq[Float](0).toArray
+    val exact = rankAgainstQuery(
+      emb.filter($"vec_id" =!= 0 && $"label" % 3 === 0)
+        .select($"vec_id", $"embedding"),
+      qRow, k = 5)
+    filteredAnn(spark, dir).select($"vec_id")
+      .join(exact.select($"vec_id"), "vec_id")
+      .agg(count(lit(1)).as("n_hit"))
+      .select(lit(5L).as("k"), $"n_hit")
+  }
+
+  private val filteredRecallSql =
+    s"""WITH ${Seq(gridParamCtes, gridQvEmbeddings,
+        gridSearchCtes("gqv", FilteredProbes)).mkString(",\n")},
+      |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+      |ann AS (SELECT vec_id FROM (
+      |  SELECT ROW_NUMBER() OVER (
+      |      ORDER BY ${duckNanvl("list_cosine_similarity(e.embedding, q.q_emb)")} DESC,
+      |               e.vec_id ASC) AS rank,
+      |    e.vec_id
+      |  FROM embeddings e JOIN gassign a ON e.vec_id = a.vec_id, q
+      |  WHERE e.vec_id <> 0 AND e.label % 3 = 0
+      |    AND a.cell IN (SELECT cell FROM gprobe)) t
+      |  WHERE rank <= 5),
+      |ex AS (SELECT vec_id FROM (
+      |  SELECT ROW_NUMBER() OVER (
+      |      ORDER BY ${duckNanvl("list_cosine_similarity(e.embedding, q.q_emb)")} DESC,
+      |               e.vec_id ASC) AS rank,
+      |    e.vec_id
+      |  FROM embeddings e, q
+      |  WHERE e.vec_id <> 0 AND e.label % 3 = 0) t
+      |  WHERE rank <= 5)
+      |SELECT CAST(5 AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_hit
+      |FROM ann JOIN ex USING (vec_id)""".stripMargin
+
+  /** q183's serving constants: the rerank window (candidate pool) and
+    * result size. λ = 1/2 mixes relevance and diversity; halving is
+    * exact in binary, so the greedy scores are the same one-subtraction
+    * double expression in both engines. */
+  private val MmrPool = 20
+  private val MmrK = 5
+
+  /** q183 — MMR (maximal-marginal-relevance) diversified rerank: from
+    * the exact cosine top-20 pool, greedily select 5 results maximizing
+    * λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s) — the standard
+    * redundancy-suppressing rerank a RAG serving stack runs between
+    * retrieval and the context window (near-duplicate chunks crowd out
+    * coverage otherwise). Round 1 is the plain cosine argmax; each
+    * later round penalizes similarity to everything already chosen;
+    * ties break to the lower vec_id.
+    *
+    * Scale shape: the DISTRIBUTED work is the pool selection
+    * (TakeOrderedAndProject over the corpus — q30's plan) and the
+    * pool×pool similarity matrix (broadcast self-join, W·(W−1) rows);
+    * the greedy loop itself is inherently sequential in k, runs over
+    * the collected W×W matrix, and is O(k·W) driver arithmetic on
+    * SERVING CONSTANTS (W=20, k=5) — the q76-rerank/q179 bounded-
+    * parameter precedent, invariant in corpus size. */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+    val qRow = emb.filter($"vec_id" === 0)
+      .select($"embedding").head.getSeq[Float](0).toArray
+    val query = Seq(qRow.toSeq).toDF("q_emb")
+    val pool = emb.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(query))
+      .withColumn("simq",
+        nanvl(cosine($"embedding", $"q_emb"), lit(Double.NegativeInfinity)))
+      .orderBy($"simq".desc, $"vec_id".asc).limit(MmrPool)
+      .select($"vec_id", $"embedding", $"simq")
+    val a = pool.select($"vec_id".as("a_id"), $"embedding".as("a_emb"),
+      $"simq".as("a_simq"))
+    val b = pool.select($"vec_id".as("b_id"), $"embedding".as("b_emb"))
+    val mat = a.join(broadcast(b), $"a_id" =!= $"b_id")
+      .select($"a_id", $"a_simq", $"b_id",
+        nanvl(cosine($"a_emb", $"b_emb"), lit(Double.NegativeInfinity))
+          .as("s"))
+      .collect()
+    val simq = mat.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pairSim = mat.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    var selected = Vector.empty[Long]
+    var remaining = simq.keySet
+    while (selected.size < MmrK && remaining.nonEmpty) {
+      val pick = remaining.toSeq.map { id =>
+        val score =
+          if (selected.isEmpty) simq(id)
+          else 0.5 * simq(id) - 0.5 * selected.map(s => pairSim((id, s))).max
+        (score, id)
+      }.minBy { case (score, id) => (-score, id) }._2
+      selected :+= pick
+      remaining -= pick
+    }
+    selected.zipWithIndex
+      .map { case (id, i) => (i + 1L, id) }.toDF("rank", "vec_id")
+  }
+
+  /** Oracle: the greedy rounds unrolled as CTEs (the q101/q157
+    * iterative-oracle device) — r1 is the cosine argmax, each rN picks
+    * the best remaining candidate against the accumulated selection. */
+  private val mmrRerankSql = {
+    val simQ = duckNanvl("list_cosine_similarity(e.embedding, q.q_emb)")
+    val simP = duckNanvl("list_cosine_similarity(a.embedding, b.embedding)")
+    def round(r: Int, sel: String) =
+      s"""r$r AS (SELECT p.vec_id FROM pool p
+        |  WHERE p.vec_id NOT IN (SELECT vec_id FROM $sel)
+        |  ORDER BY 0.5 * p.simq - 0.5 * (SELECT MAX(ps.s) FROM ps
+        |      WHERE ps.a_id = p.vec_id
+        |        AND ps.b_id IN (SELECT vec_id FROM $sel)) DESC,
+        |    p.vec_id LIMIT 1)""".stripMargin
+    s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+      |sc AS (SELECT e.vec_id, e.embedding, $simQ AS simq
+      |  FROM embeddings e, q WHERE e.vec_id <> 0),
+      |pool AS (SELECT * FROM sc ORDER BY simq DESC, vec_id LIMIT $MmrPool),
+      |ps AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, $simP AS s
+      |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+      |r1 AS (SELECT vec_id FROM pool ORDER BY simq DESC, vec_id LIMIT 1),
+      |${round(2, "r1")},
+      |sel2 AS (SELECT vec_id FROM r1 UNION ALL SELECT vec_id FROM r2),
+      |${round(3, "sel2")},
+      |sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM r3),
+      |${round(4, "sel3")},
+      |sel4 AS (SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM r4),
+      |${round(5, "sel4")}
+      |SELECT CAST(1 AS BIGINT) AS rank, vec_id FROM r1
+      |UNION ALL SELECT 2, vec_id FROM r2
+      |UNION ALL SELECT 3, vec_id FROM r3
+      |UNION ALL SELECT 4, vec_id FROM r4
+      |UNION ALL SELECT 5, vec_id FROM r5""".stripMargin
+  }
+
+  /** q184 — SQ8 scalar-quantized ANN, the third compression point on
+    * the accuracy/size curve beside full-precision (q30) and PQ
+    * (q67): each dimension is affinely mapped to an integer code in
+    * [0, 255] using per-dimension corpus min/max — 4× smaller than
+    * float32, no codebook training — and search ranks by integer
+    * squared-L2 between code vectors, one codegen loop
+    * ([[graft.functions.VectorExpressions.LongVecSqDist]]) per
+    * candidate. The quantization arithmetic is the same double
+    * expression in both engines and floor is unambiguous, so codes —
+    * and therefore the emitted integer distances — hash-check exactly.
+    *
+    * Scale shape: the stats pass is a 64-key partial-aggregatable
+    * min/max (one scan, map-side combined); the collected stats are a
+    * 128-double bounded parameter (the centroid/codebook precedent);
+    * search is a broadcast-query scan over codes. The deployed form
+    * persists codes beside the PQ tables — same cell partitioning,
+    * 4 bytes/dim → 1. */
+  def sq8Ann(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+    val st = emb
+      .select(posexplode($"embedding").as(Seq("d", "x")))
+      .groupBy($"d")
+      .agg(min($"x".cast("double")).as("mn"),
+        max($"x".cast("double")).as("mx"))
+      .orderBy($"d").collect()
+    val mnLit = array(st.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+    val mxLit = array(st.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+    // code_d = floor(((x - mn_d) / (mx_d - mn_d)) * 255), constant
+    // dims (mx == mn) pinned to 0 — mirrored verbatim in the oracle
+    def codesOf(e: Column): Column =
+      transform(e, (x, i) => {
+        val lo = element_at(mnLit, i + lit(1))
+        val hi = element_at(mxLit, i + lit(1))
+        when(hi === lo, lit(0L)).otherwise(
+          floor((x.cast("double") - lo) / (hi - lo) * lit(255)))
+      })
+    val coded = emb.select($"vec_id", codesOf($"embedding").as("codes"))
+    val q = coded.filter($"vec_id" === 0).select($"codes".as("q_codes"))
+    coded.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("idist", graft.functions.VectorExpressions
+        .longVecSqDist($"codes", $"q_codes"))
+      .orderBy($"idist".asc, $"vec_id".asc).limit(5)
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"idist".asc, $"vec_id".asc)).cast("long"))
+      .select($"rank", $"vec_id", $"idist")
+  }
+
+  private val sq8AnnSql =
+    """WITH dims AS (SELECT unnest(range(64)) AS d),
+      |ex AS (SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS x
+      |  FROM embeddings, dims),
+      |st AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY d),
+      |codes AS (SELECT vec_id, d,
+      |    CASE WHEN mx = mn THEN 0
+      |         ELSE CAST(floor(((x - mn) / (mx - mn)) * 255) AS BIGINT)
+      |    END AS c
+      |  FROM ex JOIN st USING (d)),
+      |dist AS (SELECT a.vec_id,
+      |    CAST(SUM((a.c - qc.c) * (a.c - qc.c)) AS BIGINT) AS idist
+      |  FROM codes a JOIN codes qc ON a.d = qc.d AND qc.vec_id = 0
+      |  WHERE a.vec_id <> 0 GROUP BY a.vec_id)
+      |SELECT rank, vec_id, idist FROM (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY idist, vec_id) AS BIGINT)
+      |      AS rank,
+      |    vec_id, idist
+      |  FROM dist) t
       |WHERE rank <= 5""".stripMargin
 
   /** q111 — SemDeDup-shaped semantic dedup: near-duplicate embeddings
@@ -2984,6 +3247,24 @@ object VectorOps {
       "IVF ANN, probe 4/16 cells: integer-exact md5-grid coarse " +
         "quantizer makes the restricted-probe result itself " +
         "oracle-checked (KMeans variant stays as q37/ivfSearch)"),
+    Q("q181_filtered_ann", filteredAnn, Some(filteredAnnSql),
+      "metadata-filtered ANN: label predicate applied INSIDE the " +
+        "probed-cell scan (never a post-filter) with the probe set " +
+        "widened 4 -> 8 to restore candidate volume — the " +
+        "filtered-vector-search serving shape, hash-checked"),
+    Q("q182_filtered_recall", filteredRecall, Some(filteredRecallSql),
+      "recall audit of the filtered search: |q181 ∩ exact filtered " +
+        "top-5| as a one-row report — the number a filtered-ANN " +
+        "deployment publishes"),
+    Q("q183_mmr_rerank", mmrRerank, Some(mmrRerankSql),
+      "MMR diversified rerank (λ=1/2): greedy top-5 from the cosine " +
+        "top-20 pool penalizing similarity to already-chosen results " +
+        "— the RAG redundancy suppressor; greedy rounds " +
+        "oracle-unrolled as CTEs"),
+    Q("q184_sq8_ann", sq8Ann, Some(sq8AnnSql),
+      "SQ8 scalar-quantized ANN: per-dimension affine int8 codes " +
+        "(4x compression, no training), integer squared-L2 via one " +
+        "codegen loop — distances integer-exact in the output"),
     Q("q37_ivf_probe_all", ivfKnnProbeAll, Some(knnTopKSql),
       "IVF ANN with probes==cells: exactness contract hash-checked " +
         "against the brute-force oracle"),

@@ -997,4 +997,144 @@ class OperatorPropertiesSpec extends SparkSuite {
         r.getLong(3), r.getLong(4)))
     assert(rows.toSet == again.toSet)
   }
+
+  test("q180 promo-window load: grid decomposition equals the theta join") {
+    import spark.implicits._
+    val got = EventOps.promoWindowLoad(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: the plain (unscalable) theta join over the same data —
+    // the semantics the bucket rewrite must reproduce exactly
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select($"event_id", $"event_type",
+        unix_timestamp($"ts").cast("long").as("t"), $"value")
+    val pur = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"t".as("start_s"),
+        ($"t" + lit(60L) + floor($"value").cast("long")).as("end_s"))
+    val ck = ev.filter($"event_type" === "click").select($"t".as("c_s"))
+    val ref = pur.join(ck, $"c_s" >= $"start_s" && $"c_s" < $"end_s",
+        "left")
+      .groupBy($"event_id").agg(count($"c_s").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+    assert(got.valuesIterator.exists(_ > 0L), "windows must catch clicks")
+    assert(got.valuesIterator.exists(_ == 0L) || got.size == ref.size)
+  }
+
+  test("q185 vocab-overlap sketch: mergeability law + inclusion-" +
+      "exclusion estimates within 25% of exact intersections") {
+    import spark.implicits._
+    val merged = TextOps.vocabOverlapSketch(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2),
+        r.getLong(3)))
+    val regs = TextOps.hllRegisters(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(x => x._2 -> x._3).toMap).toMap
+    // (1) mergeability law: the pair sketch is the elementwise min of
+    // the members — and equals a from-scratch sketch of the pooled
+    // corpus (recompute one pair by relabeling both sources)
+    val pairs = merged.map(_._1).distinct
+    assert(pairs.length ==
+      regs.size * (regs.size - 1) / 2, "one sketch per source pair")
+    for (((a, b), reg, t) <- merged)
+      assert(t == math.min(
+        regs(a).getOrElse(reg, Long.MaxValue),
+        regs(b).getOrElse(reg, Long.MaxValue)))
+    val (pa, pb) = pairs.head
+    val pooled = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"source".isin(pa, pb))
+      .withColumn("source", lit("pooled"))
+    val fromScratch = TextOps.hllRegistersOf(pooled).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(merged.filter(_._1 == (pa, pb))
+      .map(x => x._2 -> x._3).toMap == fromScratch,
+      "pair sketch must equal the sketch of the pooled corpus")
+    // (2) estimate accuracy: |A∩B| ≈ est(A) + est(B) − est(A∪B)
+    val m = 64
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    def est(d: Map[Long, Long]): Double = {
+      val ranks = Array.fill(m)(0)
+      for ((reg, minTail) <- d)
+        ranks(reg.toInt) =
+          54 - (64 - java.lang.Long.numberOfLeadingZeros(minTail)) + 1
+      val raw = alpha * m * m / ranks.map(r => math.pow(2.0, -r)).sum
+      val zeros = ranks.count(_ == 0)
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+      else raw
+    }
+    val toks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"source", explode(split($"text", " ")).as("t"))
+      .filter($"t" =!= "").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((a, b) <- pairs) {
+      val u = merged.filter(_._1 == (a, b)).map(x => x._2 -> x._3).toMap
+      val estOverlap = est(regs(a)) + est(regs(b)) - est(u)
+      val exact = (toks(a) & toks(b)).size.toDouble
+      assert(math.abs(estOverlap - exact) / math.max(exact, 1.0) < 0.25,
+        s"($a,$b): est=$estOverlap exact=$exact")
+    }
+  }
+
+  test("q183 MMR rerank equals an independent driver reference of the " +
+      "greedy policy") {
+    import spark.implicits._
+    val got = VectorOps.mmrRerank(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toList.sortBy(_._1)
+    // reference: FloatVecDot's exact arithmetic (float products, double
+    // accumulation) + the same λ=1/2 greedy, written independently
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += (a(i) * b(i)).toDouble; i += 1 }
+      acc
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val s = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      if (s.isNaN) Double.NegativeInfinity else s
+    }
+    val q = vecs(0L)
+    val pool = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+    val simq = pool.toMap
+    var selected = Vector.empty[Long]
+    var remaining = simq.keySet
+    while (selected.size < 5) {
+      val pick = remaining.toSeq.map { id =>
+        val sc =
+          if (selected.isEmpty) simq(id)
+          else 0.5 * simq(id) -
+            0.5 * selected.map(s => cos(vecs(id), vecs(s))).max
+        (sc, id)
+      }.minBy { case (sc, id) => (-sc, id) }._2
+      selected :+= pick
+      remaining -= pick
+    }
+    assert(got == selected.zipWithIndex
+      .map { case (id, i) => (i + 1L, id) }.toList)
+    // the diversity penalty must have bitten on this data: the MMR set
+    // differs from the plain cosine top-5 (else the query shows nothing)
+    assert(got.map(_._2).toSet != pool.take(5).map(_._1).toSet,
+      "pool top-5 and MMR top-5 coincide — data exercises no diversity")
+  }
+
+  test("q184 SQ8: codes bounded, distances ascending, exact-NN recall") {
+    import spark.implicits._
+    val rows = VectorOps.sq8Ann(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 5)
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
+    assert(rows.forall(_._3 >= 0L))
+    // 8-bit quantization is fine enough that the exact cosine top-5
+    // largely survives (metric changes cosine → L2, so demand ≥ 3/5)
+    val exact = VectorOps.knnTopK(spark, sf0001).collect()
+      .map(_.getLong(1)).toSet
+    assert(rows.map(_._2).toSet.intersect(exact).size >= 3,
+      s"sq8=${rows.map(_._2).toSet} exact=$exact")
+    // code bound check: 64 dims × max per-dim delta 255² bounds idist
+    assert(rows.forall(_._3 <= 64L * 255 * 255))
+  }
 }
