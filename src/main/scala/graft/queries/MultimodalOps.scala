@@ -325,6 +325,93 @@ object MultimodalOps {
       |  (start_off + cost - 1) // $MmSeqLen AS end_seq
       |FROM p""".stripMargin
 
+  /** q188's frame pitch: digests are taken over FIXED 32-code-point
+    * windows (trailing remainder dropped), NOT the q84 stub's
+    * per-asset length-derived geometry — a copy that gained or lost a
+    * few trailing bytes would otherwise re-frame ENTIRELY differently
+    * and share nothing (exactly what made the first cut of this query
+    * return zero rows on the near-dup corpus). Fixed pitch is what
+    * real scene-hash dedup uses: alignment survives trailing edits. */
+  private val DedupFramePitch = 32
+
+  /** q188 — cross-asset near-dup detection in the BINARY domain: two
+    * media assets are near-duplicates when they share frame-content
+    * digests (re-encoded, re-containered, or trimmed copies keep most
+    * frame content — the fixed-pitch digest is the stand-in for a
+    * perceptual frame hash). Candidate generation is the dedup
+    * family's equi shape: a self-join on `frame_md5` (Σ digest-
+    * group², never asset²), then per-pair shared-frame counts against
+    * each side's frame inventory, with the containment verdict
+    * n_shared·2 ≥ min(na, nb) in cross-multiplied integer form.
+    * Within-asset repeated frames are collapsed first (set semantics —
+    * a still-frame loop must not inflate overlap).
+    *
+    * This extends exact/near dedup (q40/q42), semantic dedup (q111),
+    * and chunk dedup (q145) to the multimodal column: same
+    * fingerprint-block-verify architecture, keyed on decoded content
+    * digests instead of text shingles. At 100 TB a hot digest (black
+    * frame, intro card) is the skew lever — cap or drop
+    * degenerate-frequency digests exactly like q42's band-bucket
+    * caps. */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pitch = DedupFramePitch
+    val frames = Tables(spark, dir, "documents")
+      .select($"doc_id", encode($"text", "utf-8").as("payload"))
+      .as[Asset]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { a =>
+          val decoded = new String(a.payload,
+            java.nio.charset.StandardCharsets.UTF_8)
+          val nChars = decoded.codePointCount(0, decoded.length)
+          (0 until nChars / pitch).map { fi =>
+            val s = decoded.substring(
+              decoded.offsetByCodePoints(0, fi * pitch),
+              decoded.offsetByCodePoints(0, fi * pitch + pitch))
+            md.reset()
+            (a.doc_id, md.digest(s.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+              .map("%02x".format(_)).mkString)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_md5").distinct()
+    val counts = frames.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
+    val shared = frames.select($"doc_id".as("a_id"), $"frame_md5")
+      .join(frames.select($"doc_id".as("b_id"), $"frame_md5"),
+        "frame_md5")
+      .filter($"a_id" < $"b_id")
+      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(counts.select($"doc_id".as("a_id"), $"nf".as("na")), "a_id")
+      .join(counts.select($"doc_id".as("b_id"), $"nf".as("nb")), "b_id")
+      .select($"a_id", $"b_id", $"n_shared", $"na", $"nb",
+        ($"n_shared" * 2 >= least($"na", $"nb")).as("is_dup"))
+  }
+
+  private val mediaDedupSql =
+    s"""WITH fr0 AS (
+      |  SELECT doc_id,
+      |    md5(substr(text, 1 + CAST(fi * $DedupFramePitch AS INT),
+      |      $DedupFramePitch)) AS frame_md5
+      |  FROM documents,
+      |    unnest(generate_series(0,
+      |      len(text) // $DedupFramePitch - 1)) t(fi)),
+      |fr AS (SELECT DISTINCT doc_id, frame_md5 FROM fr0),
+      |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf
+      |  FROM fr GROUP BY 1),
+      |sh AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_shared
+      |  FROM fr a JOIN fr b
+      |    ON a.frame_md5 = b.frame_md5 AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT sh.a_id, sh.b_id, sh.n_shared,
+      |  ca.nf AS na, cb.nf AS nb,
+      |  sh.n_shared * 2 >= least(ca.nf, cb.nf) AS is_dup
+      |FROM sh JOIN cnt ca ON ca.doc_id = sh.a_id
+      |        JOIN cnt cb ON cb.doc_id = sh.b_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q140_mm_packed_stream", mmPackedStream, Some(mmPackedStreamSql),
       "interleaved multimodal packing: q91's contiguous-stream device " +
@@ -342,5 +429,10 @@ object MultimodalOps {
         "via flatMap in the decode partition map"),
     Q("q96_resize_thumbs", resizeThumbs, Some(resizeThumbsSql),
       "stub resize: 4x byte-stride decimation, binary-in/binary-out " +
-        "columnar shape, resized payload digest IN the hash check"))
+        "columnar shape, resized payload digest IN the hash check"),
+    Q("q188_media_dedup", mediaDedup, Some(mediaDedupSql),
+      "multimodal near-dup: assets sharing frame-content digests " +
+        "(equi join on digest, set semantics within asset) with " +
+        "integer containment verdict — q42's architecture keyed on " +
+        "decoded content instead of text shingles"))
 }

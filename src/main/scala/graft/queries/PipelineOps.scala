@@ -3555,6 +3555,72 @@ object PipelineOps {
       |FROM cd JOIN cn USING (chunk_hash)
       |WHERE cd.n_docs > 1""".stripMargin
 
+  /** q187 — corpus snapshot diff (CDC): the refresh-night question
+    * "what changed between yesterday's lake and today's crawl", as one
+    * co-partitioned full-outer join of content DIGESTS. Each side
+    * reduces to (doc_id, md5(text)) at scan time — the text itself is
+    * never shipped twice or compared byte-wise — and the verdict is a
+    * four-way CASE over digest presence/equality: added / deleted /
+    * changed / unchanged. Downstream this table is exactly what the
+    * incremental machinery consumes: `added` + `changed` feed the
+    * delta-dedup and index-upsert paths (q130, the posting/chunk
+    * appenders), `deleted` feeds the take-down paths, `unchanged`
+    * short-circuits re-processing.
+    *
+    * The two snapshots here derive from one table via md5 membership/
+    * edit markers (the q130 isDeltaCol device) so the DuckDB oracle
+    * covers the whole flow; production reads two parquet roots. At
+    * 100 TB both snapshots bucket by doc_id, so the full-outer join is
+    * co-located and shuffle-free; the verdict rollup is
+    * partial-aggregatable. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val marked = Tables(spark, dir, "documents")
+      .select($"doc_id", $"text",
+        (substring(md5(concat(lit("add:"), $"doc_id".cast("string"))),
+          1, 2) < "10").as("m_add"),
+        (substring(md5(concat(lit("del:"), $"doc_id".cast("string"))),
+          1, 2) < "10").as("m_del"),
+        (substring(md5(concat(lit("edit:"), $"doc_id".cast("string"))),
+          1, 2) < "20").as("m_edit"))
+    val old = marked.filter(!$"m_add")
+      .select($"doc_id", md5($"text").as("old_hash"))
+    val neu = marked.filter(!$"m_del")
+      .select($"doc_id",
+        md5(when($"m_edit", concat($"text", lit(" [rev2]")))
+          .otherwise($"text")).as("new_hash"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        when($"old_hash".isNull, "added")
+          .when($"new_hash".isNull, "deleted")
+          .when($"old_hash" =!= $"new_hash", "changed")
+          .otherwise("unchanged").as("verdict"),
+        $"old_hash", $"new_hash")
+  }
+
+  private val snapshotDiffSql =
+    """WITH m AS (
+      |  SELECT doc_id, text,
+      |    substr(md5(concat('add:', CAST(doc_id AS VARCHAR))), 1, 2)
+      |      < '10' AS m_add,
+      |    substr(md5(concat('del:', CAST(doc_id AS VARCHAR))), 1, 2)
+      |      < '10' AS m_del,
+      |    substr(md5(concat('edit:', CAST(doc_id AS VARCHAR))), 1, 2)
+      |      < '20' AS m_edit
+      |  FROM documents),
+      |o AS (SELECT doc_id, md5(text) AS old_hash FROM m WHERE NOT m_add),
+      |n AS (SELECT doc_id,
+      |    md5(CASE WHEN m_edit THEN concat(text, ' [rev2]') ELSE text END)
+      |      AS new_hash
+      |  FROM m WHERE NOT m_del)
+      |SELECT doc_id,
+      |  CASE WHEN o.old_hash IS NULL THEN 'added'
+      |       WHEN n.new_hash IS NULL THEN 'deleted'
+      |       WHEN o.old_hash <> n.new_hash THEN 'changed'
+      |       ELSE 'unchanged' END AS verdict,
+      |  o.old_hash, n.new_hash
+      |FROM o FULL OUTER JOIN n USING (doc_id)""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q144_rag_chunks", ragChunks, Some(ragChunksSql),
       "retrieval chunking: overlapping 32/24 fixed-geometry chunks " +
@@ -3738,5 +3804,9 @@ object PipelineOps {
       Some(tokenizerFertilitySql),
       "per-source tokenizer fertility card: symbols per 1000 chars " +
         "and percent saved by the mined merges, integer-exact rollup " +
-        "of the q106 application chain"))
+        "of the q106 application chain"),
+    Q("q187_snapshot_diff", snapshotDiff, Some(snapshotDiffSql),
+      "corpus snapshot CDC: co-partitioned full-outer digest join -> " +
+        "added/deleted/changed/unchanged verdicts — the refresh diff " +
+        "that feeds the incremental dedup/index/take-down paths"))
 }

@@ -837,6 +837,73 @@ object StreamingQueries {
       .withColumn("drift_ppm", abs(col("delta_ppm") - col("corpus_ppm")))
   }
 
+  /** q186's AGREEMENT MONITOR as a stream: the cumulative 2×2
+    * confusion of the two quality gates over everything that has
+    * arrived, in complete mode — the live "are my scorers still
+    * agreeing" gauge beside the drift monitors. Gate A (stopword
+    * mass ≥ 5 %, cross-multiplied integers) is stateless per row;
+    * gate B scores against FROZEN corpus parameters hoisted once at
+    * wiring time: the bounded top-`vocabCap` frequency map (the
+    * [[calibratedScorer]] vocab-cap device — never the raw
+    * vocabulary) and the corpus-mean threshold (one scalar read off
+    * the batch lift). Unseen / out-of-cap terms contribute zero
+    * frequency mass but still count in the denominator, so a
+    * novel-vocabulary document dilutes toward gb = false — the gate
+    * fails conservative, and the stream equals batch q186 exactly
+    * whenever the corpus vocabulary fits the cap (every test corpus).
+    * The cumulative counts live in ONE stateful aggregate (four
+    * conditional sums); the ppm/kappa arithmetic is q186's
+    * expressions verbatim, stateless over the aggregate row.
+    * Stream == batch asserted in StreamingSpec. */
+  def agreementMonitorStream(docs: DataFrame, corpus: DataFrame,
+      vocabCap: Int = CalVocabCap): DataFrame = {
+    val freq = corpus
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("t").asc).limit(vocabCap)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val freqMap = map(freq.toIndexedSeq.flatMap { case (t, f) =>
+      Seq(lit(t), lit(f)) }: _*)
+    // the corpus-mean threshold, exactly q186's scalar (full-vocab
+    // batch lift — the model build may afford what serving cannot)
+    val tot = graft.queries.TextOps.unigramScoreOf(corpus)
+      .agg(sum(col("sum_freq")).as("tf"), sum(col("n_tokens")).as("tn"))
+      .collect().head
+    val thr = tot.getLong(0) * 1000000L / math.max(tot.getLong(1), 1L)
+    docs
+      .withColumn("ga", size(expr(
+        "filter(split(coalesce(text, ''), ' '), " +
+          "x -> x IN ('the','a','of','and','to','in'))")).cast("long")
+        * 20 >= size(split(coalesce(col("text"), lit("")), " "))
+          .cast("long"))
+      .withColumn("tk", filter(
+        split(coalesce(col("text"), lit("")), " "), t => t =!= ""))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .withColumn("sf", aggregate(col("tk"), lit(0L),
+        (acc, t) => acc + coalesce(element_at(freqMap, t), lit(0L))))
+      .withColumn("gb",
+        expr(s"IF(n = 0, CAST(0 AS BIGINT), sf * 1000000 div n)")
+          >= lit(thr))
+      .groupBy()
+      .agg(
+        sum(when(col("ga") && col("gb"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("ga") && !col("gb"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("ga") && col("gb"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("ga") && !col("gb"), 1L).otherwise(0L)).as("n00"))
+      .select(col("n11"), col("n10"), col("n01"), col("n00"),
+        expr("(n11 + n00) * 1000000 div (n11 + n10 + n01 + n00)")
+          .as("po_ppm"),
+        expr("(((n11 + n10) * 1000000 div (n11 + n10 + n01 + n00)) " +
+          "* (n11 + n01) + ((n01 + n00) * 1000000 div " +
+          "(n11 + n10 + n01 + n00)) * (n10 + n00)) div " +
+          "(n11 + n10 + n01 + n00)").as("pe_ppm"))
+      .select(col("n11"), col("n10"), col("n01"), col("n00"),
+        col("po_ppm"), col("pe_ppm"),
+        (col("po_ppm") - col("pe_ppm")).as("kappa_num_ppm"),
+        (lit(1000000L) - col("pe_ppm")).as("kappa_den_ppm"))
+  }
+
   // ------------------------------------------------------- sessionizer
   final case class SEvent(user_id: Long, ts_s: Long, event_id: Long)
   final case class SessionOut(user_id: Long, session_idx: Long,

@@ -661,6 +661,34 @@ class StreamingSpec extends SparkSuite {
     assert(full == 2000000L, s"uncapped must keep c: $full")
   }
 
+  test("agreement monitor: cumulative counts, final complete-mode row " +
+      "== batch q186") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.queries.TextOps.scorerAgreement(spark, sf0001)
+      .collect().head
+    val corpus = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text")
+    val feed = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingQueries.agreementMonitorStream(
+        ms.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("agree_out").start()
+    // two waves: the confusion must accumulate across batches, and
+    // the fully-arrived row must equal batch q186 column for column
+    ms.addData(feed.take(10).toIndexedSeq: _*)
+    q.processAllAvailable()
+    val mid = spark.table("agree_out").collect().head
+    assert((0 to 3).map(mid.getLong(_)).sum == 10L,
+      s"mid-stream confusion must cover exactly the arrivals: $mid")
+    ms.addData(feed.drop(10).toIndexedSeq: _*)
+    q.processAllAvailable()
+    val fin = spark.table("agree_out").collect().head
+    q.stop()
+    assert(fin.toSeq == batch.toSeq, s"stream=$fin batch=$batch")
+  }
+
   test("trained-perceptron stream == batch margins for corpus docs; " +
       "NULL text scores the bare bias") {
     import spark.implicits._
