@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.VectorExpressions.{DimCountVector, FloatVecDot, MinHashLongs, SimHash64}
+import graft.functions.VectorExpressions.{DimCountVector, FloatVecDot, LongVecSqDist, MinHashLongs, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the library's native
   * expressions as SQL functions so `spark.sql` text can call them.
@@ -23,9 +23,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.FuseFloatVecDot)
+    e.injectOptimizerRule(_ => graft.plans.FuseLongVecSqDist)
     e.injectFunction((FunctionIdentifier("fvec_dot"),
       info("fvec_dot", "fvec_dot(a, b) - dot product of two float vectors"),
       (args: Seq[Expression]) => FloatVecDot(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("longvec_sqdist"),
+      info("longvec_sqdist",
+        "longvec_sqdist(a, b) - squared L2 between integer code vectors"),
+      (args: Seq[Expression]) => LongVecSqDist(args(0), args(1))))
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(hashes) - 64-bit simhash of term hashes"),
       (args: Seq[Expression]) => SimHash64(args.head)))

@@ -818,6 +818,57 @@ object EventOps {
       |  ON c.c_s >= p.start_s AND c.c_s < p.end_s
       |GROUP BY 1""".stripMargin
 
+  /** q190 — sketch-driven outlier gate: flag events whose value lies
+    * STRICTLY BEYOND the per-type p99 histogram bin — the data-quality
+    * tripwire that runs off q112's mergeable sketch instead of an
+    * exact global sort. The cutoff derivation is sketch-sized work
+    * (windows over (type, bin) rows, never events); the gate itself is
+    * one keyed join against a ≤|types|-row cutoff table (broadcast at
+    * any corpus size) plus a stateless bin comparison — so at 100 TB
+    * the scan cost is the gate's only data-sized term, and the same
+    * frozen cutoff table drops into an ingest stream as a literal map
+    * (the cellDriftStream parameter pattern). floor-binning is
+    * IEEE-identical in both engines, so the flagged set hash-checks
+    * exactly — unlike any approx_percentile-derived gate. */
+  def outlierGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    val bins = ev.select($"event_type", histBin($"value").as("bin"))
+      .groupBy($"event_type", $"bin").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"event_type").orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cut = bins
+      .withColumn("cum", sum($"c").over(w))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"event_type")))
+      .groupBy($"event_type")
+      .agg(min(when($"cum" * 100 >= $"n" * 99, $"bin")).as("p99_bin"))
+    ev.join(cut, "event_type")
+      .filter(histBin($"value") > $"p99_bin")
+      .select($"event_id", $"event_type", $"value", $"p99_bin")
+  }
+
+  private val outlierGateSql =
+    s"""WITH b AS (
+      |  SELECT event_type, CAST(floor(value / $histBinW) AS BIGINT) AS bin,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |cw AS (
+      |  SELECT event_type, bin,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(c) OVER (PARTITION BY event_type) AS n
+      |  FROM b),
+      |cut AS (
+      |  SELECT event_type,
+      |    CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN bin END) AS BIGINT)
+      |      AS p99_bin
+      |  FROM cw GROUP BY 1)
+      |SELECT e.event_id, e.event_type, e.value, cut.p99_bin
+      |FROM events e JOIN cut USING (event_type)
+      |WHERE CAST(floor(e.value / $histBinW) AS BIGINT) > cut.p99_bin"""
+      .stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q10_hourly_event_counts", hourlyCounts, Some(hourlyCountsSql),
       "hour-of-day histogram (ref Q2 affluence shape)"),
@@ -873,5 +924,10 @@ object EventOps {
       "unkeyed variable-length interval join via time-grid " +
         "decomposition: per-purchase promo-window click load as an " +
         "equi join on manufactured grid cells (<=3x replication), " +
-        "where the naive plan is a nested-loop theta join"))
+        "where the naive plan is a nested-loop theta join"),
+    Q("q190_outlier_gate", outlierGate, Some(outlierGateSql),
+      "sketch-driven outlier gate: events strictly beyond the " +
+        "per-type p99 histogram bin — cutoffs from q112's mergeable " +
+        "sketch, gate = one broadcast join + bin compare, flagged " +
+        "set hash-exact"))
 }

@@ -3621,6 +3621,63 @@ object PipelineOps {
       |  o.old_hash, n.new_hash
       |FROM o FULL OUTER JOIN n USING (doc_id)""".stripMargin
 
+  /** q189's anonymity threshold: a cohort must hold ≥ K documents for
+    * its quasi-identifier combination to be releasable. */
+  private val KAnon = 5L
+
+  /** q189 — k-anonymity generalization walk: for each document, find
+    * the MOST SPECIFIC quasi-identifier combination whose cohort still
+    * holds ≥ k documents — the release-gating question a governance
+    * pass answers before corpus metadata ships with training data.
+    * The generalization lattice here is the 3-step chain
+    * (source, lang, 256-char length bucket) → (source, lang) →
+    * (source); a document whose every level is under-populated is
+    * `anon_level` 0 = suppress. Emitted: the chosen level and its
+    * cohort size (suppressed docs carry their level-1 cohort size —
+    * the number that failed).
+    *
+    * Shape: three partial-aggregatable counts over successively
+    * coarser keys (each bounded by the previous level's group count),
+    * three keyed joins back to the doc frame, one CASE — no windows,
+    * no per-doc state. At 100 TB the lattice levels are dimension-
+    * sized aggregates and the joins broadcast; the walk never touches
+    * text. */
+  def kAnonGeneralize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, dir, "documents")
+      .select($"doc_id", $"source", $"lang",
+        expr("n_chars div 256").as("len_b"))
+    val g3 = d.groupBy($"source", $"lang", $"len_b")
+      .agg(count(lit(1)).as("n3"))
+    val g2 = d.groupBy($"source", $"lang").agg(count(lit(1)).as("n2"))
+    val g1 = d.groupBy($"source").agg(count(lit(1)).as("n1"))
+    d.join(g3, Seq("source", "lang", "len_b"))
+      .join(g2, Seq("source", "lang"))
+      .join(g1, Seq("source"))
+      .select($"doc_id",
+        when($"n3" >= KAnon, 3L).when($"n2" >= KAnon, 2L)
+          .when($"n1" >= KAnon, 1L).otherwise(0L).as("anon_level"),
+        when($"n3" >= KAnon, $"n3").when($"n2" >= KAnon, $"n2")
+          .otherwise($"n1").as("cohort_n"))
+  }
+
+  private val kAnonGeneralizeSql =
+    s"""WITH d AS (SELECT doc_id, source, lang, n_chars // 256 AS len_b
+      |  FROM documents),
+      |g3 AS (SELECT source, lang, len_b, COUNT(*) AS n3
+      |  FROM d GROUP BY 1, 2, 3),
+      |g2 AS (SELECT source, lang, COUNT(*) AS n2 FROM d GROUP BY 1, 2),
+      |g1 AS (SELECT source, COUNT(*) AS n1 FROM d GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(CASE WHEN n3 >= $KAnon THEN 3 WHEN n2 >= $KAnon THEN 2
+      |       WHEN n1 >= $KAnon THEN 1 ELSE 0 END AS BIGINT) AS anon_level,
+      |  CAST(CASE WHEN n3 >= $KAnon THEN n3
+      |            WHEN n2 >= $KAnon THEN n2
+      |            ELSE n1 END AS BIGINT) AS cohort_n
+      |FROM d JOIN g3 USING (source, lang, len_b)
+      |       JOIN g2 USING (source, lang)
+      |       JOIN g1 USING (source)""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q144_rag_chunks", ragChunks, Some(ragChunksSql),
       "retrieval chunking: overlapping 32/24 fixed-geometry chunks " +
@@ -3808,5 +3865,11 @@ object PipelineOps {
     Q("q187_snapshot_diff", snapshotDiff, Some(snapshotDiffSql),
       "corpus snapshot CDC: co-partitioned full-outer digest join -> " +
         "added/deleted/changed/unchanged verdicts — the refresh diff " +
-        "that feeds the incremental dedup/index/take-down paths"))
+        "that feeds the incremental dedup/index/take-down paths"),
+    Q("q189_k_anon_generalize", kAnonGeneralize,
+      Some(kAnonGeneralizeSql),
+      "k-anonymity generalization walk: per doc, the most specific " +
+        "quasi-identifier level whose cohort holds >= 5 docs (3-step " +
+        "lattice, suppress at 0) — three bounded-key counts + keyed " +
+        "joins, no windows"))
 }

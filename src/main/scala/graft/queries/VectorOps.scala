@@ -610,6 +610,85 @@ object VectorOps {
       |  FROM dist) t
       |WHERE rank <= 5""".stripMargin
 
+  /** q191 — the compression menu's ACCURACY COLUMN: one recall row per
+    * serving configuration — grid-IVF probe-4 (prune only), PQ ADC
+    * (compress only), SQ8 (this round's affine int8) — each scored as
+    * |method top-5 ∩ exact cosine top-5|. q83 audits recall of one
+    * path in depth; this is the side-by-side table an engineer reads
+    * to PICK the compression/pruning point, and every arm is the
+    * already-proven integer-exact construction, so the whole table
+    * hash-checks. Costs nothing new at scale: each arm is its own
+    * query's plan (TakeOrderedAndProject scans), the intersections are
+    * 5-row joins. */
+  def compressionRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = knnTopK(spark, dir).select($"vec_id")
+    def arm(m: String, df: DataFrame) =
+      df.select($"vec_id").join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(m).as("method"), $"n_hit", lit(5L).as("k"))
+    arm("grid_ivf", ivfGridKnn(spark, dir))
+      .union(arm("pq_adc", pqAnn(spark, dir)))
+      .union(arm("sq8", sq8Ann(spark, dir)))
+  }
+
+  /** Oracle: the three arms' existing CTE constructions composed in
+    * one WITH (the q68 precedent for pq+grid; the SQ8 blocks carry an
+    * s-prefix so their names cannot collide with the PQ `code`/`dist`
+    * CTEs), intersected with the exact arm as scalar subqueries.
+    * LAZY: this composes [[pqCodebookCtes]], which is defined LATER in
+    * source order — an eager val here would interpolate null (the
+    * object-val-init trap the md5Long8 docs warn about); laziness
+    * defers the read to registry access time, after init completes. */
+  private lazy val compressionRecallSql = pqCodebookCtes + ",\n" +
+    gridCtes + ",\n" +
+    s"""q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+      |ex AS (SELECT vec_id FROM (
+      |  SELECT ROW_NUMBER() OVER (
+      |      ORDER BY ${duckNanvl("list_cosine_similarity(b.embedding, q.q_emb)")} DESC,
+      |               b.vec_id ASC) AS rank, b.vec_id
+      |  FROM embeddings b, q WHERE b.vec_id <> 0) t WHERE rank <= 5),
+      |gridids AS (SELECT vec_id FROM (
+      |  SELECT ROW_NUMBER() OVER (
+      |      ORDER BY ${duckNanvl("list_cosine_similarity(e.embedding, q.q_emb)")} DESC,
+      |               e.vec_id ASC) AS rank, e.vec_id
+      |  FROM embeddings e JOIN gassign a ON e.vec_id = a.vec_id, q
+      |  WHERE e.vec_id <> 0 AND a.cell IN (SELECT cell FROM gprobe)) t
+      |  WHERE rank <= 5),
+      |pqids AS (SELECT vec_id FROM (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY t.adc ASC, t.vec_id ASC)
+      |      AS rank, t.vec_id
+      |  FROM (SELECT c.vec_id, SUM(l.dist) AS adc
+      |        FROM code c JOIN dist l
+      |          ON l.vec_id = 0 AND l.s = c.s AND l.w = c.cw
+      |        WHERE c.vec_id <> 0 GROUP BY c.vec_id) t) u
+      |  WHERE rank <= 5),
+      |sex AS (SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS x
+      |  FROM embeddings, gdims),
+      |sst AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM sex GROUP BY d),
+      |scodes AS (SELECT vec_id, d,
+      |    CASE WHEN mx = mn THEN 0
+      |         ELSE CAST(floor(((x - mn) / (mx - mn)) * 255) AS BIGINT)
+      |    END AS c
+      |  FROM sex JOIN sst USING (d)),
+      |sq8ids AS (SELECT vec_id FROM (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY idist, vec_id) AS rank, vec_id
+      |  FROM (SELECT a.vec_id, SUM((a.c - qc.c) * (a.c - qc.c)) AS idist
+      |        FROM scodes a JOIN scodes qc ON a.d = qc.d AND qc.vec_id = 0
+      |        WHERE a.vec_id <> 0 GROUP BY a.vec_id) t) u
+      |  WHERE rank <= 5)
+      |SELECT 'grid_ivf' AS method,
+      |  CAST((SELECT COUNT(*) FROM gridids g JOIN ex e
+      |    ON g.vec_id = e.vec_id) AS BIGINT) AS n_hit,
+      |  CAST(5 AS BIGINT) AS k
+      |UNION ALL SELECT 'pq_adc',
+      |  CAST((SELECT COUNT(*) FROM pqids p JOIN ex e
+      |    ON p.vec_id = e.vec_id) AS BIGINT), CAST(5 AS BIGINT)
+      |UNION ALL SELECT 'sq8',
+      |  CAST((SELECT COUNT(*) FROM sq8ids s JOIN ex e
+      |    ON s.vec_id = e.vec_id) AS BIGINT), CAST(5 AS BIGINT)"""
+      .stripMargin
+
   /** q111 — SemDeDup-shaped semantic dedup: near-duplicate embeddings
     * are detected WITHIN coarse-quantizer cells only, never globally —
     * the Abbas et al. device that makes embedding-level dedup feasible
@@ -3265,6 +3344,11 @@ object VectorOps {
       "SQ8 scalar-quantized ANN: per-dimension affine int8 codes " +
         "(4x compression, no training), integer squared-L2 via one " +
         "codegen loop — distances integer-exact in the output"),
+    Q("q191_compression_recall", compressionRecall,
+      Some(compressionRecallSql),
+      "the compression menu's accuracy column: per-method top-5 " +
+        "overlap with exact cosine (grid-IVF prune / PQ ADC / SQ8) " +
+        "— the pick-your-serving-point table, every arm hash-exact"),
     Q("q37_ivf_probe_all", ivfKnnProbeAll, Some(knnTopKSql),
       "IVF ANN with probes==cells: exactness contract hash-checked " +
         "against the brute-force oracle"),

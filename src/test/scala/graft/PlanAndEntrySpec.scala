@@ -121,11 +121,21 @@ class PlanAndEntrySpec extends SparkSuite {
     // Exchange SinglePartition funnels the whole dataset through one
     // task. BroadcastNestedLoopJoins are separately audited in PLANS.md
     // (every one is an intentional tiny-side broadcast).
+    //
+    // Exemption (Stress10xSpec's scalarRollup, same argument): a
+    // KEYLESS aggregate producing a one-row report finalizes on a
+    // single partition BY CONSTRUCTION — after map-side partial
+    // aggregation the exchange moves one row per upstream partition,
+    // not the data. Only declared one-row-report queries opt in; the
+    // ban stays the default for everything else.
+    val scalarRollups = Set("q186_scorer_agreement")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, sf0001).queryExecution.executedPlan.toString
-        Seq("CartesianProduct", "Exchange SinglePartition")
-          .filter(p.contains).map(bad => s"$name: $bad")
+        val banned =
+          if (scalarRollups(name)) Seq("CartesianProduct")
+          else Seq("CartesianProduct", "Exchange SinglePartition")
+        banned.filter(p.contains).map(bad => s"$name: $bad")
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
