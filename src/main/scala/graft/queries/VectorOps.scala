@@ -1689,6 +1689,79 @@ object VectorOps {
   def pqAnn(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
     adcSearch(spark, dir, probes = None, k = k)
 
+  /** SDC parameter: per subspace, the 16×16 integer squared-L2 matrix
+    * BETWEEN CODEWORDS — flattened row-major for element_at. Where ADC
+    * compares a live query to codes, SDC compares code to code: the
+    * whole pairwise distance is 8 literal-table lookups, no embedding
+    * bytes touched on either side. */
+  private def sdcLut(): IndexedSeq[IndexedSeq[Long]] = {
+    val cb = pqCodebook()
+    (0 until pqSub).map { s =>
+      (for (a <- 0 until pqWords; b <- 0 until pqWords) yield
+        (0 until pqSubDim).map { d =>
+          val t = cb(s)(a)(d) - cb(s)(b)(d); t * t
+        }.sum).toIndexedSeq
+    }
+  }
+
+  private def sdcCol(lut: IndexedSeq[IndexedSeq[Long]],
+      aCode: Column, bCode: Column): Column =
+    (0 until pqSub).map { s =>
+      val wa = shiftright(aCode, 4 * s).bitwiseAND(lit(15L))
+      val wb = shiftright(bCode, 4 * s).bitwiseAND(lit(15L))
+      element_at(typedLit(lut(s)), (wa * 16 + wb + 1).cast("int"))
+    }.reduce(_ + _)
+
+  /** q192 — COMPRESSED-DOMAIN near-dup shortlist: the 50 closest
+    * within-cell vector pairs by PQ symmetric distance (SDC) — dedup
+    * candidate generation that reads ONLY the 64×-compressed index
+    * table, never the embeddings. SDC estimates d(a,b) as the distance
+    * between the two ASSIGNED codewords (error ≤ both vectors'
+    * quantization residuals — q154's audit is exactly the health check
+    * for it), each pair costing 8 lookups into the literal per-subspace
+    * 16×16 codeword-distance tables. This is the nightly-dedup shape
+    * at petabyte scale: candidates from the codes table (within grid
+    * cells — Σ cell², the q111 argument, with q134's salting lever for
+    * hot cells), exact verification (q129-style) only on the
+    * shortlist. Deterministic total order (dist, a, b) →
+    * TakeOrderedAndProject; integer end-to-end → hash-checked. */
+  def sdcDedupShortlist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val idx = annIndexTable(spark, dir).filter($"code".isNotNull)
+    val a = idx.select($"cell", $"vec_id".as("a_id"), $"code".as("a_code"))
+    val b = idx.select($"cell", $"vec_id".as("b_id"), $"code".as("b_code"))
+    val pairs = a.join(b, "cell").filter($"a_id" < $"b_id")
+      .withColumn("sdc_dist", sdcCol(sdcLut(), $"a_code", $"b_code"))
+      .select($"a_id", $"b_id", $"sdc_dist")
+    val w = Window.orderBy($"sdc_dist".asc, $"a_id".asc, $"b_id".asc)
+    pairs.orderBy($"sdc_dist".asc, $"a_id".asc, $"b_id".asc).limit(50)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select($"rank", $"a_id", $"b_id", $"sdc_dist")
+  }
+
+  /** Oracle: codeword-pair distances from the cb CTE self-join, summed
+    * over each within-cell pair's 8 assigned-codeword pairs. */
+  private val sdcDedupShortlistSql = pqCodebookCtes + ",\n" +
+    gridCtes + ",\n" +
+    """cpd AS (SELECT a.s, a.w AS wa, b.w AS wb,
+      |    SUM((a.cw - b.cw) * (a.cw - b.cw)) AS d
+      |  FROM cb a JOIN cb b ON a.s = b.s AND a.d = b.d
+      |  GROUP BY 1, 2, 3),
+      |prs AS (SELECT ga.vec_id AS a_id, gb.vec_id AS b_id,
+      |    CAST(SUM(cpd.d) AS BIGINT) AS sdc_dist
+      |  FROM gassign ga
+      |  JOIN gassign gb ON gb.cell = ga.cell AND ga.vec_id < gb.vec_id
+      |  JOIN code ca ON ca.vec_id = ga.vec_id
+      |  JOIN code cb2 ON cb2.vec_id = gb.vec_id AND cb2.s = ca.s
+      |  JOIN cpd ON cpd.s = ca.s AND cpd.wa = ca.cw AND cpd.wb = cb2.cw
+      |  GROUP BY 1, 2)
+      |SELECT rank, a_id, b_id, sdc_dist FROM (
+      |  SELECT CAST(ROW_NUMBER() OVER (
+      |      ORDER BY sdc_dist, a_id, b_id) AS BIGINT) AS rank,
+      |    a_id, b_id, sdc_dist
+      |  FROM prs) t
+      |WHERE rank <= 50""".stripMargin
+
   /** Oracle: the ADC lookup table is exactly the query row's `dist`
     * CTE rows — join each corpus code to the query's per-(subspace,
     * codeword) distance and sum. */
@@ -3344,6 +3417,11 @@ object VectorOps {
       "SQ8 scalar-quantized ANN: per-dimension affine int8 codes " +
         "(4x compression, no training), integer squared-L2 via one " +
         "codegen loop — distances integer-exact in the output"),
+    Q("q192_sdc_dedup", sdcDedupShortlist, Some(sdcDedupShortlistSql),
+      "compressed-domain near-dup shortlist: 50 closest within-cell " +
+        "pairs by PQ symmetric distance — candidates from the 64x-" +
+        "compressed codes table alone (8 codeword-LUT lookups per " +
+        "pair), the petabyte nightly-dedup candidate generator"),
     Q("q191_compression_recall", compressionRecall,
       Some(compressionRecallSql),
       "the compression menu's accuracy column: per-method top-5 " +

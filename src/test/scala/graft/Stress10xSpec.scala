@@ -172,8 +172,8 @@ object Stress10xSpec {
     // the top-20 pool + 380-row sim matrix regardless of corpus size.
     Seq("q180_promo_window_load", "q183_mmr_rerank", "q184_sq8_ann",
       "q185_vocab_overlap_sketch", "q187_snapshot_diff",
-      "q188_media_dedup", "q189_k_anon_generalize", "q190_outlier_gate")
-      .foreach(n => runAndAudit(n))
+      "q188_media_dedup", "q189_k_anon_generalize", "q190_outlier_gate",
+      "q192_sdc_dedup").foreach(n => runAndAudit(n))
     runAndAudit("q186_scorer_agreement", scalarRollup = true)
     runAndAudit("q191_compression_recall", scalarRollup = true)
 
