@@ -904,6 +904,34 @@ object StreamingQueries {
         (lit(1000000L) - col("pe_ppm")).as("kappa_den_ppm"))
   }
 
+  /** q187's per-arrival form — the CHANGE FEED: each arriving document
+    * is classified against the standing corpus's digest table by one
+    * stream-static left join on doc_id: `added` (id unseen), `changed`
+    * (digest differs), `unchanged` (digest equal). The static side is
+    * (doc_id, md5) — digests, never text — materialized once (the
+    * band-index precedent) so micro-batches probe blocks. `deleted`
+    * cannot appear on a document-arrival stream by construction: a
+    * deletion is the ABSENCE of an arrival, which only the batch
+    * full-outer diff (q187) or an explicit take-down message stream
+    * can observe — callers route take-downs to
+    * [[graft.queries.VectorOps.deleteFromChunkIndex]] /
+    * `TextOps.deleteFromPostingIndex` instead. Stateless per row:
+    * verdicts stream in append mode, and `added`/`changed` rows are
+    * exactly what the incremental index appenders consume. */
+  def changeFeedStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    val standing = corpus
+      .select(col("doc_id"), md5(col("text")).as("old_hash")).persist()
+    docs
+      .select(col("doc_id"),
+        md5(coalesce(col("text"), lit(""))).as("new_hash"))
+      .join(standing, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("old_hash").isNull, "added")
+          .when(col("old_hash") =!= col("new_hash"), "changed")
+          .otherwise("unchanged").as("verdict"),
+        col("old_hash"), col("new_hash"))
+  }
+
   // ------------------------------------------------------- sessionizer
   final case class SEvent(user_id: Long, ts_s: Long, event_id: Long)
   final case class SessionOut(user_id: Long, session_idx: Long,

@@ -689,6 +689,36 @@ class StreamingSpec extends SparkSuite {
     assert(fin.toSeq == batch.toSeq, s"stream=$fin batch=$batch")
   }
 
+  test("change feed: arrivals classify added/changed/unchanged against " +
+      "the standing digest table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text")
+    val base = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    // feed: 5 untouched, 3 edited, 2 brand-new ids
+    val feed = base.take(5) ++
+      base.slice(5, 8).map { case (id, t) => (id, t + " [rev2]") } ++
+      Seq((900001L, "novel one"), (900002L, "novel two"))
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingQueries.changeFeedStream(
+        ms.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("feed_out").start()
+    ms.addData(feed.toIndexedSeq: _*)
+    q.processAllAvailable()
+    val got = spark.table("feed_out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    q.stop()
+    assert(got.size == feed.length)
+    base.take(5).foreach { case (id, _) =>
+      assert(got(id) == "unchanged", s"$id: ${got(id)}") }
+    base.slice(5, 8).foreach { case (id, _) =>
+      assert(got(id) == "changed", s"$id: ${got(id)}") }
+    Seq(900001L, 900002L).foreach { id =>
+      assert(got(id) == "added", s"$id: ${got(id)}") }
+  }
+
   test("trained-perceptron stream == batch margins for corpus docs; " +
       "NULL text scores the bare bias") {
     import spark.implicits._
