@@ -557,9 +557,18 @@ object VectorOps {
     * search is a broadcast-query scan over codes. The deployed form
     * persists codes beside the PQ tables — same cell partitioning,
     * 4 bytes/dim → 1. */
-  def sq8Ann(spark: SparkSession, dir: String): DataFrame = {
+  /** Adds the SQ8 `codes` column: per-dimension corpus min/max
+    * (one 64-key partial-aggregatable scan, collected as the
+    * 128-double bounded parameter) then the affine map
+    * code_d = floor(((x − mn_d) / (mx_d − mn_d)) · 255), constant
+    * dims (mx == mn) pinned to 0 — mirrored verbatim in the q184/q193
+    * oracles. Shared by the flat scan (q184) and the IVF composition
+    * (q193) so the quantizer cannot drift between them. Stats derive
+    * from the FULL frame passed in, so both consumers see the same
+    * codes for the same corpus. */
+  private def withSq8Codes(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
     import spark.implicits._
-    val emb = Tables(spark, dir, "embeddings")
     val st = emb
       .select(posexplode($"embedding").as(Seq("d", "x")))
       .groupBy($"d")
@@ -568,16 +577,18 @@ object VectorOps {
       .orderBy($"d").collect()
     val mnLit = array(st.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
     val mxLit = array(st.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
-    // code_d = floor(((x - mn_d) / (mx_d - mn_d)) * 255), constant
-    // dims (mx == mn) pinned to 0 — mirrored verbatim in the oracle
-    def codesOf(e: Column): Column =
-      transform(e, (x, i) => {
-        val lo = element_at(mnLit, i + lit(1))
-        val hi = element_at(mxLit, i + lit(1))
-        when(hi === lo, lit(0L)).otherwise(
-          floor((x.cast("double") - lo) / (hi - lo) * lit(255)))
-      })
-    val coded = emb.select($"vec_id", codesOf($"embedding").as("codes"))
+    emb.withColumn("codes", transform($"embedding", (x, i) => {
+      val lo = element_at(mnLit, i + lit(1))
+      val hi = element_at(mxLit, i + lit(1))
+      when(hi === lo, lit(0L)).otherwise(
+        floor((x.cast("double") - lo) / (hi - lo) * lit(255)))
+    }))
+  }
+
+  def sq8Ann(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+    val coded = withSq8Codes(emb).select($"vec_id", $"codes")
     val q = coded.filter($"vec_id" === 0).select($"codes".as("q_codes"))
     coded.filter($"vec_id" =!= 0)
       .crossJoin(broadcast(q))
@@ -588,6 +599,65 @@ object VectorOps {
         Window.orderBy($"idist".asc, $"vec_id".asc)).cast("long"))
       .select($"rank", $"vec_id", $"idist")
   }
+
+  /** q193 — IVF-SQ8: the probe-pruned composition of the grid coarse
+    * quantizer with the SQ8 codes (FAISS's IVF-SQ shape, the third
+    * composition after IVF-PQ q68 and IVF-flat q33). The scan reads
+    * codes only within the 4 probed cells — probes/nCells of the
+    * corpus — and ranks by the integer squared-L2 codegen loop, so
+    * BOTH the pruning decision and every emitted distance are
+    * integer-exact and the composed result hash-checks end to end.
+    * Against q68: SQ8 trades 16× less compression (64 B vs 4 B per
+    * vector) for lossless-er distances (per-dimension resolution 255
+    * vs 16 codewords per 8-dim subspace) — q191's table is where the
+    * trade is read. Same body as [[sq8Ann]] plus the cell filter; the
+    * persisted form adds the codes as a column beside the PQ codes in
+    * the cell-partitioned index (one more narrow column, the same
+    * partition prune). */
+  def ivfSq8Ann(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+    val qRow = emb.filter($"vec_id" === 0)
+      .select($"embedding").head.getSeq[Float](0).toArray
+    val probeCells = gridProbeCells(quantizeRow(qRow), probes = 4)
+    val coded = withSq8Codes(withGridCell(emb))
+      .select($"vec_id", $"cell", $"codes")
+    val q = coded.filter($"vec_id" === 0).select($"codes".as("q_codes"))
+    coded.filter($"vec_id" =!= 0 && $"cell".isin(probeCells: _*))
+      .crossJoin(broadcast(q))
+      .withColumn("idist", graft.functions.VectorExpressions
+        .longVecSqDist($"codes", $"q_codes"))
+      .orderBy($"idist".asc, $"vec_id".asc).limit(5)
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"idist".asc, $"vec_id".asc)).cast("long"))
+      .select($"rank", $"vec_id", $"idist")
+  }
+
+  /** Oracle: the grid CTEs choose the probe set, the s-prefixed SQ8
+    * CTEs score inside it (q68's composition pattern). */
+  private val ivfSq8AnnSql =
+    s"""WITH $gridCtes,
+      |sex AS (SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS x
+      |  FROM embeddings, gdims),
+      |sst AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM sex GROUP BY d),
+      |scodes AS (SELECT vec_id, d,
+      |    CASE WHEN mx = mn THEN 0
+      |         ELSE CAST(floor(((x - mn) / (mx - mn)) * 255) AS BIGINT)
+      |    END AS c
+      |  FROM sex JOIN sst USING (d))
+      |SELECT rank, vec_id, idist FROM (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY idist, vec_id) AS BIGINT)
+      |      AS rank,
+      |    vec_id, idist
+      |  FROM (SELECT a.vec_id,
+      |      CAST(SUM((a.c - qc.c) * (a.c - qc.c)) AS BIGINT) AS idist
+      |    FROM scodes a
+      |    JOIN gassign ga ON ga.vec_id = a.vec_id
+      |    JOIN scodes qc ON qc.d = a.d AND qc.vec_id = 0
+      |    WHERE a.vec_id <> 0
+      |      AND ga.cell IN (SELECT cell FROM gprobe)
+      |    GROUP BY a.vec_id) t) u
+      |WHERE rank <= 5""".stripMargin
 
   private val sq8AnnSql =
     """WITH dims AS (SELECT unnest(range(64)) AS d),
@@ -3417,6 +3487,11 @@ object VectorOps {
       "SQ8 scalar-quantized ANN: per-dimension affine int8 codes " +
         "(4x compression, no training), integer squared-L2 via one " +
         "codegen loop — distances integer-exact in the output"),
+    Q("q193_ivf_sq8_ann", ivfSq8Ann, Some(ivfSq8AnnSql),
+      "IVF-SQ8 composition: grid probe pruning x integer SQ8 " +
+        "distances (FAISS's IVF-SQ shape) — 16x less compression " +
+        "than IVF-PQ for 255-level per-dim resolution, both stages " +
+        "integer-exact, composed result hash-checked"),
     Q("q192_sdc_dedup", sdcDedupShortlist, Some(sdcDedupShortlistSql),
       "compressed-domain near-dup shortlist: 50 closest within-cell " +
         "pairs by PQ symmetric distance — candidates from the 64x-" +

@@ -173,7 +173,7 @@ object Stress10xSpec {
     Seq("q180_promo_window_load", "q183_mmr_rerank", "q184_sq8_ann",
       "q185_vocab_overlap_sketch", "q187_snapshot_diff",
       "q188_media_dedup", "q189_k_anon_generalize", "q190_outlier_gate",
-      "q192_sdc_dedup").foreach(n => runAndAudit(n))
+      "q192_sdc_dedup", "q193_ivf_sq8_ann").foreach(n => runAndAudit(n))
     runAndAudit("q186_scorer_agreement", scalarRollup = true)
     runAndAudit("q191_compression_recall", scalarRollup = true)
 
