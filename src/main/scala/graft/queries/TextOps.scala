@@ -1127,7 +1127,7 @@ object TextOps {
       .limit(20)
   }
 
-  private val bm25TopKSql = invertedIndexCtes + ",\n" +
+  private[queries] val bm25TopKSql = invertedIndexCtes + ",\n" +
     s"""idx AS (
       |  SELECT p.term, p.doc_id, d.df, p.tf FROM p JOIN d USING (term))
       |SELECT doc_id,

@@ -2776,6 +2776,79 @@ object VectorOps {
         |ORDER BY rrf_score DESC, doc_id ASC
         |LIMIT 10""".stripMargin
 
+  /** q194 — retrieval EVAL harness: rank-quality metrics for the two
+    * serving arms over a pseudo-relevance set, the accept/tune gate a
+    * retrieval deployment reads next to q83's ANN recall. Relevance is
+    * data-derived and integer-exact: a document is relevant iff it
+    * contains ≥ 2 DISTINCT query terms (the standard multi-term
+    * pseudo-label when no human judgments exist). Per arm — q89 BM25
+    * top-20 and q156 hybrid RRF top-10 — the harness emits hits in
+    * list, first relevant rank, and the reciprocal-rank surrogate
+    * 10⁶ div first_rank (the q89/q107 no-libm device; MRR over one
+    * query IS the reciprocal rank). No-relevant arms fail visible
+    * (zeros), not absent.
+    *
+    * Shape: the relevance set is one term-filtered aggregate (the
+    * explode prunes to the 3 query terms at the scan); each arm's
+    * metric is a ≤20-row join + keyless rollup over an already
+    * single-partition TakeOrdered output — nothing data-sized beyond
+    * the arms' own plans. */
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rel = Tables(spark, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+      .filter($"t".isin(TextOps.bm25QueryTerms: _*))
+      .groupBy($"doc_id").agg(countDistinct($"t").as("nq"))
+      .filter($"nq" >= 2).select($"doc_id")
+    def metrics(arm: String, ranked: DataFrame) =
+      ranked.join(rel, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_rel"), min($"rank").as("first_rel"))
+        .select(lit(arm).as("arm"),
+          $"n_rel",
+          coalesce($"first_rel", lit(0L)).as("first_rel_rank"),
+          coalesce(expr("1000000 div first_rel"), lit(0L)).as("mrr_ppm"))
+    val lexW = Window.orderBy($"score".desc, $"doc_id".asc)
+    val bm = TextOps.bm25TopK(spark, dir)
+      .withColumn("rank", row_number().over(lexW).cast("long"))
+      .select($"doc_id", $"rank")
+    val hyW = Window.orderBy($"rrf_score".desc, $"doc_id".asc)
+    val hy = hybridRrf(spark, dir)
+      .withColumn("rank", row_number().over(hyW).cast("long"))
+      .select($"doc_id", $"rank")
+    metrics("bm25", bm).union(metrics("hybrid", hy))
+  }
+
+  /** Oracle: both arms' full SQL embedded as derived tables (DuckDB
+    * allows WITH inside a subquery — the q185 nesting device), ranked
+    * with the engine's tie rules, joined to the same relevance CTE. */
+  private val retrievalEvalSql = {
+    val terms = TextOps.bm25QueryTerms.map("'" + _ + "'").mkString(", ")
+    s"""WITH rel AS (
+      |  SELECT doc_id FROM (
+      |    SELECT d.doc_id, COUNT(DISTINCT u.t) AS nq
+      |    FROM documents d, unnest(string_split(d.text, ' ')) u(t)
+      |    WHERE u.t IN ($terms)
+      |    GROUP BY 1) x
+      |  WHERE nq >= 2),
+      |bmarm AS (
+      |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+      |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+      |  FROM (${TextOps.bm25TopKSql}) b),
+      |hyarm AS (
+      |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+      |      ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS rank
+      |  FROM ($hybridRrfSql) h)
+      |SELECT 'bm25' AS arm, CAST(COUNT(*) AS BIGINT) AS n_rel,
+      |  CAST(COALESCE(MIN(rank), 0) AS BIGINT) AS first_rel_rank,
+      |  CAST(COALESCE(1000000 // MIN(rank), 0) AS BIGINT) AS mrr_ppm
+      |FROM bmarm JOIN rel USING (doc_id)
+      |UNION ALL
+      |SELECT 'hybrid', CAST(COUNT(*) AS BIGINT),
+      |  CAST(COALESCE(MIN(rank), 0) AS BIGINT),
+      |  CAST(COALESCE(1000000 // MIN(rank), 0) AS BIGINT)
+      |FROM hyarm JOIN rel USING (doc_id)""".stripMargin
+  }
+
   /** The q158 serving batch: three query strings, fixed here and
     * interpolated into the oracle's VALUES list (the NumShards idiom)
     * so engine and oracle answer the same queries. */
@@ -3487,6 +3560,11 @@ object VectorOps {
       "SQ8 scalar-quantized ANN: per-dimension affine int8 codes " +
         "(4x compression, no training), integer squared-L2 via one " +
         "codegen loop — distances integer-exact in the output"),
+    Q("q194_retrieval_eval", retrievalEval, Some(retrievalEvalSql),
+      "retrieval eval harness: hits/first-rank/reciprocal-rank (ppm) " +
+        "per serving arm (BM25 top-20, hybrid RRF top-10) against a " +
+        "data-derived >=2-distinct-terms relevance set — the " +
+        "accept/tune gate beside q83's ANN recall"),
     Q("q193_ivf_sq8_ann", ivfSq8Ann, Some(ivfSq8AnnSql),
       "IVF-SQ8 composition: grid probe pruning x integer SQ8 " +
         "distances (FAISS's IVF-SQ shape) — 16x less compression " +

@@ -176,6 +176,10 @@ object Stress10xSpec {
       "q192_sdc_dedup", "q193_ivf_sq8_ann").foreach(n => runAndAudit(n))
     runAndAudit("q186_scorer_agreement", scalarRollup = true)
     runAndAudit("q191_compression_recall", scalarRollup = true)
+    // 2-row report whose keyless rollups ride broadcast-joined
+    // TakeOrdered outputs; opt in like the other one-row reports in
+    // case a 10x stats change flips the tiny-side broadcast
+    runAndAudit("q194_retrieval_eval", scalarRollup = true)
 
     // q115's scale lever, measured on the quantity that matters at
     // scale: candidate-pair volume Σ cell·(cell−1)/2. Local wall-time
