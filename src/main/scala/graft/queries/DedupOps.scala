@@ -157,6 +157,96 @@ object DedupOps {
     "array_distinct(transform(sequence(1, size(tok) - 2), " +
       "i -> concat_ws(' ', slice(tok, i, 3))))")
 
+  /** q195's hot-shingle cap: shingles present in more than this many
+    * documents generate no candidates — the skew lever that keeps the
+    * shared-shingle join's per-key blocks bounded at any corpus size
+    * (a stopword shingle at 100 TB would otherwise connect everything
+    * to everything; such shingles also carry no duplication signal). */
+  private val ContainmentDfCap = 64L
+
+  /** q195 — asymmetric CONTAINMENT dedup: pairs where one document's
+    * shingle set is (near-)contained in the other's —
+    * C(A→B) = |A∩B| / |A| — the duplication mode symmetric Jaccard
+    * MISSES by construction: a short document quoted whole inside a
+    * long one has containment 1.0 but Jaccard ≈ |A|/|B|, diluted
+    * below any dedup threshold (the quote-inclusion / boilerplate-
+    * embedding case RefinedWeb-style pipelines scrub separately).
+    * Emits both directions in ppm, the Jaccard beside them, and the
+    * `asym_only` bit — TRUE exactly when containment fires (≥ 0.8)
+    * while Jaccard stays under the q42 family's 0.5, i.e. the pairs
+    * every symmetric pass in this registry would leave behind. On
+    * THIS corpus the near-dups are whole-document copies, so
+    * asym_only is all-false — the column is the alarm wired for the
+    * data that needs it, and the synthetic-subset spec proves it
+    * fires (OperatorPropertiesSpec).
+    *
+    * Scale shape: candidates from a shared-shingle equi join (df-
+    * capped — see [[ContainmentDfCap]]), never all-pairs; exact
+    * verification via ONE sorted-merge intersection per candidate
+    * ([[graft.functions.VectorExpressions.SortedIntersectSize]],
+    * arrays sorted once per document); all arithmetic integer ppm. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsOf(Tables(spark, dir, "documents"))
+
+  private[graft] def containmentPairsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs
+      .select($"doc_id", split($"text", " ").as("tok"))
+      .filter(size($"tok") >= 3)
+      .select($"doc_id", array_sort(shingleCol).as("sh"))
+    val ex = base.select($"doc_id", explode($"sh").as("s"))
+    val rare = ex.join(
+      ex.groupBy($"s").agg(count(lit(1)).as("df"))
+        .filter($"df" <= ContainmentDfCap), "s")
+    val cand = rare.select($"s", $"doc_id".as("a_id"))
+      .join(rare.select($"s", $"doc_id".as("b_id")), "s")
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id").distinct()
+    val side = base.select($"doc_id", $"sh")
+    cand
+      .join(side.select($"doc_id".as("a_id"), $"sh".as("a_sh")), "a_id")
+      .join(side.select($"doc_id".as("b_id"), $"sh".as("b_sh")), "b_id")
+      .withColumn("inter", graft.functions.VectorExpressions
+        .sortedIntersectSize($"a_sh", $"b_sh").cast("long"))
+      .withColumn("cont_ab_ppm", expr("inter * 1000000 div size(a_sh)"))
+      .withColumn("cont_ba_ppm", expr("inter * 1000000 div size(b_sh)"))
+      .withColumn("jaccard_ppm",
+        expr("inter * 1000000 div (size(a_sh) + size(b_sh) - inter)"))
+      .filter(greatest($"cont_ab_ppm", $"cont_ba_ppm") >= 800000)
+      .select($"a_id", $"b_id", $"cont_ab_ppm", $"cont_ba_ppm",
+        $"jaccard_ppm", ($"jaccard_ppm" < 500000).as("asym_only"))
+  }
+
+  private val containmentPairsSql =
+    s"""WITH base AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |      generate_series(1, len(string_split(text, ' ')) - 2),
+      |      i -> concat_ws(' ', string_split(text, ' ')[i],
+      |        string_split(text, ' ')[i + 1],
+      |        string_split(text, ' ')[i + 2]))) AS sh
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |ex AS (SELECT doc_id, unnest(sh) AS s FROM base),
+      |rare AS (SELECT ex.doc_id, ex.s FROM ex JOIN (
+      |    SELECT s, COUNT(*) AS df FROM ex GROUP BY 1) d ON d.s = ex.s
+      |  WHERE d.df <= $ContainmentDfCap),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |p AS (SELECT c.a_id, c.b_id,
+      |    len(list_intersect(sa.sh, sb.sh)) AS inter,
+      |    len(sa.sh) AS na, len(sb.sh) AS nb
+      |  FROM cand c JOIN base sa ON sa.doc_id = c.a_id
+      |              JOIN base sb ON sb.doc_id = c.b_id)
+      |SELECT a_id, b_id,
+      |  CAST(inter * 1000000 // na AS BIGINT) AS cont_ab_ppm,
+      |  CAST(inter * 1000000 // nb AS BIGINT) AS cont_ba_ppm,
+      |  CAST(inter * 1000000 // (na + nb - inter) AS BIGINT)
+      |    AS jaccard_ppm,
+      |  inter * 1000000 // (na + nb - inter) < 500000 AS asym_only
+      |FROM p
+      |WHERE greatest(inter * 1000000 // na, inter * 1000000 // nb)
+      |  >= 800000""".stripMargin
+
   /** MinHash + LSH near-dup over 3-token shingle sets, NO blocking
     * assumption: 62 minhashes (one xxhash64 pass per shingle, then 62
     * cheap long re-hashes), 31 bands × 2 rows, band-bucket self-join
@@ -1669,6 +1759,12 @@ object DedupOps {
         "HashAggregate"),
     Q("q40_exact_dedup", exactDedup, Some(exactDedupSql),
       "normalize+md5 exact dedup, deterministic survivor"),
+    Q("q195_containment_pairs", containmentPairs,
+      Some(containmentPairsSql),
+      "asymmetric containment dedup: |A∩B|/|A| >= 0.8 pairs over " +
+        "df-capped shared-shingle candidates — catches the quoted-" +
+        "whole-inside case symmetric Jaccard dilutes away; asym_only " +
+        "bit marks pairs every symmetric pass would miss"),
     Q("q41_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql),
       "exact token-set Jaccard near-dup, source-blocked (verification spec)"),
     Q("q38_jaccard_prefix", jaccardPairsPrefix, Some(jaccardPairsSql),

@@ -998,6 +998,36 @@ class OperatorPropertiesSpec extends SparkSuite {
     assert(rows.toSet == again.toSet)
   }
 
+  test("q195 containment: whole-quote inclusion fires asym_only where " +
+      "Jaccard stays silent; symmetric near-copies do not") {
+    import spark.implicits._
+    val quoted = (1 to 10).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, quoted), // 8 shingles, quoted whole inside doc 2
+      (2L, quoted + " " + (1 to 40).map(i => s"y$i").mkString(" ")),
+      (3L, "p q r s t u v w"), // near-copy pair 3/4: symmetric
+      (4L, "p q r s t u v z"),
+      (5L, "lone doc about nothing shared")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.containmentPairsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    // (1,2): A ⊂ B → containment(A→B) = 1.0 exactly; Jaccard = 8/48
+    // (8 shared of 8 + 48 − 8) — the asymmetric-only alarm fires
+    val (cab, _, jac, asym) = got((1L, 2L))
+    assert(cab == 1000000L, s"full containment expected: $cab")
+    assert(jac < 500000L && asym, s"jac=$jac asym=$asym")
+    // (3,4): 7 of 8 tokens shared → 5 of 6 shingles each side =
+    // 833333 ppm both directions — fires as a SYMMETRIC near-copy:
+    // Jaccard 5/7 ≥ 0.5, so asym_only stays false
+    val (c34, c43, j34, a34) = got((3L, 4L))
+    assert(c34 == 833333L && c43 == 833333L, s"$c34/$c43")
+    assert(j34 >= 500000L && !a34, s"jac=$j34 asym=$a34")
+    // doc 5 shares nothing: in no pair
+    assert(!got.keys.exists(k => k._1 == 5L || k._2 == 5L))
+  }
+
   test("q180 promo-window load: grid decomposition equals the theta join") {
     import spark.implicits._
     val got = EventOps.promoWindowLoad(spark, sf0001).collect()
