@@ -830,20 +830,29 @@ object EventOps {
     * (the cellDriftStream parameter pattern). floor-binning is
     * IEEE-identical in both engines, so the flagged set hash-checks
     * exactly — unlike any approx_percentile-derived gate. */
-  def outlierGate(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-type p99 cutoff-bin table — q190's sketch-sized
+    * derivation as a lift, shared with the ingest twin
+    * ([[graft.streaming.StreamingQueries.outlierGateStream]]), which
+    * folds the collected ≤|types| rows into a literal map. */
+  private[graft] def outlierCutoffs(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
     import spark.implicits._
-    val ev = Tables(spark, dir, "events")
-      .select($"event_id", $"event_type", $"value")
     val bins = ev.select($"event_type", histBin($"value").as("bin"))
       .groupBy($"event_type", $"bin").agg(count(lit(1)).as("c"))
     val w = Window.partitionBy($"event_type").orderBy($"bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cut = bins
+    bins
       .withColumn("cum", sum($"c").over(w))
       .withColumn("n", sum($"c").over(Window.partitionBy($"event_type")))
       .groupBy($"event_type")
       .agg(min(when($"cum" * 100 >= $"n" * 99, $"bin")).as("p99_bin"))
-    ev.join(cut, "event_type")
+  }
+
+  def outlierGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    ev.join(outlierCutoffs(ev), "event_type")
       .filter(histBin($"value") > $"p99_bin")
       .select($"event_id", $"event_type", $"value", $"p99_bin")
   }

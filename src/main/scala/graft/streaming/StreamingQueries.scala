@@ -932,6 +932,33 @@ object StreamingQueries {
         col("old_hash"), col("new_hash"))
   }
 
+  /** q190's ingest twin — the outlier TRIPWIRE at arrival: per-type
+    * p99 histogram-bin cutoffs are derived ONCE from the standing
+    * corpus (sketch-sized work, the q190 derivation verbatim via the
+    * batch lift) and folded into a literal map (the cellDriftStream
+    * parameter pattern — ≤|types| entries, bounded at any corpus
+    * size); each arriving event then flags statelessly by one bin
+    * comparison. An event type never seen in the standing corpus has
+    * no cutoff: the gate fails CLOSED (flagged as outlier) — a new
+    * event type IS an anomaly until the corpus learns it.
+    * Stream == batch on the shared fixture asserted in StreamingSpec
+    * (batch q190 emits exactly the flagged rows; this emits every
+    * arrival with the bit, so monitors can also rate outliers per
+    * window sink-side). */
+  def outlierGateStream(events: DataFrame, corpus: DataFrame): DataFrame = {
+    val cuts = graft.queries.EventOps.outlierCutoffs(corpus)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val cutMap = map(cuts.toIndexedSeq.flatMap { case (t, b) =>
+      Seq(lit(t), lit(b)) }: _*)
+    events
+      .withColumn("p99_bin", element_at(cutMap, col("event_type")))
+      .withColumn("is_outlier", coalesce(
+        graft.queries.EventOps.histBin(col("value")) > col("p99_bin"),
+        lit(true)))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("p99_bin"), col("is_outlier"))
+  }
+
   // ------------------------------------------------------- sessionizer
   final case class SEvent(user_id: Long, ts_s: Long, event_id: Long)
   final case class SessionOut(user_id: Long, session_idx: Long,

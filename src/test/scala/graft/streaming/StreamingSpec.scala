@@ -719,6 +719,35 @@ class StreamingSpec extends SparkSuite {
       assert(got(id) == "added", s"$id: ${got(id)}") }
   }
 
+  test("outlier gate stream == batch q190 flags for corpus events; " +
+      "unknown event type fails closed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batchFlagged = graft.queries.EventOps.outlierGate(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val corpus = spark.read.parquet(s"$sf0001/events.parquet")
+    val feed = graft.sources.Tables(spark, sf0001, "events")
+      .select($"event_id", $"event_type", $"value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val ms = MemoryStream[(Long, String, Double)]
+    val q = StreamingQueries.outlierGateStream(
+        ms.toDF().toDF("event_id", "event_type", "value"),
+        graft.sources.Tables(spark, sf0001, "events"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("outlier_out").start()
+    ms.addData(feed.toIndexedSeq: _*)
+    ms.addData((999999L, "brand-new-type", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("outlier_out").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    q.stop()
+    assert(rows.size == feed.length + 1)
+    val streamFlagged = rows.filter(_._2).keySet - 999999L
+    assert(streamFlagged == batchFlagged,
+      s"stream=${streamFlagged.size} batch=${batchFlagged.size}")
+    assert(rows(999999L), "unknown type must fail closed")
+  }
+
   test("trained-perceptron stream == batch margins for corpus docs; " +
       "NULL text scores the bare bias") {
     import spark.implicits._
