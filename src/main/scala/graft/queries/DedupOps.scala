@@ -188,34 +188,74 @@ object DedupOps {
   def containmentPairs(spark: SparkSession, dir: String): DataFrame =
     containmentPairsOf(Tables(spark, dir, "documents"))
 
-  private[graft] def containmentPairsOf(docs: DataFrame): DataFrame = {
+  /** COUNT-JOIN form — no shingle array ever crosses an exchange.
+    * Because each document's shingle list is DISTINCT, |A∩B| splits
+    * exactly into shared-RARE count (a by-product of the candidate
+    * join itself — one count per matched shingle) plus shared-HOT
+    * count (hot shingles re-joined per candidate pair on the keyed
+    * (doc, shingle) equality — volume bounded by candidates × per-doc
+    * hot shingles, never df²-on-hot). The first cut shipped both
+    * full sorted arrays through the candidate join for a
+    * SortedIntersectSize merge-scan — correct, but 8.7 s at sf0.1
+    * with array-laden exchanges; this form moves two longs per
+    * candidate row and the same integers fall out. */
+  private[graft] def containmentPairsOf(docs: DataFrame,
+      dfCap: Long = ContainmentDfCap): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs
       .select($"doc_id", split($"text", " ").as("tok"))
       .filter(size($"tok") >= 3)
-      .select($"doc_id", array_sort(shingleCol).as("sh"))
+      .select($"doc_id", shingleCol.as("sh"))
+    // materialize the (doc, shingle, df) table once: five consumers
+    // (both candidate sides, the hot re-join's two sides, sizes) would
+    // otherwise each re-run the corpus shingle explode + df rollup
     val ex = base.select($"doc_id", explode($"sh").as("s"))
-    val rare = ex.join(
-      ex.groupBy($"s").agg(count(lit(1)).as("df"))
-        .filter($"df" <= ContainmentDfCap), "s")
-    val cand = rare.select($"s", $"doc_id".as("a_id"))
+      .join(ex0DfOf(base), "s")
+      .persist()
+    val rare = ex.filter($"df" <= dfCap)
+    val rs = rare.select($"s", $"doc_id".as("a_id"))
       .join(rare.select($"s", $"doc_id".as("b_id")), "s")
       .filter($"a_id" < $"b_id")
-      .select($"a_id", $"b_id").distinct()
-    val side = base.select($"doc_id", $"sh")
-    cand
-      .join(side.select($"doc_id".as("a_id"), $"sh".as("a_sh")), "a_id")
-      .join(side.select($"doc_id".as("b_id"), $"sh".as("b_sh")), "b_id")
-      .withColumn("inter", graft.functions.VectorExpressions
-        .sortedIntersectSize($"a_sh", $"b_sh").cast("long"))
-      .withColumn("cont_ab_ppm", expr("inter * 1000000 div size(a_sh)"))
-      .withColumn("cont_ba_ppm", expr("inter * 1000000 div size(b_sh)"))
+      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("rare_shared"))
+    // hot arm: per-doc HOT shingles as small sorted arrays + one
+    // merge-scan per candidate pair. Exploding hot shingles per pair
+    // instead multiplies rows by per-doc hot count — measured 44 s at
+    // the 10× exact-copy regime (where df×10 pushes most recurring
+    // shingles past the cap) vs 16 s for the array scan; and in the
+    // flat regime hotArr is empty, so this arm costs nothing.
+    val hotArr = ex.filter($"df" > dfCap)
+      .groupBy($"doc_id").agg(array_sort(collect_list($"s")).as("hsh"))
+    val hs = rs.select($"a_id", $"b_id")
+      .join(hotArr.select($"doc_id".as("a_id"), $"hsh".as("a_hsh")),
+        "a_id")
+      .join(hotArr.select($"doc_id".as("b_id"), $"hsh".as("b_hsh")),
+        "b_id")
+      .select($"a_id", $"b_id", graft.functions.VectorExpressions
+        .sortedIntersectSize($"a_hsh", $"b_hsh").cast("long")
+        .as("hot_shared"))
+    val sizes = base.select($"doc_id", size($"sh").cast("long").as("n"))
+    rs.join(hs, Seq("a_id", "b_id"), "left")
+      .withColumn("inter",
+        $"rare_shared" + coalesce($"hot_shared", lit(0L)))
+      .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
+      .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
+      .withColumn("cont_ab_ppm", expr("inter * 1000000 div na"))
+      .withColumn("cont_ba_ppm", expr("inter * 1000000 div nb"))
       .withColumn("jaccard_ppm",
-        expr("inter * 1000000 div (size(a_sh) + size(b_sh) - inter)"))
+        expr("inter * 1000000 div (na + nb - inter)"))
       .filter(greatest($"cont_ab_ppm", $"cont_ba_ppm") >= 800000)
       .select($"a_id", $"b_id", $"cont_ab_ppm", $"cont_ba_ppm",
         $"jaccard_ppm", ($"jaccard_ppm" < 500000).as("asym_only"))
+  }
+
+  /** Per-shingle document frequency over the distinct-per-doc shingle
+    * explode. */
+  private def ex0DfOf(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    base.select(explode($"sh").as("s"))
+      .groupBy($"s").agg(count(lit(1)).as("df"))
   }
 
   private val containmentPairsSql =

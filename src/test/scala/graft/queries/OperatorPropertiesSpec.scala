@@ -1028,6 +1028,51 @@ class OperatorPropertiesSpec extends SparkSuite {
     assert(!got.keys.exists(k => k._1 == 5L || k._2 == 5L))
   }
 
+  test("q195 hot arm: with a df cap of 2 the core shingles go hot and " +
+      "the split count (rare count-join + hot-array scan) still equals " +
+      "the exact intersection; hot-only pairs stay non-candidates") {
+    import spark.implicits._
+    // core shingles appear in all four docs (df 4 > cap 2 → HOT);
+    // docs 1 and 2 additionally share a rare (df 2) p-trigram edge,
+    // so (1,2) is a candidate whose intersection is MOSTLY hot;
+    // (x,3)/(x,4) pairs share only hot core shingles → no rare edge
+    // → by the documented candidate rule they must NOT appear
+    val core = (1 to 9).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, core + " p1 p2 p3"),
+      (2L, core + " p1 p2 p3"),
+      (3L, core + " wa wb wc"),
+      (4L, core + " " + (1 to 30).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = DedupOps.containmentPairsOf(docs, dfCap = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    // brute-force reference: same shingle definition, same candidate
+    // rule (≥1 shared shingle with df ≤ cap), exact intersections
+    val sh = docs.collect().map { r =>
+      val t = r.getString(1).split(" ")
+      r.getLong(0) -> (1 to t.length - 2)
+        .map(i => t.slice(i - 1, i + 2).mkString(" ")).distinct.toSet
+    }.toMap
+    val dfOf = sh.values.flatten.groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val expect = (for {
+      a <- sh.keys.toSeq; b <- sh.keys.toSeq if a < b
+      shared = sh(a) & sh(b)
+      if shared.exists(s => dfOf(s) <= 2)
+      inter = shared.size.toLong
+      na = sh(a).size.toLong; nb = sh(b).size.toLong
+      cab = inter * 1000000 / na; cba = inter * 1000000 / nb
+      if math.max(cab, cba) >= 800000
+      jac = inter * 1000000 / (na + nb - inter)
+    } yield (a, b) -> (cab, cba, jac, jac < 500000)).toMap
+    assert(expect.contains((1L, 2L)),
+      "construction must yield the hot-heavy candidate pair")
+    assert(got == expect, s"got=$got expect=$expect")
+    // and the exact-copy pair is full containment both ways
+    assert(got((1L, 2L))._1 == 1000000L && got((1L, 2L))._2 == 1000000L)
+  }
+
   test("q180 promo-window load: grid decomposition equals the theta join") {
     import spark.implicits._
     val got = EventOps.promoWindowLoad(spark, sf0001).collect()
