@@ -143,7 +143,8 @@ object Bench {
            "q111" -> "q136", "q111" -> "q141", "q111" -> "q178",
            "q122" -> "q123", "q134" -> "q137", "q157" -> "q159",
            "q170" -> "q171", "q93" -> "q155", "q148" -> "q155",
-           "q151" -> "q155", "q151" -> "q165")
+           "q151" -> "q155", "q151" -> "q165",
+           "q156" -> "q158", "q156" -> "q194")
          if pos(payer) >= 0 && pos(rider) >= 0)
       require(pos(payer) < pos(rider),
         s"bench attribution: shared-artifact payer $payer must run before rider $rider")

@@ -1352,12 +1352,26 @@ object VectorOps {
       withPqCode(withGridCell(Tables(spark, dir, "embeddings")))
         .select(col("vec_id"), col("cell"), col("code")).persist())
 
+  /** The DOC-vector sibling of [[annIndexTable]] — (vec_id, cell,
+    * packed PQ code) over the q69→q70 document vectors, memoized for
+    * the retrieval stack: q156's vector arm, q158's multi-query
+    * serve, and q194's eval (which replays q156) all scan THIS table;
+    * un-memoized each paid the full text→vector→grid→PQ lift per
+    * query (~13 s of the q194 10× stress run was exactly this). */
+  private val docIndexMemo = new DedupOps.ArtifactMemo
+  private[graft] def docAnnIndexTable(spark: SparkSession,
+      dir: String): DataFrame =
+    docIndexMemo.get(spark, dir)(
+      withPqCode(withGridCell(docVectors(spark, dir)))
+        .select(col("vec_id"), col("cell"), col("code")).persist())
+
   /** Whether `df` IS the live memoized ANN index (reference identity) —
     * Bench's release policy, same contract as
     * [[DedupOps.isSharedArtifact]]. */
   private[graft] def isSharedArtifact(df: DataFrame): Boolean =
     indexMemo.holds(df) || hardNegMemo.holds(df) ||
-      probeAsgMemo.holds(df) || bitextMemo.holds(df)
+      probeAsgMemo.holds(df) || bitextMemo.holds(df) ||
+      docIndexMemo.holds(df)
 
   /** Drop the memoized artifacts (tests / long-lived JVMs). */
   def invalidateSharedArtifacts(): Unit = {
@@ -1365,6 +1379,7 @@ object VectorOps {
     hardNegMemo.invalidate()
     probeAsgMemo.invalidate()
     bitextMemo.invalidate()
+    docIndexMemo.invalidate()
   }
 
   /** The PQ index-build artifact: every vector's packed code. */
@@ -2697,7 +2712,7 @@ object VectorOps {
       .withColumn("lex_rank", row_number().over(lexW).cast("long"))
       .select($"doc_id", $"lex_rank")
     val qQv = quantizeRow(termQueryVector())
-    val index = withPqCode(withGridCell(docVectors(spark, dir)))
+    val index = docAnnIndexTable(spark, dir)
       .filter($"cell".isin(gridProbeCells(qQv, 4): _*))
     val vec = rankedAdcTopK(
       index.withColumn("adc_dist", adcCol(adcLut(qQv)))
@@ -2891,7 +2906,7 @@ object VectorOps {
       .withColumn("c2", secondNearestIndex($"q_emb", cents, 0, QuantScale))
       .select($"query_id", $"q_emb",
         explode(array($"c1", $"c2")).as("cell"))
-    val index = withPqCode(withGridCell(docVectors(spark, dir)))
+    val index = docAnnIndexTable(spark, dir)
       .select($"vec_id".as("doc_id"), $"cell", $"code")
     val w = Window.partitionBy($"query_id")
       .orderBy($"adc_dist".asc, $"doc_id".asc)
