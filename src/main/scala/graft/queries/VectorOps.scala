@@ -1779,7 +1779,7 @@ object VectorOps {
     * compares a live query to codes, SDC compares code to code: the
     * whole pairwise distance is 8 literal-table lookups, no embedding
     * bytes touched on either side. */
-  private def sdcLut(): IndexedSeq[IndexedSeq[Long]] = {
+  private[graft] def sdcLut(): IndexedSeq[IndexedSeq[Long]] = {
     val cb = pqCodebook()
     (0 until pqSub).map { s =>
       (for (a <- 0 until pqWords; b <- 0 until pqWords) yield
@@ -1789,7 +1789,7 @@ object VectorOps {
     }
   }
 
-  private def sdcCol(lut: IndexedSeq[IndexedSeq[Long]],
+  private[graft] def sdcCol(lut: IndexedSeq[IndexedSeq[Long]],
       aCode: Column, bCode: Column): Column =
     (0 until pqSub).map { s =>
       val wa = shiftright(aCode, 4 * s).bitwiseAND(lit(15L))

@@ -959,6 +959,37 @@ object StreamingQueries {
         col("p99_bin"), col("is_outlier"))
   }
 
+  /** q192 at INGEST — compressed-domain near-dup flagging: each
+    * arriving vector is grid-celled and PQ-coded by the SAME stateless
+    * codegen lifts as the batch index build, probes the standing
+    * CODES table on its cell (stream-static equi join — the corpus
+    * embeddings are never read), and every within-cell resident
+    * within `maxDist` SDC units is emitted as a match. Stateless per
+    * row, append mode; the per-pair cost is q192's 8 codeword-LUT
+    * lookups. This closes the SDC family's serving loop the way the
+    * LSH band index closes near-dup text dedup: the 64×-compressed
+    * index IS the dedup surface at ingest, and a flagged arrival
+    * routes to exact verification (q129-style) before rejection —
+    * SDC error is bounded by the two quantization residuals, so the
+    * threshold is a RECALL lever, not a correctness claim.
+    * Stream == batch (same lifts, batch self-join) in StreamingSpec. */
+  def sdcDedupStream(vectors: DataFrame, corpus: DataFrame,
+      maxDist: Long): DataFrame = {
+    import graft.queries.VectorOps
+    val index = VectorOps.withPqCode(VectorOps.withGridCell(corpus))
+      .select(col("vec_id").as("c_id"), col("cell"),
+        col("code").as("c_code"))
+      .persist()
+    val lut = VectorOps.sdcLut()
+    VectorOps.withPqCode(VectorOps.withGridCell(vectors))
+      .select(col("vec_id"), col("cell"), col("code"))
+      .join(index, "cell")
+      .withColumn("sdc_dist",
+        VectorOps.sdcCol(lut, col("code"), col("c_code")))
+      .filter(col("sdc_dist") <= maxDist && col("vec_id") =!= col("c_id"))
+      .select(col("vec_id"), col("c_id"), col("sdc_dist"))
+  }
+
   // ------------------------------------------------------- sessionizer
   final case class SEvent(user_id: Long, ts_s: Long, event_id: Long)
   final case class SessionOut(user_id: Long, session_idx: Long,

@@ -748,6 +748,42 @@ class StreamingSpec extends SparkSuite {
     assert(rows(999999L), "unknown type must fail closed")
   }
 
+  test("SDC dedup stream == batch within-cell code matches at the " +
+      "same threshold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val maxDist = 1500000L
+    val corpus = Tables(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding")
+    // batch expectation: the same lifts self-joined within cells
+    val idx = graft.queries.VectorOps.withPqCode(
+        graft.queries.VectorOps.withGridCell(corpus))
+      .select($"vec_id", $"cell", $"code")
+    val lut = graft.queries.VectorOps.sdcLut()
+    val expect = idx.select($"vec_id", $"cell", $"code")
+      .join(idx.select($"vec_id".as("c_id"), $"cell",
+        $"code".as("c_code")), "cell")
+      .withColumn("d", graft.queries.VectorOps
+        .sdcCol(lut, $"code", $"c_code"))
+      .filter($"d" <= maxDist && $"vec_id" =!= $"c_id")
+      .select($"vec_id", $"c_id", $"d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expect.nonEmpty, "corpus must contain in-threshold code pairs")
+    val feed = corpus.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingQueries.sdcDedupStream(
+        ms.toDF().toDF("vec_id", "embedding"), corpus, maxDist)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sdc_out").start()
+    ms.addData(feed.toIndexedSeq: _*)
+    q.processAllAvailable()
+    val got = spark.table("sdc_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(got == expect, s"stream=${got.size} batch=${expect.size}")
+  }
+
   test("trained-perceptron stream == batch margins for corpus docs; " +
       "NULL text scores the bare bias") {
     import spark.implicits._
