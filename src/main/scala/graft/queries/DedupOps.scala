@@ -185,8 +185,6 @@ object DedupOps {
     * verification via ONE sorted-merge intersection per candidate
     * ([[graft.functions.VectorExpressions.SortedIntersectSize]],
     * arrays sorted once per document); all arithmetic integer ppm. */
-  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
-    containmentPairsOf(Tables(spark, dir, "documents"))
 
   /** COUNT-JOIN form — no shingle array ever crosses an exchange.
     * Because each document's shingle list is DISTINCT, |A∩B| splits
@@ -199,20 +197,37 @@ object DedupOps {
     * SortedIntersectSize merge-scan — correct, but 8.7 s at sf0.1
     * with array-laden exchanges; this form moves two longs per
     * candidate row and the same integers fall out. */
-  private[graft] def containmentPairsOf(docs: DataFrame,
-      dfCap: Long = ContainmentDfCap): DataFrame = {
+  /** The (doc, shingle, df) table EVERY q195 consumer derives from —
+    * memoized per (session, dataset) for the registry path so its
+    * cache follows the shared-artifact lifecycle (Bench release
+    * policy, invalidate hook) instead of leaking a corpus-scale
+    * persist for the JVM lifetime (review finding, this round). The
+    * spec path ([[containmentPairsOf]] on synthetic frames) builds it
+    * uncached — recompute is free at spec size. */
+  private val containExMemo = new ArtifactMemo
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentFrom(containExMemo.get(spark, dir)(
+      containmentExOf(Tables(spark, dir, "documents")).persist()),
+      ContainmentDfCap)
+
+  private def containmentExOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs
       .select($"doc_id", split($"text", " ").as("tok"))
       .filter(size($"tok") >= 3)
       .select($"doc_id", shingleCol.as("sh"))
-    // materialize the (doc, shingle, df) table once: five consumers
-    // (both candidate sides, the hot re-join's two sides, sizes) would
-    // otherwise each re-run the corpus shingle explode + df rollup
-    val ex = base.select($"doc_id", explode($"sh").as("s"))
+    base.select($"doc_id", explode($"sh").as("s"))
       .join(ex0DfOf(base), "s")
-      .persist()
+  }
+
+  private[graft] def containmentPairsOf(docs: DataFrame,
+      dfCap: Long = ContainmentDfCap): DataFrame =
+    containmentFrom(containmentExOf(docs), dfCap)
+
+  private def containmentFrom(ex: DataFrame, dfCap: Long): DataFrame = {
+    val spark = ex.sparkSession
+    import spark.implicits._
     val rare = ex.filter($"df" <= dfCap)
     val rs = rare.select($"s", $"doc_id".as("a_id"))
       .join(rare.select($"s", $"doc_id".as("b_id")), "s")
@@ -234,7 +249,11 @@ object DedupOps {
       .select($"a_id", $"b_id", graft.functions.VectorExpressions
         .sortedIntersectSize($"a_hsh", $"b_hsh").cast("long")
         .as("hot_shared"))
-    val sizes = base.select($"doc_id", size($"sh").cast("long").as("n"))
+    // per-doc shingle counts off the SAME ex table (shingles are
+    // distinct per doc and the df join drops nothing) — reading the
+    // un-cached base here would re-run the corpus tokenize+shingle
+    // pass the materialization exists to avoid (review finding)
+    val sizes = ex.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     rs.join(hs, Seq("a_id", "b_id"), "left")
       .withColumn("inter",
         $"rare_shared" + coalesce($"hot_shared", lit(0L)))
@@ -654,7 +673,8 @@ object DedupOps {
     * (q45/q59/q64). Bench uses this to release each query's persisted
     * result without dropping what later queries deliberately reuse. */
   private[graft] def isSharedArtifact(df: DataFrame): Boolean =
-    pairsMemo.holds(df) || clustersMemo.holds(df)
+    pairsMemo.holds(df) || clustersMemo.holds(df) ||
+      containExMemo.holds(df)
 
   /** Drop EVERY memoized shared artifact — pair tables AND cluster
     * labels — and unpersist their blocks; for tests and long-lived JVMs
@@ -662,6 +682,7 @@ object DedupOps {
   def invalidateSharedArtifacts(): Unit = {
     pairsMemo.invalidate()
     clustersMemo.invalidate()
+    containExMemo.invalidate()
   }
 
   /** Duplicate-cluster assignment: connected components over the

@@ -467,9 +467,15 @@ object VectorOps {
     * the collected W×W matrix, and is O(k·W) driver arithmetic on
     * SERVING CONSTANTS (W=20, k=5) — the q76-rerank/q179 bounded-
     * parameter precedent, invariant in corpus size. */
-  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame =
+    mmrRerankOf(Tables(spark, dir, "embeddings"))
+
+  /** q183 over any (vec_id, embedding) frame with the query at
+    * vec_id 0 — liftable so the one-candidate edge case is
+    * spec-checkable on a synthetic frame. */
+  private[graft] def mmrRerankOf(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
     import spark.implicits._
-    val emb = Tables(spark, dir, "embeddings")
     val qRow = emb.filter($"vec_id" === 0)
       .select($"embedding").head.getSeq[Float](0).toArray
     val query = Seq(qRow.toSeq).toDF("q_emb")
@@ -487,7 +493,12 @@ object VectorOps {
         nanvl(cosine($"a_emb", $"b_emb"), lit(Double.NegativeInfinity))
           .as("s"))
       .collect()
-    val simq = mat.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // simq from the POOL, not the pair matrix: a one-candidate pool
+    // has an empty matrix, and deriving simq from it would return an
+    // empty result where the oracle's r1 emits that candidate
+    // (review finding, this round)
+    val simq = pool.select($"vec_id", $"simq").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val pairSim = mat.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
       .toMap
     var selected = Vector.empty[Long]
@@ -1996,7 +2007,16 @@ object VectorOps {
         $"chunk".as("c"))).as("m"))
       .select($"chunk_hash", $"m.d".as("doc_id"),
         $"m.i".as("chunk_idx"), $"m.c".as("chunk"))
-    val stored = spark.read.parquet(indexPath).select($"chunk_hash")
+    // a take-down that removed EVERY document leaves a schema-less
+    // parquet dir (only _SUCCESS — Spark writes no part files for an
+    // empty partitioned frame), which read.parquet refuses to infer;
+    // that state means "the index holds nothing", so the anti-join's
+    // stored side is empty and THIS append restores the schema
+    // (review finding, this round)
+    val stored =
+      try spark.read.parquet(indexPath).select($"chunk_hash")
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        spark.emptyDataset[String].toDF("chunk_hash") }
     val novel = chunkIndexRowsOf(
       canon.join(stored, Seq("chunk_hash"), "left_anti")).persist()
     val n = novel.count()

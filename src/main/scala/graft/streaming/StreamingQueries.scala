@@ -952,9 +952,16 @@ object StreamingQueries {
       Seq(lit(t), lit(b)) }: _*)
     events
       .withColumn("p99_bin", element_at(cutMap, col("event_type")))
-      .withColumn("is_outlier", coalesce(
-        graft.queries.EventOps.histBin(col("value")) > col("p99_bin"),
-        lit(true)))
+      // fail-closed applies to UNKNOWN TYPES only (no cutoff row); a
+      // NULL value on a known type is not beyond any cutoff — batch
+      // q190's comparison drops it, so the twin must flag false, not
+      // ride the same coalesce into a spurious outlier (review
+      // finding, this round)
+      .withColumn("is_outlier",
+        when(col("p99_bin").isNull, lit(true))
+          .otherwise(coalesce(
+            graft.queries.EventOps.histBin(col("value")) > col("p99_bin"),
+            lit(false))))
       .select(col("event_id"), col("event_type"), col("value"),
         col("p99_bin"), col("is_outlier"))
   }

@@ -202,6 +202,33 @@ class ChunkIndexSpec extends SparkSuite {
         new java.io.File(base))
     }
   }
+
+  test("chunk take-down of EVERY document leaves a recoverable empty " +
+      "index: the delete completes and the next append restores it") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("chunkall").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text")
+    try {
+      val idx = s"$base/a"
+      VectorOps.chunkWriteIndex(spark, sf0001, idx)
+      val all = docs.select($"doc_id").collect().map(_.getLong(0)).toSeq
+      // the emptied partitioned dir is schema-less (only _SUCCESS);
+      // before the tolerant stored-read this THREW mid-delete, after
+      // the destructive swap (review finding)
+      val re = VectorOps.deleteFromChunkIndex(spark, idx, all, docs)
+      assert(re == 0L, s"no survivors can re-offer: $re")
+      // the next ordinary append resurrects the index from empty
+      val appended = VectorOps.chunkAppendBatch(docs, idx)
+      assert(appended > 0L)
+      val top = VectorOps.chunkSearchIndexed(spark, idx,
+        queryRow(sf0001), probes = 4, excludeDocId = Some(0L)).collect()
+      assert(top.length == 5)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(base))
+    }
+  }
 }
 
 /** Indirection for the streaming upsert call so the spec reads at one

@@ -1196,6 +1196,23 @@ class OperatorPropertiesSpec extends SparkSuite {
       "pool top-5 and MMR top-5 coincide — data exercises no diversity")
   }
 
+  test("q183 MMR degenerate pools: one candidate returns it at rank 1; " +
+      "pool smaller than k returns the whole pool") {
+    import spark.implicits._
+    def frame(n: Int) = (0 to n).map(i =>
+      (i.toLong, (1 to 64).map(d => (i * 64 + d) / 10000f)))
+      .toDF("vec_id", "embedding")
+    // exactly one candidate: the oracle's r1 emits it — so must we
+    val one = VectorOps.mmrRerankOf(frame(1)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(one.toSeq == Seq((1L, 1L)), one.mkString(","))
+    // three candidates, k=5: all three come back, ranks contiguous
+    val three = VectorOps.mmrRerankOf(frame(3)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(three.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(three.map(_._2).toSet == Set(1L, 2L, 3L))
+  }
+
   test("q184 SQ8: codes bounded, distances ascending, exact-NN recall") {
     import spark.implicits._
     val rows = VectorOps.sq8Ann(spark, sf0001).collect()

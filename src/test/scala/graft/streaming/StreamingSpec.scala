@@ -729,23 +729,28 @@ class StreamingSpec extends SparkSuite {
     val feed = graft.sources.Tables(spark, sf0001, "events")
       .select($"event_id", $"event_type", $"value").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
-    val ms = MemoryStream[(Long, String, Double)]
+    val ms = MemoryStream[(Long, String, Option[Double])]
     val q = StreamingQueries.outlierGateStream(
         ms.toDF().toDF("event_id", "event_type", "value"),
         graft.sources.Tables(spark, sf0001, "events"))
       .writeStream.outputMode("append").format("memory")
       .queryName("outlier_out").start()
-    ms.addData(feed.toIndexedSeq: _*)
-    ms.addData((999999L, "brand-new-type", 1.0))
+    ms.addData(feed.map(e => (e._1, e._2, Option(e._3))).toIndexedSeq: _*)
+    ms.addData((999999L, "brand-new-type", Some(1.0)),
+      // NULL value on a KNOWN type: not beyond any cutoff — must NOT
+      // flag (batch's comparison drops it); only unknown TYPES fail
+      // closed
+      (999998L, "click", Option.empty[Double]))
     q.processAllAvailable()
     val rows = spark.table("outlier_out").collect()
       .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
     q.stop()
-    assert(rows.size == feed.length + 1)
+    assert(rows.size == feed.length + 2)
     val streamFlagged = rows.filter(_._2).keySet - 999999L
     assert(streamFlagged == batchFlagged,
       s"stream=${streamFlagged.size} batch=${batchFlagged.size}")
     assert(rows(999999L), "unknown type must fail closed")
+    assert(!rows(999998L), "null value on a known type must not flag")
   }
 
   test("SDC dedup stream == batch within-cell code matches at the " +
