@@ -486,8 +486,11 @@ object DedupFusionOps {
       .select($"doc_id", coalesce($"label", $"doc_id").as("cluster_id"))
   }
 
-  private val fusionClustersSql =
-    s"""WITH RECURSIVE fp AS (
+  /** The three edge-family CTEs (exact `ee`, minhash `mp`, simhash
+    * `sp`) — shared by the q132 fusion oracle and q196's attribution
+    * oracle, one definition so the families cannot drift. */
+  private val fusionEdgeCtes =
+    s"""fp AS (
       |  SELECT doc_id,
       |    md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS f
       |  FROM documents),
@@ -511,7 +514,10 @@ object DedupFusionOps {
       |sp AS (
       |${DedupOps.simhashPairsSql.linesIterator
            .map("  " + _).mkString("\n")}
-      |),
+      |)""".stripMargin
+
+  private val fusionClustersSql =
+    s"""WITH RECURSIVE $fusionEdgeCtes,
       |pe AS (
       |  SELECT a_id, b_id FROM ee
       |  UNION SELECT a_id, b_id FROM mp
@@ -528,7 +534,75 @@ object DedupFusionOps {
       |    AS cluster_id
       |FROM documents d LEFT JOIN m2 ON m2.doc_id = d.doc_id""".stripMargin
 
+  /** q196 — SIGNAL ATTRIBUTION over the fusion edge families: per
+    * detector (exact fingerprint / verified MinHash / SimHash), how
+    * many edges it contributed to the q132 union graph and how many
+    * of those NO other detector found. This is the report that
+    * justifies (or retires) each detector in the ensemble — a signal
+    * whose n_unique goes to zero is paying its mining cost for
+    * redundant evidence; one whose unique share grows is covering a
+    * failure mode the others are blind to. Edge semantics are exactly
+    * q132's (the exact family contributes its root-star edges, the
+    * pair miners their verified pairs — one shared definition, so the
+    * attribution can never drift from what the fusion consumed).
+    * Bounded output (3 rows); the per-pair signal rollup is one
+    * two-level hash aggregate over the already-mined edge sets, and
+    * the MinHash arm rides the session-memoized pair table. */
+  def signalAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = docs(spark, dir)
+      .select($"doc_id", DedupOps.fingerprintExpr($"text").as("fp"))
+    val exact = fp
+      .join(fp.groupBy($"fp").agg(min($"doc_id").as("root")), "fp")
+      .filter($"doc_id" =!= $"root")
+      .select($"root".as("a_id"), $"doc_id".as("b_id"),
+        lit("exact").as("sig"))
+    val mh = DedupOps.verifiedPairs(spark, dir)
+      .select($"a_id", $"b_id", lit("minhash").as("sig"))
+    val sh = DedupOps.simhashPairs(spark, dir)
+      .select($"a_id", $"b_id", lit("simhash").as("sig"))
+    val tagged = exact.union(mh).union(sh)
+    val nsig = tagged.groupBy($"a_id", $"b_id")
+      .agg(countDistinct($"sig").as("nsig"))
+    val perSig = tagged.join(nsig, Seq("a_id", "b_id"))
+      .groupBy($"sig")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"nsig" === 1, 1L).otherwise(0L)).as("n_unique"))
+    // a detector that found NOTHING must show a zero row, not vanish —
+    // "n_unique went to zero" is the retire signal this report exists
+    // to surface
+    Seq("exact", "minhash", "simhash").toDF("sig")
+      .join(perSig, Seq("sig"), "left")
+      .select($"sig", coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_unique", lit(0L)).as("n_unique"))
+  }
+
+  private val signalAttributionSql =
+    s"""WITH $fusionEdgeCtes,
+      |tagged AS (
+      |  SELECT 'exact' AS sig, a_id, b_id FROM ee
+      |  UNION ALL SELECT 'minhash', a_id, b_id FROM mp
+      |  UNION ALL SELECT 'simhash', a_id, b_id FROM sp),
+      |ns AS (SELECT a_id, b_id, COUNT(DISTINCT sig) AS nsig
+      |  FROM tagged GROUP BY 1, 2),
+      |per AS (
+      |  SELECT t.sig, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    CAST(SUM(CASE WHEN ns.nsig = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_unique
+      |  FROM tagged t JOIN ns USING (a_id, b_id)
+      |  GROUP BY t.sig)
+      |SELECT d.sig, COALESCE(per.n_pairs, 0) AS n_pairs,
+      |  COALESCE(per.n_unique, 0) AS n_unique
+      |FROM (SELECT unnest(['exact', 'minhash', 'simhash']) AS sig) d
+      |LEFT JOIN per ON per.sig = d.sig""".stripMargin
+
   def queries: Seq[Q] = Seq(
+    Q("q196_signal_attribution", signalAttribution,
+      Some(signalAttributionSql),
+      "dedup-ensemble attribution: per detector, edges contributed " +
+        "to the q132 union graph and edges NO other detector found " +
+        "— the keep-or-retire report for each signal, bounded 3-row " +
+        "output over the already-mined edge sets"),
     Q("q129_edit_verified", editVerified, Some(editVerifiedSql),
       "edit-distance verification of SimHash candidates: exact " +
         "Levenshtein similarity over candidate pairs only (never " +

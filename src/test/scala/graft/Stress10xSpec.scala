@@ -173,8 +173,8 @@ object Stress10xSpec {
     Seq("q180_promo_window_load", "q183_mmr_rerank", "q184_sq8_ann",
       "q185_vocab_overlap_sketch", "q187_snapshot_diff",
       "q188_media_dedup", "q189_k_anon_generalize", "q190_outlier_gate",
-      "q192_sdc_dedup", "q193_ivf_sq8_ann", "q195_containment_pairs")
-      .foreach(n => runAndAudit(n))
+      "q192_sdc_dedup", "q193_ivf_sq8_ann", "q195_containment_pairs",
+      "q196_signal_attribution").foreach(n => runAndAudit(n))
     runAndAudit("q186_scorer_agreement", scalarRollup = true)
     runAndAudit("q191_compression_recall", scalarRollup = true)
     // 2-row report whose keyless rollups ride broadcast-joined
