@@ -144,7 +144,9 @@ object Bench {
            "q122" -> "q123", "q134" -> "q137", "q157" -> "q159",
            "q170" -> "q171", "q93" -> "q155", "q148" -> "q155",
            "q151" -> "q155", "q151" -> "q165",
-           "q156" -> "q158", "q156" -> "q194")
+           "q156" -> "q158", "q156" -> "q194",
+           "q74" -> "q75", "q74" -> "q77", "q74" -> "q139",
+           "q111" -> "q197", "q157" -> "q197")
          if pos(payer) >= 0 && pos(rider) >= 0)
       require(pos(payer) < pos(rider),
         s"bench attribution: shared-artifact payer $payer must run before rider $rider")

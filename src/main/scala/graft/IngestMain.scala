@@ -86,14 +86,17 @@ object IngestMain {
     val spanPath = ServingIndexes.spanIndex(spark, dir)
     val postingPath = s"$outDir/posting_index"
     val chunkPath = s"$outDir/chunk_index"
-    // existence probes target each build's LAST-written artifact (the
-    // docs manifest; the .codebook sibling), so a crash mid-build is
-    // retried as a rebuild instead of silently serving a partial
-    // index — review r12
-    if (!new java.io.File(s"$postingPath/docs").exists())
+    // existence probes target the _SUCCESS marker INSIDE each build's
+    // LAST-written artifact (the docs manifest; the .codebook sibling):
+    // Spark creates the output directory before the job commits, so a
+    // bare-directory probe would accept a crash-torn partial write —
+    // the marker exists only after the commit, and both builders write
+    // mode("overwrite"), so the retried rebuild cleans the debris
+    // (ADVICE r13)
+    if (!new java.io.File(s"$postingPath/docs/_SUCCESS").exists())
       TextOps.postingWriteIndexOf(corpus.select($"doc_id", $"text"),
         postingPath)
-    if (!new java.io.File(s"$chunkPath.codebook").exists())
+    if (!new java.io.File(s"$chunkPath.codebook/_SUCCESS").exists())
       VectorOps.chunkWriteIndexOf(corpus.select($"doc_id", $"text"),
         chunkPath)
     val postingsBefore = spark.read.parquet(s"$postingPath/postings").count()

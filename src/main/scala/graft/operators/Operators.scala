@@ -149,6 +149,46 @@ object Operators {
       .write.partitionBy(partitionCol)
       .mode("overwrite").parquet(path)
 
+  /** Fan a frame out to the session's core count — but ONLY when its
+    * physical plan provides fewer tasks than cores. This exists for
+    * CPU-DENSE per-row lifts (per-occurrence digests, window explodes)
+    * whose input is a scan: Spark parallelizes a scan by file split,
+    * so a small single-file table (the local test corpus) yields ONE
+    * task and the digest loop runs on one core while 31 idle — wall ≈
+    * CPU instead of CPU/cores. At deployment scale the same table is
+    * thousands of splits, the guard sees partitions ≥ cores, and this
+    * is the identity: no exchange is ever added to the 100 TB plan.
+    * The conditional exchange ships the pre-explode rows once (text
+    * bytes, ~corpus size at worst) — orders of magnitude below the
+    * digest CPU it unlocks, and only ever paid in the
+    * under-parallelized regime. `.rdd.getNumPartitions` costs one
+    * physical planning of `df`, no job.
+    *
+    * Two forms. The KEYED one hash-partitions on a caller-named
+    * unique key (doc_id): uniform spread, no extra work per row. The
+    * unkeyed one round-robins — Spark's failure-determinism rule
+    * local-sorts rows before a round-robin exchange
+    * (`sortBeforeRepartition`), acceptable for doc-level row counts —
+    * and exists for inputs with NO unique key: hashing a non-unique
+    * column (document TEXT, in a corpus that deliberately contains
+    * duplicates) lands every copy in one partition and re-serializes
+    * the very work being spread (measured: q127 2.9 s round-robin vs
+    * 3.5 s text-keyed). */
+  def fanOutIfNarrow(df: DataFrame, key: Column): DataFrame = {
+    if (df.isStreaming) return df // no .rdd on unstarted streams; a
+    // stream's parallelism is its source partitioning, not a file split
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df
+    else df.repartition(cores, key)
+  }
+
+  def fanOutIfNarrow(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df
+    else df.repartition(cores)
+  }
+
   /** Release the block-manager blocks behind a localCheckpoint'd frame.
     * `DataFrame.unpersist` cannot reach them (the persistence lives on
     * the internal RDD inside the LogicalRDD node, not in the cache

@@ -18,6 +18,15 @@ import graft.functions.VectorExpressions.LongVecSqDist
   * left-to-right accumulation. The square may be written (x−y)·(x−y)
   * or (y−x)·(y−x) — equal by algebra, both accepted; a MIXED form
   * (x−y)·(y−x) is the NEGATED square and must not fuse.
+  *
+  * Every arithmetic node must carry LEGACY eval mode: under
+  * `spark.sql.ansi.enabled` the unfused HOF raises
+  * ARITHMETIC_OVERFLOW on long overflow while [[LongVecSqDist]]'s
+  * codegen wraps silently, so fusing an ANSI-mode expression would
+  * change observable failure semantics — the same discipline Spark's
+  * own rewrites keep (ADVICE r13). The shipped SQ8/PQ callers bound
+  * the domain far below overflow either way; the guard is for any
+  * future ANSI session this rule is injected into.
   */
 object FuseLongVecSqDist extends Rule[LogicalPlan] {
 
@@ -35,9 +44,10 @@ object FuseLongVecSqDist extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** merge must be (acc, p) -> acc + p over longs. */
+  /** merge must be (acc, p) -> acc + p over longs, legacy eval mode. */
   private def isSumMerge(f: Expression): Boolean = f match {
-    case LambdaFunction(Add(l: NamedLambdaVariable, r: NamedLambdaVariable, _),
+    case LambdaFunction(
+        Add(l: NamedLambdaVariable, r: NamedLambdaVariable, EvalMode.LEGACY),
         Seq(acc: NamedLambdaVariable, p: NamedLambdaVariable), _) =>
       l.exprId == acc.exprId && r.exprId == p.exprId
     case _ => false
@@ -54,14 +64,16 @@ object FuseLongVecSqDist extends Rule[LogicalPlan] {
   private def isSquaredDiff(mul: Expression,
       xa: NamedLambdaVariable, ya: NamedLambdaVariable): Boolean = {
     def orient(e: Expression): Option[Boolean] = e match {
-      case Subtract(l: NamedLambdaVariable, r: NamedLambdaVariable, _)
+      case Subtract(l: NamedLambdaVariable, r: NamedLambdaVariable,
+            EvalMode.LEGACY)
           if l.exprId == xa.exprId && r.exprId == ya.exprId => Some(true)
-      case Subtract(l: NamedLambdaVariable, r: NamedLambdaVariable, _)
+      case Subtract(l: NamedLambdaVariable, r: NamedLambdaVariable,
+            EvalMode.LEGACY)
           if l.exprId == ya.exprId && r.exprId == xa.exprId => Some(false)
       case _ => None
     }
     mul match {
-      case Multiply(l, r, _) =>
+      case Multiply(l, r, EvalMode.LEGACY) =>
         (orient(l), orient(r)) match {
           case (Some(p), Some(q)) => p == q
           case _ => false

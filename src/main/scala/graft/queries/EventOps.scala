@@ -562,8 +562,11 @@ object EventOps {
   private[graft] def histogramQuantilesOf(ev: DataFrame): DataFrame = {
     val spark = ev.sparkSession
     import spark.implicits._
+    // NULL exclusion mirrors q190's (ADVICE r13): engines disagree on
+    // where a NULL bin sorts in the cumulative window
     quantilesOverBins(
-      ev.select($"event_type", histBin($"value").as("bin"))
+      ev.filter($"value".isNotNull)
+        .select($"event_type", histBin($"value").as("bin"))
         .groupBy($"event_type", $"bin").agg(count(lit(1)).as("c")))
   }
 
@@ -589,7 +592,7 @@ object EventOps {
     s"""WITH b AS (
       |  SELECT event_type, CAST(floor(value / $histBinW) AS BIGINT) AS bin,
       |    COUNT(*) AS c
-      |  FROM events GROUP BY 1, 2),
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
       |cw AS (
       |  SELECT event_type, bin,
       |    SUM(c) OVER (PARTITION BY event_type ORDER BY bin
@@ -837,7 +840,12 @@ object EventOps {
   private[graft] def outlierCutoffs(ev: DataFrame): DataFrame = {
     val spark = ev.sparkSession
     import spark.implicits._
-    val bins = ev.select($"event_type", histBin($"value").as("bin"))
+    // NULL values carry no bin: Spark orders NULLs first in an
+    // ascending window, DuckDB last, so a NULL bin would land at
+    // opposite ends of the cumulative sum and could shift p99_bin —
+    // excluded explicitly in BOTH engines (ADVICE r13)
+    val bins = ev.filter($"value".isNotNull)
+      .select($"event_type", histBin($"value").as("bin"))
       .groupBy($"event_type", $"bin").agg(count(lit(1)).as("c"))
     val w = Window.partitionBy($"event_type").orderBy($"bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -861,7 +869,7 @@ object EventOps {
     s"""WITH b AS (
       |  SELECT event_type, CAST(floor(value / $histBinW) AS BIGINT) AS bin,
       |    COUNT(*) AS c
-      |  FROM events GROUP BY 1, 2),
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
       |cw AS (
       |  SELECT event_type, bin,
       |    SUM(c) OVER (PARTITION BY event_type ORDER BY bin

@@ -298,11 +298,20 @@ object DedupFusionOps {
   def noveltyScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = docs(spark, dir)
-    val deltaWins = DedupOps.spanWindows(d.filter(isDeltaCol), NoveltyK)
-    val corpusGrams = DedupOps.spanWindows(d.filter(!isDeltaCol), NoveltyK)
-      .select($"gram").distinct()
+    // both sides are doc_id-disjoint slices of the family's shared
+    // NARROW window-hash table (q74 pays the one explode, this rides —
+    // VERDICT r12 #2); isDeltaCol is a pure doc_id predicate, so
+    // filtering the window rows equals windowing the filtered docs.
+    // The novelty join moves to the 64-bit gh key — the same key (and
+    // the same documented collision bound) [[noveltyScoreIndexed]]
+    // already serves from storage, so live and served twins now share
+    // the key domain end to end
+    val wins = DedupOps.spanWindowTable(spark, dir)
+    val deltaWins = wins.filter(isDeltaCol)
+    val corpusGhs = wins.filter(!isDeltaCol)
+      .select($"gh").distinct()
     val flagged = deltaWins
-      .join(corpusGrams.withColumn("seen", lit(true)), Seq("gram"), "left")
+      .join(corpusGhs.withColumn("seen", lit(true)), Seq("gh"), "left")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_windows"),
         sum(when($"seen", 0L).otherwise(1L)).as("n_novel"))
@@ -316,6 +325,8 @@ object DedupFusionOps {
           .as("novelty_pct"))
   }
 
+  // pinned to the shared window table's k ([[DedupOps.spanWindowTable]]):
+  // noveltyScore rides that artifact, so the two constants must agree
   private val NoveltyK = 8
 
   private val noveltyScoreSql =

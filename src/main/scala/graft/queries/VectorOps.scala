@@ -2011,11 +2011,17 @@ object VectorOps {
     // parquet dir (only _SUCCESS — Spark writes no part files for an
     // empty partitioned frame), which read.parquet refuses to infer;
     // that state means "the index holds nothing", so the anti-join's
-    // stored side is empty and THIS append restores the schema
-    // (review finding, this round)
+    // stored side is empty and THIS append restores the schema.
+    // ONLY the two conditions that encode "nothing there" are treated
+    // as empty — a genuine read failure (permissions, corrupt footer)
+    // must surface, not silently re-append every fingerprint the
+    // anti-join exists to suppress (ADVICE r13)
     val stored =
       try spark.read.parquet(indexPath).select($"chunk_hash")
-      catch { case _: org.apache.spark.sql.AnalysisException =>
+      catch { case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(c =>
+            c.startsWith("UNABLE_TO_INFER_SCHEMA") ||
+              c.startsWith("PATH_NOT_FOUND")) =>
         spark.emptyDataset[String].toDF("chunk_hash") }
     val novel = chunkIndexRowsOf(
       canon.join(stored, Seq("chunk_hash"), "left_anti")).persist()
@@ -3310,6 +3316,103 @@ object VectorOps {
       |      ELSE (1000000 * n_corpus) // tc END AS BIGINT)) AS drift_ppm
       |FROM counts, t""".stripMargin
 
+  /** q197's REBUILD POLICY — one row per grid-riding index family,
+    * with its drift tolerances in integer ppm. Two thresholds because
+    * the families fail differently: probe-routed serving (ivf,
+    * ivf_sq8) breaks when ANY cell's occupancy shifts (the probe set
+    * stops covering where new content lands — a per-cell bound),
+    * while the trained-codebook families (ivf_pq, chunk_pq) degrade
+    * with TOTAL distribution movement (codewords sit at stale
+    * centroids — a mass bound, tighter because retraining a codebook
+    * is cheaper to trigger than re-routing probes is to get wrong).
+    * Constants interpolated into the oracle from this one table (the
+    * NumShards anti-drift rule). */
+  private[graft] val ReindexPolicy: Seq[(String, Long, Long)] = Seq(
+    ("ivf", 100000L, 20000L),
+    ("ivf_sq8", 100000L, 20000L),
+    ("ivf_pq", 60000L, 50000L),
+    ("chunk_pq", 60000L, 50000L))
+
+  /** q197 — the drift→retrain→reindex DECISION: the operational query
+    * a 100 TB deployment schedules nightly, closing the loop the
+    * monitoring/training/audit queries left open (VERDICT r12 #5).
+    * Reads q141's cell-drift report ([[embeddingDrift]], verbatim)
+    * against the [[ReindexPolicy]] thresholds and emits a
+    * rebuild/keep/hold verdict PER INDEX FAMILY, gated by q159's
+    * recall audit ([[refinedRecall]], verbatim — which itself rides
+    * q157's trained centroids): `rebuild` only when drift exceeds the
+    * family's tolerance AND the trained quantizer recalls at least as
+    * well as the seed one; drift-without-recall-gain reports `hold`,
+    * the page-a-human verdict (a rebuild that loses recall is a
+    * regression, not maintenance). Everything integer/boolean/string,
+    * so the whole decision table hash-checks.
+    *
+    * Scale shape: q141's rollup is ≤nCells keys, q159's audit is a
+    * 5-row broadcast join; the verdict itself is a 4-row policy table
+    * cross-joined against two one-row broadcast scalars (the
+    * documented keyless scalar-rollup exemption) — free at any corpus
+    * size once the constituent audits ran. */
+  def reindexDecision(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = embeddingDrift(spark, dir)
+      .agg(sum($"drift_ppm").as("tv2_ppm"),
+        max($"drift_ppm").as("max_cell_ppm"))
+    val g = refinedRecall(spark, dir)
+      .agg(sum(when($"in_seed_probe", 1L).otherwise(0L)).as("seed_hits"),
+        sum(when($"in_trained_probe", 1L).otherwise(0L)).as("trained_hits"))
+    val pol = ReindexPolicy
+      .toDF("index_family", "tv2_threshold_ppm", "cell_threshold_ppm")
+    pol.crossJoin(broadcast(d)).crossJoin(broadcast(g))
+      .withColumn("drift_exceeded",
+        $"tv2_ppm" > $"tv2_threshold_ppm" ||
+          $"max_cell_ppm" > $"cell_threshold_ppm")
+      .withColumn("recall_gate_ok", $"trained_hits" >= $"seed_hits")
+      .withColumn("verdict",
+        when(!$"drift_exceeded", "keep")
+          .when($"recall_gate_ok", "rebuild")
+          .otherwise("hold"))
+      .select($"index_family", $"tv2_ppm", $"max_cell_ppm",
+        $"tv2_threshold_ppm", $"cell_threshold_ppm", $"drift_exceeded",
+        $"seed_hits", $"trained_hits", $"recall_gate_ok", $"verdict")
+  }
+
+  /** Oracle: q141's and q159's full oracles embedded verbatim as CTEs
+    * (the nested-WITH device), rolled to the two scalars, crossed
+    * with the policy VALUES — the decision's inputs are re-derived
+    * end to end, not trusted. Lazy: interpolates vals defined later
+    * in this object. */
+  private lazy val reindexDecisionSql =
+    s"""WITH drift AS (
+      |$embeddingDriftSql
+      |),
+      |rr AS (
+      |$refinedRecallSql
+      |),
+      |d AS (SELECT CAST(SUM(drift_ppm) AS BIGINT) AS tv2_ppm,
+      |  CAST(MAX(drift_ppm) AS BIGINT) AS max_cell_ppm FROM drift),
+      |g AS (SELECT
+      |  CAST(SUM(CASE WHEN in_seed_probe THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS seed_hits,
+      |  CAST(SUM(CASE WHEN in_trained_probe THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS trained_hits
+      |  FROM rr),
+      |pol AS (SELECT * FROM (VALUES
+      |  ${ReindexPolicy.map { case (f, t, c) =>
+      s"('$f', CAST($t AS BIGINT), CAST($c AS BIGINT))"
+    }.mkString(", ")})
+      |  p(index_family, tv2_threshold_ppm, cell_threshold_ppm))
+      |SELECT p.index_family, d.tv2_ppm, d.max_cell_ppm,
+      |  p.tv2_threshold_ppm, p.cell_threshold_ppm,
+      |  (d.tv2_ppm > p.tv2_threshold_ppm
+      |    OR d.max_cell_ppm > p.cell_threshold_ppm) AS drift_exceeded,
+      |  g.seed_hits, g.trained_hits,
+      |  g.trained_hits >= g.seed_hits AS recall_gate_ok,
+      |  CASE WHEN NOT (d.tv2_ppm > p.tv2_threshold_ppm
+      |      OR d.max_cell_ppm > p.cell_threshold_ppm) THEN 'keep'
+      |    WHEN g.trained_hits >= g.seed_hits THEN 'rebuild'
+      |    ELSE 'hold' END AS verdict
+      |FROM pol p, d, g""".stripMargin
+
   /** q146 — CHUNK-level retrieval, the RAG search loop closed end to
     * end: q144's overlapping chunks vectorize with the row-local
     * hashing lift ([[rowDocVector]] — one columnar expression per
@@ -3631,6 +3734,12 @@ object VectorOps {
         "coarse search under seed vs q157-trained centroids against " +
         "the exact q30 top-5 — the recall lift training buys, " +
         "hash-checked"),
+    Q("q197_reindex_decision", reindexDecision, Some(reindexDecisionSql),
+      "drift->retrain->reindex verdict: q141 cell-drift ppm vs the " +
+        "per-family policy thresholds, gated by q159's trained-vs-seed " +
+        "recall audit — rebuild/keep/hold per index family, the " +
+        "nightly maintenance decision a deployment schedules, " +
+        "hash-checked end to end"),
     Q("q154_pq_recon_error", pqReconError, Some(pqReconErrorSql),
       "PQ index-health audit: per-cell quantization error (integer " +
         "mean + max squared-L2 to the assigned codewords) via the " +

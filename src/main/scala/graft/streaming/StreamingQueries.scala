@@ -355,9 +355,56 @@ object StreamingQueries {
     * the raw vocabulary (unbounded at corpus scale). */
   val CalVocabCap = 65536
 
+  /** The vocabulary size at which the hoisted literal map stops being
+    * the right serving shape: a `map(...)` literal carries 2·cap
+    * child expressions through analysis and `element_at` probes its
+    * ArrayBasedMapData LINEARLY per token — fine to ~this many
+    * entries, a ~131k-node expression with O(cap)-per-token probes at
+    * the full [[CalVocabCap]] (VERDICT r12 #4). Above it, deploy
+    * [[writeScorerModel]] + [[calibratedScorerJoined]]: the model
+    * becomes a persisted table joined by broadcast hash (O(1) probes,
+    * zero plan weight) — the posting-index precedent. */
+  val CalVocabLiteralCap = 4096
+
+  /** The calibration parameter literals (per-source histogram + total
+    * maps) — GENUINELY bounded (sources × score bins), shared by both
+    * scorer forms. */
+  private def calibrationParams(corpus: DataFrame): (Column, Column) = {
+    val hist = graft.queries.TextOps.sourceBinHistOf(corpus)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val histMap = map(hist.groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (src, rows) =>
+        Seq(lit(src), array(rows.sortBy(_._2).map { case (_, b, c) =>
+          struct(lit(b).as("b"), lit(c).as("c")) }.toIndexedSeq: _*))
+      }: _*)
+    val totMap = map(hist.groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (src, rows) =>
+        Seq(lit(src), lit(rows.map(_._3).sum)) }: _*)
+    (histMap, totMap)
+  }
+
+  /** The gate's calibration back half over a (doc_id, source, score)
+    * frame — percentile within the frozen per-source histogram and
+    * the keep decision, stateless per row. One definition serves the
+    * literal-map and model-join scorer forms. */
+  private def calibrationTail(histMap: Column, totMap: Column)(
+      scored: DataFrame): DataFrame =
+    scored
+      .withColumn("bin",
+        expr(s"score div ${graft.queries.TextOps.CurrBinW}"))
+      .withColumn("cum", aggregate(
+        element_at(histMap, col("source")), lit(0L),
+        (acc, x) => acc + when(x("b") <= col("bin"), x("c"))
+          .otherwise(lit(0L))))
+      .withColumn("n_src", element_at(totMap, col("source")))
+      .select(col("doc_id"), col("source"), col("score"),
+        expr("CAST((100 * cum) div n_src AS BIGINT)").as("src_pct"))
+      .withColumn("keep_calibrated",
+        when(col("src_pct") > graft.queries.TextOps.CalPctCut, 1L)
+          .otherwise(0L))
+
   def calibratedScorer(corpus: DataFrame,
       vocabCap: Int = CalVocabCap): DataFrame => DataFrame = {
-    import graft.queries.TextOps
     // model: term → corpus frequency, top-vocabCap by mass (ties by
     // term asc — deterministic). TakeOrderedAndProject, so the read
     // is bounded regardless of corpus vocabulary.
@@ -369,18 +416,8 @@ object StreamingQueries {
       .collect().map(r => r.getString(0) -> r.getLong(1))
     val freqMap = map(freq.toIndexedSeq.flatMap { case (t, f) =>
       Seq(lit(t), lit(f)) }: _*)
-    // calibration: per-source (bin, count) histogram + totals
-    val hist = TextOps.sourceBinHistOf(corpus)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val histMap = map(hist.groupBy(_._1).toSeq.sortBy(_._1)
-      .flatMap { case (src, rows) =>
-        Seq(lit(src), array(rows.sortBy(_._2).map { case (_, b, c) =>
-          struct(lit(b).as("b"), lit(c).as("c")) }.toIndexedSeq: _*))
-      }: _*)
-    val totMap = map(hist.groupBy(_._1).toSeq.sortBy(_._1)
-      .flatMap { case (src, rows) =>
-        Seq(lit(src), lit(rows.map(_._3).sum)) }: _*)
-    (docs: DataFrame) => docs
+    val (histMap, totMap) = calibrationParams(corpus)
+    (docs: DataFrame) => calibrationTail(histMap, totMap)(docs
       .withColumn("tk", filter(
         split(coalesce(col("text"), lit("")), " "),
         t => t =!= "" && element_at(freqMap, t).isNotNull))
@@ -390,18 +427,60 @@ object StreamingQueries {
           (acc, t) => acc + element_at(freqMap, t)).as("sf"))
       .select(col("doc_id"), col("source"),
         expr("CAST(IF(n = 0, 0, sf * 1000000 div n) AS BIGINT)")
-          .as("score"))
-      .withColumn("bin", expr(s"score div ${TextOps.CurrBinW}"))
-      .withColumn("cum", aggregate(
-        element_at(histMap, col("source")), lit(0L),
-        (acc, x) => acc + when(x("b") <= col("bin"), x("c"))
-          .otherwise(lit(0L))))
-      .withColumn("n_src", element_at(totMap, col("source")))
-      .select(col("doc_id"), col("source"), col("score"),
-        expr("CAST((100 * cum) div n_src AS BIGINT)").as("src_pct"))
-      .withColumn("keep_calibrated",
-        when(col("src_pct") > graft.queries.TextOps.CalPctCut, 1L)
-          .otherwise(0L))
+          .as("score")))
+  }
+
+  /** Persist the scorer's model as a physical artifact: the
+    * top-`vocabCap`-by-mass (term, f) table, the same
+    * TakeOrderedAndProject cut [[calibratedScorer]] hoists — written
+    * once beside the serving indexes, read by
+    * [[calibratedScorerJoined]]. */
+  def writeScorerModel(corpus: DataFrame, path: String,
+      vocabCap: Int = CalVocabCap): Unit =
+    corpus
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("term").asc).limit(vocabCap)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** The calibrated gate at DEPLOYMENT cap (VERDICT r12 #4): the
+    * model comes from [[writeScorerModel]]'s persisted table and is
+    * applied by a broadcast equi-join + per-doc rollup — above
+    * [[CalVocabLiteralCap]] this replaces the literal map, whose
+    * linear per-token probe and 2·cap-child expression tree are
+    * test-scale conveniences, not a serving shape. Join semantics
+    * mirror the literal form exactly: out-of-model tokens leave both
+    * the count and the sum (inner join), a document with NO in-model
+    * tokens scores 0 via the left restore join, NULL text scores 0
+    * and stays a row. The per-doc rollup makes this the
+    * foreachBatch / batch-body form (the posting-append precedent) —
+    * inside a pure append stream it would be a second stateful
+    * aggregate; the literal form remains the per-row streaming twin.
+    * Output rows equal [[calibratedScorer]]'s verbatim at equal cap —
+    * StreamingSpec asserts both forms against each other and batch
+    * q148. */
+  def calibratedScorerJoined(corpus: DataFrame,
+      modelPath: String): DataFrame => DataFrame = {
+    val spark = corpus.sparkSession
+    val (histMap, totMap) = calibrationParams(corpus)
+    (docs: DataFrame) => {
+      val model = spark.read.parquet(modelPath)
+      val toks = docs
+        .select(col("doc_id"),
+          explode(split(coalesce(col("text"), lit("")), " ")).as("t"))
+        .filter(col("t") =!= "")
+      val agg = toks
+        .join(broadcast(model), toks("t") === model("term"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"), sum(col("f")).as("sf"))
+      calibrationTail(histMap, totMap)(docs
+        .select(col("doc_id"), col("source"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          expr("CAST(IF(COALESCE(n, 0) = 0, 0, sf * 1000000 div n) " +
+            "AS BIGINT)").as("score")))
+    }
   }
 
   /** Ingest-time TRAINED-MODEL gate — the serving side of q177: the

@@ -181,6 +181,11 @@ object Stress10xSpec {
     // TakeOrdered outputs; opt in like the other one-row reports in
     // case a 10x stats change flips the tiny-side broadcast
     runAndAudit("q194_retrieval_eval", scalarRollup = true)
+    // round-13: the reindex decision — its data-sized inputs are
+    // q141's ≤nCells rollup and q159's 5-row audit; the verdict
+    // itself is a 4-row policy table against two one-row broadcast
+    // scalars (keyless rollups, hence the opt-in)
+    runAndAudit("q197_reindex_decision", scalarRollup = true)
 
     // q115's scale lever, measured on the quantity that matters at
     // scale: candidate-pair volume Σ cell·(cell−1)/2. Local wall-time

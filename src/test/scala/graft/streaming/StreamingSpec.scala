@@ -661,6 +661,54 @@ class StreamingSpec extends SparkSuite {
     assert(full == 2000000L, s"uncapped must keep c: $full")
   }
 
+  test("deployment-cap model join == literal-map gate == batch q148 " +
+      "(VERDICT r12 #4): both forms, same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4))).toSet
+    val corpus = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text", $"source")
+    val modelPath = java.nio.file.Files
+      .createTempDirectory("scorer_model").toString + "/freq"
+    StreamingQueries.writeScorerModel(corpus, modelPath)
+    val joined = StreamingQueries.calibratedScorerJoined(corpus, modelPath)
+    val literal = StreamingQueries.calibratedScorer(corpus)
+    // batch-frame equality (the foreachBatch body shape): joined ==
+    // literal == batch q148 on the corpus's own documents
+    val batch = keyed(graft.queries.TextOps
+      .sourceCalibratedScore(spark, sf0001).collect())
+    assert(keyed(joined(corpus).collect()) == batch)
+    assert(keyed(literal(corpus).collect()) == batch)
+    // the joined form THROUGH a stream (foreachBatch, the posting-
+    // append precedent) equals the literal per-row stream twin —
+    // including the no-in-model-token and unknown-source edges
+    val edge = Seq((999998L, null.asInstanceOf[String], "s0"),
+      (999999L, "the cat", "brand-new-source"))
+    val feed = corpus.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))) ++
+      edge.map(t => (t._1, t._2, t._3))
+    val got = scala.collection.mutable.Set
+      .empty[(Long, String, Long, Long, Long)]
+    val ms = MemoryStream[(Long, String, String)]
+    val q = ms.toDF().toDF("doc_id", "text", "source")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= keyed(joined(b).collect()) }; ()
+      }.start()
+    ms.addData(feed.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val lit = keyed(literal(edge.toDF("doc_id", "text", "source")
+      .unionByName(corpus)).collect())
+    assert(got.toSet == lit,
+      s"joined-through-stream=${got.size} literal=${lit.size}")
+    // unknown source fails closed in BOTH forms
+    assert(got.toSet.filter(_._1 == 999999L).forall(t =>
+      t._4 == -1L && t._5 == 0L))
+  }
+
   test("agreement monitor: cumulative counts, final complete-mode row " +
       "== batch q186") {
     import spark.implicits._
