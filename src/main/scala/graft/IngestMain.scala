@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * batch flows through the shipped gates and index-maintenance bodies
   * VERBATIM — nothing here is a new derivation:
   *
-  *  1. admission — the q148 calibrated per-source quality gate
-  *     ([[graft.streaming.StreamingQueries.calibratedScorer]], frozen
-  *     on the standing corpus, vocabulary capped);
+  *  1. admission — the q148 calibrated per-source quality gate at the
+  *     deployment shape: the persisted scorer model
+  *     ([[graft.streaming.StreamingQueries.writeScorerModel]], frozen
+  *     on the standing corpus at the full vocabulary cap) applied by
+  *     [[graft.streaming.StreamingQueries.calibratedScorerJoined]]'s
+  *     broadcast equi-join;
   *  2. near-dup — q172's `deltaDedupIndexed` against the persisted
   *     LSH band+shingle index (corpus text never re-read);
   *  3. novelty — q173's `noveltyScoreIndexed` against the persisted
@@ -92,7 +95,15 @@ object IngestMain {
     // bare-directory probe would accept a crash-torn partial write —
     // the marker exists only after the commit, and both builders write
     // mode("overwrite"), so the retried rebuild cleans the debris
-    // (ADVICE r13)
+    // (ADVICE r13). The probes REQUIRE the committer to write markers
+    // (`marksuccessfuljobs`, default true): with it off every tick
+    // would silently rebuild from scratch — idempotent but O(corpus)
+    // per tick — so fail loudly instead (ADVICE r14).
+    require(spark.sessionState.newHadoopConf()
+        .getBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true),
+      "IngestMain's rebuild probes key on _SUCCESS markers; run the " +
+        "ingest session with mapreduce.fileoutputcommitter." +
+        "marksuccessfuljobs=true (the default)")
     if (!new java.io.File(s"$postingPath/docs/_SUCCESS").exists())
       TextOps.postingWriteIndexOf(corpus.select($"doc_id", $"text"),
         postingPath)
@@ -104,7 +115,19 @@ object IngestMain {
     val chunksBefore = spark.read.parquet(chunkPath).count()
 
     // ---- stage 1: admission (q148's calibrated gate, frozen corpus)
-    val admission = StreamingQueries.calibratedScorer(corpus)(delta)
+    // at the DEPLOYMENT shape (VERDICT r13 #2): the scorer model is a
+    // persisted artifact beside the other serving indexes — written
+    // once at the full CalVocabCap, reused on replays via the same
+    // _SUCCESS probe — and applied by calibratedScorerJoined's
+    // broadcast equi-join, not the literal map (a ~131k-child
+    // expression at this cap). Row-for-row equal to the literal form
+    // (StreamingSpec asserts it); delta doc_ids are unique here, so
+    // the joined form's per-doc rollup is the identity on row counts.
+    val scorerModelPath = s"$outDir/scorer_model"
+    if (!new java.io.File(s"$scorerModelPath/_SUCCESS").exists())
+      StreamingQueries.writeScorerModel(corpus, scorerModelPath)
+    val admission =
+      StreamingQueries.calibratedScorerJoined(corpus, scorerModelPath)(delta)
       .persist()
     // ---- stage 2: near-dup vs corpus + earlier delta (q172's lift)
     val dupPairs = DedupFusionOps.deltaDedupIndexed(spark, dir, lshPath)

@@ -371,13 +371,26 @@ object VectorExpressions {
     * `aggregate(zip_with(...))` HOF it replaces in the hot path (the
     * HOF lambda is interpreted per element; this is one codegen loop).
     * Caller bounds the element domain (|a−b| ≤ 255 at 64 dims keeps
-    * the sum < 2³², far from overflow). */
-  case class LongVecSqDist(left: Expression, right: Expression)
+    * the sum < 2³², far from overflow).
+    *
+    * `checked = true` is the ANSI twin [[graft.plans.FuseLongVecSqDist]]
+    * fuses ANSI-mode HOF trees into: every subtract/multiply/add goes
+    * through [[org.apache.spark.sql.catalyst.util.MathUtils]]' exact
+    * ops, raising Spark's ARITHMETIC_OVERFLOW exactly where the unfused
+    * HOF would. Fidelity details the fusion relies on: `zip_with`
+    * evaluates the square for EVERY common-prefix element (so a null at
+    * position 2 does NOT mask an overflow at position 5, and unequal
+    * lengths still check the shared prefix before yielding NULL), while
+    * the fold's adds stop contributing after the first null square —
+    * the checked loop reproduces all three behaviours. */
+  case class LongVecSqDist(left: Expression, right: Expression,
+      checked: Boolean = false)
       extends BinaryExpression {
     override def nullIntolerant: Boolean = true
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
-    override def prettyName: String = "longvec_sqdist"
+    override def prettyName: String =
+      if (checked) "longvec_sqdist_checked" else "longvec_sqdist"
 
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst
         .analysis.TypeCheckResult = {
@@ -396,16 +409,37 @@ object VectorExpressions {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
       val n = x.numElements()
-      if (n != y.numElements()) return null
-      var acc = 0L
-      var i = 0
-      while (i < n) {
-        if (x.isNullAt(i) || y.isNullAt(i)) return null
-        val d = x.getLong(i) - y.getLong(i)
-        acc += d * d
-        i += 1
+      if (!checked) {
+        if (n != y.numElements()) return null
+        var acc = 0L
+        var i = 0
+        while (i < n) {
+          if (x.isNullAt(i) || y.isNullAt(i)) return null
+          val d = x.getLong(i) - y.getLong(i)
+          acc += d * d
+          i += 1
+        }
+        acc
+      } else {
+        // ANSI fidelity: check the full common prefix (zip_with order),
+        // stop accumulating after the first null square (fold order).
+        import org.apache.spark.sql.catalyst.util.MathUtils
+        val m = y.numElements()
+        val k = math.min(n, m)
+        var sawNull = n != m
+        var acc = 0L
+        var i = 0
+        while (i < k) {
+          if (x.isNullAt(i) || y.isNullAt(i)) sawNull = true
+          else {
+            val d = MathUtils.subtractExact(x.getLong(i), y.getLong(i))
+            val p = MathUtils.multiplyExact(d, d)
+            if (!sawNull) acc = MathUtils.addExact(acc, p)
+          }
+          i += 1
+        }
+        if (sawNull) null else acc
       }
-      acc
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -414,19 +448,39 @@ object VectorExpressions {
         val i = ctx.freshName("i")
         val acc = ctx.freshName("acc")
         val d = ctx.freshName("d")
+        val p = ctx.freshName("p")
         val bad = ctx.freshName("bad")
-        s"""
-           |int $n = $a.numElements();
-           |long $acc = 0L;
-           |boolean $bad = ($n != $b.numElements());
-           |for (int $i = 0; !$bad && $i < $n; $i++) {
-           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
-           |  long $d = $a.getLong($i) - $b.getLong($i);
-           |  $acc += $d * $d;
-           |}
-           |${ev.isNull} = $bad;
-           |${ev.value} = $acc;
-         """.stripMargin
+        if (!checked)
+          s"""
+             |int $n = $a.numElements();
+             |long $acc = 0L;
+             |boolean $bad = ($n != $b.numElements());
+             |for (int $i = 0; !$bad && $i < $n; $i++) {
+             |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+             |  long $d = $a.getLong($i) - $b.getLong($i);
+             |  $acc += $d * $d;
+             |}
+             |${ev.isNull} = $bad;
+             |${ev.value} = $acc;
+           """.stripMargin
+        else {
+          val mu = "org.apache.spark.sql.catalyst.util.MathUtils"
+          val k = ctx.freshName("k")
+          s"""
+             |int $n = $a.numElements();
+             |int $k = java.lang.Math.min($n, $b.numElements());
+             |boolean $bad = ($n != $b.numElements());
+             |long $acc = 0L;
+             |for (int $i = 0; $i < $k; $i++) {
+             |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; continue; }
+             |  long $d = $mu.subtractExact($a.getLong($i), $b.getLong($i));
+             |  long $p = $mu.multiplyExact($d, $d);
+             |  if (!$bad) $acc = $mu.addExact($acc, $p);
+             |}
+             |${ev.isNull} = $bad;
+             |${ev.value} = $acc;
+           """.stripMargin
+        }
       })
 
     override protected def withNewChildrenInternal(

@@ -173,7 +173,15 @@ object Operators {
     * column (document TEXT, in a corpus that deliberately contains
     * duplicates) lands every copy in one partition and re-serializes
     * the very work being spread (measured: q127 2.9 s round-robin vs
-    * 3.5 s text-keyed). */
+    * 3.5 s text-keyed).
+    *
+    * AQE caveat (ADVICE r13): the probe reflects the PRE-adaptive
+    * physical plan — under AQE the executed partition count can
+    * differ, so the heuristic may occasionally add a redundant
+    * exchange or skip a useful one. Either way results are correct;
+    * only parallelism can misfire, and only in the local small-file
+    * regime the helper exists for (a deployment-scale scan splits
+    * past `cores` before AQE ever matters). */
   def fanOutIfNarrow(df: DataFrame, key: Column): DataFrame = {
     if (df.isStreaming) return df // no .rdd on unstarted streams; a
     // stream's parallelism is its source partitioning, not a file split

@@ -19,14 +19,17 @@ import graft.functions.VectorExpressions.LongVecSqDist
   * or (y−x)·(y−x) — equal by algebra, both accepted; a MIXED form
   * (x−y)·(y−x) is the NEGATED square and must not fuse.
   *
-  * Every arithmetic node must carry LEGACY eval mode: under
-  * `spark.sql.ansi.enabled` the unfused HOF raises
-  * ARITHMETIC_OVERFLOW on long overflow while [[LongVecSqDist]]'s
-  * codegen wraps silently, so fusing an ANSI-mode expression would
-  * change observable failure semantics — the same discipline Spark's
-  * own rewrites keep (ADVICE r13). The shipped SQ8/PQ callers bound
-  * the domain far below overflow either way; the guard is for any
-  * future ANSI session this rule is injected into.
+  * Eval-mode discipline (ADVICE r13 → resolved r14): fusing must not
+  * change failure semantics, and Spark 4.1.2 sessions here are
+  * ANSI-default, so a LEGACY-only guard left the rule dead in the
+  * shipped config. The rule now fuses BOTH modes, each into the
+  * matching twin: a tree whose arithmetic is uniformly LEGACY fuses
+  * into the wrapping `LongVecSqDist(checked = false)`; uniformly ANSI
+  * fuses into `checked = true`, whose exact ops raise the same
+  * ARITHMETIC_OVERFLOW at the same element the unfused HOF would.
+  * Mixed modes (only constructible by hand) and TRY mode (overflow →
+  * NULL at the failing node, a shape the fused loop does not model)
+  * never fuse.
   */
 object FuseLongVecSqDist extends Rule[LogicalPlan] {
 
@@ -44,13 +47,20 @@ object FuseLongVecSqDist extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** merge must be (acc, p) -> acc + p over longs, legacy eval mode. */
-  private def isSumMerge(f: Expression): Boolean = f match {
+  /** merge must be (acc, p) -> acc + p over longs; returns the Add's
+    * eval mode (TRY rejected — overflow→NULL is not fusable). Note
+    * Spark 4.1 wraps the mode in [[NumericEvalContext]] — matching a
+    * bare `EvalMode.X` against it compiles (equality pattern) but is
+    * never true, the r13 trap. */
+  private def mergeMode(f: Expression): Option[EvalMode.Value] = f match {
     case LambdaFunction(
-        Add(l: NamedLambdaVariable, r: NamedLambdaVariable, EvalMode.LEGACY),
-        Seq(acc: NamedLambdaVariable, p: NamedLambdaVariable), _) =>
-      l.exprId == acc.exprId && r.exprId == p.exprId
-    case _ => false
+        Add(l: NamedLambdaVariable, r: NamedLambdaVariable,
+          NumericEvalContext(mode, _)),
+        Seq(acc: NamedLambdaVariable, p: NamedLambdaVariable), _)
+        if l.exprId == acc.exprId && r.exprId == p.exprId &&
+          mode != EvalMode.TRY =>
+      Some(mode)
+    case _ => None
   }
 
   private def isIdentity(f: Expression): Boolean = f match {
@@ -60,27 +70,44 @@ object FuseLongVecSqDist extends Rule[LogicalPlan] {
   }
 
   /** Both Multiply operands must be the SAME-ORIENTED difference of the
-    * two lambda variables: (x−y)·(x−y) or (y−x)·(y−x). */
-  private def isSquaredDiff(mul: Expression,
-      xa: NamedLambdaVariable, ya: NamedLambdaVariable): Boolean = {
-    def orient(e: Expression): Option[Boolean] = e match {
+    * two lambda variables: (x−y)·(x−y) or (y−x)·(y−x). Returns the
+    * shared eval mode of subtracts and multiply iff they all agree
+    * (TRY rejected). */
+  private def squaredDiffMode(mul: Expression,
+      xa: NamedLambdaVariable, ya: NamedLambdaVariable)
+      : Option[EvalMode.Value] = {
+    def orient(e: Expression): Option[(Boolean, EvalMode.Value)] = e match {
       case Subtract(l: NamedLambdaVariable, r: NamedLambdaVariable,
-            EvalMode.LEGACY)
-          if l.exprId == xa.exprId && r.exprId == ya.exprId => Some(true)
+            NumericEvalContext(mode, _))
+          if l.exprId == xa.exprId && r.exprId == ya.exprId =>
+        Some((true, mode))
       case Subtract(l: NamedLambdaVariable, r: NamedLambdaVariable,
-            EvalMode.LEGACY)
-          if l.exprId == ya.exprId && r.exprId == xa.exprId => Some(false)
+            NumericEvalContext(mode, _))
+          if l.exprId == ya.exprId && r.exprId == xa.exprId =>
+        Some((false, mode))
       case _ => None
     }
     mul match {
-      case Multiply(l, r, EvalMode.LEGACY) =>
+      case Multiply(l, r, NumericEvalContext(mode, _))
+          if mode != EvalMode.TRY =>
         (orient(l), orient(r)) match {
-          case (Some(p), Some(q)) => p == q
-          case _ => false
+          case (Some((p, m1)), Some((q, m2)))
+              if p == q && m1 == mode && m2 == mode => Some(mode)
+          case _ => None
         }
-      case _ => false
+      case _ => None
     }
   }
+
+  /** The single eval mode of ALL five arithmetic nodes, or None. */
+  private def fusableMode(mul: Expression, xa: NamedLambdaVariable,
+      ya: NamedLambdaVariable, merge: Expression)
+      : Option[EvalMode.Value] =
+    for {
+      sq <- squaredDiffMode(mul, xa, ya)
+      mg <- mergeMode(merge)
+      if sq == mg
+    } yield sq
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
@@ -89,8 +116,9 @@ object FuseLongVecSqDist extends Rule[LogicalPlan] {
               Seq(xa: NamedLambdaVariable, ya: NamedLambdaVariable), _)),
             zero, merge, finish)
           if isLongArray(a) && isLongArray(b) &&
-            isSquaredDiff(mul, xa, ya) &&
-            isZeroL(zero) && isSumMerge(merge) && isIdentity(finish) =>
-        LongVecSqDist(a, b)
+            isZeroL(zero) && isIdentity(finish) &&
+            fusableMode(mul, xa, ya, merge).isDefined =>
+        LongVecSqDist(a, b,
+          checked = fusableMode(mul, xa, ya, merge).contains(EvalMode.ANSI))
     }
 }

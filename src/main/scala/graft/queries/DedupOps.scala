@@ -1452,7 +1452,14 @@ object DedupOps {
     * report IS the gram. A 64-bit collision (two distinct grams, one
     * hash) could mark a unique window duplicated; at ~10^6 windows
     * per shard the birthday bound is ~10^-7 and any hit is
-    * deterministic — the oracle gate would name it. */
+    * deterministic — the oracle gate would name it. Note the q139
+    * LIVE-vs-ORACLE asymmetry this implies (ADVICE r13): noveltyScore
+    * joins delta vs corpus windows on `gh` while its DuckDB oracle
+    * joins on gram TEXT (DuckDB has no xxhash64), so a delta-window /
+    * corpus-window collision would flip a novel window to seen in the
+    * live result only — the same deterministic birthday bound, and
+    * the hash-comparing gate is exactly the detector that would
+    * surface it. */
   private[graft] def spanWindowHashes(docs: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

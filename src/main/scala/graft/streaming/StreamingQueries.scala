@@ -459,7 +459,12 @@ object StreamingQueries {
     * aggregate; the literal form remains the per-row streaming twin.
     * Output rows equal [[calibratedScorer]]'s verbatim at equal cap —
     * StreamingSpec asserts both forms against each other and batch
-    * q148. */
+    * q148. One edge the equality excludes (ADVICE r13): DUPLICATE
+    * doc_ids within a single batch collapse to one output row here
+    * (the per-doc rollup) while the literal form emits one row per
+    * input row — an at-least-once replay landing the same doc_id
+    * twice in one foreachBatch batch must dedup per batch first or
+    * accept the collapse. */
   def calibratedScorerJoined(corpus: DataFrame,
       modelPath: String): DataFrame => DataFrame = {
     val spark = corpus.sparkSession
@@ -823,28 +828,9 @@ object StreamingQueries {
   def cellDriftStream(vectors: DataFrame, corpus: DataFrame,
       eventTime: String = "event_ts",
       delay: String = "10 seconds"): DataFrame = {
-    import graft.queries.VectorOps
-    // ONE cell-count definition with the batch quantizer (ADVICE r10:
-    // a hardcoded 16 here would silently drop cells from the monitor
-    // on a grid resize)
-    val nCells = VectorOps.ivfGridCells
-    // corpus baseline: bounded parameter read, exactly q141's
-    // arithmetic. cell is null only for a degenerate (empty/zero-dim)
-    // vector — NearestIndex's contract — which belongs to no cell:
-    // excluded from the baseline instead of NPE-ing the collect.
-    val cc = VectorOps.withGridCell(corpus)
-      .filter(col("cell").isNotNull)
-      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val corpusTotal = cc.values.sum
-    def corpusPpm(cell: Int): Long =
-      if (corpusTotal == 0) 0L else 1000000L * cc.getOrElse(cell, 0L) / corpusTotal
-    val cellCounts = (0 until nCells).map(i =>
-      sum(when(col("cell") === i, 1L).otherwise(0L)).as(s"c$i"))
-    val agg = VectorOps.withGridCell(vectors)
-      .withWatermark(eventTime, delay)
-      .groupBy(window(col(eventTime), "1 minute"))
-      .agg(count(lit(1)).as("n_total"), cellCounts: _*)
+    val nCells = graft.queries.VectorOps.ivfGridCells
+    val corpusPpm = corpusCellPpm(corpus)
+    val agg = windowedCellAgg(vectors, eventTime, delay)
     val perCell = explode(array((0 until nCells).map(i =>
       struct(lit(i).as("cell"), col(s"c$i").as("n_delta"))): _*))
     val baseline = map((0 until nCells).flatMap(i =>
@@ -858,6 +844,106 @@ object StreamingQueries {
           "AS BIGINT)").as("delta_ppm"),
         element_at(baseline, col("pc.cell")).as("corpus_ppm"))
       .withColumn("drift_ppm", abs(col("delta_ppm") - col("corpus_ppm")))
+  }
+
+  /** The cell-drift monitors' ONE stateful aggregate: each watermark
+    * window's arriving vectors grid-celled statelessly (the batch
+    * quantizer's codegen expression — ONE cell-count definition,
+    * ADVICE r10: a hardcoded 16 would silently drop cells on a grid
+    * resize) and rolled to per-cell conditional sums + the window
+    * total in a single state row. [[cellDriftStream]] explodes it to
+    * the per-cell report; [[reindexDecisionStream]] folds it to the
+    * per-window decision scalars — both STATELESS over this frame, so
+    * neither needs a second stateful stage. */
+  private def windowedCellAgg(vectors: DataFrame, eventTime: String,
+      delay: String): DataFrame = {
+    import graft.queries.VectorOps
+    val nCells = VectorOps.ivfGridCells
+    val cellCounts = (0 until nCells).map(i =>
+      sum(when(col("cell") === i, 1L).otherwise(0L)).as(s"c$i"))
+    VectorOps.withGridCell(vectors)
+      .withWatermark(eventTime, delay)
+      .groupBy(window(col(eventTime), "1 minute"))
+      .agg(count(lit(1)).as("n_total"), cellCounts: _*)
+  }
+
+  /** Corpus baseline: bounded parameter read, exactly q141's
+    * arithmetic. cell is null only for a degenerate (empty/zero-dim)
+    * vector — NearestIndex's contract — which belongs to no cell:
+    * excluded from the baseline instead of NPE-ing the collect. */
+  private def corpusCellPpm(corpus: DataFrame): Int => Long = {
+    val cc = graft.queries.VectorOps.withGridCell(corpus)
+      .filter(col("cell").isNotNull)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val corpusTotal = cc.values.sum
+    (cell: Int) =>
+      if (corpusTotal == 0) 0L
+      else 1000000L * cc.getOrElse(cell, 0L) / corpusTotal
+  }
+
+  /** q197's monitoring twin (VERDICT r13 #6) — the reindex DECISION as
+    * a per-window verdict stream: pure composition of
+    * [[windowedCellAgg]] (the cellDriftStream stateful core) with the
+    * STATIC [[graft.queries.VectorOps.ReindexPolicy]] table and the
+    * frozen recall gate — the q190 fail-closed-gate precedent, nothing
+    * re-derived. Per window, the decision scalars fold STATELESSLY out
+    * of the single aggregate row (tv2 = Σ per-cell |window ppm −
+    * corpus ppm|, max-cell likewise — the same literal-array device
+    * the per-cell explode uses), then fan out over the 4-row policy
+    * as a literal-struct explode (no stream-static join needed on a
+    * side this small) with batch q197's verdict arithmetic VERBATIM.
+    * The recall gate (q159's audit rolled to its two scalars) is a
+    * bounded parameter read frozen at stream definition — correct by
+    * the same frozen-corpus contract as every baseline here: the gate
+    * compares the CURRENT trained quantizer against the seed, and
+    * retraining is exactly the action this stream's `rebuild` verdict
+    * triggers.
+    *
+    * Stream == batch: a window containing exactly the q141 delta
+    * vectors, against the non-delta corpus and the same audit, emits
+    * q197's four rows verbatim (plus window_start) — asserted in
+    * StreamingSpec. */
+  def reindexDecisionStream(vectors: DataFrame, corpus: DataFrame,
+      recallAudit: DataFrame, eventTime: String = "event_ts",
+      delay: String = "10 seconds"): DataFrame = {
+    import graft.queries.VectorOps
+    val nCells = VectorOps.ivfGridCells
+    val corpusPpm = corpusCellPpm(corpus)
+    // the q159 gate, rolled to its two scalars (bounded: the audit is
+    // a ≤5-row report) — frozen at stream definition like the baseline
+    val gate = recallAudit
+      .agg(sum(when(col("in_seed_probe"), 1L).otherwise(0L)).as("s"),
+        sum(when(col("in_trained_probe"), 1L).otherwise(0L)).as("t"))
+      .collect().head
+    val (seedHits, trainedHits) = (gate.getLong(0), gate.getLong(1))
+    val driftArr = array((0 until nCells).map(i =>
+      abs(expr(s"CAST(IF(n_total = 0, 0, (1000000 * c$i) div n_total) " +
+        "AS BIGINT)") - lit(corpusPpm(i)))): _*)
+    val policy = explode(array(VectorOps.ReindexPolicy.map {
+      case (f, tv2, cell) => struct(lit(f).as("index_family"),
+        lit(tv2).as("tv2_threshold_ppm"), lit(cell).as("cell_threshold_ppm"))
+    }: _*))
+    windowedCellAgg(vectors, eventTime, delay)
+      .select(col("window.start").as("window_start"),
+        aggregate(driftArr, lit(0L), (a, x) => a + x).as("tv2_ppm"),
+        array_max(driftArr).as("max_cell_ppm"))
+      .select(col("window_start"), col("tv2_ppm"), col("max_cell_ppm"),
+        policy.as("p"))
+      .select(col("window_start"), col("p.index_family").as("index_family"),
+        col("tv2_ppm"), col("max_cell_ppm"),
+        col("p.tv2_threshold_ppm").as("tv2_threshold_ppm"),
+        col("p.cell_threshold_ppm").as("cell_threshold_ppm"))
+      .withColumn("drift_exceeded",
+        col("tv2_ppm") > col("tv2_threshold_ppm") ||
+          col("max_cell_ppm") > col("cell_threshold_ppm"))
+      .withColumn("seed_hits", lit(seedHits))
+      .withColumn("trained_hits", lit(trainedHits))
+      .withColumn("recall_gate_ok", lit(trainedHits >= seedHits))
+      .withColumn("verdict",
+        when(!col("drift_exceeded"), "keep")
+          .when(col("recall_gate_ok"), "rebuild")
+          .otherwise("hold"))
   }
 
   /** Windowed vocabulary-drift MONITOR — q142's lexical report as an
