@@ -602,6 +602,49 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("reindex-decision stream == batch q197 when the window holds " +
+      "exactly the delta vectors (VERDICT r13 #6)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf0001 = "/root/testdata/sf0.001"
+    // q141's delta split (the q46 md5 device) reproduced on the feed:
+    // the window receives exactly the delta vectors, the static
+    // baseline is the non-delta corpus — the batch report's two sides.
+    val all = graft.sources.Tables(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding",
+        (substring(md5($"vec_id".cast("string")), 1, 2) < "1a")
+          .as("is_delta"))
+    val deltaVecs = all.filter($"is_delta").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val corpus = all.filter(!$"is_delta").select($"vec_id", $"embedding")
+    val batch = graft.queries.VectorOps.reindexDecision(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5), r.getLong(6),
+        r.getLong(7), r.getBoolean(8), r.getString(9))).toMap
+    assert(batch.size == 4)
+    val audit = graft.queries.VectorOps.refinedRecall(spark, sf0001)
+    val ms = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+    val q = StreamingQueries.reindexDecisionStream(
+        ms.toDF().toDF("vec_id", "embedding", "event_ts"), corpus, audit)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("reindex_out").start()
+    val t0 = java.sql.Timestamp.valueOf("2025-01-25 16:00:01")
+    ms.addData(deltaVecs.map(v => (v._1, v._2, t0)).toIndexedSeq: _*)
+    q.processAllAvailable()
+    // advance the watermark past the window so append mode emits
+    ms.addData((999999L, deltaVecs.head._2,
+      java.sql.Timestamp.valueOf("2025-01-25 16:05:00")))
+    q.processAllAvailable()
+    val got = spark.table("reindex_out")
+      .filter($"window_start" ===
+        java.sql.Timestamp.valueOf("2025-01-25 16:00:00"))
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6), r.getLong(7),
+        r.getLong(8), r.getBoolean(9), r.getString(10))).toMap
+    q.stop()
+    assert(got == batch, s"stream=$got batch=$batch")
+  }
+
   test("calibrated-score stream == batch q148 for corpus docs; " +
       "unknown source fails closed") {
     import spark.implicits._
