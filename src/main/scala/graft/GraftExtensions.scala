@@ -31,6 +31,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("longvec_sqdist",
         "longvec_sqdist(a, b) - squared L2 between integer code vectors"),
       (args: Seq[Expression]) => LongVecSqDist(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("longvec_sqdist_checked"),
+      info("longvec_sqdist_checked",
+        "longvec_sqdist_checked(a, b) - squared L2 between integer " +
+          "code vectors; raises ARITHMETIC_OVERFLOW instead of " +
+          "wrapping (the ANSI twin FuseLongVecSqDist fuses into)"),
+      (args: Seq[Expression]) =>
+        LongVecSqDist(args(0), args(1), checked = true)))
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(hashes) - 64-bit simhash of term hashes"),
       (args: Seq[Expression]) => SimHash64(args.head)))

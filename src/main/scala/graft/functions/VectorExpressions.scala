@@ -492,6 +492,13 @@ object VectorExpressions {
     GraftBridge.column(LongVecSqDist(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** The ANSI twin — overflow raises instead of wrapping; equal to
+    * [[longVecSqDist]] everywhere the sum stays in range. */
+  def longVecSqDistChecked(a: Column, b: Column): Column =
+    GraftBridge.column(LongVecSqDist(
+      GraftBridge.expression(a), GraftBridge.expression(b),
+      checked = true))
+
   /** nearest_index(array<float>) → int: quantize the embedding slice
     * [start, start+rowLen) by floor(v×scale) — exact: float→double cast
     * and ×2^k are lossless, floor is unambiguous — then argmin over the

@@ -172,4 +172,31 @@ class RobustnessSpec extends SparkSuite {
     assert(byDoc.keySet == Set(1L, 4L), byDoc.toString)
     assert(byDoc(1L) == 10L && byDoc(4L) == 4L, byDoc.toString)
   }
+
+  test("registry queries are eval-mode independent: a legacy session " +
+      "returns the ANSI-default rows (sample across families)") {
+    // deployment sessions differ on spark.sql.ansi.enabled; the
+    // engine's integer-exact discipline means no query may depend on
+    // it (an overflow or bad cast ANYWHERE would already have failed
+    // the ANSI-default oracle gate — this pins the other direction:
+    // legacy wrapping changes nothing either)
+    val prefixes = Seq("q01_", "q42_", "q63_", "q89_", "q111_",
+      "q148_", "q184_")
+    val qs = graft.SparkEntry.queries.filter { case (k, _) =>
+      prefixes.exists(k.startsWith) }
+    assert(qs.size == prefixes.size,
+      s"sample drifted: ${qs.keys.toSeq.sorted}")
+    val before = spark.conf.get("spark.sql.ansi.enabled")
+    assert(before == "true", "Spark 4 ships ANSI-default")
+    for ((name, f) <- qs) {
+      val ansi = f(spark, sf0001).collect()
+        .map(_.toString).sorted.toSeq
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val legacy =
+        try f(spark, sf0001).collect().map(_.toString).sorted.toSeq
+        finally spark.conf.set("spark.sql.ansi.enabled", before)
+      assert(ansi == legacy, s"$name diverges between eval modes")
+      assert(ansi.nonEmpty, name)
+    }
+  }
 }

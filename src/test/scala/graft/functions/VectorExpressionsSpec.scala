@@ -49,6 +49,62 @@ class VectorExpressionsSpec extends SparkSuite {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("LongVecSqDist: checked twin == wrapping form on the in-range " +
+      "domain, both == the driver-side recompute") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(50)((
+      Array.fill(16)(rnd.nextInt(1 << 20).toLong - (1 << 19)),
+      Array.fill(16)(rnd.nextInt(1 << 20).toLong - (1 << 19))))
+    val df = rows.toDF("a", "b")
+    val wrap = df.select(longVecSqDist($"a", $"b").as("d"))
+      .collect().map(_.getLong(0))
+    val chk = df.select(longVecSqDistChecked($"a", $"b").as("d"))
+      .collect().map(_.getLong(0))
+    val exp = rows.map { case (a, b) =>
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum }
+    assert(wrap.toSeq == exp)
+    assert(chk.toSeq == exp)
+  }
+
+  test("LongVecSqDist twins: null-element, overflow, and ragged-prefix " +
+      "fidelity (the ANSI HOF contract)") {
+    import spark.implicits._
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    // null element → NULL from both twins
+    val nul = spark.range(1).select(
+      expr("array(1L, cast(null as bigint), 3L)").as("a"),
+      expr("array(1L, 2L, 3L)").as("b"))
+    assert(nul.select(longVecSqDist($"a", $"b")).head.isNullAt(0))
+    assert(nul.select(longVecSqDistChecked($"a", $"b")).head.isNullAt(0))
+    // overflow AFTER a null element: the wrapping form short-circuits
+    // to NULL; the checked form still checks every common-prefix
+    // square (zip_with evaluates them all) and must raise
+    val ov = spark.range(1).select(
+      expr("array(cast(null as bigint), 4000000000L)").as("a"),
+      expr("array(0L, -4000000000L)").as("b"))
+    assert(ov.select(longVecSqDist($"a", $"b")).head.isNullAt(0))
+    val e1 = intercept[Throwable](
+      ov.select(longVecSqDistChecked($"a", $"b")).collect())
+    assert(msgs(e1).toLowerCase.contains("overflow"), msgs(e1))
+    // unequal lengths: NULL from the wrapping form; the checked form
+    // still checks the SHARED prefix before yielding NULL
+    val rag = spark.range(1).select(
+      expr("array(4000000000L)").as("a"),
+      expr("array(-4000000000L, 1L)").as("b"))
+    assert(rag.select(longVecSqDist($"a", $"b")).head.isNullAt(0))
+    val e2 = intercept[Throwable](
+      rag.select(longVecSqDistChecked($"a", $"b")).collect())
+    assert(msgs(e2).toLowerCase.contains("overflow"), msgs(e2))
+    // and a ragged pair whose shared prefix stays in range is NULL
+    // from both, no raise
+    val ragOk = spark.range(1).select(
+      expr("array(5L)").as("a"), expr("array(1L, 2L)").as("b"))
+    assert(ragOk.select(longVecSqDistChecked($"a", $"b")).head.isNullAt(0))
+  }
+
   test("SimHash64: hand-computed single/multi term behavior") {
     import spark.implicits._
     // one term: simhash == that term's hash (every bit decided by it)
