@@ -107,7 +107,7 @@ object Bench {
     val selectedNames =
       if (args.isEmpty) SparkEntry.queries.keySet
       else SparkEntry.queries.keySet.filter(args.contains)
-    if (Seq("q172", "q173", "q174", "q175")
+    if (Seq("q172", "q173", "q174", "q175", "q201")
         .exists(p => selectedNames.exists(_.startsWith(p))))
       graft.queries.ServingIndexes.ensureAll(spark, sfDir)
 
@@ -146,7 +146,8 @@ object Bench {
            "q151" -> "q155", "q151" -> "q165",
            "q156" -> "q158", "q156" -> "q194",
            "q74" -> "q75", "q74" -> "q77", "q74" -> "q139",
-           "q111" -> "q197", "q157" -> "q197")
+           "q111" -> "q197", "q157" -> "q197",
+           "q198" -> "q199", "q198" -> "q200")
          if pos(payer) >= 0 && pos(rider) >= 0)
       require(pos(payer) < pos(rider),
         s"bench attribution: shared-artifact payer $payer must run before rider $rider")
@@ -171,7 +172,8 @@ object Bench {
             && !graft.queries.DedupOps.isSharedArtifact(df)
             && !graft.queries.VectorOps.isSharedArtifact(df)
             && !graft.queries.TextOps.isSharedArtifact(df)
-            && !graft.queries.PipelineOps.isSharedArtifact(df))
+            && !graft.queries.PipelineOps.isSharedArtifact(df)
+            && !graft.queries.KnnGraphOps.isSharedArtifact(df))
           df.unpersist(blocking = false)
         t
       } catch { case e: Throwable =>

@@ -1,0 +1,649 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorExpressions.cosine
+import graft.operators.Operators
+import graft.sources.Tables
+
+/** The GRAPH-based ANN paradigm — the k-NN graph the HNSW/NSG family
+  * of indexes is built on, constructed by NN-Descent (Dong, Charikar,
+  * Li, WWW'11: "Efficient K-Nearest Neighbor Graph Construction for
+  * Generic Similarity Measures"), plus the two consumers a pipeline
+  * runs on such a graph: mutual-kNN clustering and the recall audit.
+  *
+  * NN-Descent is the one graph algorithm in the ANN space that is
+  * join-shaped end to end — "a neighbor of a neighbor is likely a
+  * neighbor" turns graph refinement into one equi-join per round —
+  * which is why it (not HNSW's sequential insert loop) is how k-NN
+  * graphs are built at corpus scale. Every round here is: undirected
+  * adjacency (reverse-degree CAPPED — the ρ-sampling of the paper, and
+  * the skew lever: a hub vector's unbounded in-degree would otherwise
+  * square into the candidate join), neighbor-of-neighbor candidate
+  * pairs via self-equi-join on the shared endpoint, codegen cosine on
+  * candidates only, merge with the standing graph, keep top-k per
+  * node. Candidate volume is ≤ n·(2k)² rows per round — linear in n at
+  * fixed k, shuffled on keys only, no n² anywhere.
+  *
+  * Seeding is the deterministic analog of the paper's random init: TWO
+  * independent md5-hash bucketings of ~[[KnnGraphOps.SeedBucketSize]]
+  * vectors each, all-pairs within a bucket (constant per-bucket work,
+  * linear total). Two salts are load-bearing, not decoration: a single
+  * bucketing partitions the seed into disjoint cliques, and
+  * neighbor-of-neighbor expansion is CLOSED inside a clique — measured
+  * here, descent under one bucketing froze at bucket-local top-k with
+  * recall flat at 0.034 across every round. The union of two
+  * independent clique partitions is an expander (each node bridges its
+  * two buckets), and the same measurement turns into a healthy
+  * per-round climb (0.14 → 0.51 recall@8 over five rounds at n=500).
+  * md5-of-decimal-string is engine-portable (the PipelineOps sampling
+  * device) and geometry-blind, so the seed is "random" in the only
+  * sense that matters while staying bit-reproducible in both engines
+  * (no RNG to port into the oracle), and it makes no contiguity
+  * assumption about vec_ids (the 10× stress corpus's offset id blocks
+  * would starve a modular-ring seed).
+  *
+  * On THIS corpus the audit (q200) reports a LOW recall ceiling — the
+  * synthetic embeddings are near-isotropic (same-label mean cosine
+  * 0.0016 vs 0.0003 cross-label; exact top-8 neighbors only ~11 %
+  * same-label), the regime where every locality method degrades toward
+  * random and descent needs ~log n rounds to crawl out of a
+  * structure-free seed. That is the honest reading the audit exists to
+  * produce: the operator's contract is the deterministic construction
+  * plus the measurement, not a recall number the data cannot support.
+  * Real embedding corpora (low intrinsic dimension) are the documented
+  * fast-convergence case of the paper.
+  *
+  * Oracle strategy: identical round-by-round CTE chain in DuckDB
+  * (MATERIALIZED per round — the k-core lesson: three references per
+  * round would otherwise expand 3^T scans), ranks/ids-only output (the
+  * VectorOps float-noise contract: similarity gaps ~1e-2, engine noise
+  * ~1e-7).
+  */
+object KnnGraphOps {
+
+  /** Graph degree k. 8 matches the ANN suite's audit depth and keeps
+    * the per-round candidate bound n·(2k)² = 256·n. */
+  private[graft] val GraphK = 8
+
+  /** Fixed descent rounds. Convergence needs ~log n from a
+    * structure-free seed; 3 is the budgeted audit point — the knob a
+    * deployment turns (with q200 watching recall-per-round) rather
+    * than a claim of convergence. */
+  private[graft] val DescentRounds = 3
+
+  /** q200's deterministic query sample: every 25th vec_id — 4 % of the
+    * corpus, the bounded audit slice (exact arm costs sample×n, never
+    * n²). */
+  private[graft] val RecallSampleMod = 25
+
+  /** Mean seed-bucket population: buckets of ~16 across the two salted
+    * bucketings give each node ~30 geometry-blind first candidates at
+    * all-pairs cost 16²/bucket — constant per bucket, linear in n
+    * overall. A node hash-isolated in BOTH its buckets (probability
+    * ~e⁻³²) seeds empty; it re-enters through reverse edges once
+    * anything ranks it. */
+  private[graft] val SeedBucketSize = 16L
+
+  /** The two salted seed-bucket assignments of a (vec_id, …) frame —
+    * shared by the seed join and q202's delta entry-point lookup (a
+    * delta vector enters the corpus graph through the SAME buckets it
+    * would have seeded into, so insert needs no new mechanism). */
+  private def seedBuckets(emb: DataFrame, nBuckets: Long): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select($"vec_id",
+        explode(array(lit("a"), lit("b"))).as("salt"))
+      .select($"vec_id", $"salt",
+        (PipelineOps.md5PrefixLong(
+          concat(lit("knnseed"), $"salt", lit(":"),
+            $"vec_id".cast("string")), 15)
+          % nBuckets).as("bk"))
+  }
+
+  /** Score (a_id, b_id) pairs by cosine over the embeddings table —
+    * two equi-joins to fetch vectors, one codegen dot product per
+    * pair. NaN (zero-norm embedding) demotes to -∞ INSIDE the value so
+    * ranking, merging, and the oracle's CASE all see the same total
+    * order (the rankedTopK guard, applied at scoring time because
+    * these sims are merged across rounds, not just ranked once). */
+  private def scoreAgainst(emb: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    pairs
+      .join(emb.select($"vec_id".as("a_id"), $"embedding".as("a_emb")),
+        "a_id")
+      .join(emb.select($"vec_id".as("b_id"), $"embedding".as("b_emb")),
+        "b_id")
+      .select($"a_id", $"b_id",
+        nanvl(cosine($"a_emb", $"b_emb"),
+          lit(Double.NegativeInfinity)).as("sim"))
+  }
+
+  /** Keep each node's top-k edges: keyed window (one shuffle on a_id,
+    * ≤ 2k(2k-1)+k candidate rows per node entering it), deterministic
+    * tie-break (sim desc, b_id asc) — the total order both engines
+    * agree on. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"a_id").orderBy($"sim".desc, $"b_id".asc)
+    scored.withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+      .select($"a_id", $"b_id", $"sim")
+  }
+
+  /** One NN-Descent round. The reverse cap is load-bearing at scale:
+    * out-degree is k by construction but in-degree is unbounded (a
+    * near-centroid vector at 100 TB sits in millions of lists), and
+    * the candidate join squares per-node adjacency — the cap bounds it
+    * to (2k)² regardless of skew, exactly the paper's ρ-sampling with
+    * the most-similar reverse edges kept deterministically. */
+  private def descentRound(emb: DataFrame, g: DataFrame, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val out = g.select($"a_id".as("u"), $"b_id".as("v"))
+    val wRev = Window.partitionBy($"u").orderBy($"sim".desc, $"v".asc)
+    val rev = g.select($"b_id".as("u"), $"a_id".as("v"), $"sim")
+      .withColumn("rn", row_number().over(wRev)).filter($"rn" <= k)
+      .select($"u", $"v")
+    val und = out.union(rev).distinct()
+    val cand = und.as("x")
+      .join(und.as("y"),
+        col("x.u") === col("y.u") && col("x.v") =!= col("y.v"))
+      .select(col("x.v").as("a_id"), col("y.v").as("b_id"))
+      .distinct()
+    // candidates overlapping the standing graph re-score to the
+    // identical double (same expression, same inputs), so the MAX
+    // merge is a pure pair-dedup — one partial-aggregatable shuffle,
+    // cheaper than an anti-join prepass that would shuffle the same
+    // keys to save already-vectorized dot products
+    topK(scoreAgainst(emb, cand).union(g)
+      .groupBy($"a_id", $"b_id").agg(max($"sim").as("sim")), k)
+  }
+
+  /** NN-Descent over any (vec_id, embedding) frame: hash-bucket seed,
+    * then [[DescentRounds]] refinement rounds through the checkpointed
+    * iteration harness (each round references the previous graph three
+    * times — lazy folding would expand 3^T plan copies, the same blowup
+    * the oracle's MATERIALIZED hints prevent). Returns (a_id, b_id,
+    * sim), ≤ k rows per node. */
+  private[graft] def nnDescentOf(emb0: DataFrame, k: Int = GraphK,
+      rounds: Int = DescentRounds): DataFrame = {
+    val spark = emb0.sparkSession
+    import spark.implicits._
+    val emb = emb0.select($"vec_id", $"embedding")
+    val n = emb.count() // one bounded parameter read: the bucket count
+    require(n > k,
+      s"nnDescent needs more than k=$k vectors, got $n")
+    val nBuckets = math.max(1L, n / SeedBucketSize)
+    val bkt = seedBuckets(emb, nBuckets)
+    val seed = bkt.select($"vec_id".as("a_id"), $"salt", $"bk")
+      .join(bkt.select($"vec_id".as("b_id"), $"salt", $"bk"),
+        Seq("salt", "bk"))
+      .filter($"a_id" =!= $"b_id")
+      .select($"a_id", $"b_id")
+      .distinct()
+    val g0 = topK(scoreAgainst(emb, seed), k)
+    val (g, _, _) = Operators.iterateCheckpointed(g0, rounds) {
+      (state, _) => descentRound(emb, state, k)
+    } { (_, _) => false } // fixed-round: run the full budget
+    g
+  }
+
+  /** The family's shared artifact: the finished k-NN graph, built once
+    * per (context, dataset) — q198 emits it, q199's clustering and
+    * q200's audit consume it, exactly the table a deployment persists
+    * beside its other serving indexes. */
+  private val graphMemo = new DedupOps.ArtifactMemo
+  private[graft] def knnGraphTable(spark: SparkSession,
+      dir: String): DataFrame =
+    graphMemo.get(spark, dir) {
+      val g = nnDescentOf(Tables(spark, dir, "embeddings")).persist()
+      g.count() // materialize: consumed from both sides of self-joins
+      g
+    }
+
+  private[graft] def isSharedArtifact(df: DataFrame): Boolean =
+    graphMemo.holds(df) || corpusGraphMemo.holds(df)
+
+  def invalidateSharedArtifacts(): Unit = {
+    graphMemo.invalidate()
+    corpusGraphMemo.invalidate()
+  }
+
+  /** q198 — the k-NN graph itself, rank-numbered per node. */
+  def nnDescentGraph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"a_id").orderBy($"sim".desc, $"b_id".asc)
+    knnGraphTable(spark, dir)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select($"a_id".as("vec_id"), $"rank", $"b_id".as("nb_id"))
+  }
+
+  /** q199's symmetrization depth: an edge enters the cluster graph
+    * only when BOTH endpoints rank each other within this cutoff.
+    * Rank-based (no float threshold enters the cluster decision), and
+    * deliberately tighter than k: on this near-isotropic corpus the
+    * full-k mutual graph PERCOLATES — measured at sf0.01, mutual@8
+    * collapses 500 vectors into one 499-node component, while
+    * mutual@2 yields 109 components with a 17-node maximum, i.e. a
+    * clustering that still says something. Percolation depth is a
+    * data property; this constant is the knob, the q200 audit is the
+    * gauge. */
+  private[graft] val MutualRank = 2
+
+  /** q199 — mutual-kNN clustering over the graph: keep edges whose
+    * endpoints each rank the other within [[MutualRank]] (the standard
+    * mutual-NN symmetrization that strips hub-induced one-way edges),
+    * then connected components via the star-contraction harness.
+    * Every vector gets a row; singletons label themselves. */
+  def mutualKnnClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"a_id").orderBy($"sim".desc, $"b_id".asc)
+    val g = knnGraphTable(spark, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= MutualRank)
+    val mutual = g.as("f")
+      .join(g.as("r"),
+        col("f.a_id") === col("r.b_id") && col("f.b_id") === col("r.a_id")
+          && col("f.a_id") < col("f.b_id"))
+      .select(col("f.a_id").as("u"), col("f.b_id").as("v"))
+    val labels = Operators.connectedComponentsStar(mutual)
+    Tables(spark, dir, "embeddings").select($"vec_id")
+      .join(labels.withColumnRenamed("node", "vec_id"), Seq("vec_id"),
+        "left")
+      .select($"vec_id",
+        coalesce($"label", $"vec_id").cast("long").as("cluster_id"))
+  }
+
+  /** q200 — recall@k audit of the descent graph against the exact
+    * brute-force graph on the deterministic [[RecallSampleMod]] sample:
+    * per sampled node, how many of its true top-k neighbors the graph
+    * holds. The exact arm is sample×corpus (bounded by construction);
+    * the report is one small join. At 100 TB this is the
+    * recall-per-round curve a deployment watches while turning
+    * [[DescentRounds]]. */
+  def nnDescentRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val sample = emb.filter($"vec_id" % RecallSampleMod === 0)
+    // sample side broadcast (the knnTopK device): the corpus scan
+    // never shuffles and the plan stays BroadcastNestedLoopJoin, not
+    // CartesianProduct
+    val pairs = emb.select($"vec_id".as("b_id"))
+      .crossJoin(broadcast(sample.select($"vec_id".as("a_id"))))
+      .filter($"a_id" =!= $"b_id")
+      .select($"a_id", $"b_id")
+    val exact = topK(scoreAgainst(emb, pairs), GraphK)
+      .select($"a_id", $"b_id")
+    val g = knnGraphTable(spark, dir).select($"a_id", $"b_id")
+    sample.select($"vec_id")
+      .join(exact.join(g, Seq("a_id", "b_id"))
+          .groupBy($"a_id").agg(count(lit(1)).as("h"))
+          .select($"a_id".as("vec_id"), $"h"),
+        Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"h", lit(0L)).as("hits"))
+  }
+
+  /** The PHYSICAL graph index the family's 100 TB notes promise: the
+    * finished NN-Descent edge table written once to storage (three
+    * columns, k rows per node) — the `ivfPqWriteIndex`/`lshWriteIndex`
+    * precedent applied to the graph paradigm. Built from its own
+    * descent run, NOT the in-session memo, so Bench's warm-up write
+    * never re-attributes q198's live build cost (the lshWriteIndex
+    * rule). At deployment the table is partitioned by a_id range;
+    * routing reads are point-lookup joins against it. */
+  def knnGraphWriteIndex(spark: SparkSession, dir: String,
+      path: String): Unit =
+    knnGraphWriteIndexOf(Tables(spark, dir, "embeddings"), path)
+
+  /** Frame-parameterized index write — the ingest/stream path builds
+    * the STANDING-CORPUS graph (non-delta rows) with it. */
+  private[graft] def knnGraphWriteIndexOf(emb: DataFrame,
+      path: String): Unit =
+    nnDescentOf(emb).write.mode("overwrite").parquet(s"$path/edges")
+
+  /** q201's hop budget: 3 out-edge expansions from the query node —
+    * ≤ k + k² + k³ = 584 candidates at k=8, the bounded frontier a
+    * greedy graph search scores exactly. */
+  private[graft] val RouteHops = 3
+
+  /** q201 — ANN answered BY ROUTING THE PERSISTED GRAPH (the HNSW
+    * serving shape, flattened to a fixed hop budget so the result is
+    * deterministic and oracle-checkable): q30's query (vec_id 0)
+    * starts at its own stored adjacency, expands [[RouteHops]] times
+    * through out-edges (three point-lookup equi-joins against
+    * storage — the corpus embedding table is touched only to score
+    * the ≤ k+k²+k³ visited candidates), exact-scores the frontier,
+    * and returns the top-5 in q30's (rank, vec_id) contract. The
+    * per-query serving cost a deployment pays: hop joins + a few
+    * hundred exact distances, independent of corpus size. Recall vs
+    * q30 is a data property (the graph's q200 ceiling composed with
+    * hop coverage), not asserted here — q30 and q200 are the gauges. */
+  def graphRoutedAnn(spark: SparkSession, dir: String,
+      path: String): DataFrame = {
+    import spark.implicits._
+    val edges = spark.read.parquet(s"$path/edges")
+      .select($"a_id", $"b_id")
+    val emb = Tables(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+    def hop(frontier: DataFrame): DataFrame =
+      edges.join(frontier.select($"b_id".as("src")), $"a_id" === $"src")
+        .select($"b_id").distinct()
+    val h1 = edges.filter($"a_id" === 0).select($"b_id")
+    val hops = Iterator.iterate(h1)(hop).take(RouteHops).toSeq
+    val cand = hops.reduce(_ union _).distinct()
+      .filter($"b_id" =!= 0)
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+    val scored = cand
+      .join(emb.select($"vec_id".as("b_id"), $"embedding"), "b_id")
+      .crossJoin(broadcast(q))
+      .select($"b_id".as("vec_id"),
+        nanvl(cosine($"embedding", $"q_emb"),
+          lit(Double.NegativeInfinity)).as("sim"))
+    // the rankedTopK device: TakeOrderedAndProject keeps the plan
+    // scale-safe; the rank window runs over <= 5 rows
+    val w = Window.orderBy($"sim".desc, $"vec_id".asc)
+    scored.orderBy($"sim".desc, $"vec_id".asc).limit(5)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select($"rank", $"vec_id")
+  }
+
+  /** The ~10 % delta split on vec_id — the q46 md5 device, the same
+    * boundary q141's drift monitor draws. */
+  private def isDeltaVec(c: Column): Column =
+    substring(md5(c.cast("string")), 1, 2) < "1a"
+
+  /** q202's standing graph: NN-Descent over the NON-delta corpus only
+    * (the graph that existed before tonight's batch), memoized like
+    * the full-corpus one. */
+  private val corpusGraphMemo = new DedupOps.ArtifactMemo
+  private[graft] def corpusGraphTable(spark: SparkSession,
+      dir: String): DataFrame =
+    corpusGraphMemo.get(spark, dir) {
+      val g = nnDescentOf(Tables(spark, dir, "embeddings")
+        .filter(!isDeltaVec(col("vec_id")))).persist()
+      g.count()
+      g
+    }
+
+  /** q202 — INCREMENTAL graph maintenance: tonight's delta vectors get
+    * their adjacency by ROUTING the standing corpus graph, the
+    * HNSW-insert shape — no rebuild, no descent round over the corpus:
+    *
+    *  - entry points: the corpus members of the delta vector's OWN two
+    *    seed buckets (the same salted assignment it would have seeded
+    *    into — insert reuses the build's mechanism, nothing new);
+    *  - two out-edge expansions through the stored corpus adjacency
+    *    (point-lookup equi-joins), giving ≤ 2·bucket + 2·bucket·k +
+    *    2·bucket·k² visited candidates per delta vector;
+    *  - exact-score the visited set, keep top-k: the rows a deployment
+    *    APPENDS to the persisted edge table (plus reverse-edge
+    *    candidates for the touched corpus nodes — emitted here as the
+    *    ranked forward adjacency, the append artifact itself).
+    *
+    * The batch is simultaneous-vs-corpus (delta-delta edges are the
+    * NEXT build's work — same contract as q130's delta-vs-corpus
+    * split); a delta vector whose buckets hold no corpus member
+    * surfaces as absent, not papered over. Per-delta cost is
+    * independent of corpus size — the operational point at 100 TB,
+    * where the alternative is a full O(n·(2k)²·T) re-descent per
+    * night. */
+  def graphDeltaInsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val corpus = emb.filter(!isDeltaVec($"vec_id"))
+    val delta = emb.filter(isDeltaVec($"vec_id"))
+    deltaRouteOf(delta, corpus, corpusGraphTable(spark, dir),
+      math.max(1L, corpus.count() / SeedBucketSize))
+  }
+
+  /** The q202 routing body over explicit frames — shared by the batch
+    * query and the ingest-time [[graft.streaming.StreamingQueries]]
+    * twin (which routes arriving vectors against the PERSISTED edge
+    * table per micro-batch). */
+  private[graft] def deltaRouteOf(delta: DataFrame, corpus: DataFrame,
+      g: DataFrame, nBuckets: Long): DataFrame = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val cb = seedBuckets(corpus.select($"vec_id", $"embedding"), nBuckets)
+    val db = seedBuckets(delta.select($"vec_id", $"embedding"), nBuckets)
+    val entry = db.select($"vec_id".as("d_id"), $"salt", $"bk")
+      .join(cb.select($"vec_id".as("c_id"), $"salt", $"bk"),
+        Seq("salt", "bk"))
+      .select($"d_id", $"c_id").distinct()
+    def expand(f: DataFrame): DataFrame =
+      f.join(g.select($"a_id".as("c_id"), $"b_id"), "c_id")
+        .select($"d_id", $"b_id".as("c_id")).distinct()
+    val h2 = expand(entry)
+    val h3 = expand(h2)
+    val cand = entry.union(h2).union(h3).distinct()
+    val scored = cand
+      .join(delta.select($"vec_id".as("d_id"), $"embedding".as("d_emb")),
+        "d_id")
+      .join(corpus.select($"vec_id".as("c_id"), $"embedding".as("c_emb")),
+        "c_id")
+      .select($"d_id", $"c_id",
+        nanvl(cosine($"d_emb", $"c_emb"),
+          lit(Double.NegativeInfinity)).as("sim"))
+    val w = Window.partitionBy($"d_id").orderBy($"sim".desc, $"c_id".asc)
+    scored.withColumn("rn", row_number().over(w)).filter($"rn" <= GraphK)
+      .select($"d_id".as("vec_id"), $"rn".cast("long").as("rank"),
+        $"c_id".as("nb_id"))
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  private def duckSim(a: String, b: String): String =
+    s"CASE WHEN isnan(list_cosine_similarity($a, $b)) " +
+      s"THEN CAST('-infinity' AS DOUBLE) " +
+      s"ELSE list_cosine_similarity($a, $b) END"
+
+  /** The round-by-round descent chain, ending in CTE g[[DescentRounds]].
+    * MATERIALIZED on every per-round CTE: each is referenced up to
+    * three times by the next round, so default inlining would expand
+    * 3^T scans of the whole prefix (the k-core oracle lesson). */
+  private def graphCtes(k: Int = GraphK, rounds: Int = DescentRounds,
+      recursive: Boolean = false, where: String = ""): String = {
+    val score = duckSim("ea.embedding", "eb.embedding")
+    def topKSql(src: String): String =
+      s"""SELECT a_id, b_id, sim FROM (
+         |    SELECT a_id, b_id, sim, ROW_NUMBER() OVER (
+         |        PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn
+         |    FROM $src) t
+         |  WHERE rn <= $k""".stripMargin
+    val withKw = if (recursive) "WITH RECURSIVE" else "WITH"
+    val head =
+      s"""$withKw vemb AS (SELECT vec_id, embedding FROM embeddings$where),
+         |vnb AS (SELECT GREATEST(1, COUNT(*) // $SeedBucketSize) AS nb
+         |        FROM vemb),
+         |bkt AS MATERIALIZED (
+         |  SELECT vec_id, salt,
+         |    CAST(concat('0x', substr(md5(concat('knnseed', salt, ':',
+         |      CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) % vnb.nb
+         |      AS bk
+         |  FROM vemb, vnb, (SELECT UNNEST(['a', 'b']) AS salt)),
+         |seed AS (
+         |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+         |  FROM bkt x JOIN bkt y ON x.salt = y.salt AND x.bk = y.bk
+         |    AND x.vec_id <> y.vec_id),
+         |s0 AS MATERIALIZED (
+         |  SELECT p.a_id, p.b_id, $score AS sim
+         |  FROM seed p
+         |  JOIN vemb ea ON ea.vec_id = p.a_id
+         |  JOIN vemb eb ON eb.vec_id = p.b_id),
+         |g0 AS MATERIALIZED (
+         |  ${topKSql("s0")})""".stripMargin
+    val body = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""u$p AS MATERIALIZED (
+         |  SELECT a_id AS u, b_id AS v FROM g$p
+         |  UNION
+         |  SELECT u, v FROM (
+         |    SELECT b_id AS u, a_id AS v, ROW_NUMBER() OVER (
+         |        PARTITION BY b_id ORDER BY sim DESC, a_id ASC) AS rn
+         |    FROM g$p) r
+         |  WHERE rn <= $k),
+         |c$i AS MATERIALIZED (
+         |  SELECT DISTINCT x.v AS a_id, y.v AS b_id
+         |  FROM u$p x JOIN u$p y ON x.u = y.u AND x.v <> y.v),
+         |s$i AS MATERIALIZED (
+         |  SELECT a_id, b_id, MAX(sim) AS sim FROM (
+         |    SELECT p.a_id, p.b_id, $score AS sim
+         |    FROM c$i p
+         |    JOIN vemb ea ON ea.vec_id = p.a_id
+         |    JOIN vemb eb ON eb.vec_id = p.b_id
+         |    UNION ALL SELECT a_id, b_id, sim FROM g$p) z
+         |  GROUP BY a_id, b_id),
+         |g$i AS MATERIALIZED (
+         |  ${topKSql(s"s$i")})""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + body
+  }
+
+  private lazy val nnDescentGraphSql = graphCtes() +
+    s"""
+       |SELECT a_id AS vec_id,
+       |  CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS BIGINT)
+       |    AS rank,
+       |  b_id AS nb_id
+       |FROM g$DescentRounds""".stripMargin
+
+  private lazy val mutualKnnClustersSql = graphCtes(recursive = true) +
+    s""",
+       |gr AS MATERIALIZED (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a_id, b_id, ROW_NUMBER() OVER (
+       |        PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rnk
+       |    FROM g$DescentRounds) t
+       |  WHERE rnk <= $MutualRank),
+       |mut AS MATERIALIZED (
+       |  SELECT f.a_id AS u, f.b_id AS v
+       |  FROM gr f JOIN gr r
+       |    ON f.a_id = r.b_id AND f.b_id = r.a_id AND f.a_id < f.b_id),
+       |me AS (SELECT u, v FROM mut UNION SELECT v, u FROM mut),
+       |reach AS (
+       |  SELECT u, v FROM me
+       |  UNION
+       |  SELECT r.u, e2.v FROM reach r JOIN me e2 ON r.v = e2.u),
+       |mn AS (SELECT u AS vec_id, MIN(v) AS m FROM reach GROUP BY u)
+       |SELECT e.vec_id,
+       |  CAST(LEAST(e.vec_id, COALESCE(mn.m, e.vec_id)) AS BIGINT)
+       |    AS cluster_id
+       |FROM embeddings e LEFT JOIN mn ON mn.vec_id = e.vec_id""".stripMargin
+
+  private lazy val nnDescentRecallSql = graphCtes() +
+    s""",
+       |qs AS (SELECT vec_id FROM embeddings
+       |       WHERE vec_id % $RecallSampleMod = 0),
+       |ex AS MATERIALIZED (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT q.vec_id AS a_id, b.vec_id AS b_id, ROW_NUMBER() OVER (
+       |        PARTITION BY q.vec_id
+       |        ORDER BY ${duckSim("a.embedding", "b.embedding")} DESC,
+       |                 b.vec_id ASC) AS rn
+       |    FROM qs q
+       |    JOIN embeddings a ON a.vec_id = q.vec_id
+       |    JOIN embeddings b ON b.vec_id <> q.vec_id) t
+       |  WHERE rn <= $GraphK)
+       |SELECT q.vec_id,
+       |  CAST(COALESCE(h.h, 0) AS BIGINT) AS hits
+       |FROM qs q LEFT JOIN (
+       |  SELECT e.a_id AS vec_id, COUNT(*) AS h
+       |  FROM ex e JOIN g$DescentRounds g
+       |    ON g.a_id = e.a_id AND g.b_id = e.b_id
+       |  GROUP BY e.a_id) h ON h.vec_id = q.vec_id""".stripMargin
+
+  private lazy val graphRoutedAnnSql = graphCtes() +
+    s""",
+       |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |h1 AS MATERIALIZED (
+       |  SELECT b_id FROM g$DescentRounds WHERE a_id = 0),
+       |h2 AS MATERIALIZED (
+       |  SELECT DISTINCT g.b_id FROM g$DescentRounds g
+       |  JOIN h1 ON g.a_id = h1.b_id),
+       |h3 AS MATERIALIZED (
+       |  SELECT DISTINCT g.b_id FROM g$DescentRounds g
+       |  JOIN h2 ON g.a_id = h2.b_id),
+       |cand AS (
+       |  SELECT b_id FROM h1 UNION SELECT b_id FROM h2
+       |  UNION SELECT b_id FROM h3)
+       |SELECT rank, vec_id FROM (
+       |  SELECT CAST(ROW_NUMBER() OVER (
+       |      ORDER BY ${duckSim("b.embedding", "q.embedding")} DESC,
+       |               c.b_id ASC) AS BIGINT) AS rank,
+       |    c.b_id AS vec_id
+       |  FROM cand c
+       |  JOIN embeddings b ON b.vec_id = c.b_id, qv q
+       |  WHERE c.b_id <> 0) t
+       |WHERE rank <= 5""".stripMargin
+
+  private lazy val graphDeltaInsertSql = graphCtes(where =
+    " WHERE NOT (substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '1a')") +
+    s""",
+       |delta AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '1a'),
+       |dbkt AS MATERIALIZED (
+       |  SELECT vec_id, salt,
+       |    CAST(concat('0x', substr(md5(concat('knnseed', salt, ':',
+       |      CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) % vnb.nb
+       |      AS bk
+       |  FROM delta, vnb, (SELECT UNNEST(['a', 'b']) AS salt)),
+       |entry AS MATERIALIZED (
+       |  SELECT DISTINCT d.vec_id AS d_id, c.vec_id AS c_id
+       |  FROM dbkt d JOIN bkt c ON d.salt = c.salt AND d.bk = c.bk),
+       |i2 AS MATERIALIZED (
+       |  SELECT DISTINCT e.d_id, g.b_id AS c_id
+       |  FROM entry e JOIN g$DescentRounds g ON g.a_id = e.c_id),
+       |i3 AS MATERIALIZED (
+       |  SELECT DISTINCT e.d_id, g.b_id AS c_id
+       |  FROM i2 e JOIN g$DescentRounds g ON g.a_id = e.c_id),
+       |icand AS (
+       |  SELECT d_id, c_id FROM entry UNION SELECT d_id, c_id FROM i2
+       |  UNION SELECT d_id, c_id FROM i3)
+       |SELECT d_id AS vec_id, CAST(rn AS BIGINT) AS rank,
+       |  c_id AS nb_id FROM (
+       |  SELECT p.d_id, p.c_id, ROW_NUMBER() OVER (
+       |      PARTITION BY p.d_id
+       |      ORDER BY ${duckSim("de.embedding", "ce.embedding")} DESC,
+       |               p.c_id ASC) AS rn
+       |  FROM icand p
+       |  JOIN delta de ON de.vec_id = p.d_id
+       |  JOIN vemb ce ON ce.vec_id = p.c_id) t
+       |WHERE rn <= $GraphK""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+    Q("q198_nn_descent_graph", nnDescentGraph, Some(nnDescentGraphSql),
+      "NN-Descent k-NN graph: deterministic ring seed, " +
+        s"$DescentRounds neighbor-of-neighbor join rounds with " +
+        "reverse-degree capping — the join-shaped graph construction " +
+        "HNSW-class indexes start from, linear candidate volume per " +
+        "round"),
+    Q("q199_mutual_knn_clusters", mutualKnnClusters,
+      Some(mutualKnnClustersSql),
+      "mutual-kNN clustering on the q198 graph: rank-symmetric edges " +
+        "(no float threshold), star-contraction components, " +
+        "min-id labels, singletons self-labeled"),
+    Q("q200_nn_descent_recall", nnDescentRecall, Some(nnDescentRecallSql),
+      "recall@k audit of the q198 graph against exact brute force on " +
+        "a deterministic 4% node sample — the convergence curve a " +
+        "deployment reads before trusting the graph"),
+    Q("q201_graph_routed_ann",
+      (s, d) => graphRoutedAnn(s, d, ServingIndexes.knnGraphIndex(s, d)),
+      Some(graphRoutedAnnSql),
+      "ANN served by ROUTING the persisted k-NN graph: 3 point-lookup " +
+        "hop joins against the stored edge table, exact scores on the " +
+        "<= k+k^2+k^3 visited frontier, q30's rank/ids contract — " +
+        "per-query cost independent of corpus size"),
+    Q("q202_graph_delta_insert", graphDeltaInsert,
+      Some(graphDeltaInsertSql),
+      "HNSW-style incremental insert: the ~10% delta batch gets its " +
+        "adjacency by routing the standing corpus graph (salted-bucket " +
+        "entry points + 2 out-edge expansions, exact scores on the " +
+        "visited set) — the append rows a nightly ingest writes, no " +
+        "rebuild, per-delta cost independent of corpus size"))
+}

@@ -21,7 +21,7 @@ object Registry {
     TpchLike.queries ++ EventOps.queries ++ TextOps.queries ++
       VectorOps.queries ++ DedupOps.queries ++ DedupFusionOps.queries ++
       PipelineOps.queries ++ MultimodalOps.queries ++
-      graft.reference.RefQueries.queries
+      KnnGraphOps.queries ++ graft.reference.RefQueries.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -62,6 +62,11 @@ object ServingIndexes {
   def chunkIndex(spark: SparkSession, dir: String): String =
     ensure("chunk", dir)(VectorOps.chunkWriteIndex(spark, dir, _))
 
+  /** q201's persisted NN-Descent edge table
+    * ([[KnnGraphOps.knnGraphWriteIndex]]). */
+  def knnGraphIndex(spark: SparkSession, dir: String): String =
+    ensure("knngraph", dir)(KnnGraphOps.knnGraphWriteIndex(spark, dir, _))
+
   /** Build every serving index (Bench warm-up: the ingest-side write
     * happens once per run, outside any timed query window — the same
     * attribution rule as the shared-artifact payer ordering). */
@@ -70,5 +75,6 @@ object ServingIndexes {
     spanIndex(spark, dir)
     postingIndex(spark, dir)
     chunkIndex(spark, dir)
+    knnGraphIndex(spark, dir)
   }
 }

@@ -1653,4 +1653,42 @@ object StreamingQueries {
   private[graft] def chunkAppendBatch(batch: DataFrame,
       indexPath: String): Long =
     graft.queries.VectorOps.chunkAppendBatch(batch, indexPath)
+
+  /** Ingest-time incremental k-NN-graph maintenance — q202's routing
+    * body per micro-batch: arriving (vec_id, embedding) rows route the
+    * PERSISTED standing-corpus graph (`indexPath/edges`, written once
+    * over the non-delta rows) and their ranked adjacency lands under
+    * `indexPath/edges_delta/batch=<id>` with OVERWRITE — the
+    * idempotent-foreachBatch sink device: a checkpoint replay of batch
+    * b rewrites the same directory, so retries converge and a
+    * crash-torn write is cleaned by its own retry (no manifest
+    * needed). `corpus` is passed explicitly and FROZEN, like the
+    * scorer model: the standing side of an incremental tick does not
+    * move under the stream. A vector re-sent in a DIFFERent batch
+    * duplicates its adjacency across batch directories — dedup
+    * upstream or at read, the calibratedScorerJoined replay note
+    * applied here. */
+  def graphInsertStream(vecs: DataFrame, corpus: DataFrame,
+      indexPath: String, checkpoint: String): StreamingQuery =
+    vecs.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graphInsertBatch(batch, corpus, indexPath, batchId); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+
+  private[graft] def graphInsertBatch(batch: DataFrame, corpus: DataFrame,
+      indexPath: String, batchId: Long): Long = {
+    val spark = batch.sparkSession
+    import graft.queries.KnnGraphOps
+    val edges = spark.read.parquet(s"$indexPath/edges")
+    val routed = KnnGraphOps.deltaRouteOf(batch, corpus, edges,
+      math.max(1L, corpus.count() / KnnGraphOps.SeedBucketSize))
+      .persist()
+    val n = routed.count()
+    routed.write.mode("overwrite")
+      .parquet(s"$indexPath/edges_delta/batch=$batchId")
+    routed.unpersist(blocking = false)
+    n
+  }
 }

@@ -187,6 +187,23 @@ object Stress10xSpec {
     // scalars (keyless rollups, hence the opt-in)
     runAndAudit("q197_reindex_decision", scalarRollup = true)
 
+    // round-14: the graph-ANN family at 10x (20k vectors, every one
+    // with 9 exact copies). Seed cliques stay 16-wide by hash
+    // construction no matter how the corpus grows; per-round
+    // candidate volume is bounded by n·(2k)² through the reverse cap
+    // — the exact-copy regime makes every vector a potential hub
+    // (its copies all rank it 1.0), which is precisely the skew the
+    // cap exists to bound. q199/q200 ride the memoized graph.
+    Seq("q198_nn_descent_graph", "q199_mutual_knn_clusters",
+      "q200_nn_descent_recall").foreach(n => runAndAudit(n))
+    // q201 pays its own index write inside the first call (the
+    // ServingIndexes accessor builds lazily) — at 10x that is the
+    // descent build plus one parquet write, then 3 hop lookups.
+    // q202 pays the corpus-only descent (its standing-graph memo) and
+    // then routes ~2k delta vectors through bounded hop joins.
+    runAndAudit("q201_graph_routed_ann")
+    runAndAudit("q202_graph_delta_insert")
+
     // q115's scale lever, measured on the quantity that matters at
     // scale: candidate-pair volume Σ cell·(cell−1)/2. Local wall-time
     // at 50k docs is join-strategy/task-scheduling bound, so pair

@@ -1229,4 +1229,209 @@ class OperatorPropertiesSpec extends SparkSuite {
     // code bound check: 64 dims × max per-dim delta 255² bounds idist
     assert(rows.forall(_._3 <= 64L * 255 * 255))
   }
+
+  /** 6 tight clusters × 8 members in 8 dims: within-cluster cosine
+    * ≈ 0.99, cross ≈ 0.01 — the structured regime where NN-Descent
+    * must converge to the exact graph in a few rounds. `offset` shifts
+    * half the ids by 10⁷ to pin the no-contiguity contract of the
+    * hash-bucket seed. */
+  private def clusteredEmb(offset: Boolean): Seq[(Long, Array[Float])] =
+    (0 until 48).map { i =>
+      val c = i / 8; val j = i % 8
+      val v = new Array[Float](8)
+      v(c) = 1f
+      v(6) = 0.1f + 0.02f * j
+      v(7) = 0.01f * (c + 1) * (j + 1)
+      val id = if (offset && i % 2 == 1) i + 10000000L else i.toLong
+      (id, v)
+    }
+
+  private def bruteGraph(vecs: Seq[(Long, Array[Float])],
+      k: Int): Set[(Long, Long)] = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += (a(i) * b(i)).toDouble
+        na += (a(i) * a(i)).toDouble; nb += (b(i) * b(i)).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    vecs.flatMap { case (id, v) =>
+      vecs.filter(_._1 != id)
+        .map { case (oid, ov) => (oid, cos(v, ov)) }
+        .sortBy { case (oid, s) => (-s, oid) }.take(k)
+        .map { case (oid, _) => (id, oid) }
+    }.toSet
+  }
+
+  test("NN-Descent on clustered data: every edge lands in-cluster and " +
+      "recall >= 0.9, contiguous and offset ids alike") {
+    import spark.implicits._
+    // NN-Descent is a LOCAL search — the paper's contract is high
+    // recall, not exactness (a pair (a,c) is only ever proposed while
+    // some node lists both, and a cluster can reach a fixpoint where
+    // a true neighbor's listers never co-occur with a) — so the law
+    // here is the structural one: neighbors never cross clusters
+    // (cross-cluster cosine ~0.01 vs ~0.99 inside), and recall against
+    // brute force clears 0.9 on both id layouts. Deterministic: the
+    // measured values are 1.0 (contiguous) and 0.93 (offset).
+    def cluster(id: Long): Long = (id % 10000000L) / 8
+    for (offset <- Seq(false, true)) {
+      val vecs = clusteredEmb(offset)
+      val df = vecs.toDF("vec_id", "embedding")
+      val got = KnnGraphOps.nnDescentOf(df, k = 4, rounds = 4)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.forall { case (a, b) => cluster(a) == cluster(b) },
+        s"offset=$offset: a cross-cluster edge survived")
+      val truth = bruteGraph(vecs, 4)
+      val recall = (got & truth).size.toDouble / truth.size
+      assert(recall >= 0.9, s"offset=$offset: recall $recall < 0.9")
+      assert(got.size == truth.size, "some node lost graph degree")
+    }
+  }
+
+  test("NN-Descent edge quality is monotone over rounds (per-node " +
+      "sim-sum never decreases)") {
+    import spark.implicits._
+    val df = clusteredEmb(offset = false).toDF("vec_id", "embedding")
+    def sums(rounds: Int): Map[Long, Double] =
+      KnnGraphOps.nnDescentOf(df, k = 4, rounds = rounds).collect()
+        .groupBy(_.getLong(0))
+        .map { case (id, rs) => id -> rs.map(_.getDouble(2)).sum }
+    val byRound = (1 to 3).map(sums)
+    for (Seq(prev, next) <- byRound.sliding(2);
+         (id, s) <- next) {
+      // the merge keeps every standing edge as a candidate, so the
+      // per-node top-k sim multiset can only improve; 1e-9 absorbs
+      // summation-order noise in the assertion arithmetic only
+      assert(s >= prev.getOrElse(id, Double.NegativeInfinity) - 1e-9,
+        s"node $id regressed between rounds")
+    }
+  }
+
+  test("mutual-kNN clusters: min-labels are closed, every vector " +
+      "labeled once, mutual edges never cross clusters") {
+    import spark.implicits._
+    val rows = KnnGraphOps.mutualKnnClusters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.map(_._1).distinct.length)
+    val label = rows.toMap
+    // a min-label never exceeds its member, and is itself a member of
+    // its own cluster (label closure)
+    assert(rows.forall { case (v, c) => c <= v })
+    assert(rows.forall { case (_, c) => label.get(c).contains(c) })
+    // recompute the mutual edge set independently from the shared
+    // graph artifact: endpoints must agree on the label
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"a_id").orderBy($"sim".desc, $"b_id".asc)
+    val g = KnnGraphOps.knnGraphTable(spark, sf0001)
+      .withColumn("rnk", org.apache.spark.sql.functions
+        .row_number().over(w))
+      .filter($"rnk" <= KnnGraphOps.MutualRank)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mutual = g.filter { case (a, b) => a < b && g.contains((b, a)) }
+    assert(mutual.nonEmpty, "degenerate fixture: no mutual edges")
+    assert(mutual.forall { case (a, b) => label(a) == label(b) })
+  }
+
+  test("persisted kNN-graph index: disk == memoized graph, routed ANN " +
+      "reads the index and matches a driver-side hop recompute") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("knn-graph-index").toString
+    KnnGraphOps.knnGraphWriteIndex(spark, sf0001, path)
+    def tkey(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    // the independent index build lands on the identical graph —
+    // same expressions over the same data, bit-equal sims included
+    val disk = spark.read.parquet(s"$path/edges")
+      .collect().map(tkey).toSet
+    val live = KnnGraphOps.knnGraphTable(spark, sf0001)
+      .collect().map(tkey).toSet
+    assert(disk == live, "persisted graph must equal the memoized one")
+    val routed = KnnGraphOps.graphRoutedAnn(spark, sf0001, path)
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(plan.contains(path), s"plan must read the index at $path")
+    val got = routed.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side recompute of the whole route: 3 out-edge hops from
+    // vec 0 over the on-disk edges, exact cosine top-5
+    val adj = disk.toSeq.groupBy(_._1)
+      .map { case (a, es) => a -> es.map(_._2).toSet }
+    def expand(f: Set[Long]): Set[Long] =
+      f.flatMap(adj.getOrElse(_, Set.empty[Long]))
+    val h1 = adj.getOrElse(0L, Set.empty[Long])
+    val cand = (h1 ++ expand(h1) ++ expand(expand(h1))) - 0L
+    val vecs = graft.sources.Tables(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += (a(i) * b(i)).toDouble
+        na += (a(i) * a(i)).toDouble; nb += (b(i) * b(i)).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = vecs(0L)
+    val expect = cand.toSeq.map(id => (id, cos(q, vecs(id))))
+      .sortBy { case (id, s) => (-s, id) }.take(5)
+      .zipWithIndex.map { case ((id, _), i) => (i + 1L, id) }
+    assert(got.toSeq == expect,
+      s"routed=${got.toSeq} expected=$expect")
+  }
+
+  test("q202 delta insert == driver-side route recompute; neighbors " +
+      "are corpus-only") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def isDelta(id: Long): Boolean = md5hex(id.toString).take(2) < "1a"
+    val vecs = graft.sources.Tables(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val corpusIds = vecs.keySet.filter(!isDelta(_))
+    val deltaIds = vecs.keySet.filter(isDelta)
+    assert(deltaIds.nonEmpty && corpusIds.nonEmpty)
+    val got = KnnGraphOps.graphDeltaInsert(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall { case (v, _, nb) =>
+      deltaIds(v) && corpusIds(nb) })
+    // driver-side recompute: same buckets, same 3 frontier levels
+    // over the corpus graph, exact cosine top-8
+    val nBuckets = math.max(1L, corpusIds.size / 16L)
+    def bks(id: Long): Set[(String, Long)] = Set("a", "b").map { s =>
+      s -> java.lang.Long.parseLong(
+        md5hex(s"knnseed$s:$id").take(15), 16) % nBuckets
+    }
+    val corpusBk = corpusIds.toSeq
+      .flatMap(id => bks(id).map(b => b -> id))
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).toSet }
+    val adj = KnnGraphOps.corpusGraphTable(spark, sf0001)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .groupBy(_._1).map { case (a, es) => a -> es.map(_._2).toSet }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += (a(i) * b(i)).toDouble
+        na += (a(i) * a(i)).toDouble; nb += (b(i) * b(i)).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = deltaIds.toSeq.flatMap { d =>
+      val entry = bks(d)
+        .flatMap(corpusBk.getOrElse(_, Set.empty[Long]))
+      def expand(f: Set[Long]): Set[Long] =
+        f.flatMap(adj.getOrElse(_, Set.empty[Long]))
+      val cand = entry ++ expand(entry) ++ expand(expand(entry))
+      cand.toSeq.map(c => (c, cos(vecs(d), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(8)
+        .zipWithIndex.map { case ((c, _), i) => (d, i + 1L, c) }
+    }.toSet
+    assert(got.toSet == expect,
+      s"diff=${(got.toSet -- expect).take(5)} | ${(expect -- got.toSet).take(5)}")
+  }
 }

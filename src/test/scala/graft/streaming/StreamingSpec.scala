@@ -1388,4 +1388,55 @@ class StreamingSpec extends SparkSuite {
     for ((id, want) <- expect)
       assert(got(id) == want, s"query $id: got=${got(id)} want=$want")
   }
+
+  test("graph insert stream == batch q202; batch-id overwrite makes " +
+      "a replayed batch converge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf0001 = "/root/testdata/sf0.001"
+    val isDelta = substring(
+      md5($"vec_id".cast("string")), 1, 2) < "1a"
+    val emb = graft.sources.Tables(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding")
+    val corpus = emb.filter(!isDelta)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graph-ins-idx").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graph-ins-ckpt").toString
+    graft.queries.KnnGraphOps.knnGraphWriteIndexOf(corpus, idx)
+    val feed = emb.filter(isDelta).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val ms = MemoryStream[(Long, Seq[Float])]
+    ms.addData(feed.take(feed.length / 2): _*)
+    ms.addData(feed.drop(feed.length / 2): _*)
+    val q = StreamingQueries.graphInsertStream(
+      ms.toDF().toDF("vec_id", "embedding"), corpus, idx, ckpt)
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val streamed = spark.read
+      .parquet(s"$idx/edges_delta")
+      .select($"vec_id", $"rank", $"nb_id")
+      .collect().map(key).toSet
+    val batch = graft.queries.KnnGraphOps
+      .graphDeltaInsert(spark, sf0001)
+      .collect().map(key).toSet
+    assert(streamed == batch, "streamed adjacency must equal batch q202")
+    assert(streamed.nonEmpty)
+    // replay convergence: re-running batch 0's body under its original
+    // id OVERWRITES its own directory — contents unchanged (read the
+    // actual batch-0 membership back rather than assuming how
+    // AvailableNow grouped the two addData calls)
+    val b0Ids = spark.read.parquet(s"$idx/edges_delta")
+      .filter($"batch" === 0).select($"vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(b0Ids.nonEmpty)
+    StreamingQueries.graphInsertBatch(
+      feed.filter(t => b0Ids(t._1)).toSeq
+        .toDF("vec_id", "embedding"), corpus, idx, batchId = 0L)
+    val replayed = spark.read.parquet(s"$idx/edges_delta")
+      .select($"vec_id", $"rank", $"nb_id")
+      .collect().map(key).toSet
+    assert(replayed == batch, "replaying batch 0 must be a no-op")
+  }
 }
