@@ -205,12 +205,9 @@ object KnnGraphOps {
     }
 
   private[graft] def isSharedArtifact(df: DataFrame): Boolean =
-    graphMemo.holds(df) || corpusGraphMemo.holds(df)
+    graphMemo.holds(df)
 
-  def invalidateSharedArtifacts(): Unit = {
-    graphMemo.invalidate()
-    corpusGraphMemo.invalidate()
-  }
+  def invalidateSharedArtifacts(): Unit = graphMemo.invalidate()
 
   /** q198 — the k-NN graph itself, rank-numbered per node. */
   def nnDescentGraph(spark: SparkSession, dir: String): DataFrame = {
@@ -357,17 +354,15 @@ object KnnGraphOps {
     substring(md5(c.cast("string")), 1, 2) < "1a"
 
   /** q202's standing graph: NN-Descent over the NON-delta corpus only
-    * (the graph that existed before tonight's batch), memoized like
-    * the full-corpus one. */
-  private val corpusGraphMemo = new DedupOps.ArtifactMemo
-  private[graft] def corpusGraphTable(spark: SparkSession,
-      dir: String): DataFrame =
-    corpusGraphMemo.get(spark, dir) {
-      val g = nnDescentOf(Tables(spark, dir, "embeddings")
-        .filter(!isDeltaVec(col("vec_id")))).persist()
-      g.count()
-      g
-    }
+    * (the graph that existed before tonight's batch), PERSISTED like
+    * the other serving indexes — the nightly insert routes storage,
+    * never a live rebuild, so its bench number is the per-ingest
+    * routing cost (the q172–q175 attribution rule; the write happens
+    * once in the ServingIndexes warm-up). */
+  private[graft] def knnCorpusGraphWriteIndex(spark: SparkSession,
+      dir: String, path: String): Unit =
+    knnGraphWriteIndexOf(Tables(spark, dir, "embeddings")
+      .filter(!isDeltaVec(col("vec_id"))), path)
 
   /** q202 — INCREMENTAL graph maintenance: tonight's delta vectors get
     * their adjacency by ROUTING the standing corpus graph, the
@@ -391,13 +386,20 @@ object KnnGraphOps {
     * independent of corpus size — the operational point at 100 TB,
     * where the alternative is a full O(n·(2k)²·T) re-descent per
     * night. */
-  def graphDeltaInsert(spark: SparkSession, dir: String): DataFrame = {
+  def graphDeltaInsert(spark: SparkSession, dir: String): DataFrame =
+    graphDeltaInsertIndexed(spark, dir,
+      ServingIndexes.knnCorpusGraphIndex(spark, dir))
+
+  /** q202 against an explicit index path (the spec's entry point). */
+  private[graft] def graphDeltaInsertIndexed(spark: SparkSession,
+      dir: String, path: String): DataFrame = {
     import spark.implicits._
     val emb = Tables(spark, dir, "embeddings")
       .select($"vec_id", $"embedding")
     val corpus = emb.filter(!isDeltaVec($"vec_id"))
     val delta = emb.filter(isDeltaVec($"vec_id"))
-    deltaRouteOf(delta, corpus, corpusGraphTable(spark, dir),
+    deltaRouteOf(delta, corpus,
+      spark.read.parquet(s"$path/edges").select($"a_id", $"b_id"),
       math.max(1L, corpus.count() / SeedBucketSize))
   }
 

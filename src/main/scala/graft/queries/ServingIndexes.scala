@@ -67,6 +67,13 @@ object ServingIndexes {
   def knnGraphIndex(spark: SparkSession, dir: String): String =
     ensure("knngraph", dir)(KnnGraphOps.knnGraphWriteIndex(spark, dir, _))
 
+  /** q202's STANDING-corpus edge table (non-delta rows only —
+    * [[KnnGraphOps.knnCorpusGraphWriteIndex]]): the graph the nightly
+    * insert routes against. */
+  def knnCorpusGraphIndex(spark: SparkSession, dir: String): String =
+    ensure("knngraphcorpus", dir)(
+      KnnGraphOps.knnCorpusGraphWriteIndex(spark, dir, _))
+
   /** Build every serving index (Bench warm-up: the ingest-side write
     * happens once per run, outside any timed query window — the same
     * attribution rule as the shared-artifact payer ordering). */
@@ -76,5 +83,6 @@ object ServingIndexes {
     postingIndex(spark, dir)
     chunkIndex(spark, dir)
     knnGraphIndex(spark, dir)
+    knnCorpusGraphIndex(spark, dir)
   }
 }

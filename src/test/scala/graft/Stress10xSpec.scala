@@ -196,11 +196,10 @@ object Stress10xSpec {
     // cap exists to bound. q199/q200 ride the memoized graph.
     Seq("q198_nn_descent_graph", "q199_mutual_knn_clusters",
       "q200_nn_descent_recall").foreach(n => runAndAudit(n))
-    // q201 pays its own index write inside the first call (the
-    // ServingIndexes accessor builds lazily) — at 10x that is the
-    // descent build plus one parquet write, then 3 hop lookups.
-    // q202 pays the corpus-only descent (its standing-graph memo) and
-    // then routes ~2k delta vectors through bounded hop joins.
+    // q201/q202 pay their own index writes inside the first call
+    // (the ServingIndexes accessors build lazily) — at 10x that is a
+    // descent build plus one parquet write each, then bounded hop
+    // lookups (q202 routes ~2k delta vectors).
     runAndAudit("q201_graph_routed_ann")
     runAndAudit("q202_graph_delta_insert")
 

@@ -1409,7 +1409,8 @@ class OperatorPropertiesSpec extends SparkSuite {
     val corpusBk = corpusIds.toSeq
       .flatMap(id => bks(id).map(b => b -> id))
       .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).toSet }
-    val adj = KnnGraphOps.corpusGraphTable(spark, sf0001)
+    val idxPath = ServingIndexes.knnCorpusGraphIndex(spark, sf0001)
+    val adj = spark.read.parquet(s"$idxPath/edges")
       .select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
       .groupBy(_._1).map { case (a, es) => a -> es.map(_._2).toSet }
