@@ -147,7 +147,7 @@ object Bench {
            "q156" -> "q158", "q156" -> "q194",
            "q74" -> "q75", "q74" -> "q77", "q74" -> "q139",
            "q111" -> "q197", "q157" -> "q197",
-           "q198" -> "q199", "q198" -> "q200")
+           "q198" -> "q199", "q198" -> "q200", "q198" -> "q203")
          if pos(payer) >= 0 && pos(rider) >= 0)
       require(pos(payer) < pos(rider),
         s"bench attribution: shared-artifact payer $payer must run before rider $rider")

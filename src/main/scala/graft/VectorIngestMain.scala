@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The VECTOR-side nightly tick — [[IngestMain]]'s sibling for the
+  * embedding modality: absorb tonight's delta vectors into the served
+  * k-NN graph, DECISION-DRIVEN. Where IngestMain composes the text
+  * gates (calibrated admission → LSH dedup → posting/chunk appends),
+  * this composes the vector ones, and nothing here is a new
+  * derivation:
+  *
+  *  1. decision — q141's drift scalars (Σ|drift| and max-cell ppm over
+  *     the shared grid cells) against the graph family's thresholds,
+  *     exactly q197's drift arm applied to the graph index (the
+  *     recall gate does not apply: the graph has no trained-vs-seed
+  *     quantizer pair — routing quality is q200's audit instead);
+  *  2. admission — q192's compressed-domain near-dup gate
+  *     ([[graft.streaming.StreamingQueries.sdcDedupStream]]'s
+  *     stateless body on the batch): a delta vector within
+  *     [[VectorIngestMain.SdcAdmitDist]] SDC units of a standing
+  *     corpus code is already represented — inserting its adjacency
+  *     would only add serving weight, so it is gated out (the recall
+  *     lever, not a correctness claim — q192's documented contract);
+  *  3. maintenance, per the verdict —
+  *     `insert`: survivors route the PERSISTED corpus graph (q202's
+  *     body) and their adjacency lands in `edges_delta/batch=0` with
+  *     OVERWRITE (the idempotent-foreachBatch sink device — replays
+  *     and crash-torn writes converge by rewriting the directory);
+  *     `rebuild`: a fresh descent over corpus ∪ survivors OVERWRITES
+  *     `edges`, and `edges_delta` is retired with it (the absorbed
+  *     delta would otherwise double-count) — the O(n) path the
+  *     decision exists to ration.
+  *
+  * And it RECONCILES, integer-exact, before declaring success (the
+  * IngestMain doctrine):
+  *
+  *  - every SDC-dup id is a delta id; |survivors| == |delta| − |dups|;
+  *  - insert: edges_delta holds ≤ k rows per survivor, every neighbor
+  *    is corpus-side, every routed id is a survivor; survivors whose
+  *    seed buckets hold no corpus member are COUNTED (`n_unrouted`),
+  *    never papered over;
+  *  - rebuild: edges read back ≤ k·(corpus+survivors) rows,
+  *    edges_delta gone;
+  *  - all counts are read BACK from storage, not trusted from the
+  *    writer.
+  *
+  * Re-running the tick against the same out directory converges: the
+  * standing `edges` table is reused via its `_SUCCESS` probe (the
+  * ADVICE-r13 marker contract, same `require` as IngestMain), and
+  * both maintenance paths are overwrite-shaped. 100 TB: per-tick cost
+  * is O(delta) lifts + bounded hop joins against stored adjacency —
+  * the rebuild branch is the only corpus-sized path, which is
+  * exactly what the drift decision rations. */
+object VectorIngestMain {
+
+  /** Graph-family reindex thresholds — the q197 policy discipline
+    * (tv2 / max-cell ppm) applied to the graph index. */
+  private[graft] val GraphTv2ThresholdPpm = 100000L
+  private[graft] val GraphCellThresholdPpm = 20000L
+
+  /** q192's SDC admission distance (the StreamingSpec constant): a
+    * compressed-domain match this close means "already represented". */
+  private[graft] val SdcAdmitDist = 1500000L
+
+  def runVectorIngest(spark: SparkSession, dir: String, outDir: String,
+      forceVerdict: Option[String] = None): Seq[(String, Long)] = {
+    import spark.implicits._
+    import graft.queries.{KnnGraphOps, VectorOps}
+    import graft.streaming.StreamingQueries
+
+    val emb = graft.sources.Tables(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val isDelta = substring(md5($"vec_id".cast("string")), 1, 2) < "1a"
+    val corpus = emb.filter(!isDelta).persist()
+    val delta = emb.filter(isDelta).persist()
+    val nCorpus = corpus.count()
+    val nDelta = delta.count()
+
+    require(spark.sessionState.newHadoopConf()
+        .getBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true),
+      "VectorIngestMain's rebuild probe keys on _SUCCESS markers; run " +
+        "with mapreduce.fileoutputcommitter.marksuccessfuljobs=true " +
+        "(the default)")
+    val graphPath = s"$outDir/knn_graph"
+    if (!new java.io.File(s"$graphPath/edges/_SUCCESS").exists())
+      KnnGraphOps.knnGraphWriteIndexOf(corpus, graphPath)
+    val edgesBefore = spark.read.parquet(s"$graphPath/edges").count()
+
+    // ---- stage 1: the reindex decision (q197's drift arm, graph row)
+    val d = VectorOps.embeddingDrift(spark, dir)
+      .agg(sum($"drift_ppm").as("tv2"), max($"drift_ppm").as("mx"))
+      .head() // bounded parameter read: two longs
+    val tv2Ppm = d.getLong(0)
+    val maxCellPpm = d.getLong(1)
+    val driftExceeded = tv2Ppm > GraphTv2ThresholdPpm ||
+      maxCellPpm > GraphCellThresholdPpm
+    val verdict = forceVerdict.getOrElse(
+      if (driftExceeded) "rebuild" else "insert")
+    require(verdict == "insert" || verdict == "rebuild",
+      s"unknown verdict $verdict")
+
+    // ---- stage 2: SDC admission (q192's stateless body on the batch)
+    val dupIds = StreamingQueries
+      .sdcDedupStream(delta, corpus, SdcAdmitDist)
+      .select($"vec_id").distinct().persist()
+    val nDup = dupIds.count()
+    val strayDups = dupIds.join(delta.select($"vec_id"),
+      Seq("vec_id"), "left_anti").count()
+    val survivors = delta.join(dupIds, Seq("vec_id"), "left_anti")
+      .persist()
+    val nSurvivors = survivors.count()
+
+    def check(cond: Boolean, msg: String): Unit =
+      require(cond, s"vector-ingest reconciliation failed: $msg")
+    check(strayDups == 0L, s"$strayDups SDC-dup ids are not delta ids")
+    check(nSurvivors == nDelta - nDup,
+      s"survivors $nSurvivors != delta $nDelta - dups $nDup")
+
+    // ---- stage 3: maintenance per the verdict
+    val deltaDir = new java.io.File(s"$graphPath/edges_delta")
+    var appended = 0L
+    var unrouted = 0L
+    if (verdict == "insert") {
+      appended = StreamingQueries.graphInsertBatch(
+        survivors, corpus, graphPath, batchId = 0L)
+      val routed = spark.read.parquet(s"$graphPath/edges_delta")
+        .persist()
+      val routedRows = routed.count()
+      val routedIds = routed.select($"vec_id").distinct()
+      val strayRouted = routedIds.join(survivors.select($"vec_id"),
+        Seq("vec_id"), "left_anti").count()
+      val badNb = routed.select($"nb_id".as("vec_id"))
+        .join(corpus.select($"vec_id"), Seq("vec_id"), "left_anti")
+        .count()
+      unrouted = survivors.select($"vec_id")
+        .join(routedIds, Seq("vec_id"), "left_anti").count()
+      val maxPerVec = if (routedRows == 0L) 0L
+        else routed.groupBy($"vec_id").count()
+          .agg(max($"count")).head().getLong(0)
+      check(routedRows == appended,
+        s"edges_delta holds $routedRows rows, writer reported $appended")
+      check(strayRouted == 0L,
+        s"$strayRouted routed ids are not survivors")
+      check(badNb == 0L, s"$badNb neighbors are not corpus-side")
+      check(maxPerVec <= KnnGraphOps.GraphK,
+        s"a survivor holds $maxPerVec > k adjacency rows")
+      routed.unpersist(blocking = false)
+    } else {
+      // rebuild: descent over corpus ∪ survivors overwrites the
+      // standing edges; the absorbed delta's routed rows retire with
+      // it (they would double-count beside the rebuilt adjacency)
+      KnnGraphOps.knnGraphWriteIndexOf(
+        corpus.unionByName(survivors), graphPath)
+      if (deltaDir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(deltaDir)
+      }
+    }
+
+    // ---- reconciliation against STORAGE
+    val edgesAfter = spark.read.parquet(s"$graphPath/edges").count()
+    val deltaRowsAfter =
+      if (deltaDir.exists())
+        spark.read.parquet(s"$graphPath/edges_delta").count()
+      else 0L
+    if (verdict == "insert") {
+      check(edgesAfter == edgesBefore,
+        s"insert path must not touch edges: $edgesBefore -> $edgesAfter")
+      check(deltaRowsAfter == appended,
+        s"edges_delta $deltaRowsAfter != appended $appended")
+    } else {
+      check(deltaRowsAfter == 0L, "rebuild must retire edges_delta")
+      check(edgesAfter <= KnnGraphOps.GraphK * (nCorpus + nSurvivors),
+        s"rebuilt edges $edgesAfter exceed k*(corpus+survivors)")
+      check(edgesAfter >= edgesBefore,
+        s"rebuilt graph lost nodes: $edgesBefore -> $edgesAfter")
+    }
+
+    Seq(corpus, delta, dupIds, survivors)
+      .foreach(_.unpersist(blocking = false))
+    Seq("n_corpus" -> nCorpus, "n_delta" -> nDelta,
+      "tv2_ppm" -> tv2Ppm, "max_cell_ppm" -> maxCellPpm,
+      "verdict_rebuild" -> (if (verdict == "rebuild") 1L else 0L),
+      "n_sdc_dupped" -> nDup, "n_survivors" -> nSurvivors,
+      "edges_before" -> edgesBefore, "edges_after" -> edgesAfter,
+      "delta_rows" -> deltaRowsAfter, "n_unrouted" -> unrouted)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.01")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_vector_ingest_out")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-vector-ingest")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val counters = runVectorIngest(spark, sfDir, outDir)
+    val wall = (System.nanoTime() - t0) / 1e9
+    val body = counters.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString(",")
+    println(s"""{"metric":"vector_ingest","wall_sec":${(math.rint(wall * 1000) / 1000).toString},"sf":"$sfDir","out":"$outDir",$body}""")
+    spark.stop()
+  }
+}

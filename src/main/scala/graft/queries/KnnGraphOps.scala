@@ -437,6 +437,34 @@ object KnnGraphOps {
         $"c_id".as("nb_id"))
   }
 
+  /** q203 — hubness audit of the k-NN graph: the k-occurrence
+    * (in-degree) histogram, THE diagnostic for the high-dimensional
+    * pathology where a few "hub" vectors appear in everyone's
+    * neighbor list (Radovanović et al., JMLR'10: hubness skew grows
+    * with intrinsic dimension and silently degrades every kNN-based
+    * consumer — dedup verdicts, retrieval, clustering). Out-degree is
+    * k by construction, so in-degree is where the graph's health
+    * shows: a healthy low-dim corpus concentrates near k; a hubby one
+    * grows a long right tail. This is also the measurement behind the
+    * descent rounds' reverse-degree cap — the cap bounds what THIS
+    * report counts. Nodes referenced by nobody surface as degree 0
+    * (the orphan count, anti-join against the edge targets).
+    *
+    * Scale shape: one count per b_id (partial-aggregatable), one
+    * bounded-key histogram rollup over degrees ≤ n, one anti-join for
+    * the zero row — all keyed, nothing pairwise. */
+  def graphHubness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = knnGraphTable(spark, dir)
+    val indeg = g.groupBy($"b_id").agg(count(lit(1)).as("in_degree"))
+    val zeros = Tables(spark, dir, "embeddings").select($"vec_id")
+      .join(indeg.select($"b_id".as("vec_id")), Seq("vec_id"),
+        "left_anti")
+      .select(lit(0L).as("in_degree"))
+    indeg.select($"in_degree").union(zeros)
+      .groupBy($"in_degree").agg(count(lit(1)).as("n_nodes"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private def duckSim(a: String, b: String): String =
@@ -618,6 +646,20 @@ object KnnGraphOps {
        |  JOIN vemb ce ON ce.vec_id = p.c_id) t
        |WHERE rn <= $GraphK""".stripMargin
 
+  private lazy val graphHubnessSql = graphCtes() +
+    s""",
+       |indeg AS MATERIALIZED (
+       |  SELECT b_id, COUNT(*) AS in_degree FROM g$DescentRounds
+       |  GROUP BY b_id),
+       |degs AS (
+       |  SELECT in_degree FROM indeg
+       |  UNION ALL
+       |  SELECT CAST(0 AS BIGINT) AS in_degree FROM embeddings e
+       |  WHERE NOT EXISTS (SELECT 1 FROM indeg i WHERE i.b_id = e.vec_id))
+       |SELECT CAST(in_degree AS BIGINT) AS in_degree,
+       |  CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |FROM degs GROUP BY in_degree""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q198_nn_descent_graph", nnDescentGraph, Some(nnDescentGraphSql),
       "NN-Descent k-NN graph: deterministic ring seed, " +
@@ -647,5 +689,9 @@ object KnnGraphOps {
         "adjacency by routing the standing corpus graph (salted-bucket " +
         "entry points + 2 out-edge expansions, exact scores on the " +
         "visited set) — the append rows a nightly ingest writes, no " +
-        "rebuild, per-delta cost independent of corpus size"))
+        "rebuild, per-delta cost independent of corpus size"),
+    Q("q203_graph_hubness", graphHubness, Some(graphHubnessSql),
+      "k-occurrence (in-degree) histogram of the q198 graph incl. the " +
+        "degree-0 orphan row — the hubness diagnostic for the " +
+        "high-dim pathology the reverse cap bounds"))
 }

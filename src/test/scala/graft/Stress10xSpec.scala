@@ -195,7 +195,8 @@ object Stress10xSpec {
     // (its copies all rank it 1.0), which is precisely the skew the
     // cap exists to bound. q199/q200 ride the memoized graph.
     Seq("q198_nn_descent_graph", "q199_mutual_knn_clusters",
-      "q200_nn_descent_recall").foreach(n => runAndAudit(n))
+      "q200_nn_descent_recall", "q203_graph_hubness")
+      .foreach(n => runAndAudit(n))
     // q201/q202 pay their own index writes inside the first call
     // (the ServingIndexes accessors build lazily) — at 10x that is a
     // descent build plus one parquet write each, then bounded hop

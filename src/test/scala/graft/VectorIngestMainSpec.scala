@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The vector-side tick: branch behavior, replay convergence, and the
+  * crash matrix (the IngestMainSpec doctrine applied to
+  * [[VectorIngestMain]]). All scenarios run the REAL main body on
+  * sf0.001 and read every assertion back from storage. */
+class VectorIngestMainSpec extends SparkSuite {
+
+  private def freshOut(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"vingest-$tag").toString
+
+  private def edgeSet(path: String): Set[(Long, Long, Long)] = {
+    val f = new java.io.File(s"$path/knn_graph/edges_delta")
+    if (!f.exists()) Set.empty
+    else spark.read.parquet(s"$path/knn_graph/edges_delta")
+      .select(col("vec_id"), col("rank"), col("nb_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+  }
+
+  test("insert branch: survivors routed, counters reconcile, replay " +
+      "is a no-op") {
+    val out = freshOut("ins")
+    val c1 = VectorIngestMain.runVectorIngest(spark, sf0001, out,
+      forceVerdict = Some("insert")).toMap
+    assert(c1("verdict_rebuild") == 0L)
+    assert(c1("n_survivors") == c1("n_delta") - c1("n_sdc_dupped"))
+    assert(c1("n_survivors") > 0L && c1("delta_rows") > 0L)
+    assert(c1("edges_after") == c1("edges_before"))
+    val first = edgeSet(out)
+    assert(first.nonEmpty)
+    // replay: same out dir, same verdict — storage must not move
+    val c2 = VectorIngestMain.runVectorIngest(spark, sf0001, out,
+      forceVerdict = Some("insert")).toMap
+    assert(c2 == c1, s"replay drifted: $c2 vs $c1")
+    assert(edgeSet(out) == first)
+  }
+
+  test("crash-mid-insert: a torn edges_delta converges on replay") {
+    val out = freshOut("torn")
+    val c1 = VectorIngestMain.runVectorIngest(spark, sf0001, out,
+      forceVerdict = Some("insert")).toMap
+    val pristine = edgeSet(out)
+    // simulate the torn write: batch 0 re-written from only half the
+    // survivors (what a crash between task commits can leave behind
+    // after a partial retry)
+    import spark.implicits._
+    val emb = graft.sources.Tables(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding")
+    val isDelta = substring(md5($"vec_id".cast("string")), 1, 2) < "1a"
+    val corpus = emb.filter(!isDelta)
+    val half = emb.filter(isDelta).limit(c1("n_survivors").toInt / 2)
+    graft.streaming.StreamingQueries.graphInsertBatch(
+      half, corpus, s"$out/knn_graph", batchId = 0L)
+    assert(edgeSet(out) != pristine, "fixture failed to tear")
+    val c2 = VectorIngestMain.runVectorIngest(spark, sf0001, out,
+      forceVerdict = Some("insert")).toMap
+    assert(c2 == c1)
+    assert(edgeSet(out) == pristine, "replay must heal the torn batch")
+  }
+
+  test("rebuild branch: edges absorbed, edges_delta retired") {
+    val out = freshOut("reb")
+    // first tick inserts, second is the drift-triggered rebuild: the
+    // insert-then-rebuild transition a deployment actually walks
+    val c1 = VectorIngestMain.runVectorIngest(spark, sf0001, out,
+      forceVerdict = Some("insert")).toMap
+    assert(c1("delta_rows") > 0L)
+    val c2 = VectorIngestMain.runVectorIngest(spark, sf0001, out,
+      forceVerdict = Some("rebuild")).toMap
+    assert(c2("verdict_rebuild") == 1L)
+    assert(c2("delta_rows") == 0L)
+    assert(!new java.io.File(s"$out/knn_graph/edges_delta").exists())
+    assert(c2("edges_after") >= c2("edges_before"))
+    // the rebuilt standing graph covers corpus ∪ survivors
+    val nodes = spark.read.parquet(s"$out/knn_graph/edges")
+      .select(col("a_id")).distinct().count()
+    assert(nodes > c2("n_corpus"),
+      "rebuild must fold survivors into the standing graph")
+  }
+
+  test("natural verdict follows the drift thresholds") {
+    val out = freshOut("nat")
+    val c = VectorIngestMain.runVectorIngest(spark, sf0001, out).toMap
+    val expect =
+      c("tv2_ppm") > VectorIngestMain.GraphTv2ThresholdPpm ||
+        c("max_cell_ppm") > VectorIngestMain.GraphCellThresholdPpm
+    assert(c("verdict_rebuild") == (if (expect) 1L else 0L),
+      s"verdict must be the drift decision: $c")
+  }
+}

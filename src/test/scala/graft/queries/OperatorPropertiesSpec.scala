@@ -1382,6 +1382,19 @@ class OperatorPropertiesSpec extends SparkSuite {
       s"routed=${got.toSeq} expected=$expect")
   }
 
+  test("q203 hubness histogram: masses reconcile (nodes == corpus, " +
+      "degree mass == edge count)") {
+    import spark.implicits._
+    val rows = KnnGraphOps.graphHubness(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nVecs = graft.sources.Tables(spark, sf0001, "embeddings").count()
+    val nEdges = KnnGraphOps.knnGraphTable(spark, sf0001).count()
+    assert(rows.map(_._2).sum == nVecs, "every vector in one bucket")
+    assert(rows.map { case (d, n) => d * n }.sum == nEdges,
+      "degree mass must equal the edge count")
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
+
   test("q202 delta insert == driver-side route recompute; neighbors " +
       "are corpus-only") {
     import spark.implicits._
