@@ -107,7 +107,7 @@ object Bench {
     val selectedNames =
       if (args.isEmpty) SparkEntry.queries.keySet
       else SparkEntry.queries.keySet.filter(args.contains)
-    if (Seq("q172", "q173", "q174", "q175", "q201", "q202")
+    if (Seq("q172", "q173", "q174", "q175", "q201", "q202", "q204")
         .exists(p => selectedNames.exists(_.startsWith(p))))
       graft.queries.ServingIndexes.ensureAll(spark, sfDir)
 

@@ -353,6 +353,27 @@ object KnnGraphOps {
       .select($"rank", $"vec_id")
   }
 
+  /** q204 — serving-recall audit of the ROUTE (the q83 pattern applied
+    * to graph serving): for each of q30's exact top-5 neighbors,
+    * whether q201's fixed-hop route retrieved it. q200 gauges the
+    * GRAPH's recall; this gauges the hop budget's coverage ON TOP of
+    * it — the two knobs ([[DescentRounds]], [[RouteHops]]) read
+    * separately, which is how a deployment knows whether to spend on
+    * a better graph or a deeper search. Both arms are the shipped
+    * constructions, so the audit itself is hash-checked end to end
+    * (the oracle composes q30's ranking and the q201 route CTEs
+    * verbatim — neither side can drift from its source query). */
+  def routeRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = VectorOps.knnTopK(spark, dir)
+    val routed = graphRoutedAnn(spark, dir,
+        ServingIndexes.knnGraphIndex(spark, dir))
+      .select($"vec_id", lit(true).as("in_route"))
+    exact.join(routed, Seq("vec_id"), "left")
+      .select($"rank", $"vec_id",
+        coalesce($"in_route", lit(false)).as("in_route"))
+  }
+
   /** The ~10 % delta split on vec_id — the q46 md5 device, the same
     * boundary q141's drift monitor draws. */
   private def isDeltaVec(c: Column): Column =
@@ -593,9 +614,9 @@ object KnnGraphOps {
        |    ON g.a_id = e.a_id AND g.b_id = e.b_id
        |  GROUP BY e.a_id) h ON h.vec_id = q.vec_id""".stripMargin
 
-  private lazy val graphRoutedAnnSql = graphCtes() +
-    s""",
-       |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+  /** The q201 hop/rank chain as CTEs (shared with q204's audit). */
+  private lazy val routeCtes =
+    s"""qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
        |h1 AS MATERIALIZED (
        |  SELECT b_id FROM g$DescentRounds WHERE a_id = 0),
        |h2 AS MATERIALIZED (
@@ -606,16 +627,20 @@ object KnnGraphOps {
        |  JOIN h2 ON g.a_id = h2.b_id),
        |cand AS (
        |  SELECT b_id FROM h1 UNION SELECT b_id FROM h2
-       |  UNION SELECT b_id FROM h3)
-       |SELECT rank, vec_id FROM (
-       |  SELECT CAST(ROW_NUMBER() OVER (
-       |      ORDER BY ${duckSim("b.embedding", "q.embedding")} DESC,
-       |               c.b_id ASC) AS BIGINT) AS rank,
-       |    c.b_id AS vec_id
-       |  FROM cand c
-       |  JOIN embeddings b ON b.vec_id = c.b_id, qv q
-       |  WHERE c.b_id <> 0) t
-       |WHERE rank <= 5""".stripMargin
+       |  UNION SELECT b_id FROM h3),
+       |routed AS (
+       |  SELECT rank, vec_id FROM (
+       |    SELECT CAST(ROW_NUMBER() OVER (
+       |        ORDER BY ${duckSim("b.embedding", "q.embedding")} DESC,
+       |                 c.b_id ASC) AS BIGINT) AS rank,
+       |      c.b_id AS vec_id
+       |    FROM cand c
+       |    JOIN embeddings b ON b.vec_id = c.b_id, qv q
+       |    WHERE c.b_id <> 0) t
+       |  WHERE rank <= 5)""".stripMargin
+
+  private lazy val graphRoutedAnnSql = graphCtes() + ",\n" + routeCtes +
+    "\nSELECT rank, vec_id FROM routed"
 
   private lazy val graphDeltaInsertSql = graphCtes(where =
     " WHERE NOT (substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '1a')") +
@@ -665,6 +690,14 @@ object KnnGraphOps {
        |  CAST(COUNT(*) AS BIGINT) AS n_nodes
        |FROM degs GROUP BY in_degree""".stripMargin
 
+  private lazy val routeRecallSql = graphCtes() + ",\n" + routeCtes +
+    s""",
+       |exact AS (
+       |${VectorOps.knnTopKSql})
+       |SELECT e.rank, e.vec_id,
+       |  r.vec_id IS NOT NULL AS in_route
+       |FROM exact e LEFT JOIN routed r ON e.vec_id = r.vec_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q198_nn_descent_graph", nnDescentGraph, Some(nnDescentGraphSql),
       "NN-Descent k-NN graph: deterministic ring seed, " +
@@ -698,5 +731,9 @@ object KnnGraphOps {
     Q("q203_graph_hubness", graphHubness, Some(graphHubnessSql),
       "k-occurrence (in-degree) histogram of the q198 graph incl. the " +
         "degree-0 orphan row — the hubness diagnostic for the " +
-        "high-dim pathology the reverse cap bounds"))
+        "high-dim pathology the reverse cap bounds"),
+    Q("q204_route_recall", routeRecall, Some(routeRecallSql),
+      "serving-recall audit: for each exact q30 top-5 neighbor, " +
+        "whether q201's fixed-hop route retrieved it — hop-budget " +
+        "coverage read separately from q200's graph recall"))
 }

@@ -66,7 +66,7 @@ object VectorOps {
     s"CASE WHEN isnan($simExpr) THEN CAST('-infinity' AS DOUBLE) " +
       s"ELSE $simExpr END"
 
-  private val knnTopKSql =
+  private[graft] val knnTopKSql =
     s"""SELECT rank, vec_id FROM (
       |  SELECT CAST(ROW_NUMBER() OVER (
       |      ORDER BY ${duckNanvl("list_cosine_similarity(b.embedding, q.embedding)")} DESC,

@@ -203,6 +203,7 @@ object Stress10xSpec {
     // lookups (q202 routes ~2k delta vectors).
     runAndAudit("q201_graph_routed_ann")
     runAndAudit("q202_graph_delta_insert")
+    runAndAudit("q204_route_recall")
 
     // q115's scale lever, measured on the quantity that matters at
     // scale: candidate-pair volume Σ cell·(cell−1)/2. Local wall-time
