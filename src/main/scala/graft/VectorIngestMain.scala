@@ -54,10 +54,22 @@ import org.apache.spark.sql.functions._
   * exactly what the drift decision rations. */
 object VectorIngestMain {
 
-  /** Graph-family reindex thresholds — the q197 policy discipline
-    * (tv2 / max-cell ppm) applied to the graph index. */
-  private[graft] val GraphTv2ThresholdPpm = 100000L
-  private[graft] val GraphCellThresholdPpm = 20000L
+  /** Graph-family reindex thresholds — read from q197's
+    * [[graft.queries.VectorOps.ReindexPolicy]] `knn_graph` row, the
+    * ONE place index-rebuild policy lives (VERDICT r14 #3: fresh
+    * constants here silently diverged the tick from the report when
+    * either changed). The row's `recall_gated = false` encodes the
+    * tick's drift-only arm, so the tick's natural verdict is q197's
+    * graph-family verdict verbatim (spec-pinned). */
+  private[graft] val (graphTv2ThresholdPpm, graphCellThresholdPpm) = {
+    val (_, tv2, cell, gated) = graft.queries.VectorOps.ReindexPolicy
+      .find(_._1 == "knn_graph")
+      .getOrElse(throw new IllegalStateException(
+        "ReindexPolicy has no knn_graph row"))
+    require(!gated, "the knn_graph policy row must be drift-only: the " +
+      "graph family has no trained-vs-seed quantizer recall gate")
+    (tv2, cell)
+  }
 
   /** q192's SDC admission distance (the StreamingSpec constant): a
     * compressed-domain match this close means "already represented". */
@@ -82,8 +94,15 @@ object VectorIngestMain {
       "VectorIngestMain's rebuild probe keys on _SUCCESS markers; run " +
         "with mapreduce.fileoutputcommitter.marksuccessfuljobs=true " +
         "(the default)")
+    // storage probes go through the Hadoop FileSystem of the out path
+    // (ADVICE r14: java.io.File only sees the local FS — on HDFS/S3 the
+    // probe would always miss and every tick would rebuild, and the
+    // rebuild path could never retire edges_delta)
+    val hconf = spark.sessionState.newHadoopConf()
+    import org.apache.hadoop.fs.Path
     val graphPath = s"$outDir/knn_graph"
-    if (!new java.io.File(s"$graphPath/edges/_SUCCESS").exists())
+    val fs = new Path(graphPath).getFileSystem(hconf)
+    if (!fs.exists(new Path(s"$graphPath/edges/_SUCCESS")))
       KnnGraphOps.knnGraphWriteIndexOf(corpus, graphPath)
     val edgesBefore = spark.read.parquet(s"$graphPath/edges").count()
 
@@ -93,8 +112,8 @@ object VectorIngestMain {
       .head() // bounded parameter read: two longs
     val tv2Ppm = d.getLong(0)
     val maxCellPpm = d.getLong(1)
-    val driftExceeded = tv2Ppm > GraphTv2ThresholdPpm ||
-      maxCellPpm > GraphCellThresholdPpm
+    val driftExceeded = tv2Ppm > graphTv2ThresholdPpm ||
+      maxCellPpm > graphCellThresholdPpm
     val verdict = forceVerdict.getOrElse(
       if (driftExceeded) "rebuild" else "insert")
     require(verdict == "insert" || verdict == "rebuild",
@@ -118,7 +137,7 @@ object VectorIngestMain {
       s"survivors $nSurvivors != delta $nDelta - dups $nDup")
 
     // ---- stage 3: maintenance per the verdict
-    val deltaDir = new java.io.File(s"$graphPath/edges_delta")
+    val deltaDir = new Path(s"$graphPath/edges_delta")
     var appended = 0L
     var unrouted = 0L
     if (verdict == "insert") {
@@ -152,18 +171,13 @@ object VectorIngestMain {
       // it (they would double-count beside the rebuilt adjacency)
       KnnGraphOps.knnGraphWriteIndexOf(
         corpus.unionByName(survivors), graphPath)
-      if (deltaDir.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(deltaDir)
-      }
+      if (fs.exists(deltaDir)) fs.delete(deltaDir, true)
     }
 
     // ---- reconciliation against STORAGE
     val edgesAfter = spark.read.parquet(s"$graphPath/edges").count()
     val deltaRowsAfter =
-      if (deltaDir.exists())
+      if (fs.exists(deltaDir))
         spark.read.parquet(s"$graphPath/edges_delta").count()
       else 0L
     if (verdict == "insert") {

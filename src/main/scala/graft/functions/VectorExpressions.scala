@@ -377,12 +377,18 @@ object VectorExpressions {
     * fuses ANSI-mode HOF trees into: every subtract/multiply/add goes
     * through [[org.apache.spark.sql.catalyst.util.MathUtils]]' exact
     * ops, raising Spark's ARITHMETIC_OVERFLOW exactly where the unfused
-    * HOF would. Fidelity details the fusion relies on: `zip_with`
-    * evaluates the square for EVERY common-prefix element (so a null at
-    * position 2 does NOT mask an overflow at position 5, and unequal
-    * lengths still check the shared prefix before yielding NULL), while
-    * the fold's adds stop contributing after the first null square —
-    * the checked loop reproduces all three behaviours. */
+    * HOF would. The unfused form is PHASE-ORDERED — `zip_with` builds
+    * the whole squares array before `aggregate` folds it — so the
+    * checked loop runs two passes in that order (ADVICE r14): pass 1
+    * subtract/multiply-checks EVERY non-null shared-prefix element (a
+    * null at position 2 does not mask a multiply overflow at position
+    * 5, and unequal lengths still check the shared prefix); pass 2
+    * add-checks the squares until the first null SQUARE — the first
+    * null ELEMENT, or position min(n,m) when lengths differ (zip_with's
+    * null padding enters the fold only after the shared prefix), so a
+    * ragged pair whose prefix SUM overflows raises rather than
+    * returning NULL. Length mismatch suppresses only the final result,
+    * never the prefix arithmetic. */
   case class LongVecSqDist(left: Expression, right: Expression,
       checked: Boolean = false)
       extends BinaryExpression {
@@ -421,24 +427,33 @@ object VectorExpressions {
         }
         acc
       } else {
-        // ANSI fidelity: check the full common prefix (zip_with order),
-        // stop accumulating after the first null square (fold order).
+        // ANSI fidelity, zip_with-then-fold phase order: pass 1 checks
+        // every non-null shared-prefix square; pass 2 add-checks until
+        // the first null square (first null element — or min(n,m) when
+        // lengths differ, where zip_with's padding nulls the fold).
         import org.apache.spark.sql.catalyst.util.MathUtils
         val m = y.numElements()
         val k = math.min(n, m)
-        var sawNull = n != m
-        var acc = 0L
+        var firstNull = k
         var i = 0
         while (i < k) {
-          if (x.isNullAt(i) || y.isNullAt(i)) sawNull = true
-          else {
+          if (x.isNullAt(i) || y.isNullAt(i)) {
+            if (firstNull == k) firstNull = i
+          } else {
             val d = MathUtils.subtractExact(x.getLong(i), y.getLong(i))
-            val p = MathUtils.multiplyExact(d, d)
-            if (!sawNull) acc = MathUtils.addExact(acc, p)
+            MathUtils.multiplyExact(d, d)
           }
           i += 1
         }
-        if (sawNull) null else acc
+        var acc = 0L
+        i = 0
+        while (i < firstNull) {
+          // pass 1 proved these positions non-null and square-in-range
+          val d = x.getLong(i) - y.getLong(i)
+          acc = MathUtils.addExact(acc, d * d)
+          i += 1
+        }
+        if (firstNull < k || n != m) null else acc
       }
     }
 
@@ -466,18 +481,25 @@ object VectorExpressions {
         else {
           val mu = "org.apache.spark.sql.catalyst.util.MathUtils"
           val k = ctx.freshName("k")
+          val fn = ctx.freshName("firstNull")
           s"""
              |int $n = $a.numElements();
              |int $k = java.lang.Math.min($n, $b.numElements());
-             |boolean $bad = ($n != $b.numElements());
-             |long $acc = 0L;
+             |int $fn = $k;
              |for (int $i = 0; $i < $k; $i++) {
-             |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; continue; }
-             |  long $d = $mu.subtractExact($a.getLong($i), $b.getLong($i));
-             |  long $p = $mu.multiplyExact($d, $d);
-             |  if (!$bad) $acc = $mu.addExact($acc, $p);
+             |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+             |    if ($fn == $k) $fn = $i;
+             |  } else {
+             |    long $d = $mu.subtractExact($a.getLong($i), $b.getLong($i));
+             |    long $p = $mu.multiplyExact($d, $d);
+             |  }
              |}
-             |${ev.isNull} = $bad;
+             |long $acc = 0L;
+             |for (int $i = 0; $i < $fn; $i++) {
+             |  long $d = $a.getLong($i) - $b.getLong($i);
+             |  $acc = $mu.addExact($acc, $d * $d);
+             |}
+             |${ev.isNull} = ($fn < $k || $n != $b.numElements());
              |${ev.value} = $acc;
            """.stripMargin
         }

@@ -86,20 +86,29 @@ object KnnGraphOps {
     * anything ranks it. */
   private[graft] val SeedBucketSize = 16L
 
+  /** One salted seed-bucket assignment as a column — the expression
+    * [[seedBuckets]] applies per salt, exposed so the streaming search
+    * twin can bucket ARRIVING query vectors with the identical
+    * arithmetic (stateless, stream-side). */
+  private[graft] def seedBucketCol(id: Column, salt: Column,
+      nBuckets: Long): Column =
+    PipelineOps.md5PrefixLong(
+      concat(lit("knnseed"), salt, lit(":"), id.cast("string")), 15) %
+      nBuckets
+
   /** The two salted seed-bucket assignments of a (vec_id, …) frame —
-    * shared by the seed join and q202's delta entry-point lookup (a
+    * shared by the seed join, q202's delta entry-point lookup (a
     * delta vector enters the corpus graph through the SAME buckets it
-    * would have seeded into, so insert needs no new mechanism). */
-  private def seedBuckets(emb: DataFrame, nBuckets: Long): DataFrame = {
+    * would have seeded into, so insert needs no new mechanism), and
+    * q205's out-of-corpus entry. */
+  private[graft] def seedBuckets(emb: DataFrame,
+      nBuckets: Long): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     emb.select($"vec_id",
         explode(array(lit("a"), lit("b"))).as("salt"))
       .select($"vec_id", $"salt",
-        (PipelineOps.md5PrefixLong(
-          concat(lit("knnseed"), $"salt", lit(":"),
-            $"vec_id".cast("string")), 15)
-          % nBuckets).as("bk"))
+        seedBucketCol($"vec_id", $"salt", nBuckets).as("bk"))
   }
 
   /** Score (a_id, b_id) pairs by cosine over the embeddings table —
@@ -229,10 +238,12 @@ object KnnGraphOps {
     * deliberately tighter than k: on this near-isotropic corpus the
     * full-k mutual graph PERCOLATES — measured at sf0.01, mutual@8
     * collapses 500 vectors into one 499-node component, while
-    * mutual@2 yields 109 components with a 17-node maximum, i.e. a
-    * clustering that still says something. Percolation depth is a
-    * data property; this constant is the knob, the q200 audit is the
-    * gauge. */
+    * mutual@2 yields 213 components (92 of them non-singleton) with a
+    * 14-node maximum, i.e. a clustering that still says something
+    * (re-measured on the shipped round-15 tree — an earlier draft's
+    * 109/17 figure was from intermediate code). Percolation depth is
+    * a data property; this constant is the knob, the q200 audit is
+    * the gauge. */
   private[graft] val MutualRank = 2
 
   /** q199 — mutual-kNN clustering over the graph: keep edges whose
@@ -312,6 +323,26 @@ object KnnGraphOps {
     * greedy graph search scores exactly. */
   private[graft] val RouteHops = 3
 
+  /** The SERVING read view of a persisted graph index: the standing
+    * `edges` table plus any not-yet-compacted `edges_delta` batches
+    * (tonight's inserts, mapped to the same (a_id, b_id, sim) shape) —
+    * so a route sees an inserted vector's adjacency the moment its
+    * batch lands, and [[compactGraphIndex]] (which only MOVES delta
+    * rows into `edges`) is answer-preserving by construction: readers
+    * of this view cannot tell pre- from post-compaction state. */
+  private[graft] def readGraphEdges(spark: SparkSession,
+      path: String): DataFrame = {
+    import spark.implicits._
+    val edges = spark.read.parquet(s"$path/edges")
+      .select($"a_id", $"b_id", $"sim")
+    val deltaPath = new org.apache.hadoop.fs.Path(s"$path/edges_delta")
+    val fs = deltaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(deltaPath)) edges
+    else edges.unionByName(
+      spark.read.parquet(s"$path/edges_delta")
+        .select($"vec_id".as("a_id"), $"nb_id".as("b_id"), $"sim"))
+  }
+
   /** q201 — ANN answered BY ROUTING THE PERSISTED GRAPH (the HNSW
     * serving shape, flattened to a fixed hop budget so the result is
     * deterministic and oracle-checkable): q30's query (vec_id 0)
@@ -327,7 +358,10 @@ object KnnGraphOps {
   def graphRoutedAnn(spark: SparkSession, dir: String,
       path: String): DataFrame = {
     import spark.implicits._
-    val edges = spark.read.parquet(s"$path/edges")
+    // the combined view ([[readGraphEdges]]): identity on q201's
+    // delta-free index, and the route sees uncompacted inserts on a
+    // stream-maintained one
+    val edges = readGraphEdges(spark, path)
       .select($"a_id", $"b_id")
     val emb = Tables(spark, dir, "embeddings")
       .select($"vec_id", $"embedding")
@@ -390,6 +424,133 @@ object KnnGraphOps {
     knnGraphWriteIndexOf(Tables(spark, dir, "embeddings")
       .filter(!isDeltaVec(col("vec_id"))), path)
 
+  // ------------------------------------------------- index lifecycle
+
+  /** Move `src` over `dst` with the two-rename crash discipline shared
+    * by every persisted index here (the [[VectorOps.compactIndex]]
+    * swap, re-expressed over the Hadoop FileSystem API so the graph
+    * lifecycle is not local-FS-bound — ADVICE r14): retire `dst` to
+    * `dst.pre-compact`, promote `src`, drop the retiree. Recovery from
+    * a crash between the renames is the CALLER's first step (restore
+    * the retiree when `dst` is absent). */
+  private def swapDirs(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit = {
+    val retired = new org.apache.hadoop.fs.Path(
+      dst.toString + ".pre-compact")
+    if (fs.exists(retired)) fs.delete(retired, true)
+    require(fs.rename(dst, retired), s"could not retire $dst")
+    require(fs.rename(src, dst), s"could not promote $src over $dst")
+    fs.delete(retired, true)
+    ()
+  }
+
+  /** Restore a crash-torn swap: a prior run that died between its two
+    * renames left the only live copy at `.pre-compact`. */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+      dst: org.apache.hadoop.fs.Path): Unit = {
+    val retired = new org.apache.hadoop.fs.Path(
+      dst.toString + ".pre-compact")
+    if (!fs.exists(dst) && fs.exists(retired))
+      require(fs.rename(retired, dst), s"could not recover $dst")
+    ()
+  }
+
+  /** COMPACT a graph index: absorb every sealed `edges_delta/batch=*`
+    * directory into the standing `edges` table and retire the delta
+    * tree — the maintenance job a year of nightly [[graphDeltaInsert]]
+    * appends needs (unbounded batch directories otherwise; VERDICT r14
+    * #1), the [[VectorOps.compactIndex]] precedent applied to the
+    * graph paradigm. Pure I/O + a canonicalizing merge: delta rows
+    * carry their exact `sim` (written by the router), so nothing is
+    * re-scored — the merge is pair-keyed MAX (a vector re-sent across
+    * batches lands its bit-identical adjacency twice; the MAX is a
+    * pure dedup, the descent-round device) followed by the keyed top-k
+    * window that re-asserts ≤ k rows per node. Answer-preserving by
+    * construction: [[readGraphEdges]] already serves edges ∪ delta, so
+    * compaction only changes the REPRESENTATION a route reads.
+    *
+    * Crash matrix (spec-pinned): died before any rename → stale
+    * `.compacting` is overwritten next run; died between the renames →
+    * [[recoverSwap]] restores the retiree and the run redoes the
+    * absorb; died after the swap but before the delta delete → the
+    * re-absorb is idempotent (MAX-merge of rows already present) and
+    * the delete completes. At 100 TB: one keyed shuffle over
+    * |edges| + |delta| rows, no scoring, no corpus scan. */
+  def compactGraphIndex(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val edgesDir = new Path(s"$path/edges")
+    val deltaDir = new Path(s"$path/edges_delta")
+    val tmpDir = new Path(s"$path/edges.compacting")
+    val fs = edgesDir.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverSwap(fs, edgesDir)
+    if (!fs.exists(deltaDir)) return // nothing to absorb
+    val merged = readGraphEdges(spark, path)
+      .groupBy($"a_id", $"b_id").agg(max($"sim").as("sim"))
+    topK(merged, GraphK)
+      .write.mode("overwrite").parquet(tmpDir.toString)
+    swapDirs(fs, tmpDir, edgesDir)
+    fs.delete(deltaDir, true)
+    ()
+  }
+
+  /** DELETE vectors from a persisted graph index — the take-down path
+    * the posting/chunk indexes already have
+    * ([[VectorOps.deleteFromChunkIndex]] precedent): a deleted vector
+    * must vanish BOTH as a routed node (its `a_id` rows) and from
+    * every other node's adjacency (its `b_id` appearances — serving
+    * would otherwise keep returning it), and the nodes that lost edges
+    * get their adjacency HEALED by re-routing the surviving graph
+    * (q202's mechanism — salted-bucket entry points + hop expansion —
+    * via [[deltaRouteOf]], whose self-pair guard exists for exactly
+    * this call). `survivors` is the caller-scoped surviving corpus
+    * (vec_id, embedding) — the chunk take-down's `reoffer` contract;
+    * rows of deleted ids inside it are ignored. Runs on the COMPACTED
+    * index (compaction is this function's first step — one rewrite,
+    * and the delta tree cannot resurrect deleted ids afterwards).
+    *
+    * The heal merges each affected node's SURVIVING adjacency with the
+    * re-route's candidates (pair-keyed MAX — overlaps are
+    * bit-identical) and keeps top-k, so healed nodes hold ≤ k edges,
+    * none referencing a deleted id, and nodes untouched by the delete
+    * are byte-identical. Cost: O(affected · k²) route joins + one
+    * filter-rewrite of the edge table — never a corpus descent. Same
+    * swap/crash discipline as [[compactGraphIndex]]; a crash between
+    * the steps leaves the smaller-but-consistent filtered index and
+    * the retry re-heals (the chunk two-step contract). */
+  def deleteFromGraphIndex(spark: SparkSession, path: String,
+      vecIds: Seq[Long], survivors: DataFrame): Unit = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    compactGraphIndex(spark, path)
+    val edgesDir = new Path(s"$path/edges")
+    val tmpDir = new Path(s"$path/edges.compacting")
+    val fs = edgesDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val corpus = survivors.select($"vec_id", $"embedding")
+      .filter(!$"vec_id".isin(vecIds: _*))
+    val g = spark.read.parquet(edgesDir.toString)
+    val kept = g.filter(!$"a_id".isin(vecIds: _*) &&
+      !$"b_id".isin(vecIds: _*))
+    // nodes that lost adjacency to a deleted neighbor (and survive)
+    val affected = g.filter($"b_id".isin(vecIds: _*) &&
+        !$"a_id".isin(vecIds: _*))
+      .select($"a_id".as("vec_id")).distinct()
+      .join(corpus, Seq("vec_id"))
+    val routed = deltaRouteOf(affected, corpus,
+        kept.select($"a_id", $"b_id"),
+        math.max(1L, corpus.count() / SeedBucketSize))
+      .select($"vec_id".as("a_id"), $"nb_id".as("b_id"), $"sim")
+    val healedIds = affected.select($"vec_id".as("a_id"))
+    val healed = topK(
+      kept.join(healedIds, Seq("a_id")).union(routed)
+        .groupBy($"a_id", $"b_id").agg(max($"sim").as("sim")),
+      GraphK)
+    kept.join(healedIds, Seq("a_id"), "left_anti").union(healed)
+      .write.mode("overwrite").parquet(tmpDir.toString)
+    swapDirs(fs, tmpDir, edgesDir)
+  }
+
   /** q202 — INCREMENTAL graph maintenance: tonight's delta vectors get
     * their adjacency by ROUTING the standing corpus graph, the
     * HNSW-insert shape — no rebuild, no descent round over the corpus:
@@ -416,7 +577,10 @@ object KnnGraphOps {
     graphDeltaInsertIndexed(spark, dir,
       ServingIndexes.knnCorpusGraphIndex(spark, dir))
 
-  /** q202 against an explicit index path (the spec's entry point). */
+  /** q202 against an explicit index path (the spec's entry point).
+    * The registry contract stays (vec_id, rank, nb_id); the `sim` the
+    * routing body now also computes travels only on the PERSISTED
+    * append artifact (graphInsertBatch), where compaction needs it. */
   private[graft] def graphDeltaInsertIndexed(spark: SparkSession,
       dir: String, path: String): DataFrame = {
     import spark.implicits._
@@ -427,14 +591,23 @@ object KnnGraphOps {
     deltaRouteOf(delta, corpus,
       spark.read.parquet(s"$path/edges").select($"a_id", $"b_id"),
       math.max(1L, corpus.count() / SeedBucketSize))
+      .select($"vec_id", $"rank", $"nb_id")
   }
 
   /** The q202 routing body over explicit frames — shared by the batch
-    * query and the ingest-time [[graft.streaming.StreamingQueries]]
-    * twin (which routes arriving vectors against the PERSISTED edge
-    * table per micro-batch). */
+    * query, the ingest-time [[graft.streaming.StreamingQueries]] twin
+    * (which routes arriving vectors against the PERSISTED edge table
+    * per micro-batch), q205's out-of-corpus search (`hops` =
+    * [[RouteHops]]), and [[deleteFromGraphIndex]]'s adjacency heal.
+    * Output carries `sim` (round 15): the weighted edge rows a
+    * deployment appends are what [[compactGraphIndex]] later absorbs
+    * into `edges` without re-scoring — compaction stays pure I/O, the
+    * posting/chunk precedent. The `d_id =!= c_id` guard is a no-op for
+    * disjoint delta/corpus sets (q202's contract) but load-bearing for
+    * the heal path, where routed nodes ARE corpus members and a
+    * self-pair would burn a top-k slot at sim 1.0. */
   private[graft] def deltaRouteOf(delta: DataFrame, corpus: DataFrame,
-      g: DataFrame, nBuckets: Long): DataFrame = {
+      g: DataFrame, nBuckets: Long, hops: Int = 2): DataFrame = {
     val spark = delta.sparkSession
     import spark.implicits._
     val cb = seedBuckets(corpus.select($"vec_id", $"embedding"), nBuckets)
@@ -446,9 +619,9 @@ object KnnGraphOps {
     def expand(f: DataFrame): DataFrame =
       f.join(g.select($"a_id".as("c_id"), $"b_id"), "c_id")
         .select($"d_id", $"b_id".as("c_id")).distinct()
-    val h2 = expand(entry)
-    val h3 = expand(h2)
-    val cand = entry.union(h2).union(h3).distinct()
+    val frontiers = Iterator.iterate(entry)(expand).take(hops + 1).toSeq
+    val cand = frontiers.reduce(_ union _).distinct()
+      .filter($"d_id" =!= $"c_id")
     val scored = cand
       .join(delta.select($"vec_id".as("d_id"), $"embedding".as("d_emb")),
         "d_id")
@@ -460,7 +633,80 @@ object KnnGraphOps {
     val w = Window.partitionBy($"d_id").orderBy($"sim".desc, $"c_id".asc)
     scored.withColumn("rn", row_number().over(w)).filter($"rn" <= GraphK)
       .select($"d_id".as("vec_id"), $"rn".cast("long").as("rank"),
-        $"c_id".as("nb_id"))
+        $"c_id".as("nb_id"), $"sim")
+  }
+
+  /** q205 — graph ANN for an OUT-OF-CORPUS query vector (VERDICT r14
+    * #2): q201 could only answer queries that ARE indexed nodes (entry
+    * = the query's own stored adjacency); a real deployment's query
+    * vector is usually not in the corpus. This is q202's insert
+    * mechanism COMPOSED into serving: the query (a held-out delta
+    * vector, deterministically the MIN delta vec_id — it is absent
+    * from the standing corpus graph by construction) enters through
+    * the corpus members of its own two salted seed buckets, expands
+    * [[RouteHops]] times through the persisted adjacency, exact-scores
+    * the visited frontier, and returns the top-5 in q30/q201's (rank,
+    * vec_id) contract. Per-query cost: 2 bucket point-lookups +
+    * [[RouteHops]] hop joins + ≤ 2·bucket·(1+k+k²+k³) exact scores —
+    * independent of corpus size, the number an online ANN service
+    * pays. */
+  def graphSearch(spark: SparkSession, dir: String): DataFrame =
+    graphSearchIndexed(spark, dir,
+      ServingIndexes.knnCorpusGraphIndex(spark, dir))
+
+  /** q205 against an explicit index path (spec + stress entry). */
+  private[graft] def graphSearchIndexed(spark: SparkSession, dir: String,
+      path: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val corpus = emb.filter(!isDeltaVec($"vec_id"))
+    val delta = emb.filter(isDeltaVec($"vec_id"))
+    // the held-out query: min delta vec_id, chosen declaratively via
+    // orderBy+limit — TakeOrderedAndProject, not a keyless min() whose
+    // final aggregate would plan an Exchange SinglePartition (the
+    // q30/q201 top-k device applied to a 1-row parameter)
+    val q = delta.orderBy($"vec_id".asc).limit(1)
+      .select($"vec_id", $"embedding")
+    deltaRouteOf(q, corpus,
+        readGraphEdges(spark, path).select($"a_id", $"b_id"),
+        math.max(1L, corpus.count() / SeedBucketSize), hops = RouteHops)
+      .filter($"rank" <= 5)
+      .select($"rank", $"nb_id".as("vec_id"))
+  }
+
+  /** q206 — serving-recall audit of the out-of-corpus search (q204's
+    * pattern applied to q205): for each of the query vector's exact
+    * top-5 corpus neighbors (brute force, broadcast-NLJ — the 1-row
+    * query side is broadcast, the corpus scan never shuffles), whether
+    * q205's bucket-entry + hop route retrieved it. Separates the two
+    * serving knobs for the out-of-corpus path: entry-point luck (the
+    * buckets are geometry-blind) and hop depth — read beside q200's
+    * graph recall, it tells a deployment whether to widen entry
+    * (more salts) or deepen the walk. */
+  def graphSearchRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val corpus = emb.filter(!isDeltaVec($"vec_id"))
+    val delta = emb.filter(isDeltaVec($"vec_id"))
+    val q = delta.orderBy($"vec_id".asc).limit(1)
+      .select($"embedding".as("q_emb"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .select($"vec_id",
+        nanvl(cosine($"embedding", $"q_emb"),
+          lit(Double.NegativeInfinity)).as("sim"))
+    // the rankedTopK device: TakeOrderedAndProject; the rank window
+    // runs over <= 5 rows post-limit
+    val w = Window.orderBy($"sim".desc, $"vec_id".asc)
+    val exact = scored.orderBy($"sim".desc, $"vec_id".asc).limit(5)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select($"rank", $"vec_id")
+    val routed = graphSearch(spark, dir)
+      .select($"vec_id", lit(true).as("in_route"))
+    exact.join(routed, Seq("vec_id"), "left")
+      .select($"rank", $"vec_id",
+        coalesce($"in_route", lit(false)).as("in_route"))
   }
 
   /** q203 — hubness audit of the k-NN graph: the k-occurrence
@@ -676,6 +922,70 @@ object KnnGraphOps {
        |  JOIN vemb ce ON ce.vec_id = p.c_id) t
        |WHERE rn <= $GraphK""".stripMargin
 
+  /** The corpus-side (non-delta) filter, q202/q205/q206's oracle twin
+    * of [[isDeltaVec]]'s negation. */
+  private val NotDeltaWhere =
+    " WHERE NOT (substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '1a')"
+
+  /** q205's route chain over the corpus graph: the held-out query (min
+    * delta vec_id), its two salted buckets, bucket-entry, RouteHops
+    * expansions, exact-scored ranking — shared with q206's audit. The
+    * live side's d_id <> c_id guard has no oracle twin: sqv is
+    * delta-side, bkt/vemb corpus-side, disjoint by the md5 split. */
+  private lazy val searchCtes = {
+    val expansions = (1 to RouteHops).map { i =>
+      val p = i - 1
+      s"""se$i AS MATERIALIZED (
+         |  SELECT DISTINCT e.d_id, g.b_id AS c_id
+         |  FROM se$p e JOIN g$DescentRounds g ON g.a_id = e.c_id)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to RouteHops)
+      .map(i => s"SELECT d_id, c_id FROM se$i").mkString("\n  UNION ")
+    s"""sqv AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '1a'
+       |  ORDER BY vec_id ASC LIMIT 1),
+       |sqb AS MATERIALIZED (
+       |  SELECT vec_id, salt,
+       |    CAST(concat('0x', substr(md5(concat('knnseed', salt, ':',
+       |      CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) % vnb.nb
+       |      AS bk
+       |  FROM sqv, vnb, (SELECT UNNEST(['a', 'b']) AS salt)),
+       |se0 AS MATERIALIZED (
+       |  SELECT DISTINCT q.vec_id AS d_id, c.vec_id AS c_id
+       |  FROM sqb q JOIN bkt c ON q.salt = c.salt AND q.bk = c.bk),
+       |$expansions,
+       |scand AS (
+       |  $unions),
+       |sroute AS (
+       |  SELECT CAST(rn AS BIGINT) AS rank, c_id AS vec_id FROM (
+       |    SELECT p.c_id, ROW_NUMBER() OVER (
+       |        ORDER BY ${duckSim("de.embedding", "ce.embedding")} DESC,
+       |                 p.c_id ASC) AS rn
+       |    FROM scand p
+       |    JOIN sqv de ON de.vec_id = p.d_id
+       |    JOIN vemb ce ON ce.vec_id = p.c_id) t
+       |  WHERE rn <= 5)""".stripMargin
+  }
+
+  private lazy val graphSearchSql =
+    graphCtes(where = NotDeltaWhere) + ",\n" + searchCtes +
+      "\nSELECT rank, vec_id FROM sroute"
+
+  private lazy val graphSearchRecallSql =
+    graphCtes(where = NotDeltaWhere) + ",\n" + searchCtes +
+      s""",
+         |sexact AS (
+         |  SELECT rank, vec_id FROM (
+         |    SELECT CAST(ROW_NUMBER() OVER (
+         |        ORDER BY ${duckSim("e.embedding", "q.embedding")} DESC,
+         |                 e.vec_id ASC) AS BIGINT) AS rank,
+         |      e.vec_id
+         |    FROM vemb e, sqv q) t
+         |  WHERE rank <= 5)
+         |SELECT e.rank, e.vec_id,
+         |  r.vec_id IS NOT NULL AS in_route
+         |FROM sexact e LEFT JOIN sroute r ON e.vec_id = r.vec_id""".stripMargin
+
   private lazy val graphHubnessSql = graphCtes() +
     s""",
        |indeg AS MATERIALIZED (
@@ -700,7 +1010,7 @@ object KnnGraphOps {
 
   def queries: Seq[Q] = Seq(
     Q("q198_nn_descent_graph", nnDescentGraph, Some(nnDescentGraphSql),
-      "NN-Descent k-NN graph: deterministic ring seed, " +
+      "NN-Descent k-NN graph: deterministic two-salt hash-bucket seed, " +
         s"$DescentRounds neighbor-of-neighbor join rounds with " +
         "reverse-degree capping — the join-shaped graph construction " +
         "HNSW-class indexes start from, linear candidate volume per " +
@@ -735,5 +1045,17 @@ object KnnGraphOps {
     Q("q204_route_recall", routeRecall, Some(routeRecallSql),
       "serving-recall audit: for each exact q30 top-5 neighbor, " +
         "whether q201's fixed-hop route retrieved it — hop-budget " +
+        "coverage read separately from q200's graph recall"),
+    Q("q205_graph_search", graphSearch, Some(graphSearchSql),
+      "out-of-corpus graph ANN: a held-out query vector (not an " +
+        "indexed node) enters the persisted corpus graph through the " +
+        "corpus members of its own two salted seed buckets, expands " +
+        s"$RouteHops hops, exact-scores the visited frontier — top-5 " +
+        "in q30's contract, per-query cost independent of corpus size"),
+    Q("q206_graph_search_recall", graphSearchRecall,
+      Some(graphSearchRecallSql),
+      "serving-recall audit of the out-of-corpus search: for each of " +
+        "the held-out query's exact top-5 corpus neighbors, whether " +
+        "q205's bucket-entry route retrieved it — entry-point " +
         "coverage read separately from q200's graph recall"))
 }

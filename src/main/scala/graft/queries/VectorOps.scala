@@ -3316,22 +3316,29 @@ object VectorOps {
       |      ELSE (1000000 * n_corpus) // tc END AS BIGINT)) AS drift_ppm
       |FROM counts, t""".stripMargin
 
-  /** q197's REBUILD POLICY — one row per grid-riding index family,
-    * with its drift tolerances in integer ppm. Two thresholds because
-    * the families fail differently: probe-routed serving (ivf,
-    * ivf_sq8) breaks when ANY cell's occupancy shifts (the probe set
-    * stops covering where new content lands — a per-cell bound),
-    * while the trained-codebook families (ivf_pq, chunk_pq) degrade
-    * with TOTAL distribution movement (codewords sit at stale
-    * centroids — a mass bound, tighter because retraining a codebook
-    * is cheaper to trigger than re-routing probes is to get wrong).
+  /** q197's REBUILD POLICY — one row per index family, with its drift
+    * tolerances in integer ppm and whether the quantizer recall gate
+    * applies. Two thresholds because the families fail differently:
+    * probe-routed serving (ivf, ivf_sq8) breaks when ANY cell's
+    * occupancy shifts (the probe set stops covering where new content
+    * lands — a per-cell bound), while the trained-codebook families
+    * (ivf_pq, chunk_pq) degrade with TOTAL distribution movement
+    * (codewords sit at stale centroids — a mass bound, tighter because
+    * retraining a codebook is cheaper to trigger than re-routing
+    * probes is to get wrong). `recall_gated = false` for the knn_graph
+    * family: the graph has no trained-vs-seed quantizer pair (routing
+    * quality is q200's audit instead), so its rebuild verdict is
+    * drift-only — the row [[graft.VectorIngestMain]]'s nightly tick
+    * reads, so tick and report can never diverge (VERDICT r14 #3).
     * Constants interpolated into the oracle from this one table (the
     * NumShards anti-drift rule). */
-  private[graft] val ReindexPolicy: Seq[(String, Long, Long)] = Seq(
-    ("ivf", 100000L, 20000L),
-    ("ivf_sq8", 100000L, 20000L),
-    ("ivf_pq", 60000L, 50000L),
-    ("chunk_pq", 60000L, 50000L))
+  private[graft] val ReindexPolicy: Seq[(String, Long, Long, Boolean)] =
+    Seq(
+      ("ivf", 100000L, 20000L, true),
+      ("ivf_sq8", 100000L, 20000L, true),
+      ("ivf_pq", 60000L, 50000L, true),
+      ("chunk_pq", 60000L, 50000L, true),
+      ("knn_graph", 100000L, 20000L, false))
 
   /** q197 — the drift→retrain→reindex DECISION: the operational query
     * a 100 TB deployment schedules nightly, closing the loop the
@@ -3344,11 +3351,14 @@ object VectorOps {
     * family's tolerance AND the trained quantizer recalls at least as
     * well as the seed one; drift-without-recall-gain reports `hold`,
     * the page-a-human verdict (a rebuild that loses recall is a
-    * regression, not maintenance). Everything integer/boolean/string,
-    * so the whole decision table hash-checks.
+    * regression, not maintenance). Families whose policy row carries
+    * `recall_gated = false` (knn_graph — no trained-vs-seed quantizer
+    * pair) skip the gate: drift alone decides, which is exactly
+    * [[graft.VectorIngestMain]]'s tick arm. Everything
+    * integer/boolean/string, so the whole decision table hash-checks.
     *
     * Scale shape: q141's rollup is ≤nCells keys, q159's audit is a
-    * 5-row broadcast join; the verdict itself is a 4-row policy table
+    * 5-row broadcast join; the verdict itself is a 5-row policy table
     * cross-joined against two one-row broadcast scalars (the
     * documented keyless scalar-rollup exemption) — free at any corpus
     * size once the constituent audits ran. */
@@ -3361,7 +3371,8 @@ object VectorOps {
       .agg(sum(when($"in_seed_probe", 1L).otherwise(0L)).as("seed_hits"),
         sum(when($"in_trained_probe", 1L).otherwise(0L)).as("trained_hits"))
     val pol = ReindexPolicy
-      .toDF("index_family", "tv2_threshold_ppm", "cell_threshold_ppm")
+      .toDF("index_family", "tv2_threshold_ppm", "cell_threshold_ppm",
+        "recall_gated")
     pol.crossJoin(broadcast(d)).crossJoin(broadcast(g))
       .withColumn("drift_exceeded",
         $"tv2_ppm" > $"tv2_threshold_ppm" ||
@@ -3369,11 +3380,12 @@ object VectorOps {
       .withColumn("recall_gate_ok", $"trained_hits" >= $"seed_hits")
       .withColumn("verdict",
         when(!$"drift_exceeded", "keep")
-          .when($"recall_gate_ok", "rebuild")
+          .when(!$"recall_gated" || $"recall_gate_ok", "rebuild")
           .otherwise("hold"))
       .select($"index_family", $"tv2_ppm", $"max_cell_ppm",
-        $"tv2_threshold_ppm", $"cell_threshold_ppm", $"drift_exceeded",
-        $"seed_hits", $"trained_hits", $"recall_gate_ok", $"verdict")
+        $"tv2_threshold_ppm", $"cell_threshold_ppm", $"recall_gated",
+        $"drift_exceeded", $"seed_hits", $"trained_hits",
+        $"recall_gate_ok", $"verdict")
   }
 
   /** Oracle: q141's and q159's full oracles embedded verbatim as CTEs
@@ -3397,19 +3409,21 @@ object VectorOps {
       |    AS trained_hits
       |  FROM rr),
       |pol AS (SELECT * FROM (VALUES
-      |  ${ReindexPolicy.map { case (f, t, c) =>
-      s"('$f', CAST($t AS BIGINT), CAST($c AS BIGINT))"
+      |  ${ReindexPolicy.map { case (f, t, c, rg) =>
+      s"('$f', CAST($t AS BIGINT), CAST($c AS BIGINT), $rg)"
     }.mkString(", ")})
-      |  p(index_family, tv2_threshold_ppm, cell_threshold_ppm))
+      |  p(index_family, tv2_threshold_ppm, cell_threshold_ppm,
+      |    recall_gated))
       |SELECT p.index_family, d.tv2_ppm, d.max_cell_ppm,
-      |  p.tv2_threshold_ppm, p.cell_threshold_ppm,
+      |  p.tv2_threshold_ppm, p.cell_threshold_ppm, p.recall_gated,
       |  (d.tv2_ppm > p.tv2_threshold_ppm
       |    OR d.max_cell_ppm > p.cell_threshold_ppm) AS drift_exceeded,
       |  g.seed_hits, g.trained_hits,
       |  g.trained_hits >= g.seed_hits AS recall_gate_ok,
       |  CASE WHEN NOT (d.tv2_ppm > p.tv2_threshold_ppm
       |      OR d.max_cell_ppm > p.cell_threshold_ppm) THEN 'keep'
-      |    WHEN g.trained_hits >= g.seed_hits THEN 'rebuild'
+      |    WHEN (NOT p.recall_gated)
+      |      OR g.trained_hits >= g.seed_hits THEN 'rebuild'
       |    ELSE 'hold' END AS verdict
       |FROM pol p, d, g""".stripMargin
 

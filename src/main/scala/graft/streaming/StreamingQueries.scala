@@ -890,9 +890,10 @@ object StreamingQueries {
     * re-derived. Per window, the decision scalars fold STATELESSLY out
     * of the single aggregate row (tv2 = Σ per-cell |window ppm −
     * corpus ppm|, max-cell likewise — the same literal-array device
-    * the per-cell explode uses), then fan out over the 4-row policy
+    * the per-cell explode uses), then fan out over the 5-row policy
     * as a literal-struct explode (no stream-static join needed on a
-    * side this small) with batch q197's verdict arithmetic VERBATIM.
+    * side this small) with batch q197's verdict arithmetic VERBATIM
+    * (incl. the recall_gated drift-only arm for the knn_graph row).
     * The recall gate (q159's audit rolled to its two scalars) is a
     * bounded parameter read frozen at stream definition — correct by
     * the same frozen-corpus contract as every baseline here: the gate
@@ -902,7 +903,7 @@ object StreamingQueries {
     *
     * Stream == batch: a window containing exactly the q141 delta
     * vectors, against the non-delta corpus and the same audit, emits
-    * q197's four rows verbatim (plus window_start) — asserted in
+    * q197's five rows verbatim (plus window_start) — asserted in
     * StreamingSpec. */
   def reindexDecisionStream(vectors: DataFrame, corpus: DataFrame,
       recallAudit: DataFrame, eventTime: String = "event_ts",
@@ -921,8 +922,10 @@ object StreamingQueries {
       abs(expr(s"CAST(IF(n_total = 0, 0, (1000000 * c$i) div n_total) " +
         "AS BIGINT)") - lit(corpusPpm(i)))): _*)
     val policy = explode(array(VectorOps.ReindexPolicy.map {
-      case (f, tv2, cell) => struct(lit(f).as("index_family"),
-        lit(tv2).as("tv2_threshold_ppm"), lit(cell).as("cell_threshold_ppm"))
+      case (f, tv2, cell, gated) => struct(lit(f).as("index_family"),
+        lit(tv2).as("tv2_threshold_ppm"),
+        lit(cell).as("cell_threshold_ppm"),
+        lit(gated).as("recall_gated"))
     }: _*))
     windowedCellAgg(vectors, eventTime, delay)
       .select(col("window.start").as("window_start"),
@@ -933,7 +936,8 @@ object StreamingQueries {
       .select(col("window_start"), col("p.index_family").as("index_family"),
         col("tv2_ppm"), col("max_cell_ppm"),
         col("p.tv2_threshold_ppm").as("tv2_threshold_ppm"),
-        col("p.cell_threshold_ppm").as("cell_threshold_ppm"))
+        col("p.cell_threshold_ppm").as("cell_threshold_ppm"),
+        col("p.recall_gated").as("recall_gated"))
       .withColumn("drift_exceeded",
         col("tv2_ppm") > col("tv2_threshold_ppm") ||
           col("max_cell_ppm") > col("cell_threshold_ppm"))
@@ -942,7 +946,7 @@ object StreamingQueries {
       .withColumn("recall_gate_ok", lit(trainedHits >= seedHits))
       .withColumn("verdict",
         when(!col("drift_exceeded"), "keep")
-          .when(col("recall_gate_ok"), "rebuild")
+          .when(!col("recall_gated") || col("recall_gate_ok"), "rebuild")
           .otherwise("hold"))
   }
 
@@ -1690,5 +1694,75 @@ object StreamingQueries {
       .parquet(s"$indexPath/edges_delta/batch=$batchId")
     routed.unpersist(blocking = false)
     n
+  }
+
+  /** Streaming OUT-OF-CORPUS graph search — q205 with the query table
+    * replaced by a query STREAM (the annLookupStream/annServeStream
+    * serving shape applied to the graph index): each arriving
+    * (query_id, embedding) buckets statelessly with the build's exact
+    * salted-hash arithmetic
+    * ([[graft.queries.KnnGraphOps.seedBucketCol]]), equi-joins the
+    * STATIC corpus bucket table for its entry points, expands
+    * RouteHops times through the PERSISTED edge table (stream-static
+    * point-lookup equi-joins — the index is the write-once artifact,
+    * queries are traffic), scores the visited candidates with the
+    * codegen cosine, and emits the per-query top-k as a watermarked
+    * windowed aggregate. Emits (query_id, window_start, topk) where
+    * topk is the ascending (neg_sim, vec_id) top-k — q205's ranking
+    * exactly (sim desc, id asc), asserted stream == batch in
+    * StreamingSpec.
+    *
+    * Path-duplicate candidates (one node reached via several hops) are
+    * scored per path-row — a streaming frame cannot mid-plan
+    * distinct — and deduped INSIDE the aggregate by array_distinct on
+    * bit-identical (neg_sim, vec_id) structs; the ≤ 2·bucket·(1+k+k²
+    * +k³) path-row bound per query is unchanged. Corpus count (bucket
+    * modulus), bucket table, and edge table are frozen at stream
+    * definition — the standing side of a serving stream does not move
+    * under it (the graphInsertStream contract). */
+  def graphSearchStream(queries: DataFrame, corpus: DataFrame,
+      indexPath: String, k: Int = 5, eventTime: String = "event_ts",
+      delay: String = "10 seconds"): DataFrame = {
+    import graft.queries.KnnGraphOps
+    import graft.functions.VectorExpressions.cosine
+    val spark = corpus.sparkSession
+    val nBuckets = math.max(1L,
+      corpus.count() / KnnGraphOps.SeedBucketSize)
+    val cb = KnnGraphOps.seedBuckets(
+        corpus.select(col("vec_id"), col("embedding")), nBuckets)
+      .select(col("salt"), col("bk"), col("vec_id").as("c_id"))
+      .persist()
+    val edges = KnnGraphOps.readGraphEdges(spark, indexPath)
+      .select(col("a_id").as("hop_src"), col("b_id")).persist()
+    val cemb = corpus.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb")).persist()
+    val probed = queries.withWatermark(eventTime, delay)
+      .select(col("query_id"), col(eventTime), col("embedding"))
+      .withColumn("salt", explode(array(lit("a"), lit("b"))))
+      .withColumn("bk",
+        KnnGraphOps.seedBucketCol(col("query_id"), col("salt"), nBuckets))
+    val entry = probed.join(cb, Seq("salt", "bk"))
+      .select(col("query_id"), col(eventTime), col("embedding"),
+        col("c_id"))
+    def expand(f: DataFrame): DataFrame =
+      f.withColumnRenamed("c_id", "hop_src")
+        .join(edges, "hop_src")
+        .select(col("query_id"), col(eventTime), col("embedding"),
+          col("b_id").as("c_id"))
+    val frontiers = Iterator.iterate(entry)(expand)
+      .take(KnnGraphOps.RouteHops + 1).toSeq
+    frontiers.reduce(_ union _)
+      .join(cemb, "c_id")
+      // negated so ascending struct sort ranks sim desc, id asc;
+      // nanvl first: a zero-norm candidate must sort last, not NaN-top
+      .withColumn("neg_sim",
+        -nanvl(cosine(col("embedding"), col("c_emb")),
+          lit(Double.NegativeInfinity)))
+      .groupBy(col("query_id"), window(col(eventTime), "1 minute"))
+      .agg(slice(array_distinct(array_sort(collect_list(
+        struct(col("neg_sim"), col("c_id").as("vec_id"))))), 1, k)
+        .as("topk"))
+      .select(col("query_id"), col("window.start").as("window_start"),
+        col("topk"))
   }
 }

@@ -205,6 +205,30 @@ object Stress10xSpec {
     runAndAudit("q202_graph_delta_insert")
     runAndAudit("q204_route_recall")
 
+    // round-15: out-of-corpus serving at 10x. q205's per-query cost is
+    // 2 bucket point-lookups + 3 hop joins against the persisted
+    // corpus graph — independent of corpus size by construction (the
+    // audit exists to catch a plan flip that would break that); q206's
+    // exact arm is one broadcast-NLJ corpus scan. 20k vectors is also
+    // where the hop budgets actually bite — at sf0.01 the 584-candidate
+    // frontier covers the whole 500-vector corpus and q204 reads
+    // saturated — so the coverage gauges are RECORDED here, where they
+    // can move (VERDICT r14 #6; numbers land in PLANS.md).
+    runAndAudit("q205_graph_search")
+    runAndAudit("q206_graph_search_recall")
+    locally {
+      def coverage(name: String): (Long, Long) = {
+        val flags = SparkEntry.queries(name)(spark, dir)
+          .collect().map(_.getAs[Boolean]("in_route"))
+        (flags.count(identity).toLong, flags.length.toLong)
+      }
+      val (h204, n204) = coverage("q204_route_recall")
+      val (h206, n206) = coverage("q206_graph_search_recall")
+      println(s"[stress10x] route coverage@10x: " +
+        s"q204 $h204/$n204 (in-corpus 3-hop), " +
+        s"q206 $h206/$n206 (out-of-corpus bucket-entry)")
+    }
+
     // q115's scale lever, measured on the quantity that matters at
     // scale: candidate-pair volume Σ cell·(cell−1)/2. Local wall-time
     // at 50k docs is join-strategy/task-scheduling bound, so pair

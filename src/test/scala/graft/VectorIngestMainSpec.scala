@@ -85,9 +85,28 @@ class VectorIngestMainSpec extends SparkSuite {
     val out = freshOut("nat")
     val c = VectorIngestMain.runVectorIngest(spark, sf0001, out).toMap
     val expect =
-      c("tv2_ppm") > VectorIngestMain.GraphTv2ThresholdPpm ||
-        c("max_cell_ppm") > VectorIngestMain.GraphCellThresholdPpm
+      c("tv2_ppm") > VectorIngestMain.graphTv2ThresholdPpm ||
+        c("max_cell_ppm") > VectorIngestMain.graphCellThresholdPpm
     assert(c("verdict_rebuild") == (if (expect) 1L else 0L),
       s"verdict must be the drift decision: $c")
+  }
+
+  test("tick verdict == q197's knn_graph policy row verbatim " +
+      "(one policy table — VERDICT r14 #3)") {
+    val out = freshOut("pol")
+    val c = VectorIngestMain.runVectorIngest(spark, sf0001, out).toMap
+    val row = graft.queries.VectorOps.reindexDecision(spark, sf0001)
+      .filter(col("index_family") === "knn_graph").collect()
+    assert(row.length == 1, "q197 must carry the knn_graph family row")
+    val r = row.head
+    // same drift scalars in, same thresholds (one table), so the
+    // tick's rebuild/insert arm must be q197's rebuild/keep verdict
+    assert(r.getAs[Long]("tv2_ppm") == c("tv2_ppm"))
+    assert(r.getAs[Long]("max_cell_ppm") == c("max_cell_ppm"))
+    assert(!r.getAs[Boolean]("recall_gated"),
+      "the graph family is drift-only; its row must not be recall-gated")
+    val q197Rebuild = r.getAs[String]("verdict") == "rebuild"
+    assert(c("verdict_rebuild") == (if (q197Rebuild) 1L else 0L),
+      s"tick verdict diverged from q197's graph row: $r vs $c")
   }
 }

@@ -103,6 +103,48 @@ class VectorExpressionsSpec extends SparkSuite {
     val ragOk = spark.range(1).select(
       expr("array(5L)").as("a"), expr("array(1L, 2L)").as("b"))
     assert(ragOk.select(longVecSqDistChecked($"a", $"b")).head.isNullAt(0))
+    // ragged pair, every per-element square in range, but the shared
+    // prefix SUM overflows: the unfused fold adds the full prefix with
+    // addExact BEFORE zip_with's padding null reaches it, so the
+    // checked twin must RAISE, not return NULL (ADVICE r14 — the old
+    // init conflated length mismatch with element nulls and skipped
+    // every add check on ragged input). 3037000499² ≈ 0.9999·2⁶³.
+    val ragSum = spark.range(1).select(
+      expr("array(3037000499L, 3037000499L)").as("a"),
+      expr("array(0L, 0L, 1L)").as("b"))
+    assert(ragSum.select(longVecSqDist($"a", $"b")).head.isNullAt(0))
+    val e3 = intercept[Throwable](
+      ragSum.select(longVecSqDistChecked($"a", $"b")).collect())
+    assert(msgs(e3).toLowerCase.contains("overflow"), msgs(e3))
+    // equal-length twin sanity: the same prefix with matched lengths
+    // raises from both the checked twin and the raw semantics
+    val eqSum = spark.range(1).select(
+      expr("array(3037000499L, 3037000499L)").as("a"),
+      expr("array(0L, 0L)").as("b"))
+    val e4 = intercept[Throwable](
+      eqSum.select(longVecSqDistChecked($"a", $"b")).collect())
+    assert(msgs(e4).toLowerCase.contains("overflow"), msgs(e4))
+    // phase order: a multiply overflow at a LATER position fires even
+    // when an earlier ADD overflow exists too (zip_with evaluates all
+    // squares before the fold adds any) — the checked twin must not
+    // raise-at-first-site in interleaved order; both orders raise
+    // ARITHMETIC_OVERFLOW here, so the pin is simply that it raises
+    // on inputs where an interleaved loop would ALSO raise — and that
+    // a null element before the add-overflow position still lets the
+    // later multiply check fire while suppressing the adds entirely
+    val nullThenMul = spark.range(1).select(
+      expr("array(3037000499L, cast(null as bigint), 4000000000L)").as("a"),
+      expr("array(0L, 0L, -4000000000L)").as("b"))
+    val e5 = intercept[Throwable](
+      nullThenMul.select(longVecSqDistChecked($"a", $"b")).collect())
+    assert(msgs(e5).toLowerCase.contains("overflow"), msgs(e5))
+    // null element at position 0 with an in-range tail: adds are fully
+    // suppressed (fold nulls immediately) → NULL, no raise
+    val nullHead = spark.range(1).select(
+      expr("array(cast(null as bigint), 2L)").as("a"),
+      expr("array(1L, 2L)").as("b"))
+    assert(nullHead.select(longVecSqDistChecked($"a", $"b"))
+      .head.isNullAt(0))
   }
 
   test("SimHash64: hand-computed single/multi term behavior") {

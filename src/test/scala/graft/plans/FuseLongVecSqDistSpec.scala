@@ -101,6 +101,52 @@ class FuseLongVecSqDistSpec extends SparkSuite {
     }
   }
 
+  test("ragged prefix-sum overflow: fused raises exactly like the " +
+      "unfused HOF (ADVICE r14)") {
+    // per-element squares in range (3037000499² ≈ 0.9999·2⁶³) but the
+    // two-element shared-prefix SUM overflows; lengths differ, so
+    // zip_with pads a null at position 2 — the fold adds the full
+    // prefix with exact arithmetic BEFORE that padding null reaches
+    // it, so ANSI raises rather than yielding NULL. Built from the
+    // parquet-backed columns (the spec's plan-assertion device):
+    // literal arrays would constant-fold and raise at PLAN time.
+    val df = pairs.limit(1)
+      .withColumn("a2",
+        expr("slice(transform(a, x -> cast(3037000499 as bigint)), 1, 2)"))
+      .withColumn("b2",
+        expr("slice(transform(b, x -> cast(0 as bigint)), 1, 3)"))
+      .drop("a", "b").withColumnRenamed("a2", "a")
+      .withColumnRenamed("b2", "b")
+    def overflows(body: => Unit): Unit = {
+      val e = intercept[Throwable](body)
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.toLowerCase.contains("overflow"), msgs)
+    }
+    val fused = df.select(expr(hof).as("d"))
+    assert(fused.queryExecution.optimizedPlan.toString
+      .contains("longvec_sqdist_checked"))
+    overflows(fused.collect())
+    // ground truth: the same query with the rule excluded (the unfused
+    // interpreted HOF) must raise too — semantics, not coincidence
+    val key = "spark.sql.optimizer.excludedRules"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, "graft.plans.FuseLongVecSqDist")
+    try {
+      val unfused = df.select(expr(hof).as("d"))
+      assert(!unfused.queryExecution.optimizedPlan.toString
+        .contains("longvec_sqdist"), "rule exclusion did not take")
+      overflows(unfused.collect())
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    // the wrapping legacy twin stays NULL on the same input
+    withAnsi(false) {
+      assert(df.select(expr(hof).as("d")).head.isNullAt(0))
+    }
+  }
+
   test("non-matching shapes are left alone") {
     // the MIXED orientation (x−y)·(y−x) is the NEGATED square: no fuse
     val mixed = pairs.select(expr(

@@ -1,0 +1,211 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+
+/** The knn-graph index lifecycle (VERDICT r14 #1): compaction absorbs
+  * the nightly `edges_delta/batch=*` appends into `edges` and deletion
+  * takes a vector down from BOTH sides of the adjacency — proved the
+  * way the posting/chunk lifecycles are (SinkSemanticsSpec doctrine):
+  * routed answers identical across compaction, deleted ids absent from
+  * every adjacency and route, torn-write matrix green, and every
+  * assertion read back from storage. All on sf0.001 with the real
+  * bodies. */
+class GraphIndexLifecycleSpec extends SparkSuite {
+
+  private def fs =
+    new Path("/tmp").getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def emb = graft.sources.Tables(spark, sf0001, "embeddings")
+    .select(col("vec_id"), col("embedding"))
+  private def isDelta =
+    substring(md5(col("vec_id").cast("string")), 1, 2) < "1a"
+  private def corpus = emb.filter(!isDelta)
+
+  /** Fresh index: standing corpus graph + the delta split inserted as
+    * TWO batches — two `edges_delta/batch=` directories, the
+    * accumulation compaction exists to absorb. Deterministic content
+    * (hash seed, exact scoring), so two builds compare equal. */
+  private def buildIndex(tag: String): String = {
+    val path = java.nio.file.Files
+      .createTempDirectory(s"graphidx-$tag").toString
+    KnnGraphOps.knnGraphWriteIndexOf(corpus, path)
+    insertBatches(path)
+    path
+  }
+
+  private def insertBatches(path: String): Unit = {
+    import spark.implicits._
+    val d = emb.filter(isDelta).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    graft.streaming.StreamingQueries.graphInsertBatch(
+      d.take(d.length / 2).toSeq.toDF("vec_id", "embedding"),
+      corpus, path, batchId = 0L)
+    graft.streaming.StreamingQueries.graphInsertBatch(
+      d.drop(d.length / 2).toSeq.toDF("vec_id", "embedding"),
+      corpus, path, batchId = 1L)
+  }
+
+  /** The serving view, as storage facts. */
+  private def edgeSet(path: String): Set[(Long, Long, Double)] =
+    KnnGraphOps.readGraphEdges(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+
+  /** Driver-side q201 route recompute (the OperatorPropertiesSpec
+    * device), parameterized on the start node so the spec can route
+    * from a DELTA node — whose adjacency lives in `edges_delta` before
+    * compaction and in `edges` after. Returns the exact top-5 of the
+    * 3-hop frontier. */
+  private def route(path: String, start: Long): Seq[Long] = {
+    val adj = KnnGraphOps.readGraphEdges(spark, path)
+      .select(col("a_id"), col("b_id")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSeq }
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) Double.NegativeInfinity else d / den
+    }
+    val h1 = adj.getOrElse(start, Seq.empty).toSet
+    val h2 = h1.flatMap(v => adj.getOrElse(v, Seq.empty))
+    val h3 = h2.flatMap(v => adj.getOrElse(v, Seq.empty))
+    ((h1 ++ h2 ++ h3) - start).toSeq
+      .map(c => (cos(vecs(start), vecs(c)), c))
+      .sortBy { case (s, id) => (-s, id) }.take(5).map(_._2)
+  }
+
+  private def perNodeCap(path: String): Long = {
+    val counts = spark.read.parquet(s"$path/edges")
+      .groupBy("a_id").count().agg(max("count")).collect()
+    if (counts.head.isNullAt(0)) 0L else counts.head.getLong(0)
+  }
+
+  test("compaction absorbs both delta batches into edges, retires the " +
+      "tree, and preserves every routed answer") {
+    val path = buildIndex("compact")
+    assert(fs.exists(new Path(s"$path/edges_delta/batch=0")))
+    assert(fs.exists(new Path(s"$path/edges_delta/batch=1")))
+    val before = edgeSet(path)
+    val deltaIds = emb.filter(isDelta).collect().map(_.getLong(0)).sorted
+    val dProbe = deltaIds.head
+    // pre-compaction the delta node's route is served from edges_delta
+    val dRoute = route(path, dProbe)
+    val cRoute = route(path, 0L) // vec_id 0 is corpus-side (md5 "cf…")
+    assert(dRoute.nonEmpty)
+    KnnGraphOps.compactGraphIndex(spark, path)
+    assert(!fs.exists(new Path(s"$path/edges_delta")),
+      "compaction must retire the delta tree")
+    assert(!fs.exists(new Path(s"$path/edges.pre-compact")))
+    assert(!fs.exists(new Path(s"$path/edges.compacting")))
+    assert(edgeSet(path) == before,
+      "the serving view must not change across compaction")
+    assert(route(path, dProbe) == dRoute,
+      "a delta node's route must survive compaction unchanged")
+    assert(route(path, 0L) == cRoute)
+    assert(perNodeCap(path) <= KnnGraphOps.GraphK)
+    // delta adjacency now lives in edges itself
+    val inEdges = spark.read.parquet(s"$path/edges")
+      .filter(col("a_id") === dProbe).count()
+    assert(inEdges > 0, "absorbed delta node missing from edges")
+    // compacting again with nothing to absorb is a no-op
+    KnnGraphOps.compactGraphIndex(spark, path)
+    assert(edgeSet(path) == before)
+  }
+
+  test("compaction crash matrix: every torn state converges to the " +
+      "clean result") {
+    // the clean reference — builds are deterministic, so independently
+    // built indexes compare equal by content
+    val clean = buildIndex("cm-clean")
+    KnnGraphOps.compactGraphIndex(spark, clean)
+    val want = edgeSet(clean)
+
+    // W1: died before any rename — a stale .compacting must be
+    // overwritten, not wedge the run
+    val w1 = buildIndex("cm-w1")
+    fs.mkdirs(new Path(s"$w1/edges.compacting"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$w1/edges.compacting/garbage"),
+      "not parquet".getBytes("UTF-8"))
+    KnnGraphOps.compactGraphIndex(spark, w1)
+    assert(edgeSet(w1) == want, "stale .compacting must not wedge")
+    assert(!fs.exists(new Path(s"$w1/edges_delta")))
+
+    // W2: died between the two renames — the only live edges copy sits
+    // at .pre-compact; recovery must restore it and redo the absorb
+    val w2 = buildIndex("cm-w2")
+    assert(fs.rename(new Path(s"$w2/edges"),
+      new Path(s"$w2/edges.pre-compact")))
+    KnnGraphOps.compactGraphIndex(spark, w2)
+    assert(edgeSet(w2) == want, "between-renames crash must recover")
+    assert(!fs.exists(new Path(s"$w2/edges_delta")))
+
+    // W3: died after the swap but before the delta delete — edges
+    // already holds the absorbed rows and the delta tree is still
+    // there; the re-absorb must be idempotent (pair-keyed MAX)
+    val w3 = buildIndex("cm-w3")
+    KnnGraphOps.compactGraphIndex(spark, w3)
+    insertBatches(w3) // recreate the un-deleted delta tree verbatim
+    KnnGraphOps.compactGraphIndex(spark, w3)
+    assert(edgeSet(w3) == want, "re-absorb must be idempotent")
+    assert(!fs.exists(new Path(s"$w3/edges_delta")))
+  }
+
+  test("delete removes the vector from every adjacency and route, " +
+      "heals affected nodes, leaves untouched nodes byte-identical") {
+    val path = buildIndex("del")
+    // victims: the two highest-in-degree corpus nodes (guaranteed b_id
+    // appearances — the hard case, where serving would keep returning
+    // them), never the route probe
+    val g0all = KnnGraphOps.readGraphEdges(spark, path)
+    val victims = g0all.groupBy("b_id").count()
+      .filter(col("b_id") =!= 0).orderBy(desc("count"), col("b_id"))
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    assert(victims.size == 2)
+    val affected = g0all
+      .filter(col("b_id").isin(victims: _*) &&
+        !col("a_id").isin(victims: _*))
+      .select("a_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(affected.nonEmpty)
+    val untouched = g0all
+      .filter(!col("a_id").isin((victims ++ affected): _*) &&
+        !col("b_id").isin(victims: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+
+    KnnGraphOps.deleteFromGraphIndex(spark, path, victims, emb)
+
+    val g1 = spark.read.parquet(s"$path/edges")
+    assert(g1.filter(col("a_id").isin(victims: _*) ||
+      col("b_id").isin(victims: _*)).count() == 0,
+      "deleted ids must vanish from BOTH adjacency sides")
+    assert(!fs.exists(new Path(s"$path/edges_delta")),
+      "delete runs on the compacted index")
+    // untouched nodes byte-identical
+    val after = g1.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(untouched.subsetOf(after),
+      "nodes not referencing a victim must be untouched")
+    // healed: every affected node still routes, within cap, victim-free
+    val healedRows = g1.filter(col("a_id").isin(affected.toSeq: _*))
+    assert(healedRows.select("a_id").distinct().count() == affected.size,
+      "every affected node must be healed, not dropped")
+    assert(perNodeCap(path) <= KnnGraphOps.GraphK)
+    // routes are victim-free (the serving heal)
+    assert(route(path, 0L).intersect(victims).isEmpty)
+    for (a <- affected.take(3))
+      assert(route(path, a).intersect(victims).isEmpty)
+    // re-deleting the same ids is a no-op
+    val snap = edgeSet(path)
+    KnnGraphOps.deleteFromGraphIndex(spark, path, victims, emb)
+    assert(edgeSet(path) == snap, "delete must be idempotent")
+  }
+}

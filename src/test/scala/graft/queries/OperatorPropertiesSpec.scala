@@ -1448,4 +1448,53 @@ class OperatorPropertiesSpec extends SparkSuite {
     assert(got.toSet == expect,
       s"diff=${(got.toSet -- expect).take(5)} | ${(expect -- got.toSet).take(5)}")
   }
+
+  test("q205 out-of-corpus search == driver-side route recompute; " +
+      "results are corpus-only and exclude the query") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def isDelta(id: Long): Boolean = md5hex(id.toString).take(2) < "1a"
+    val vecs = graft.sources.Tables(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val corpusIds = vecs.keySet.filter(!isDelta(_))
+    val qId = vecs.keySet.filter(isDelta).min
+    val got = KnnGraphOps.graphSearchIndexed(spark, sf0001,
+        ServingIndexes.knnCorpusGraphIndex(spark, sf0001))
+      .collect().sortBy(_.getLong(0)).map(_.getLong(1)).toSeq
+    assert(got.nonEmpty && got.forall(corpusIds) && !got.contains(qId))
+    // driver-side recompute: the query's two buckets, RouteHops
+    // expansions over the persisted corpus graph, exact cosine top-5
+    val nBuckets = math.max(1L, corpusIds.size / 16L)
+    def bks(id: Long): Set[(String, Long)] = Set("a", "b").map { s =>
+      s -> java.lang.Long.parseLong(
+        md5hex(s"knnseed$s:$id").take(15), 16) % nBuckets
+    }
+    val corpusBk = corpusIds.toSeq
+      .flatMap(id => bks(id).map(b => b -> id))
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).toSet }
+    val idxPath = ServingIndexes.knnCorpusGraphIndex(spark, sf0001)
+    val adj = spark.read.parquet(s"$idxPath/edges")
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .groupBy(_._1).map { case (a, es) => a -> es.map(_._2).toSet }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += (a(i) * b(i)).toDouble
+        na += (a(i) * a(i)).toDouble; nb += (b(i) * b(i)).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def expand(f: Set[Long]): Set[Long] =
+      f.flatMap(adj.getOrElse(_, Set.empty[Long]))
+    val entry = bks(qId).flatMap(corpusBk.getOrElse(_, Set.empty[Long]))
+    val cand = entry ++ expand(entry) ++ expand(expand(entry)) ++
+      expand(expand(expand(entry)))
+    val expect = cand.toSeq.map(c => (c, cos(vecs(qId), vecs(c))))
+      .sortBy { case (c, s) => (-s, c) }.take(5).map(_._1)
+    assert(got == expect, s"routed=$got expected=$expect")
+  }
 }

@@ -619,9 +619,10 @@ class StreamingSpec extends SparkSuite {
     val corpus = all.filter(!$"is_delta").select($"vec_id", $"embedding")
     val batch = graft.queries.VectorOps.reindexDecision(spark, sf0001)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4), r.getBoolean(5), r.getLong(6),
-        r.getLong(7), r.getBoolean(8), r.getString(9))).toMap
-    assert(batch.size == 4)
+        r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6),
+        r.getLong(7), r.getLong(8), r.getBoolean(9), r.getString(10)))
+      .toMap
+    assert(batch.size == 5)
     val audit = graft.queries.VectorOps.refinedRecall(spark, sf0001)
     val ms = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
     val q = StreamingQueries.reindexDecisionStream(
@@ -639,8 +640,9 @@ class StreamingSpec extends SparkSuite {
       .filter($"window_start" ===
         java.sql.Timestamp.valueOf("2025-01-25 16:00:00"))
       .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5), r.getBoolean(6), r.getLong(7),
-        r.getLong(8), r.getBoolean(9), r.getString(10))).toMap
+        r.getLong(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7),
+        r.getLong(8), r.getLong(9), r.getBoolean(10), r.getString(11)))
+      .toMap
     q.stop()
     assert(got == batch, s"stream=$got batch=$batch")
   }
@@ -1438,5 +1440,64 @@ class StreamingSpec extends SparkSuite {
       .select($"vec_id", $"rank", $"nb_id")
       .collect().map(key).toSet
     assert(replayed == batch, "replaying batch 0 must be a no-op")
+  }
+
+  test("graph search stream == batch q205 for the held-out query; " +
+      "other arrivals match the shared routing body") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.KnnGraphOps
+    val sf0001 = "/root/testdata/sf0.001"
+    val isDelta = substring(md5($"vec_id".cast("string")), 1, 2) < "1a"
+    val emb = graft.sources.Tables(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding")
+    val corpus = emb.filter(!isDelta)
+    val idxPath = graft.queries.ServingIndexes
+      .knnCorpusGraphIndex(spark, sf0001)
+    // three out-of-corpus arrivals, the min delta vec_id among them —
+    // that one's stream answer must equal registry q205 verbatim
+    val deltas = emb.filter(isDelta).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).take(3)
+    val t0 = java.sql.Timestamp.valueOf("2025-01-25 16:00:01")
+    val ms = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+    val q = StreamingQueries.graphSearchStream(
+        ms.toDF().toDF("query_id", "embedding", "event_ts"), corpus,
+        idxPath)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graph_search_out").start()
+    ms.addData(deltas.map(d => (d._1, d._2, t0)).toIndexedSeq: _*)
+    q.processAllAvailable()
+    // advance the watermark past the window so append mode emits
+    ms.addData((999999L, deltas.head._2,
+      java.sql.Timestamp.valueOf("2025-01-25 16:05:00")))
+    q.processAllAvailable()
+    val got = spark.table("graph_search_out")
+      .filter($"window_start" ===
+        java.sql.Timestamp.valueOf("2025-01-25 16:00:00"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](2).map(_.getLong(1)))
+      .toMap
+    q.stop()
+    val batch205 = KnnGraphOps.graphSearchIndexed(spark, sf0001, idxPath)
+      .collect().sortBy(_.getLong(0)).map(_.getLong(1)).toSeq
+    assert(batch205.nonEmpty)
+    assert(got(deltas.head._1) == batch205,
+      s"stream=${got(deltas.head._1)} batch=$batch205")
+    // every other arrival matches the shared routing body at the same
+    // hop budget and cut
+    val others = deltas.drop(1).map(_._1)
+    val expect = KnnGraphOps.deltaRouteOf(
+        emb.filter($"vec_id".isin(others: _*)), corpus,
+        spark.read.parquet(s"$idxPath/edges").select($"a_id", $"b_id"),
+        math.max(1L,
+          corpus.count() / KnnGraphOps.SeedBucketSize),
+        hops = KnnGraphOps.RouteHops)
+      .filter($"rank" <= 5)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, rs) =>
+        k -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    assert(expect.nonEmpty)
+    for ((id, want) <- expect)
+      assert(got(id) == want, s"query $id: ${got(id)} vs $want")
   }
 }
