@@ -26,7 +26,10 @@ import org.apache.spark.sql.functions._
   *     `insert`: survivors route the PERSISTED corpus graph (q202's
   *     body) and their adjacency lands in `edges_delta/batch=0` with
   *     OVERWRITE (the idempotent-foreachBatch sink device — replays
-  *     and crash-torn writes converge by rewriting the directory);
+  *     and crash-torn writes converge by rewriting the directory),
+  *     forward rows plus their reverse twins (the bidirectional-link
+  *     rows that make tonight's vectors searchable — see
+  *     [[graft.streaming.StreamingQueries.graphInsertBatch]]);
   *     `rebuild`: a fresh descent over corpus ∪ survivors OVERWRITES
   *     `edges`, and `edges_delta` is retired with it (the absorbed
   *     delta would otherwise double-count) — the O(n) path the
@@ -36,10 +39,11 @@ import org.apache.spark.sql.functions._
   * IngestMain doctrine):
   *
   *  - every SDC-dup id is a delta id; |survivors| == |delta| − |dups|;
-  *  - insert: edges_delta holds ≤ k rows per survivor, every neighbor
-  *    is corpus-side, every routed id is a survivor; survivors whose
-  *    seed buckets hold no corpus member are COUNTED (`n_unrouted`),
-  *    never papered over;
+  *  - insert: edges_delta's forward rows hold ≤ k per survivor, every
+  *    neighbor corpus-side, every routed id a survivor, and the
+  *    reverse rows are the EXACT mirror of the forward set; survivors
+  *    whose seed buckets hold no corpus member are COUNTED
+  *    (`n_unrouted`), never papered over;
   *  - rebuild: edges read back ≤ k·(corpus+survivors) rows,
   *    edges_delta gone;
   *  - all counts are read BACK from storage, not trusted from the
@@ -143,8 +147,14 @@ object VectorIngestMain {
     if (verdict == "insert") {
       appended = StreamingQueries.graphInsertBatch(
         survivors, corpus, graphPath, batchId = 0L)
-      val routed = spark.read.parquet(s"$graphPath/edges_delta")
+      val landed = spark.read.parquet(s"$graphPath/edges_delta")
         .persist()
+      // the batch lands FORWARD rows (survivor → corpus, q202's
+      // adjacency) plus their REVERSE twins (corpus → survivor, the
+      // bidirectional-link rows that make tonight's vectors
+      // SEARCHABLE before the next compaction) — reconciled apart
+      val routed = landed.filter(!$"rev")
+      val reverse = landed.filter($"rev")
       val routedRows = routed.count()
       val routedIds = routed.select($"vec_id").distinct()
       val strayRouted = routedIds.join(survivors.select($"vec_id"),
@@ -158,13 +168,22 @@ object VectorIngestMain {
         else routed.groupBy($"vec_id").count()
           .agg(max($"count")).head().getLong(0)
       check(routedRows == appended,
-        s"edges_delta holds $routedRows rows, writer reported $appended")
+        s"edges_delta holds $routedRows forward rows, writer reported " +
+          s"$appended")
       check(strayRouted == 0L,
         s"$strayRouted routed ids are not survivors")
       check(badNb == 0L, s"$badNb neighbors are not corpus-side")
       check(maxPerVec <= KnnGraphOps.GraphK,
         s"a survivor holds $maxPerVec > k adjacency rows")
-      routed.unpersist(blocking = false)
+      // reverse rows are the EXACT mirror of the forward set — same
+      // (pair, rank, sim) facts with endpoints swapped, nothing else
+      val fwdKeyed = routed.select($"vec_id", $"nb_id", $"rank", $"sim")
+      val revKeyed = reverse.select($"nb_id".as("vec_id"),
+        $"vec_id".as("nb_id"), $"rank", $"sim")
+      check(revKeyed.exceptAll(fwdKeyed).count() == 0L &&
+        fwdKeyed.exceptAll(revKeyed).count() == 0L,
+        "reverse rows are not the exact mirror of the forward set")
+      landed.unpersist(blocking = false)
     } else {
       // rebuild: descent over corpus ∪ survivors overwrites the
       // standing edges; the absorbed delta's routed rows retire with
@@ -178,13 +197,14 @@ object VectorIngestMain {
     val edgesAfter = spark.read.parquet(s"$graphPath/edges").count()
     val deltaRowsAfter =
       if (fs.exists(deltaDir))
-        spark.read.parquet(s"$graphPath/edges_delta").count()
+        spark.read.parquet(s"$graphPath/edges_delta")
+          .filter(!col("rev")).count()
       else 0L
     if (verdict == "insert") {
       check(edgesAfter == edgesBefore,
         s"insert path must not touch edges: $edgesBefore -> $edgesAfter")
       check(deltaRowsAfter == appended,
-        s"edges_delta $deltaRowsAfter != appended $appended")
+        s"edges_delta forward rows $deltaRowsAfter != appended $appended")
     } else {
       check(deltaRowsAfter == 0L, "rebuild must retire edges_delta")
       check(edgesAfter <= KnnGraphOps.GraphK * (nCorpus + nSurvivors),

@@ -325,11 +325,15 @@ object KnnGraphOps {
 
   /** The SERVING read view of a persisted graph index: the standing
     * `edges` table plus any not-yet-compacted `edges_delta` batches
-    * (tonight's inserts, mapped to the same (a_id, b_id, sim) shape) —
-    * so a route sees an inserted vector's adjacency the moment its
-    * batch lands, and [[compactGraphIndex]] (which only MOVES delta
-    * rows into `edges`) is answer-preserving by construction: readers
-    * of this view cannot tell pre- from post-compaction state. */
+    * (tonight's inserts — forward adjacency AND the reverse
+    * bidirectional-link rows, mapped to the same (a_id, b_id, sim)
+    * shape) — so a route sees an inserted vector the moment its batch
+    * lands, both as a source and as a RESULT (the posting/chunk
+    * append-then-find contract). Between compactions a hub corpus
+    * node's view degree may exceed k (its stored k plus reverse rows
+    * across batches) — extra candidates only widen search, and
+    * [[compactGraphIndex]]'s top-k window is where the HNSW degree
+    * bound is re-asserted. */
   private[graft] def readGraphEdges(spark: SparkSession,
       path: String): DataFrame = {
     import spark.implicits._
@@ -466,9 +470,12 @@ object KnnGraphOps {
     * re-scored — the merge is pair-keyed MAX (a vector re-sent across
     * batches lands its bit-identical adjacency twice; the MAX is a
     * pure dedup, the descent-round device) followed by the keyed top-k
-    * window that re-asserts ≤ k rows per node. Answer-preserving by
-    * construction: [[readGraphEdges]] already serves edges ∪ delta, so
-    * compaction only changes the REPRESENTATION a route reads.
+    * window that re-asserts ≤ k rows per node — on a corpus node that
+    * accumulated reverse bidirectional-link rows past k, this IS the
+    * HNSW degree bound applied at absorb time (lowest-sim edges
+    * yield). The post-compaction serving view is therefore exactly
+    * `topK(pre-compaction view)` — integer-exact and spec-pinned —
+    * and identical to it wherever a node's view degree was within k.
     *
     * Crash matrix (spec-pinned): died before any rename → stale
     * `.compacting` is overwritten next run; died between the renames →

@@ -1681,16 +1681,32 @@ object StreamingQueries {
       }
       .trigger(Trigger.AvailableNow()).start()
 
+  /** Writes the batch's FORWARD adjacency (delta → corpus, q202's
+    * rows, `rev = false`) plus its REVERSE twins (corpus → delta,
+    * `rev = true`) — the HNSW bidirectional-link insert. The reverse
+    * rows are what make an inserted vector SEARCHABLE: without them it
+    * exists only as a route SOURCE (no in-edge reaches it), invisible
+    * to every in-corpus route until a full rebuild — the posting/chunk
+    * indexes' append-then-find contract, restored for the graph.
+    * A hub corpus node accumulating reverse rows across batches is
+    * re-capped to k at the next compaction's top-k window (the
+    * HNSW degree bound, applied at absorb time); serving reads between
+    * compactions see the uncapped union, which only ADDS candidates.
+    * Returns the forward row count (q202's contract). */
   private[graft] def graphInsertBatch(batch: DataFrame, corpus: DataFrame,
       indexPath: String, batchId: Long): Long = {
     val spark = batch.sparkSession
+    import spark.implicits._
     import graft.queries.KnnGraphOps
     val edges = spark.read.parquet(s"$indexPath/edges")
     val routed = KnnGraphOps.deltaRouteOf(batch, corpus, edges,
       math.max(1L, corpus.count() / KnnGraphOps.SeedBucketSize))
       .persist()
     val n = routed.count()
-    routed.write.mode("overwrite")
+    val reverse = routed.select($"nb_id".as("vec_id"), $"rank",
+      $"vec_id".as("nb_id"), $"sim", lit(true).as("rev"))
+    routed.withColumn("rev", lit(false)).unionByName(reverse)
+      .write.mode("overwrite")
       .parquet(s"$indexPath/edges_delta/batch=$batchId")
     routed.unpersist(blocking = false)
     n

@@ -54,15 +54,14 @@ class GraphIndexLifecycleSpec extends SparkSuite {
       .toSet
 
   /** Driver-side q201 route recompute (the OperatorPropertiesSpec
-    * device), parameterized on the start node so the spec can route
-    * from a DELTA node — whose adjacency lives in `edges_delta` before
-    * compaction and in `edges` after. Returns the exact top-5 of the
-    * 3-hop frontier. */
-  private def route(path: String, start: Long): Seq[Long] = {
-    val adj = KnnGraphOps.readGraphEdges(spark, path)
-      .select(col("a_id"), col("b_id")).collect()
-      .groupBy(_.getLong(0))
-      .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSeq }
+    * device) over an explicit edge set, so the spec can route the
+    * pre-compaction view, its driver-capped image, and the
+    * post-compaction storage and compare. Returns the 3-hop frontier
+    * and the exact top-5. */
+  private def routeOn(edges: Set[(Long, Long, Double)],
+      start: Long): (Set[Long], Seq[Long]) = {
+    val adj = edges.toSeq.groupBy(_._1)
+      .map { case (k, rs) => k -> rs.map(_._2) }
     val vecs = emb.collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
     def cos(a: Array[Float], b: Array[Float]): Double = {
@@ -77,10 +76,23 @@ class GraphIndexLifecycleSpec extends SparkSuite {
     val h1 = adj.getOrElse(start, Seq.empty).toSet
     val h2 = h1.flatMap(v => adj.getOrElse(v, Seq.empty))
     val h3 = h2.flatMap(v => adj.getOrElse(v, Seq.empty))
-    ((h1 ++ h2 ++ h3) - start).toSeq
+    val frontier = (h1 ++ h2 ++ h3) - start
+    (frontier, frontier.toSeq
       .map(c => (cos(vecs(start), vecs(c)), c))
-      .sortBy { case (s, id) => (-s, id) }.take(5).map(_._2)
+      .sortBy { case (s, id) => (-s, id) }.take(5).map(_._2))
   }
+
+  private def route(path: String, start: Long): Seq[Long] =
+    routeOn(edgeSet(path), start)._2
+
+  /** The compaction contract's expected image: per-node top-k of the
+    * view (sim desc, b_id asc) — the HNSW degree bound the absorb
+    * re-asserts. */
+  private def capK(edges: Set[(Long, Long, Double)])
+      : Set[(Long, Long, Double)] =
+    edges.toSeq.groupBy(_._1).values.flatMap(rs =>
+      rs.sortBy { case (_, b, s) => (-s, b) }
+        .take(KnnGraphOps.GraphK)).toSet
 
   private def perNodeCap(path: String): Long = {
     val counts = spark.read.parquet(s"$path/edges")
@@ -88,28 +100,41 @@ class GraphIndexLifecycleSpec extends SparkSuite {
     if (counts.head.isNullAt(0)) 0L else counts.head.getLong(0)
   }
 
-  test("compaction absorbs both delta batches into edges, retires the " +
-      "tree, and preserves every routed answer") {
+  test("compaction = exactly topK(view): absorbs both delta batches, " +
+      "retires the tree, keeps routes stable on the capped view, and " +
+      "inserted vectors are searchable") {
     val path = buildIndex("compact")
     assert(fs.exists(new Path(s"$path/edges_delta/batch=0")))
     assert(fs.exists(new Path(s"$path/edges_delta/batch=1")))
     val before = edgeSet(path)
+    val want = capK(before)
     val deltaIds = emb.filter(isDelta).collect().map(_.getLong(0)).sorted
     val dProbe = deltaIds.head
-    // pre-compaction the delta node's route is served from edges_delta
-    val dRoute = route(path, dProbe)
-    val cRoute = route(path, 0L) // vec_id 0 is corpus-side (md5 "cf…")
-    assert(dRoute.nonEmpty)
+    // SEARCHABILITY (the bidirectional-link point): pre-compaction the
+    // view must hold a reverse edge into the inserted vector, and a
+    // 3-hop route from that corpus neighbor must REACH it
+    val revSources = before.collect {
+      case (a, b, _) if b == dProbe && !deltaIds.contains(a) => a
+    }
+    assert(revSources.nonEmpty,
+      "inserted vector has no reverse (corpus -> delta) edge in view")
+    val (frontier, _) = routeOn(before, revSources.head)
+    assert(frontier.contains(dProbe),
+      "an in-corpus route must reach the freshly inserted vector")
+    // expected post-compaction routes, computed on the capped image
+    val dRouteWant = routeOn(want, dProbe)._2
+    val cRouteWant = routeOn(want, 0L)._2 // vec_id 0 is corpus ("cf…")
+    assert(dRouteWant.nonEmpty)
     KnnGraphOps.compactGraphIndex(spark, path)
     assert(!fs.exists(new Path(s"$path/edges_delta")),
       "compaction must retire the delta tree")
     assert(!fs.exists(new Path(s"$path/edges.pre-compact")))
     assert(!fs.exists(new Path(s"$path/edges.compacting")))
-    assert(edgeSet(path) == before,
-      "the serving view must not change across compaction")
-    assert(route(path, dProbe) == dRoute,
-      "a delta node's route must survive compaction unchanged")
-    assert(route(path, 0L) == cRoute)
+    assert(edgeSet(path) == want,
+      "post-compaction view must be exactly topK(pre-compaction view)")
+    assert(route(path, dProbe) == dRouteWant,
+      "a delta node's route must equal the capped-view route")
+    assert(route(path, 0L) == cRouteWant)
     assert(perNodeCap(path) <= KnnGraphOps.GraphK)
     // delta adjacency now lives in edges itself
     val inEdges = spark.read.parquet(s"$path/edges")
@@ -117,7 +142,7 @@ class GraphIndexLifecycleSpec extends SparkSuite {
     assert(inEdges > 0, "absorbed delta node missing from edges")
     // compacting again with nothing to absorb is a no-op
     KnnGraphOps.compactGraphIndex(spark, path)
-    assert(edgeSet(path) == before)
+    assert(edgeSet(path) == want)
   }
 
   test("compaction crash matrix: every torn state converges to the " +
@@ -149,11 +174,19 @@ class GraphIndexLifecycleSpec extends SparkSuite {
     assert(!fs.exists(new Path(s"$w2/edges_delta")))
 
     // W3: died after the swap but before the delta delete — edges
-    // already holds the absorbed rows and the delta tree is still
-    // there; the re-absorb must be idempotent (pair-keyed MAX)
+    // already holds the absorbed rows and the ORIGINAL delta tree is
+    // still there (copied aside before the compact and restored, the
+    // faithful crash state: re-running insertBatches instead would
+    // route against the absorbed graph and produce DIFFERENT rows —
+    // reverse edges open paths through other delta nodes' adjacency).
+    // The re-absorb of rows already inside the capped union must be
+    // idempotent (pair-keyed MAX + topK of a subset union).
     val w3 = buildIndex("cm-w3")
+    val aside = new Path(s"$w3/edges_delta.aside")
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$w3/edges_delta"),
+      fs, aside, false, spark.sessionState.newHadoopConf())
     KnnGraphOps.compactGraphIndex(spark, w3)
-    insertBatches(w3) // recreate the un-deleted delta tree verbatim
+    assert(fs.rename(aside, new Path(s"$w3/edges_delta")))
     KnnGraphOps.compactGraphIndex(spark, w3)
     assert(edgeSet(w3) == want, "re-absorb must be idempotent")
     assert(!fs.exists(new Path(s"$w3/edges_delta")))
@@ -162,6 +195,10 @@ class GraphIndexLifecycleSpec extends SparkSuite {
   test("delete removes the vector from every adjacency and route, " +
       "heals affected nodes, leaves untouched nodes byte-identical") {
     val path = buildIndex("del")
+    // snapshot from the COMPACTED state (delete's own first step), so
+    // the untouched-rows assertion compares like with like — the
+    // uncapped pre-compaction view is test 1's subject, not this one's
+    KnnGraphOps.compactGraphIndex(spark, path)
     // victims: the two highest-in-degree corpus nodes (guaranteed b_id
     // appearances — the hard case, where serving would keep returning
     // them), never the route probe

@@ -1416,8 +1416,11 @@ class StreamingSpec extends SparkSuite {
     q.awaitTermination()
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), r.getLong(2))
-    val streamed = spark.read
-      .parquet(s"$idx/edges_delta")
+    // no .cache(): CacheManager matches by canonicalized path and the
+    // directory is rewritten below — a cached plan would serve stale
+    // rows to the replayed read
+    val landed = spark.read.parquet(s"$idx/edges_delta")
+    val streamed = landed.filter(!$"rev")
       .select($"vec_id", $"rank", $"nb_id")
       .collect().map(key).toSet
     val batch = graft.queries.KnnGraphOps
@@ -1425,19 +1428,26 @@ class StreamingSpec extends SparkSuite {
       .collect().map(key).toSet
     assert(streamed == batch, "streamed adjacency must equal batch q202")
     assert(streamed.nonEmpty)
+    // the reverse bidirectional-link rows are the exact mirror of the
+    // forward set (endpoints swapped, same rank/sim facts)
+    val reversed = landed.filter($"rev")
+      .select($"nb_id", $"rank", $"vec_id")
+      .collect().map(key).toSet
+    assert(reversed == streamed,
+      "reverse rows must mirror the forward adjacency exactly")
     // replay convergence: re-running batch 0's body under its original
     // id OVERWRITES its own directory — contents unchanged (read the
     // actual batch-0 membership back rather than assuming how
     // AvailableNow grouped the two addData calls)
     val b0Ids = spark.read.parquet(s"$idx/edges_delta")
-      .filter($"batch" === 0).select($"vec_id").distinct()
+      .filter($"batch" === 0 && !$"rev").select($"vec_id").distinct()
       .collect().map(_.getLong(0)).toSet
     assert(b0Ids.nonEmpty)
     StreamingQueries.graphInsertBatch(
       feed.filter(t => b0Ids(t._1)).toSeq
         .toDF("vec_id", "embedding"), corpus, idx, batchId = 0L)
     val replayed = spark.read.parquet(s"$idx/edges_delta")
-      .select($"vec_id", $"rank", $"nb_id")
+      .filter(!$"rev").select($"vec_id", $"rank", $"nb_id")
       .collect().map(key).toSet
     assert(replayed == batch, "replaying batch 0 must be a no-op")
   }
