@@ -229,6 +229,57 @@ object Stress10xSpec {
         s"q206 $h206/$n206 (out-of-corpus bucket-entry)")
     }
 
+    // round-15 lifecycle at 10x: insert -> compact -> delete on an
+    // isolated COPY of the corpus-graph index (the shared
+    // ServingIndexes path must stay pristine for other readers). The
+    // evidence the 100 TB maintenance story needs: per-stage cost at
+    // 20k vectors with a ~2k-vector nightly batch, loud invariants.
+    locally {
+      import org.apache.hadoop.fs.{FileUtil, Path}
+      import graft.queries.KnnGraphOps
+      val hconf = spark.sessionState.newHadoopConf()
+      val src = graft.queries.ServingIndexes.knnCorpusGraphIndex(spark, dir)
+      val lc = s"$dir/lifecycle_idx"
+      val fs = new Path(lc).getFileSystem(hconf)
+      fs.delete(new Path(lc), true)
+      FileUtil.copy(fs, new Path(src), fs, new Path(lc), false, hconf)
+      val emb10 = graft.sources.Tables(spark, dir, "embeddings")
+        .select(F.col("vec_id"), F.col("embedding"))
+      val isDeltaV = F.substring(
+        F.md5(F.col("vec_id").cast("string")), 1, 2) < "1a"
+      val corpus10 = emb10.filter(!isDeltaV)
+      val delta10 = emb10.filter(isDeltaV)
+      def timed[A](tag: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"[stress10x] lifecycle/$tag%-8s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        r
+      }
+      val nFwd = timed("insert") {
+        graft.streaming.StreamingQueries.graphInsertBatch(
+          delta10, corpus10, lc, batchId = 0L)
+      }
+      timed("compact") { KnnGraphOps.compactGraphIndex(spark, lc) }
+      require(!fs.exists(new Path(s"$lc/edges_delta")),
+        "compaction must retire the delta tree at 10x")
+      val victims = spark.read.parquet(s"$lc/edges")
+        .groupBy("b_id").count()
+        .orderBy(F.desc("count"), F.col("b_id"))
+        .limit(20).collect().map(_.getLong(0)).toSeq
+      timed("delete") {
+        KnnGraphOps.deleteFromGraphIndex(spark, lc, victims, emb10)
+      }
+      val g = spark.read.parquet(s"$lc/edges")
+      require(g.filter(F.col("a_id").isin(victims: _*) ||
+        F.col("b_id").isin(victims: _*)).count() == 0,
+        "deleted ids must vanish from both adjacency sides at 10x")
+      val overCap = g.groupBy("a_id").count()
+        .filter(F.col("count") > KnnGraphOps.GraphK).count()
+      require(overCap == 0, "per-node cap violated after delete at 10x")
+      println(s"[stress10x] lifecycle: $nFwd forward rows inserted, " +
+        s"${victims.size} vectors deleted, edges ${g.count()}")
+    }
+
     // q115's scale lever, measured on the quantity that matters at
     // scale: candidate-pair volume Σ cell·(cell−1)/2. Local wall-time
     // at 50k docs is join-strategy/task-scheduling bound, so pair
