@@ -568,10 +568,11 @@ object KnnGraphOps {
     *  - two out-edge expansions through the stored corpus adjacency
     *    (point-lookup equi-joins), giving ≤ 2·bucket + 2·bucket·k +
     *    2·bucket·k² visited candidates per delta vector;
-    *  - exact-score the visited set, keep top-k: the rows a deployment
-    *    APPENDS to the persisted edge table (plus reverse-edge
-    *    candidates for the touched corpus nodes — emitted here as the
-    *    ranked forward adjacency, the append artifact itself).
+    *  - exact-score the visited set, keep top-k: the ranked FORWARD
+    *    adjacency this query emits. The persisted append path
+    *    ([[graft.streaming.StreamingQueries.graphInsertBatch]]) lands
+    *    these rows PLUS their reverse bidirectional-link twins, which
+    *    is what makes the inserted vector searchable (round 15).
     *
     * The batch is simultaneous-vs-corpus (delta-delta edges are the
     * NEXT build's work — same contract as q130's delta-vs-corpus

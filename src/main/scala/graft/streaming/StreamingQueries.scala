@@ -1669,9 +1669,10 @@ object StreamingQueries {
     * needed). `corpus` is passed explicitly and FROZEN, like the
     * scorer model: the standing side of an incremental tick does not
     * move under the stream. A vector re-sent in a DIFFERent batch
-    * duplicates its adjacency across batch directories — dedup
-    * upstream or at read, the calibratedScorerJoined replay note
-    * applied here. */
+    * duplicates its adjacency across batch directories — bit-identical
+    * rows, which [[graft.queries.KnnGraphOps.compactGraphIndex]]'s
+    * pair-keyed MAX absorbs as a pure dedup (the calibratedScorerJoined
+    * replay note, now with the absorbing maintenance job built). */
   def graphInsertStream(vecs: DataFrame, corpus: DataFrame,
       indexPath: String, checkpoint: String): StreamingQuery =
     vecs.writeStream.outputMode("append")
