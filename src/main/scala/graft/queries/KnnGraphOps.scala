@@ -530,6 +530,11 @@ object KnnGraphOps {
       vecIds: Seq[Long], survivors: DataFrame): Unit = {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
+    // loud, not a silent full rewrite: an empty take-down list is a
+    // caller bug (and an affected node missing from `survivors` keeps
+    // its filtered adjacency un-healed — scope the frame to cover the
+    // deleted ids' neighborhoods, the chunk re-offer contract)
+    require(vecIds.nonEmpty, "deleteFromGraphIndex needs at least one id")
     compactGraphIndex(spark, path)
     val edgesDir = new Path(s"$path/edges")
     val tmpDir = new Path(s"$path/edges.compacting")
