@@ -856,7 +856,23 @@ object VectorExpressions {
   def simhash64(termHashes: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(termHashes)))
 
-  /** Cosine similarity over float vectors, built on the codegen dot. */
+  /** dot ÷ norm-product with IEEE zero-norm semantics in EVERY eval
+    * mode: a zero denominator yields NaN — the dot is then zero too
+    * (a zero norm forces a zero dot; a fully underflowed norm product
+    * implies an underflowed dot), so NaN is the IEEE 0/0 answer — and
+    * the suite's documented NaN → nanvl(-∞) demotion contract holds
+    * under the shipped ANSI sessions, where a bare `/` RAISES
+    * DIVIDE_BY_ZERO and would kill a 100 TB job on its first
+    * degenerate vector (found by RobustnessSpec's graph-family pin,
+    * round 15; Spark 4.1 ANSI checks double division too).
+    * Bit-identical to `/` wherever the denominator is nonzero; the
+    * CaseWhen branch is evaluated conditionally, so no error escapes
+    * the guarded row. */
+  def normDiv(dot: Column, den: Column): Column =
+    when(den === 0.0, lit(Double.NaN)).otherwise(dot / den)
+
+  /** Cosine similarity over float vectors, built on the codegen dot;
+    * zero-norm → NaN via [[normDiv]] (nanvl-demotable, never a raise). */
   def cosine(a: Column, b: Column): Column =
-    fvecDot(a, b) / (sqrt(fvecDot(a, a)) * sqrt(fvecDot(b, b)))
+    normDiv(fvecDot(a, b), sqrt(fvecDot(a, a)) * sqrt(fvecDot(b, b)))
 }

@@ -929,9 +929,9 @@ object VectorOps {
     * double-op order as cosine(): dot / (sqrt(a·a)·sqrt(b·b)); one
     * definition for q111/q124/q125 so the arms cannot drift. */
   private val cosDup35: (Column, Column, Column, Column) => Column = {
-    import graft.functions.VectorExpressions.fvecDot
+    import graft.functions.VectorExpressions.{fvecDot, normDiv}
     (ae, be, an, bn) =>
-      nanvl(fvecDot(ae, be) / (an * bn), lit(-1d)) > 0.35
+      nanvl(normDiv(fvecDot(ae, be), an * bn), lit(-1d)) > 0.35
   }
 
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
@@ -3081,7 +3081,7 @@ object VectorOps {
 
   private def mineHardNegatives(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.functions.VectorExpressions.fvecDot
+    import graft.functions.VectorExpressions.{fvecDot, normDiv}
     // rides the memoized [[probeAssignment]] artifact (cell, norm and
     // label pre-lifted) — the r10 form persisted its own celled copy
     // here and leaked it for the JVM lifetime (ADVICE r10)
@@ -3104,10 +3104,11 @@ object VectorOps {
     val w = Window.partitionBy($"a_id").orderBy($"sim".desc, $"b_id".asc)
     a.join(b, Seq("cell", "sa", "sb"))
       .filter($"a_label" =!= $"b_label")
-      // same double-op order as cosine(): dot / (|a|·|b|); NaN (zero
-      // norm) demotes below every real so it can never rank
-      .withColumn("sim", nanvl(fvecDot($"a_emb", $"b_emb")
-        / ($"a_nrm" * $"b_nrm"), lit(Double.NegativeInfinity)))
+      // same double-op order as cosine(): dot / (|a|·|b|) via the
+      // ANSI-safe normDiv; NaN (zero norm) demotes below every real
+      // so it can never rank
+      .withColumn("sim", nanvl(normDiv(fvecDot($"a_emb", $"b_emb"),
+        $"a_nrm" * $"b_nrm"), lit(Double.NegativeInfinity)))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= HardNegK)
       .select($"a_id".as("vec_id"), $"rank", $"b_id".as("neg_id"),
@@ -3203,7 +3204,7 @@ object VectorOps {
     * value that protects argmax paths. */
   def tripletMargins(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.functions.VectorExpressions.fvecDot
+    import graft.functions.VectorExpressions.{fvecDot, normDiv}
     val emb = probeAssignment(spark, dir)
       .select($"cell", $"vec_id", $"embedding", $"nrm", $"label")
     val a = emb.select($"cell", $"vec_id".as("a_id"),
@@ -3212,7 +3213,8 @@ object VectorOps {
       $"embedding".as("b_emb"), $"nrm".as("b_nrm"), $"label".as("b_label"))
     a.join(b, Seq("cell"))
       .filter($"a_id" =!= $"b_id")
-      .withColumn("sim", fvecDot($"a_emb", $"b_emb") / ($"a_nrm" * $"b_nrm"))
+      .withColumn("sim",
+        normDiv(fvecDot($"a_emb", $"b_emb"), $"a_nrm" * $"b_nrm"))
       .filter(!isnan($"sim"))
       .groupBy($"a_id")
       .agg(

@@ -797,11 +797,13 @@ object StreamingQueries {
     VectorOps.withGridCell(queries)
       .join(index, "cell")
       .filter(col("label") =!= col("c_label"))
-      // q134's exact arithmetic: dot / (|a|·|b|), NaN demoted below
-      // every real so a zero-norm corpus vector cannot win the argmax
+      // q134's exact arithmetic: dot / (|a|·|b|) via the ANSI-safe
+      // normDiv, NaN demoted below every real so a zero-norm corpus
+      // vector cannot win the argmax
       .withColumn("sim", nanvl(
-        fvecDot(col("embedding"), col("c_emb")) /
-          (sqrt(fvecDot(col("embedding"), col("embedding"))) *
+        graft.functions.VectorExpressions.normDiv(
+          fvecDot(col("embedding"), col("c_emb")),
+          sqrt(fvecDot(col("embedding"), col("embedding"))) *
             sqrt(fvecDot(col("c_emb"), col("c_emb")))),
         lit(Double.NegativeInfinity)))
       .withWatermark(eventTime, delay)

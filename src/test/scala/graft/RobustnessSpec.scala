@@ -141,6 +141,54 @@ class RobustnessSpec extends SparkSuite {
     assert(out.get(10L).contains(1L), s"got $out")
   }
 
+  test("degenerate vectors in the graph family: zero-norm and " +
+      "wrong-dim rows never displace a real neighbor") {
+    import spark.implicits._
+    import graft.queries.KnnGraphOps
+    // 20 real vectors + 1 zero-norm (cosine NaN -> -inf demotion) +
+    // 1 wrong-dim (cosine NULL, sorts last under desc). n=22 puts the
+    // whole frame in ONE seed bucket pair (nBuckets = 1), so every
+    // node sees every other as a candidate — a real node's top-k is
+    // then provably all-real, and the degenerate rows can only rank
+    // each other
+    def vec(seed: Int): Seq[Float] =
+      (0 until 64).map(d => ((seed * 31 + d) % 7 - 3) / 3.0f)
+    val rows = (1 to 20).map(i => (i.toLong, vec(i))) ++
+      Seq((98L, Seq.fill(64)(0.0f)), (99L, Seq(1.0f, 2.0f)))
+    val frame = rows.toDF("vec_id", "embedding")
+    val g = KnnGraphOps.nnDescentOf(frame).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    val degen = Set(98L, 99L)
+    // every vector (degenerate included) carries adjacency rows
+    assert(g.map(_._1).toSet == rows.map(_._1).toSet)
+    // no real node ranks a degenerate neighbor (its 19 real
+    // candidates fill k=8 first)
+    assert(g.forall { case (a, b, _) => degen(a) || !degen(b) },
+      g.filter(e => !degen(e._1) && degen(e._2)).mkString(", "))
+    // the zero-norm node's sims are all the -inf demotion; the
+    // wrong-dim node's are NULL against real vectors (ragged dot)
+    // and -inf against the zero-norm one (zero denominator → NaN →
+    // demotion) — deterministic, never a raw NaN, never a raise
+    assert(g.filter(_._1 == 98L)
+      .forall(_._3.contains(Double.NegativeInfinity)))
+    assert(g.filter(_._1 == 99L).forall(e =>
+      e._3.isEmpty ||
+        (e._2 == 98L && e._3.contains(Double.NegativeInfinity))))
+    // and the insert path: a zero-norm arrival still routes (k rows,
+    // ranked by the deterministic id tie-break), never crashes or NaNs
+    val corpus = frame.filter($"vec_id" <= 20)
+    val routed = KnnGraphOps.deltaRouteOf(
+        Seq((98L, Seq.fill(64)(0.0f))).toDF("vec_id", "embedding"),
+        corpus, KnnGraphOps.nnDescentOf(corpus)
+          .select($"a_id", $"b_id"),
+        nBuckets = 1L)
+      .collect()
+    assert(routed.length == KnnGraphOps.GraphK)
+    assert(routed.forall(r =>
+      r.getDouble(3) == Double.NegativeInfinity))
+  }
+
   test("calibration and DSIR lifts keep NULL/empty-text docs as rows") {
     import spark.implicits._
     // the synthetic corpus never carries NULL or empty text, so the
