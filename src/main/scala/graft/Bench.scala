@@ -232,15 +232,20 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$adjudication,"sf":"$sfDir"}"""
     // a second, short total-only line AFTER the full one: the round-2
     // driver tail-captured its own stdout and truncated the ~4 KB full
-    // line mid-JSON ("parsed": null) — a trailing <120-byte line
+    // line mid-JSON ("parsed": null) — a trailing ~125-byte line
     // survives any tail window, and a last-parseable-line parser picks
     // it up
     // n/failed travel with the short line so a crashed query (recorded
     // as -1 and excluded from the sum) can't masquerade as a
     // faster-looking total when only this line survives truncation
+    // the short line's reason to exist is truncation survival (the
+    // round-2 driver clipped a ~4 KB line mid-JSON) — it carries ONLY
+    // the contention marker on top of the totals (~125 bytes), the one
+    // adjudication field the r14 verdict asked for on this line; the
+    // two canary fields ride the full line above
     val nFailed = results.count(_._2 < 0)
     val shortLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$nFailed,$adjudication,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$nFailed,"contention":$contention,"sf":"$sfDir"}"""
     // executor-CPU/run/GC seconds per query (cpu is summed across all
     // cores, so cpu/wall can legitimately reach the core count). This
     // line exists to make a driver-run-only inflation diagnosable after

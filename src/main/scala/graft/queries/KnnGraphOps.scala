@@ -521,13 +521,22 @@ object KnnGraphOps {
     * re-route's candidates (pair-keyed MAX — overlaps are
     * bit-identical) and keeps top-k, so healed nodes hold ≤ k edges,
     * none referencing a deleted id, and nodes untouched by the delete
-    * are byte-identical. Cost: O(affected · k²) route joins + one
+    * are byte-identical. An affected node that ends with NO rows at
+    * all (every kept edge pointed at a victim AND its seed buckets
+    * hold no other survivor — the insert path's n_unrouted condition)
+    * drops out of the index as a route source; it is COUNTED in the
+    * returned value, never papered over (the VectorIngestMain
+    * doctrine — it remains findable as a neighbor and re-enters at
+    * the next rebuild). Cost: O(affected · k²) route joins + one
     * filter-rewrite of the edge table — never a corpus descent. Same
     * swap/crash discipline as [[compactGraphIndex]]; a crash between
     * the steps leaves the smaller-but-consistent filtered index and
-    * the retry re-heals (the chunk two-step contract). */
+    * the retry re-heals (the chunk two-step contract).
+    *
+    * @return the number of affected nodes left with no adjacency
+    *         (0 on healthy data — spec-pinned) */
   def deleteFromGraphIndex(spark: SparkSession, path: String,
-      vecIds: Seq[Long], survivors: DataFrame): Unit = {
+      vecIds: Seq[Long], survivors: DataFrame): Long = {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
     // loud, not a silent full rewrite: an empty take-down list is a
@@ -557,10 +566,15 @@ object KnnGraphOps {
     val healed = topK(
       kept.join(healedIds, Seq("a_id")).union(routed)
         .groupBy($"a_id", $"b_id").agg(max($"sim").as("sim")),
-      GraphK)
+      GraphK).persist()
+    val unrouted = healedIds
+      .join(healed.select($"a_id").distinct(), Seq("a_id"), "left_anti")
+      .count()
     kept.join(healedIds, Seq("a_id"), "left_anti").union(healed)
       .write.mode("overwrite").parquet(tmpDir.toString)
+    healed.unpersist(blocking = false)
     swapDirs(fs, tmpDir, edgesDir)
+    unrouted
   }
 
   /** q202 — INCREMENTAL graph maintenance: tonight's delta vectors get

@@ -1727,14 +1727,17 @@ object StreamingQueries {
     * queries are traffic), scores the visited candidates with the
     * codegen cosine, and emits the per-query top-k as a watermarked
     * windowed aggregate. Emits (query_id, window_start, topk) where
-    * topk is the ascending (neg_sim, vec_id) top-k — q205's ranking
-    * exactly (sim desc, id asc), asserted stream == batch in
-    * StreamingSpec.
+    * topk is the ascending (neg_sim, null_rank, vec_id) top-k —
+    * q205's ranking exactly (sim desc with NULLS LAST, the -inf
+    * zero-norm demotion above a ragged-dot NULL, id asc; a null
+    * struct FIELD would sort FIRST ascending, hence the coalesce to
+    * +inf plus the explicit null_rank tie-field), asserted stream ==
+    * batch in StreamingSpec.
     *
     * Path-duplicate candidates (one node reached via several hops) are
     * scored per path-row — a streaming frame cannot mid-plan
     * distinct — and deduped INSIDE the aggregate by array_distinct on
-    * bit-identical (neg_sim, vec_id) structs; the ≤ 2·bucket·(1+k+k²
+    * bit-identical structs; the ≤ 2·bucket·(1+k+k²
     * +k³) path-row bound per query is unchanged. Corpus count (bucket
     * modulus), bucket table, and edge table are frozen at stream
     * definition — the standing side of a serving stream does not move
@@ -1772,14 +1775,22 @@ object StreamingQueries {
       .take(KnnGraphOps.RouteHops + 1).toSeq
     frontiers.reduce(_ union _)
       .join(cemb, "c_id")
-      // negated so ascending struct sort ranks sim desc, id asc;
-      // nanvl first: a zero-norm candidate must sort last, not NaN-top
-      .withColumn("neg_sim",
-        -nanvl(cosine(col("embedding"), col("c_emb")),
+      // nanvl first: a zero-norm candidate (NaN → -inf) must sort
+      // last, not NaN-top; a WRONG-DIM candidate's cosine is NULL
+      // (ragged dot) and must sort after even the -inf demotion — but
+      // a null struct FIELD sorts FIRST ascending, so nulls are
+      // coalesced to +inf with an explicit null_rank tie-field:
+      // ascending (neg_sim, null_rank, vec_id) = batch q205's exact
+      // order (sim desc NULLS LAST, -inf above null, id asc)
+      .withColumn("sim",
+        nanvl(cosine(col("embedding"), col("c_emb")),
           lit(Double.NegativeInfinity)))
       .groupBy(col("query_id"), window(col(eventTime), "1 minute"))
-      .agg(slice(array_distinct(array_sort(collect_list(
-        struct(col("neg_sim"), col("c_id").as("vec_id"))))), 1, k)
+      .agg(slice(array_distinct(array_sort(collect_list(struct(
+        coalesce(-col("sim"), lit(Double.PositiveInfinity))
+          .as("neg_sim"),
+        col("sim").isNull.cast("int").as("null_rank"),
+        col("c_id").as("vec_id"))))), 1, k)
         .as("topk"))
       .select(col("query_id"), col("window.start").as("window_start"),
         col("topk"))

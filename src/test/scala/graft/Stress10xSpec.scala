@@ -266,9 +266,11 @@ object Stress10xSpec {
         .groupBy("b_id").count()
         .orderBy(F.desc("count"), F.col("b_id"))
         .limit(20).collect().map(_.getLong(0)).toSeq
-      timed("delete") {
+      val unrouted = timed("delete") {
         KnnGraphOps.deleteFromGraphIndex(spark, lc, victims, emb10)
       }
+      require(unrouted == 0L,
+        s"$unrouted affected nodes left without adjacency at 10x")
       val g = spark.read.parquet(s"$lc/edges")
       require(g.filter(F.col("a_id").isin(victims: _*) ||
         F.col("b_id").isin(victims: _*)).count() == 0,

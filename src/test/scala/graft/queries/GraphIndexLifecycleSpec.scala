@@ -218,7 +218,10 @@ class GraphIndexLifecycleSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSet
 
-    KnnGraphOps.deleteFromGraphIndex(spark, path, victims, emb)
+    val unrouted = KnnGraphOps.deleteFromGraphIndex(spark, path,
+      victims, emb)
+    assert(unrouted == 0L,
+      "every affected node must re-route on this corpus")
 
     val g1 = spark.read.parquet(s"$path/edges")
     assert(g1.filter(col("a_id").isin(victims: _*) ||
@@ -242,7 +245,8 @@ class GraphIndexLifecycleSpec extends SparkSuite {
       assert(route(path, a).intersect(victims).isEmpty)
     // re-deleting the same ids is a no-op
     val snap = edgeSet(path)
-    KnnGraphOps.deleteFromGraphIndex(spark, path, victims, emb)
+    assert(KnnGraphOps.deleteFromGraphIndex(spark, path, victims, emb)
+      == 0L)
     assert(edgeSet(path) == snap, "delete must be idempotent")
   }
 }

@@ -1485,7 +1485,8 @@ class StreamingSpec extends SparkSuite {
       .filter($"window_start" ===
         java.sql.Timestamp.valueOf("2025-01-25 16:00:00"))
       .collect().map(r => r.getLong(0) ->
-        r.getSeq[org.apache.spark.sql.Row](2).map(_.getLong(1)))
+        r.getSeq[org.apache.spark.sql.Row](2)
+          .map(_.getAs[Long]("vec_id")))
       .toMap
     q.stop()
     val batch205 = KnnGraphOps.graphSearchIndexed(spark, sf0001, idxPath)
