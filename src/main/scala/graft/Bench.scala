@@ -40,7 +40,9 @@ object Bench {
     val runMs = new AtomicLong // executorRunTime is milliseconds
     val gcMs = new AtomicLong // jvmGCTime is milliseconds
     val spillB = new AtomicLong // memory+disk bytes spilled
+    val nTasks = new AtomicLong // TaskEnd events seen
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      nTasks.incrementAndGet()
       val m = te.taskMetrics
       if (m != null) {
         cpuNs.addAndGet(m.executorCpuTime)
@@ -108,7 +110,8 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries.keySet
       else SparkEntry.queries.keySet.filter(args.contains)
     if (Seq("q172", "q173", "q174", "q175", "q201", "q202", "q204",
-        "q205", "q206").exists(p => selectedNames.exists(_.startsWith(p))))
+        "q205", "q206", "q207", "q208")
+        .exists(p => selectedNames.exists(_.startsWith(p))))
       graft.queries.ServingIndexes.ensureAll(spark, sfDir)
 
     // Fixed-work CPU canary (VERDICT r14 #5): the same deterministic
@@ -173,6 +176,7 @@ object Bench {
         s"bench attribution: shared-artifact payer $payer must run before rider $rider")
     val diag = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val (suiteCpu0, suiteRun0, _, _) = drained()
+    val suiteTasks0 = metrics.nTasks.get
     val results = selected.sortBy(kv => qKey(kv._1)).map { case (name, fn) =>
       val (cpu0, run0, gc0, sp0) = drained()
       // job group = query name: stamps every job/stage this query runs
@@ -210,6 +214,7 @@ object Bench {
       r
     }
     val (suiteCpu1, suiteRun1, _, _) = drained()
+    val suiteTasks1 = metrics.nTasks.get
     val canaryEnd = canary()
     // suite-level contention marker: Σ executorRunTime / Σ executorCpuTime
     // over the query loop. ~1.0 = tasks got the CPU they held; the r13/r14
@@ -223,8 +228,16 @@ object Bench {
       if (suiteCpuSec > 0) math.rint(100.0 * suiteRunSec / suiteCpuSec) / 100
       else -1.0
     def ms2(x: Double): String = (math.rint(x * 100) / 100).toString
+    // cpu_total_s + n_tasks (VERDICT r15 #1 / r16 #2): task counts are
+    // plan-pinned across rounds, so Σ executorCpuTime at a fixed task
+    // count is directly machine-comparable — the r15 box anomaly
+    // inflated Σcpu 547 → 1,036 s on identical task counts while the
+    // run/cpu contention ratio stayed in-band. Scope: the query loop
+    // only (excludes warmup, canaries, and hoisted index builds), i.e.
+    // the same window `contention` is computed over.
+    val suiteTasks = suiteTasks1 - suiteTasks0
     val adjudication =
-      s""""contention":$contention,"canary_start_sec":${ms2(canaryStart)},"canary_end_sec":${ms2(canaryEnd)}"""
+      s""""contention":$contention,"cpu_total_s":${ms2(suiteCpuSec)},"n_tasks":$suiteTasks,"canary_start_sec":${ms2(canaryStart)},"canary_end_sec":${ms2(canaryEnd)}"""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -244,8 +257,12 @@ object Bench {
     // adjudication field the r14 verdict asked for on this line; the
     // two canary fields ride the full line above
     val nFailed = results.count(_._2 < 0)
+    // cpu_total_s/n_tasks ride the short line too: it is the line that
+    // survives stdout truncation and becomes the round artifact, and
+    // the whole point of the two fields is that the artifact alone can
+    // adjudicate a box anomaly without event-log forensics
     val shortLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$nFailed,"contention":$contention,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$nFailed,"contention":$contention,"cpu_total_s":${ms2(suiteCpuSec)},"n_tasks":$suiteTasks,"sf":"$sfDir"}"""
     // executor-CPU/run/GC seconds per query (cpu is summed across all
     // cores, so cpu/wall can legitimately reach the core count). This
     // line exists to make a driver-run-only inflation diagnosable after

@@ -65,14 +65,18 @@ object VectorIngestMain {
     * either changed). The row's `recall_gated = false` encodes the
     * tick's drift-only arm, so the tick's natural verdict is q197's
     * graph-family verdict verbatim (spec-pinned). */
-  private[graft] val (graphTv2ThresholdPpm, graphCellThresholdPpm) = {
-    val (_, tv2, cell, gated) = graft.queries.VectorOps.ReindexPolicy
-      .find(_._1 == "knn_graph")
-      .getOrElse(throw new IllegalStateException(
-        "ReindexPolicy has no knn_graph row"))
+  private[graft] val (graphTv2ThresholdPpm, graphCellThresholdPpm,
+      graphRecallFloorPpm) = {
+    val (_, tv2, cell, gated, floor) =
+      graft.queries.VectorOps.ReindexPolicy
+        .find(_._1 == "knn_graph")
+        .getOrElse(throw new IllegalStateException(
+          "ReindexPolicy has no knn_graph row"))
     require(!gated, "the knn_graph policy row must be drift-only: the " +
       "graph family has no trained-vs-seed quantizer recall gate")
-    (tv2, cell)
+    require(floor > 0L, "the knn_graph policy row must carry a " +
+      "serving-recall floor: drift alone cannot see a degraded index")
+    (tv2, cell, floor)
   }
 
   /** q192's SDC admission distance (the StreamingSpec constant): a
@@ -118,8 +122,22 @@ object VectorIngestMain {
     val maxCellPpm = d.getLong(1)
     val driftExceeded = tv2Ppm > graphTv2ThresholdPpm ||
       maxCellPpm > graphCellThresholdPpm
+
+    // ---- stage 1b: the serving-recall floor (VERDICT r15 #6):
+    // q208's audit body measured against THE TICK'S OWN standing
+    // index — mean hit@5 of fleet-routing the held-out queries, in
+    // integer ppm. Drift watches what moved under the index; this
+    // watches what the index still delivers — a degraded or torn
+    // edges table (zero drift) only this gauge can see. One bounded
+    // parameter read: the audit is a 1-row rollup.
+    val fr = KnnGraphOps.graphFleetRecallIndexed(spark, dir, graphPath)
+      .select($"n_queries", $"total_hits").head()
+    val (frN, frHits) = (fr.getLong(0), fr.getLong(1))
+    val recallPpm =
+      if (frN == 0L) 1000000L else 1000000L * frHits / (5L * frN)
+    val floorBreached = recallPpm < graphRecallFloorPpm
     val verdict = forceVerdict.getOrElse(
-      if (driftExceeded) "rebuild" else "insert")
+      if (driftExceeded || floorBreached) "rebuild" else "insert")
     require(verdict == "insert" || verdict == "rebuild",
       s"unknown verdict $verdict")
 
@@ -144,10 +162,12 @@ object VectorIngestMain {
     val deltaDir = new Path(s"$graphPath/edges_delta")
     var appended = 0L
     var unrouted = 0L
+    var rebuildRounds = 0L
+    var rebuildConverged = 0L
     if (verdict == "insert") {
       appended = StreamingQueries.graphInsertBatch(
         survivors, corpus, graphPath, batchId = 0L)
-      val landed = spark.read.parquet(s"$graphPath/edges_delta")
+      val landed = KnnGraphOps.readDeltaEdges(spark, graphPath)
         .persist()
       // the batch lands FORWARD rows (survivor → corpus, q202's
       // adjacency) plus their REVERSE twins (corpus → survivor, the
@@ -187,9 +207,15 @@ object VectorIngestMain {
     } else {
       // rebuild: descent over corpus ∪ survivors overwrites the
       // standing edges; the absorbed delta's routed rows retire with
-      // it (they would double-count beside the rebuilt adjacency)
-      KnnGraphOps.knnGraphWriteIndexOf(
+      // it (they would double-count beside the rebuilt adjacency).
+      // The rebuild runs descent TO CONVERGENCE (VERDICT r15 #2) —
+      // a tick that already decided to pay a full rebuild should buy
+      // a converged graph, not the fixed audit budget — and the
+      // report records what it spent.
+      val (r, c) = KnnGraphOps.knnGraphWriteConvergedIndexOf(
         corpus.unionByName(survivors), graphPath)
+      rebuildRounds = r
+      rebuildConverged = if (c) 1L else 0L
       if (fs.exists(deltaDir)) fs.delete(deltaDir, true)
     }
 
@@ -197,7 +223,7 @@ object VectorIngestMain {
     val edgesAfter = spark.read.parquet(s"$graphPath/edges").count()
     val deltaRowsAfter =
       if (fs.exists(deltaDir))
-        spark.read.parquet(s"$graphPath/edges_delta")
+        KnnGraphOps.readDeltaEdges(spark, graphPath)
           .filter(!col("rev")).count()
       else 0L
     if (verdict == "insert") {
@@ -220,7 +246,12 @@ object VectorIngestMain {
       "verdict_rebuild" -> (if (verdict == "rebuild") 1L else 0L),
       "n_sdc_dupped" -> nDup, "n_survivors" -> nSurvivors,
       "edges_before" -> edgesBefore, "edges_after" -> edgesAfter,
-      "delta_rows" -> deltaRowsAfter, "n_unrouted" -> unrouted)
+      "delta_rows" -> deltaRowsAfter, "n_unrouted" -> unrouted,
+      "rebuild_rounds" -> rebuildRounds,
+      "rebuild_converged" -> rebuildConverged,
+      "recall_ppm" -> recallPpm,
+      "recall_floor_ppm" -> graphRecallFloorPpm,
+      "recall_floor_breached" -> (if (floorBreached) 1L else 0L))
   }
 
   def main(args: Array[String]): Unit = {

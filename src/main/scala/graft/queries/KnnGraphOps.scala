@@ -101,12 +101,18 @@ object KnnGraphOps {
     * delta vector enters the corpus graph through the SAME buckets it
     * would have seeded into, so insert needs no new mechanism), and
     * q205's out-of-corpus entry. */
-  private[graft] def seedBuckets(emb: DataFrame,
-      nBuckets: Long): DataFrame = {
+  /** The shipped entry width: two independent salted bucketings (the
+    * expander property the descent seed needs; ONE bucketing = closed
+    * cliques). The A/B lever `EntryWidthAb` turns — never the oracle
+    * arithmetic, which pins exactly these two salts. */
+  private[graft] val SeedSalts: Seq[String] = Seq("a", "b")
+
+  private[graft] def seedBuckets(emb: DataFrame, nBuckets: Long,
+      salts: Seq[String] = SeedSalts): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     emb.select($"vec_id",
-        explode(array(lit("a"), lit("b"))).as("salt"))
+        explode(array(salts.map(lit(_)): _*)).as("salt"))
       .select($"vec_id", $"salt",
         seedBucketCol($"vec_id", $"salt", nBuckets).as("bk"))
   }
@@ -184,6 +190,17 @@ object KnnGraphOps {
     * sim), ≤ k rows per node. */
   private[graft] def nnDescentOf(emb0: DataFrame, k: Int = GraphK,
       rounds: Int = DescentRounds): DataFrame = {
+    val (emb, g0) = descentSeed(emb0, k)
+    val (g, _, _) = Operators.iterateCheckpointed(g0, rounds) {
+      (state, _) => descentRound(emb, state, k)
+    } { (_, _) => false } // fixed-round: run the full budget
+    g
+  }
+
+  /** The hash-bucket seed graph both descent forms start from:
+    * (projected embeddings, round-0 top-k). */
+  private def descentSeed(emb0: DataFrame, k: Int)
+      : (DataFrame, DataFrame) = {
     val spark = emb0.sparkSession
     import spark.implicits._
     val emb = emb0.select($"vec_id", $"embedding")
@@ -198,11 +215,68 @@ object KnnGraphOps {
       .filter($"a_id" =!= $"b_id")
       .select($"a_id", $"b_id")
       .distinct()
-    val g0 = topK(scoreAgainst(emb, seed), k)
-    val (g, _, _) = Operators.iterateCheckpointed(g0, rounds) {
+    (emb, topK(scoreAgainst(emb, seed), k))
+  }
+
+  /** Convergence cap: ~log₂(corpus) rounds reaches any node from a
+    * structure-free seed; 12 covers corpora to ~4k× the 10× stress
+    * tree before the cap (not ε) is what stops a rebuild. */
+  private[graft] val DescentMaxRounds = 12
+
+  /** New-edge-rate floor: a round that improves fewer than 1 % of
+    * adjacency rows is refining noise, not structure (the NN-Descent
+    * paper's δ-termination; its default is 0.001 — 0.01 stops one to
+    * two rounds earlier at a recall cost inside the audit's noise). */
+  private[graft] val DescentEps = 0.01
+
+  /** NN-Descent run to CONVERGENCE (VERDICT r15 #2): the fixed
+    * [[DescentRounds]] budget is an audit point, not convergence — at
+    * the 10× stress scale it measures recall@8 = 0.047, and the
+    * per-round curve ([[graft.DescentRoundsAb]]: 0.008 → 0.201 over
+    * rounds 1–6) shows the knee well past the budget. This form
+    * iterates [[descentRound]] until a round's NEW-EDGE rate — rows of
+    * the next graph absent from the previous, over graph size — drops
+    * below `eps` (the paper's δ-termination), capped at `maxRounds`.
+    * The rate check is one anti-join count over two
+    * checkpoint-materialized ≤ k·n-row frames per round — O(k·n), the
+    * same order as the round it gates, and the `sim` column stays out
+    * of the key (re-scored pairs are bit-identical, so (a_id, b_id)
+    * alone decides novelty). Returns (graph, roundsRun, converged).
+    *
+    * The REBUILD path ([[graft.VectorIngestMain]]) builds with this;
+    * q198's registry entry keeps the fixed-round form — its DuckDB
+    * oracle unrolls exactly [[DescentRounds]] CTE rounds, and a
+    * data-dependent round count cannot be oracle-pinned. */
+  private[graft] def nnDescentToConvergence(emb0: DataFrame,
+      k: Int = GraphK, maxRounds: Int = DescentMaxRounds,
+      eps: Double = DescentEps): (DataFrame, Int, Boolean) = {
+    val (emb, g0) = descentSeed(emb0, k)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    Operators.iterateCheckpointed(g0, maxRounds) {
       (state, _) => descentRound(emb, state, k)
-    } { (_, _) => false } // fixed-round: run the full budget
-    g
+    } { (prev, next) =>
+      // next is checkpoint-materialized by the harness before stop
+      // runs, so both counts read cached blocks
+      val total = math.max(1L, next.count())
+      val fresh = next.select($"a_id", $"b_id")
+        .join(prev.select($"a_id", $"b_id"), Seq("a_id", "b_id"),
+          "left_anti")
+        .count()
+      fresh.toDouble / total < eps
+    }
+  }
+
+  /** Converged-index write — [[knnGraphWriteIndexOf]]'s rebuild-path
+    * twin: writes the ε-terminated graph and reports (roundsRun,
+    * converged) so the caller's reconciliation line records what the
+    * build actually spent (VERDICT r15 #2's "round count in PLANS.md"
+    * doctrine, applied to the artifact's own report). */
+  private[graft] def knnGraphWriteConvergedIndexOf(emb: DataFrame,
+      path: String): (Int, Boolean) = {
+    val (g, rounds, converged) = nnDescentToConvergence(emb)
+    g.write.mode("overwrite").parquet(s"$path/edges")
+    (rounds, converged)
   }
 
   /** The family's shared artifact: the finished k-NN graph, built once
@@ -343,8 +417,40 @@ object KnnGraphOps {
     val fs = deltaPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(deltaPath)) edges
     else edges.unionByName(
-      spark.read.parquet(s"$path/edges_delta")
+      readDeltaEdges(spark, path)
         .select($"vec_id".as("a_id"), $"nb_id".as("b_id"), $"sim"))
+  }
+
+  /** Schema-normalized read of a graph index's `edges_delta` tree
+    * across WRITER GENERATIONS (ADVICE r15): the round-15
+    * bidirectional-insert writer added `rev` (forward vs reverse
+    * twin) and `sim` (the router's exact score, what lets
+    * [[compactGraphIndex]] absorb without re-scoring) to the delta
+    * row shape. A tree written by an earlier insert build may lack
+    * either:
+    *
+    *  - `rev` absent → every row is FORWARD adjacency (old writers
+    *    emitted no reverse twins) — synthesized as `rev = false`, a
+    *    sound fallback (the inserted vectors are route sources but
+    *    not yet findable as results, exactly the old behavior, until
+    *    the next compaction re-ranks them in);
+    *  - `sim` absent → NOT recoverable read-side: serving could route
+    *    the unscored edges, but compaction would absorb null-sim rows
+    *    into the standing table and the top-k degree bound would rank
+    *    garbage. Loud error with the remediation spelled out (force a
+    *    rebuild via [[knnGraphWriteIndexOf]] — which retires the delta
+    *    tree — or delete `edges_delta` and re-send the inserts) rather
+    *    than a silent wrong-answer absorb. */
+  private[graft] def readDeltaEdges(spark: SparkSession,
+      path: String): DataFrame = {
+    val raw = spark.read.parquet(s"$path/edges_delta")
+    require(raw.columns.contains("sim"),
+      s"$path/edges_delta was written by a pre-sim builder; " +
+        "compaction cannot absorb unscored edges — rebuild the index " +
+        "(knnGraphWriteIndexOf retires the delta tree) or delete " +
+        "edges_delta and re-send the inserts through the current writer")
+    if (raw.columns.contains("rev")) raw
+    else raw.withColumn("rev", lit(false))
   }
 
   /** q201 — ANN answered BY ROUTING THE PERSISTED GRAPH (the HNSW
@@ -538,24 +644,48 @@ object KnnGraphOps {
   def deleteFromGraphIndex(spark: SparkSession, path: String,
       vecIds: Seq[Long], survivors: DataFrame): Long = {
     import spark.implicits._
-    import org.apache.hadoop.fs.Path
     // loud, not a silent full rewrite: an empty take-down list is a
     // caller bug (and an affected node missing from `survivors` keeps
     // its filtered adjacency un-healed — scope the frame to cover the
     // deleted ids' neighborhoods, the chunk re-offer contract)
     require(vecIds.nonEmpty, "deleteFromGraphIndex needs at least one id")
+    deleteFromGraphIndex(spark, path,
+      vecIds.toDS().toDF("vec_id"), survivors)
+  }
+
+  /** Take-down-list-as-a-FRAME form (ADVICE r15): the Seq overload
+    * above interpolated its ids into `isin` literal lists — a plan
+    * whose size grows with the take-down (a GDPR-scale purge of a few
+    * million ids would blow the expression tree before it blew
+    * anything else). Victims join as relations instead: semi/anti
+    * joins are the scale-correct shape (AQE broadcasts a small victim
+    * table on its own), and the victim set never touches the driver. */
+  def deleteFromGraphIndex(spark: SparkSession, path: String,
+      victims: DataFrame, survivors: DataFrame): Long = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
     compactGraphIndex(spark, path)
     val edgesDir = new Path(s"$path/edges")
     val tmpDir = new Path(s"$path/edges.compacting")
     val fs = edgesDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val victimIds = victims.select($"vec_id").distinct().persist()
+    require(victimIds.count() > 0L,
+      "deleteFromGraphIndex needs at least one id")
     val corpus = survivors.select($"vec_id", $"embedding")
-      .filter(!$"vec_id".isin(vecIds: _*))
+      .join(victimIds, Seq("vec_id"), "left_anti")
     val g = spark.read.parquet(edgesDir.toString)
-    val kept = g.filter(!$"a_id".isin(vecIds: _*) &&
-      !$"b_id".isin(vecIds: _*))
+    val kept = g
+      .join(victimIds.select($"vec_id".as("a_id")), Seq("a_id"),
+        "left_anti")
+      .join(victimIds.select($"vec_id".as("b_id")), Seq("b_id"),
+        "left_anti")
+      .select(g.columns.map(col): _*)
     // nodes that lost adjacency to a deleted neighbor (and survive)
-    val affected = g.filter($"b_id".isin(vecIds: _*) &&
-        !$"a_id".isin(vecIds: _*))
+    val affected = g
+      .join(victimIds.select($"vec_id".as("b_id")), Seq("b_id"),
+        "left_semi")
+      .join(victimIds.select($"vec_id".as("a_id")), Seq("a_id"),
+        "left_anti")
       .select($"a_id".as("vec_id")).distinct()
       .join(corpus, Seq("vec_id"))
     val routed = deltaRouteOf(affected, corpus,
@@ -573,6 +703,7 @@ object KnnGraphOps {
     kept.join(healedIds, Seq("a_id"), "left_anti").union(healed)
       .write.mode("overwrite").parquet(tmpDir.toString)
     healed.unpersist(blocking = false)
+    victimIds.unpersist(blocking = false)
     swapDirs(fs, tmpDir, edgesDir)
     unrouted
   }
@@ -634,11 +765,14 @@ object KnnGraphOps {
     * the heal path, where routed nodes ARE corpus members and a
     * self-pair would burn a top-k slot at sim 1.0. */
   private[graft] def deltaRouteOf(delta: DataFrame, corpus: DataFrame,
-      g: DataFrame, nBuckets: Long, hops: Int = 2): DataFrame = {
+      g: DataFrame, nBuckets: Long, hops: Int = 2,
+      salts: Seq[String] = SeedSalts): DataFrame = {
     val spark = delta.sparkSession
     import spark.implicits._
-    val cb = seedBuckets(corpus.select($"vec_id", $"embedding"), nBuckets)
-    val db = seedBuckets(delta.select($"vec_id", $"embedding"), nBuckets)
+    val cb = seedBuckets(corpus.select($"vec_id", $"embedding"),
+      nBuckets, salts)
+    val db = seedBuckets(delta.select($"vec_id", $"embedding"),
+      nBuckets, salts)
     val entry = db.select($"vec_id".as("d_id"), $"salt", $"bk")
       .join(cb.select($"vec_id".as("c_id"), $"salt", $"bk"),
         Seq("salt", "bk"))
@@ -734,6 +868,83 @@ object KnnGraphOps {
     exact.join(routed, Seq("vec_id"), "left")
       .select($"rank", $"vec_id",
         coalesce($"in_route", lit(false)).as("in_route"))
+  }
+
+  /** q207 — FLEET form of the out-of-corpus search (VERDICT r15 #4):
+    * q205 serves ONE held-out query; a deployment's serving tier
+    * answers a TABLE of them. Same body — [[deltaRouteOf]] already
+    * takes a frame; q205's wrapper narrowed it to one row — over the
+    * whole held-out set against the same persisted index: per query,
+    * 2 bucket point-lookups + [[RouteHops]] hop joins + ≤
+    * 2·bucket·(1+k+k²+k³) exact scores, so fleet cost is queries ×
+    * a corpus-size-independent constant — embarrassingly parallel by
+    * query_id, the batch-serving shape. Output (query_id, rank,
+    * nb_id), top-5 per query in q205's exact ranking. */
+  def graphSearchFleet(spark: SparkSession, dir: String): DataFrame =
+    graphSearchFleetIndexed(spark, dir,
+      ServingIndexes.knnCorpusGraphIndex(spark, dir))
+
+  /** q207 against an explicit index path (spec + stress entry). */
+  private[graft] def graphSearchFleetIndexed(spark: SparkSession,
+      dir: String, path: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val corpus = emb.filter(!isDeltaVec($"vec_id"))
+    val delta = emb.filter(isDeltaVec($"vec_id"))
+    deltaRouteOf(delta, corpus,
+        readGraphEdges(spark, path).select($"a_id", $"b_id"),
+        math.max(1L, corpus.count() / SeedBucketSize), hops = RouteHops)
+      .filter($"rank" <= 5)
+      .select($"vec_id".as("query_id"), $"rank", $"nb_id")
+  }
+
+  /** q208 — mean hit@5 of the FLEET search (the audit row the verdict
+    * asked for beside q206): for every held-out query, its exact
+    * brute-force top-5 corpus neighbors vs what q207's route
+    * retrieved, rolled up to one row — queries served, total hits,
+    * mean hit@5. q206 reads ONE query's luck; this reads the serving
+    * tier's expected recall, the number a capacity plan multiplies.
+    * The exact arm is the q200 audit shape (held-out side broadcast,
+    * corpus scan never shuffles) — audit-bounded, not a serving path.
+    * Keyless rollup: one row out, partial-aggregated (the
+    * scalarRollup exemption, q197's precedent). */
+  def graphFleetRecall(spark: SparkSession, dir: String): DataFrame =
+    graphFleetRecallIndexed(spark, dir,
+      ServingIndexes.knnCorpusGraphIndex(spark, dir))
+
+  /** q208 against an explicit index path — also the gauge
+    * [[graft.VectorIngestMain]]'s tick reads against ITS OWN standing
+    * index to enforce the [[VectorOps.ReindexPolicy]]
+    * `recall_floor_ppm` (a floor can only be measured on the live
+    * index the tick maintains, not the shared registry artifact). */
+  private[graft] def graphFleetRecallIndexed(spark: SparkSession,
+      dir: String, path: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val corpus = emb.filter(!isDeltaVec($"vec_id"))
+    val delta = emb.filter(isDeltaVec($"vec_id"))
+    val pairs = corpus.select($"vec_id".as("nb_id"),
+        $"embedding".as("c_emb"))
+      .crossJoin(broadcast(delta.select($"vec_id".as("query_id"),
+        $"embedding".as("q_emb"))))
+      .select($"query_id", $"nb_id",
+        nanvl(cosine($"q_emb", $"c_emb"),
+          lit(Double.NegativeInfinity)).as("sim"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"sim".desc, $"nb_id".asc)
+    val exact = pairs.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5).select($"query_id", $"nb_id")
+    val routed = graphSearchFleetIndexed(spark, dir, path)
+      .select($"query_id", $"nb_id", lit(1L).as("hit"))
+    exact.join(routed, Seq("query_id", "nb_id"), "left")
+      .agg(
+        count_distinct($"query_id").as("n_queries"),
+        sum(coalesce($"hit", lit(0L))).as("total_hits"),
+        (sum(coalesce($"hit", lit(0L))) /
+          count_distinct($"query_id")).cast("decimal(18,4)")
+          .cast("double").as("mean_hits"))
   }
 
   /** q203 — hubness audit of the k-NN graph: the k-occurrence
@@ -998,6 +1209,71 @@ object KnnGraphOps {
     graphCtes(where = NotDeltaWhere) + ",\n" + searchCtes +
       "\nSELECT rank, vec_id FROM sroute"
 
+  /** q207's fleet route chain: graphDeltaInsertSql's per-query device
+    * (delta buckets, entry, expansions, PARTITION BY ranking) at
+    * [[RouteHops]] expansions and the top-5 serving cut. */
+  private lazy val fleetCtes = {
+    val expansions = (1 to RouteHops).map { i =>
+      val p = if (i == 1) "fentry" else s"fe${i - 1}"
+      s"""fe$i AS MATERIALIZED (
+         |  SELECT DISTINCT e.d_id, g.b_id AS c_id
+         |  FROM $p e JOIN g$DescentRounds g ON g.a_id = e.c_id)""".stripMargin
+    }.mkString(",\n")
+    val unions = ("SELECT d_id, c_id FROM fentry" +:
+      (1 to RouteHops).map(i => s"SELECT d_id, c_id FROM fe$i"))
+      .mkString("\n  UNION ")
+    s"""fqv AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '1a'),
+       |fqb AS MATERIALIZED (
+       |  SELECT vec_id, salt,
+       |    CAST(concat('0x', substr(md5(concat('knnseed', salt, ':',
+       |      CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) % vnb.nb
+       |      AS bk
+       |  FROM fqv, vnb, (SELECT UNNEST(['a', 'b']) AS salt)),
+       |fentry AS MATERIALIZED (
+       |  SELECT DISTINCT q.vec_id AS d_id, c.vec_id AS c_id
+       |  FROM fqb q JOIN bkt c ON q.salt = c.salt AND q.bk = c.bk),
+       |$expansions,
+       |fcand AS (
+       |  $unions),
+       |froute AS (
+       |  SELECT d_id AS query_id, CAST(rn AS BIGINT) AS rank,
+       |    c_id AS nb_id FROM (
+       |    SELECT p.d_id, p.c_id, ROW_NUMBER() OVER (
+       |        PARTITION BY p.d_id
+       |        ORDER BY ${duckSim("de.embedding", "ce.embedding")} DESC,
+       |                 p.c_id ASC) AS rn
+       |    FROM fcand p
+       |    JOIN fqv de ON de.vec_id = p.d_id
+       |    JOIN vemb ce ON ce.vec_id = p.c_id) t
+       |  WHERE rn <= 5)""".stripMargin
+  }
+
+  private lazy val graphSearchFleetSql =
+    graphCtes(where = NotDeltaWhere) + ",\n" + fleetCtes +
+      "\nSELECT query_id, rank, nb_id FROM froute"
+
+  private lazy val graphFleetRecallSql =
+    graphCtes(where = NotDeltaWhere) + ",\n" + fleetCtes +
+      s""",
+         |fexact AS (
+         |  SELECT query_id, nb_id FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS nb_id,
+         |      ROW_NUMBER() OVER (
+         |        PARTITION BY q.vec_id
+         |        ORDER BY ${duckSim("e.embedding", "q.embedding")} DESC,
+         |                 e.vec_id ASC) AS rn
+         |    FROM vemb e, fqv q) t
+         |  WHERE rn <= 5)
+         |SELECT CAST(COUNT(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+         |  CAST(COALESCE(SUM(CASE WHEN r.nb_id IS NOT NULL
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS total_hits,
+         |  CAST(CAST(SUM(CASE WHEN r.nb_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    / COUNT(DISTINCT e.query_id) AS DECIMAL(18,4)) AS DOUBLE)
+         |    AS mean_hits
+         |FROM fexact e LEFT JOIN froute r
+         |  ON e.query_id = r.query_id AND e.nb_id = r.nb_id""".stripMargin
+
   private lazy val graphSearchRecallSql =
     graphCtes(where = NotDeltaWhere) + ",\n" + searchCtes +
       s""",
@@ -1084,5 +1360,17 @@ object KnnGraphOps {
       "serving-recall audit of the out-of-corpus search: for each of " +
         "the held-out query's exact top-5 corpus neighbors, whether " +
         "q205's bucket-entry route retrieved it — entry-point " +
-        "coverage read separately from q200's graph recall"))
+        "coverage read separately from q200's graph recall"),
+    Q("q207_graph_fleet_search", graphSearchFleet,
+      Some(graphSearchFleetSql),
+      "FLEET out-of-corpus serving: every held-out query routed " +
+        "through the persisted corpus graph in one batch — q205's " +
+        "body over the whole query table, per-query cost independent " +
+        "of corpus size, embarrassingly parallel by query_id"),
+    Q("q208_graph_fleet_recall", graphFleetRecall,
+      Some(graphFleetRecallSql),
+      "mean hit@5 of the fleet search: exact top-5 per held-out " +
+        "query vs the q207 route, one audit row (n_queries, " +
+        "total_hits, mean_hits) — the serving tier's expected " +
+        "recall, read beside q206's single-query luck"))
 }

@@ -3333,14 +3333,30 @@ object VectorOps {
     * drift-only — the row [[graft.VectorIngestMain]]'s nightly tick
     * reads, so tick and report can never diverge (VERDICT r14 #3).
     * Constants interpolated into the oracle from this one table (the
-    * NumShards anti-drift rule). */
-  private[graft] val ReindexPolicy: Seq[(String, Long, Long, Boolean)] =
+    * NumShards anti-drift rule).
+    *
+    * `recall_floor_ppm` (VERDICT r15 #6): the SERVING-recall floor in
+    * integer ppm — the knn_graph row's teeth. Drift gauges what moved
+    * under the index; the floor gauges what the index still DELIVERS:
+    * [[graft.VectorIngestMain]]'s tick measures mean hit@5 of
+    * fleet-routing the held-out queries against its own standing
+    * index (q208's audit body) and forces `rebuild` when the measured
+    * recall falls below the floor, drift or no drift. 200000 ppm
+    * (0.2) is the audited floor for the shipped knobs — the 10×
+    * convergent-build evidence line. 0 = no floor: the quantizer
+    * families' recall protection is the trained-vs-seed gate
+    * (`recall_gated`), not a route-level floor. q197 REPORTS the
+    * floor column (one table, visible in the decision output); the
+    * tick ENFORCES it, because only the tick has a live index to
+    * measure. */
+  private[graft] val ReindexPolicy
+      : Seq[(String, Long, Long, Boolean, Long)] =
     Seq(
-      ("ivf", 100000L, 20000L, true),
-      ("ivf_sq8", 100000L, 20000L, true),
-      ("ivf_pq", 60000L, 50000L, true),
-      ("chunk_pq", 60000L, 50000L, true),
-      ("knn_graph", 100000L, 20000L, false))
+      ("ivf", 100000L, 20000L, true, 0L),
+      ("ivf_sq8", 100000L, 20000L, true, 0L),
+      ("ivf_pq", 60000L, 50000L, true, 0L),
+      ("chunk_pq", 60000L, 50000L, true, 0L),
+      ("knn_graph", 100000L, 20000L, false, 200000L))
 
   /** q197 — the drift→retrain→reindex DECISION: the operational query
     * a 100 TB deployment schedules nightly, closing the loop the
@@ -3374,7 +3390,7 @@ object VectorOps {
         sum(when($"in_trained_probe", 1L).otherwise(0L)).as("trained_hits"))
     val pol = ReindexPolicy
       .toDF("index_family", "tv2_threshold_ppm", "cell_threshold_ppm",
-        "recall_gated")
+        "recall_gated", "recall_floor_ppm")
     pol.crossJoin(broadcast(d)).crossJoin(broadcast(g))
       .withColumn("drift_exceeded",
         $"tv2_ppm" > $"tv2_threshold_ppm" ||
@@ -3387,7 +3403,7 @@ object VectorOps {
       .select($"index_family", $"tv2_ppm", $"max_cell_ppm",
         $"tv2_threshold_ppm", $"cell_threshold_ppm", $"recall_gated",
         $"drift_exceeded", $"seed_hits", $"trained_hits",
-        $"recall_gate_ok", $"verdict")
+        $"recall_gate_ok", $"verdict", $"recall_floor_ppm")
   }
 
   /** Oracle: q141's and q159's full oracles embedded verbatim as CTEs
@@ -3411,11 +3427,12 @@ object VectorOps {
       |    AS trained_hits
       |  FROM rr),
       |pol AS (SELECT * FROM (VALUES
-      |  ${ReindexPolicy.map { case (f, t, c, rg) =>
-      s"('$f', CAST($t AS BIGINT), CAST($c AS BIGINT), $rg)"
+      |  ${ReindexPolicy.map { case (f, t, c, rg, fl) =>
+      s"('$f', CAST($t AS BIGINT), CAST($c AS BIGINT), $rg, " +
+        s"CAST($fl AS BIGINT))"
     }.mkString(", ")})
       |  p(index_family, tv2_threshold_ppm, cell_threshold_ppm,
-      |    recall_gated))
+      |    recall_gated, recall_floor_ppm))
       |SELECT p.index_family, d.tv2_ppm, d.max_cell_ppm,
       |  p.tv2_threshold_ppm, p.cell_threshold_ppm, p.recall_gated,
       |  (d.tv2_ppm > p.tv2_threshold_ppm
@@ -3426,7 +3443,8 @@ object VectorOps {
       |      OR d.max_cell_ppm > p.cell_threshold_ppm) THEN 'keep'
       |    WHEN (NOT p.recall_gated)
       |      OR g.trained_hits >= g.seed_hits THEN 'rebuild'
-      |    ELSE 'hold' END AS verdict
+      |    ELSE 'hold' END AS verdict,
+      |  p.recall_floor_ppm
       |FROM pol p, d, g""".stripMargin
 
   /** q146 — CHUNK-level retrieval, the RAG search loop closed end to

@@ -924,10 +924,12 @@ object StreamingQueries {
       abs(expr(s"CAST(IF(n_total = 0, 0, (1000000 * c$i) div n_total) " +
         "AS BIGINT)") - lit(corpusPpm(i)))): _*)
     val policy = explode(array(VectorOps.ReindexPolicy.map {
-      case (f, tv2, cell, gated) => struct(lit(f).as("index_family"),
-        lit(tv2).as("tv2_threshold_ppm"),
-        lit(cell).as("cell_threshold_ppm"),
-        lit(gated).as("recall_gated"))
+      case (f, tv2, cell, gated, floor) =>
+        struct(lit(f).as("index_family"),
+          lit(tv2).as("tv2_threshold_ppm"),
+          lit(cell).as("cell_threshold_ppm"),
+          lit(gated).as("recall_gated"),
+          lit(floor).as("recall_floor_ppm"))
     }: _*))
     windowedCellAgg(vectors, eventTime, delay)
       .select(col("window.start").as("window_start"),
@@ -939,7 +941,8 @@ object StreamingQueries {
         col("tv2_ppm"), col("max_cell_ppm"),
         col("p.tv2_threshold_ppm").as("tv2_threshold_ppm"),
         col("p.cell_threshold_ppm").as("cell_threshold_ppm"),
-        col("p.recall_gated").as("recall_gated"))
+        col("p.recall_gated").as("recall_gated"),
+        col("p.recall_floor_ppm").as("p_recall_floor_ppm"))
       .withColumn("drift_exceeded",
         col("tv2_ppm") > col("tv2_threshold_ppm") ||
           col("max_cell_ppm") > col("cell_threshold_ppm"))
@@ -950,6 +953,8 @@ object StreamingQueries {
         when(!col("drift_exceeded"), "keep")
           .when(!col("recall_gated") || col("recall_gate_ok"), "rebuild")
           .otherwise("hold"))
+      .withColumn("recall_floor_ppm", col("p_recall_floor_ppm"))
+      .drop("p_recall_floor_ppm")
   }
 
   /** Windowed vocabulary-drift MONITOR — q142's lexical report as an
@@ -1676,13 +1681,20 @@ object StreamingQueries {
     * pair-keyed MAX absorbs as a pure dedup (the calibratedScorerJoined
     * replay note, now with the absorbing maintenance job built). */
   def graphInsertStream(vecs: DataFrame, corpus: DataFrame,
-      indexPath: String, checkpoint: String): StreamingQuery =
+      indexPath: String, checkpoint: String): StreamingQuery = {
+    // bucket modulus frozen at stream definition, exactly like
+    // graphSearchStream's: the standing corpus does not move under an
+    // incremental tick, so paying an O(corpus) count() per micro-batch
+    // (the path documented as per-delta cost) bought nothing
+    val nBuckets = math.max(1L,
+      corpus.count() / graft.queries.KnnGraphOps.SeedBucketSize)
     vecs.writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graphInsertBatch(batch, corpus, indexPath, batchId); ()
+        graphInsertBatch(batch, corpus, indexPath, batchId, nBuckets); ()
       }
       .trigger(Trigger.AvailableNow()).start()
+  }
 
   /** Writes the batch's FORWARD adjacency (delta → corpus, q202's
     * rows, `rev = false`) plus its REVERSE twins (corpus → delta,
@@ -1695,15 +1707,21 @@ object StreamingQueries {
     * re-capped to k at the next compaction's top-k window (the
     * HNSW degree bound, applied at absorb time); serving reads between
     * compactions see the uncapped union, which only ADDS candidates.
-    * Returns the forward row count (q202's contract). */
+    * Returns the forward row count (q202's contract).
+    *
+    * `nBuckets` ≤ 0 (the one-shot-batch default) derives the bucket
+    * modulus from `corpus` here; [[graphInsertStream]] hoists that
+    * count to stream definition and threads it through, so the
+    * per-micro-batch body never rescans the standing corpus. */
   private[graft] def graphInsertBatch(batch: DataFrame, corpus: DataFrame,
-      indexPath: String, batchId: Long): Long = {
+      indexPath: String, batchId: Long, nBuckets: Long = -1L): Long = {
     val spark = batch.sparkSession
     import spark.implicits._
     import graft.queries.KnnGraphOps
     val edges = spark.read.parquet(s"$indexPath/edges")
-    val routed = KnnGraphOps.deltaRouteOf(batch, corpus, edges,
-      math.max(1L, corpus.count() / KnnGraphOps.SeedBucketSize))
+    val nb = if (nBuckets > 0) nBuckets
+      else math.max(1L, corpus.count() / KnnGraphOps.SeedBucketSize)
+    val routed = KnnGraphOps.deltaRouteOf(batch, corpus, edges, nb)
       .persist()
     val n = routed.count()
     val reverse = routed.select($"nb_id".as("vec_id"), $"rank",
@@ -1744,7 +1762,21 @@ object StreamingQueries {
     * under it (the graphInsertStream contract). */
   def graphSearchStream(queries: DataFrame, corpus: DataFrame,
       indexPath: String, k: Int = 5, eventTime: String = "event_ts",
-      delay: String = "10 seconds"): DataFrame = {
+      delay: String = "10 seconds"): DataFrame =
+    graphSearchStreamWithCleanup(queries, corpus, indexPath, k,
+      eventTime, delay)._1
+
+  /** [[graphSearchStream]] plus an unpersist handle for the three
+    * frames it caches for the stream's lifetime (corpus buckets, edge
+    * table, corpus embeddings — all stream-static point-lookup sides).
+    * A long-lived server that stops the query calls the handle to
+    * release the blocks; the convenience overload above leaves them
+    * cached for the session, which is correct for a serve-forever
+    * stream but leaked memory for anything that cycles streams
+    * (ADVICE r15). */
+  def graphSearchStreamWithCleanup(queries: DataFrame, corpus: DataFrame,
+      indexPath: String, k: Int = 5, eventTime: String = "event_ts",
+      delay: String = "10 seconds"): (DataFrame, () => Unit) = {
     import graft.queries.KnnGraphOps
     import graft.functions.VectorExpressions.cosine
     val spark = corpus.sparkSession
@@ -1773,7 +1805,7 @@ object StreamingQueries {
           col("b_id").as("c_id"))
     val frontiers = Iterator.iterate(entry)(expand)
       .take(KnnGraphOps.RouteHops + 1).toSeq
-    frontiers.reduce(_ union _)
+    val out = frontiers.reduce(_ union _)
       .join(cemb, "c_id")
       // nanvl first: a zero-norm candidate (NaN → -inf) must sort
       // last, not NaN-top; a WRONG-DIM candidate's cosine is NULL
@@ -1794,5 +1826,10 @@ object StreamingQueries {
         .as("topk"))
       .select(col("query_id"), col("window.start").as("window_start"),
         col("topk"))
+    (out, () => {
+      cb.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      cemb.unpersist(blocking = false)
+    })
   }
 }

@@ -216,6 +216,11 @@ object Stress10xSpec {
     // can move (VERDICT r14 #6; numbers land in PLANS.md).
     runAndAudit("q205_graph_search")
     runAndAudit("q206_graph_search_recall")
+    // round-17 fleet serving: all ~2k held-out queries in one batch —
+    // queries × a corpus-size-independent per-query constant; the
+    // recall rollup is a one-row scalar report (hence the opt-in)
+    runAndAudit("q207_graph_fleet_search")
+    runAndAudit("q208_graph_fleet_recall", scalarRollup = true)
     locally {
       def coverage(name: String): (Long, Long) = {
         val flags = SparkEntry.queries(name)(spark, dir)
@@ -280,6 +285,52 @@ object Stress10xSpec {
       require(overCap == 0, "per-node cap violated after delete at 10x")
       println(s"[stress10x] lifecycle: $nFwd forward rows inserted, " +
         s"${victims.size} vectors deleted, edges ${g.count()}")
+    }
+
+    // round-17 (VERDICT r15 #2): the REBUILD path's ε-terminated
+    // descent at 10x — the scale where the fixed 3-round audit budget
+    // measures recall@8 = 0.047 and the DescentRoundsAb curve shows
+    // the knee past round 6. Evidence for PLANS.md: rounds actually
+    // run, converged flag, and the convergent graph's q200-shape
+    // recall, which must clear 0.2 (the verdict's floor).
+    locally {
+      import graft.queries.KnnGraphOps
+      import graft.functions.VectorExpressions.cosine
+      import org.apache.spark.sql.expressions.Window
+      val emb10 = graft.sources.Tables(spark, dir, "embeddings")
+        .select(F.col("vec_id"), F.col("embedding")).persist()
+      val k = KnnGraphOps.GraphK
+      val t0 = System.nanoTime()
+      val (g, rounds, converged) =
+        KnnGraphOps.nnDescentToConvergence(emb10)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val sample = emb10
+        .filter(F.col("vec_id") % KnnGraphOps.RecallSampleMod === 0)
+      val pairs = emb10.select(F.col("vec_id").as("b_id"))
+        .crossJoin(F.broadcast(sample.select(F.col("vec_id").as("a_id"))))
+        .filter(F.col("a_id") =!= F.col("b_id"))
+        .join(emb10.select(F.col("vec_id").as("a_id"),
+          F.col("embedding").as("a_emb")), "a_id")
+        .join(emb10.select(F.col("vec_id").as("b_id"),
+          F.col("embedding").as("b_emb")), "b_id")
+        .select(F.col("a_id"), F.col("b_id"),
+          F.nanvl(cosine(F.col("a_emb"), F.col("b_emb")),
+            F.lit(Double.NegativeInfinity)).as("sim"))
+      val w = Window.partitionBy(F.col("a_id"))
+        .orderBy(F.col("sim").desc, F.col("b_id").asc)
+      val exact = pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k).select("a_id", "b_id").persist()
+      val nSampled = exact.select("a_id").distinct().count()
+      val hits = exact.join(g.select("a_id", "b_id"),
+        Seq("a_id", "b_id")).count()
+      val recall = hits.toDouble / (nSampled * k)
+      println(f"[stress10x] converged descent: rounds=$rounds%d " +
+        f"converged=$converged%b recall@$k%d=$recall%.3f " +
+        f"(build ${buildSec}%.1f s; fixed-3-round reference 0.047)")
+      require(recall >= 0.2,
+        f"convergent build recall $recall%.3f < 0.2 at 10x")
+      exact.unpersist(blocking = false)
+      emb10.unpersist(blocking = false)
     }
 
     // q115's scale lever, measured on the quantity that matters at

@@ -31,10 +31,16 @@ class VectorIngestMainSpec extends SparkSuite {
     assert(c1("edges_after") == c1("edges_before"))
     val first = edgeSet(out)
     assert(first.nonEmpty)
-    // replay: same out dir, same verdict — storage must not move
+    // replay: same out dir, same verdict — storage must not move.
+    // recall_ppm is excluded from the equality: the gauge reads the
+    // LIVE serving view, which tick 1's own append legitimately
+    // changed (edges_delta now serves beside edges) — idempotency is
+    // a storage property, and the floor flag must stay clear
     val c2 = VectorIngestMain.runVectorIngest(spark, sf0001, out,
       forceVerdict = Some("insert")).toMap
-    assert(c2 == c1, s"replay drifted: $c2 vs $c1")
+    assert(c2 - "recall_ppm" == c1 - "recall_ppm",
+      s"replay drifted: $c2 vs $c1")
+    assert(c2("recall_floor_breached") == 0L)
     assert(edgeSet(out) == first)
   }
 
@@ -57,7 +63,10 @@ class VectorIngestMainSpec extends SparkSuite {
     assert(edgeSet(out) != pristine, "fixture failed to tear")
     val c2 = VectorIngestMain.runVectorIngest(spark, sf0001, out,
       forceVerdict = Some("insert")).toMap
-    assert(c2 == c1)
+    // recall_ppm excluded: the gauge reads the live serving view (the
+    // torn delta was part of it mid-test) — the insert-branch replay
+    // test's storage-property rule
+    assert(c2 - "recall_ppm" == c1 - "recall_ppm")
     assert(edgeSet(out) == pristine, "replay must heal the torn batch")
   }
 
@@ -81,14 +90,55 @@ class VectorIngestMainSpec extends SparkSuite {
       "rebuild must fold survivors into the standing graph")
   }
 
-  test("natural verdict follows the drift thresholds") {
+  test("natural verdict follows the drift thresholds and the recall " +
+      "floor") {
     val out = freshOut("nat")
     val c = VectorIngestMain.runVectorIngest(spark, sf0001, out).toMap
     val expect =
       c("tv2_ppm") > VectorIngestMain.graphTv2ThresholdPpm ||
-        c("max_cell_ppm") > VectorIngestMain.graphCellThresholdPpm
+        c("max_cell_ppm") > VectorIngestMain.graphCellThresholdPpm ||
+        c("recall_floor_breached") == 1L
     assert(c("verdict_rebuild") == (if (expect) 1L else 0L),
-      s"verdict must be the drift decision: $c")
+      s"verdict must be the drift-or-floor decision: $c")
+    // the gauge itself reconciles with the policy row it enforces
+    assert(c("recall_floor_ppm") == VectorIngestMain.graphRecallFloorPpm)
+    assert(c("recall_floor_breached") ==
+      (if (c("recall_ppm") < c("recall_floor_ppm")) 1L else 0L))
+  }
+
+  test("breached recall floor forces rebuild, and the rebuild heals " +
+      "the gauge (VERDICT r15 #6)") {
+    import spark.implicits._
+    val out = freshOut("floor")
+    val c1 = VectorIngestMain.runVectorIngest(spark, sf0001, out,
+      forceVerdict = Some("insert")).toMap
+    assert(c1("recall_floor_breached") == 0L,
+      s"healthy index must clear the floor: $c1")
+    // degrade the standing index IN PLACE (zero drift — the failure
+    // mode only the serving gauge can see): every node's adjacency
+    // collapses to one target, so routes see bucket entries only;
+    // the delta tree goes too, else its healthy adjacency re-injects
+    // good candidates through reverse edges
+    val ids = spark.read.parquet(s"$out/knn_graph/edges")
+      .select($"a_id").distinct().collect().map(_.getLong(0))
+    val sink = ids.min
+    ids.filter(_ != sink).map(a => (a, sink, 0.0)).toSeq
+      .toDF("a_id", "b_id", "sim")
+      .write.mode("overwrite").parquet(s"$out/knn_graph/edges")
+    val hfs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.delete(
+      new org.apache.hadoop.fs.Path(s"$out/knn_graph/edges_delta"), true)
+    val c2 = VectorIngestMain.runVectorIngest(spark, sf0001, out).toMap
+    assert(c2("recall_floor_breached") == 1L,
+      s"degraded index must breach the floor: $c2")
+    assert(c2("verdict_rebuild") == 1L,
+      s"breached floor must force rebuild: $c2")
+    // the rebuild heals: the next tick's gauge clears the floor again
+    val c3 = VectorIngestMain.runVectorIngest(spark, sf0001, out,
+      forceVerdict = Some("insert")).toMap
+    assert(c3("recall_floor_breached") == 0L,
+      s"rebuild must restore serving recall: $c3")
   }
 
   test("tick verdict == q197's knn_graph policy row verbatim " +
@@ -105,6 +155,13 @@ class VectorIngestMainSpec extends SparkSuite {
     assert(r.getAs[Long]("max_cell_ppm") == c("max_cell_ppm"))
     assert(!r.getAs[Boolean]("recall_gated"),
       "the graph family is drift-only; its row must not be recall-gated")
+    // q197 reports the floor, the tick enforces it — parity with the
+    // drift verdict is claimed (and holds) only while the floor is
+    // clear, which a healthy fixture must be
+    assert(r.getAs[Long]("recall_floor_ppm") == c("recall_floor_ppm"),
+      "q197's graph row must carry the same floor the tick enforces")
+    assert(c("recall_floor_breached") == 0L,
+      s"healthy fixture breached the recall floor: $c")
     val q197Rebuild = r.getAs[String]("verdict") == "rebuild"
     assert(c("verdict_rebuild") == (if (q197Rebuild) 1L else 0L),
       s"tick verdict diverged from q197's graph row: $r vs $c")

@@ -192,6 +192,52 @@ class GraphIndexLifecycleSpec extends SparkSuite {
     assert(!fs.exists(new Path(s"$w3/edges_delta")))
   }
 
+  test("writer-generation fallback (ADVICE r15): a rev-less delta tree " +
+      "reads as all-forward; a sim-less tree fails loud with the " +
+      "rebuild remediation") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graphidx-oldgen").toString
+    KnnGraphOps.knnGraphWriteIndexOf(corpus, path)
+    // shape A — pre-bidirectional writer: (vec_id, rank, nb_id, sim),
+    // no rev column. Fallback: every row is FORWARD adjacency.
+    val cids = corpus.orderBy(col("vec_id")).limit(2)
+      .collect().map(_.getLong(0))
+    val dId = emb.filter(isDelta).orderBy(col("vec_id")).limit(1)
+      .collect().head.getLong(0)
+    Seq((dId, 1L, cids(0), 0.9), (dId, 2L, cids(1), 0.8))
+      .toDF("vec_id", "rank", "nb_id", "sim")
+      .write.mode("overwrite").parquet(s"$path/edges_delta/batch=0")
+    val normalized = KnnGraphOps.readDeltaEdges(spark, path)
+    assert(normalized.columns.contains("rev"))
+    assert(normalized.filter(col("rev")).count() == 0L,
+      "a rev-less tree must normalize to all-forward rows")
+    val view = edgeSet(path)
+    assert(view.contains((dId, cids(0), 0.9)) &&
+      view.contains((dId, cids(1), 0.8)),
+      "the old tree's forward adjacency must serve through the view")
+    // and compaction absorbs the normalized tree like a current one
+    KnnGraphOps.compactGraphIndex(spark, path)
+    assert(!fs.exists(new Path(s"$path/edges_delta")))
+    assert(spark.read.parquet(s"$path/edges")
+      .filter(col("a_id") === dId).count() == 2L)
+    // shape B — pre-sim writer: (vec_id, rank, nb_id). Not recoverable
+    // read-side (compaction would rank null-sim edges); must fail loud
+    // with the remediation, never absorb silently.
+    Seq((dId, 1L, cids(0)), (dId, 2L, cids(1)))
+      .toDF("vec_id", "rank", "nb_id")
+      .write.mode("overwrite").parquet(s"$path/edges_delta/batch=0")
+    val e = intercept[IllegalArgumentException] {
+      KnnGraphOps.readDeltaEdges(spark, path)
+    }
+    assert(e.getMessage.contains("rebuild"),
+      "the error must spell out the remediation")
+    val e2 = intercept[IllegalArgumentException] {
+      KnnGraphOps.compactGraphIndex(spark, path)
+    }
+    assert(e2.getMessage.contains("pre-sim"))
+  }
+
   test("delete removes the vector from every adjacency and route, " +
       "heals affected nodes, leaves untouched nodes byte-identical") {
     val path = buildIndex("del")

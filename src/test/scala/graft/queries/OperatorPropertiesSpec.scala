@@ -1310,6 +1310,70 @@ class OperatorPropertiesSpec extends SparkSuite {
     }
   }
 
+  test("NN-Descent δ-termination (VERDICT r15 #2): stops before the " +
+      "cap, reports converged, and never trails the fixed budget") {
+    import spark.implicits._
+    val vecs = clusteredEmb(offset = false)
+    val df = vecs.toDF("vec_id", "embedding")
+    val (g, rounds, converged) =
+      KnnGraphOps.nnDescentToConvergence(df, k = 4)
+    assert(converged,
+      "48 clustered vectors must hit eps before DescentMaxRounds")
+    assert(rounds >= 1 && rounds < KnnGraphOps.DescentMaxRounds)
+    def pairs(frame: org.apache.spark.sql.DataFrame) =
+      frame.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs(g)
+    val truth = bruteGraph(vecs, 4)
+    val fixed = pairs(KnnGraphOps.nnDescentOf(df, k = 4))
+    val recConv = (got & truth).size.toDouble / truth.size
+    val recFixed = (fixed & truth).size.toDouble / truth.size
+    // the merge keeps every standing edge as a candidate, so extra
+    // rounds can only improve the per-node top-k — the converged
+    // build must dominate the audit budget it replaces on rebuilds
+    assert(recConv >= recFixed - 1e-9,
+      s"converged $recConv trails fixed-budget $recFixed")
+    assert(recConv >= 0.9, s"converged recall $recConv < 0.9")
+    assert(got.size == truth.size, "some node lost graph degree")
+  }
+
+  test("fleet search q207: restricted to the held-out q205 query it " +
+      "equals q205 verbatim; every held-out query is served; q208's " +
+      "rollup reconciles") {
+    import spark.implicits._
+    val emb = graft.sources.Tables(spark, sf0001, "embeddings")
+    val isDelta = substring(
+      md5($"vec_id".cast("string")), 1, 2) < "1a"
+    val deltaIds = emb.filter(isDelta).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val q205Id = deltaIds.min
+    val fleet = KnnGraphOps.graphSearchFleet(spark, sf0001).collect()
+    // the wrapper narrowed deltaRouteOf to one row — the fleet must
+    // reproduce that row's answer bit-for-bit on the same index
+    val fleetSingle = fleet.filter(_.getLong(0) == q205Id)
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val single = KnnGraphOps.graphSearch(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(fleetSingle == single,
+      s"fleet row for $q205Id diverges from q205: $fleetSingle vs $single")
+    // every held-out query served, top-5 cut respected
+    val byQuery = fleet.groupBy(_.getLong(0))
+    assert(byQuery.keySet == deltaIds,
+      "fleet must serve exactly the held-out queries")
+    assert(byQuery.values.forall(_.length <= 5))
+    // q208 reconciles against its own inputs
+    val audit = KnnGraphOps.graphFleetRecall(spark, sf0001).collect().head
+    val n = audit.getLong(0)
+    val hits = audit.getLong(1)
+    val mean = audit.getDouble(2)
+    assert(n == deltaIds.size.toLong)
+    assert(hits >= 0L && hits <= 5L * n)
+    assert(mean == new java.math.BigDecimal(hits)
+      .divide(new java.math.BigDecimal(n), 4,
+        java.math.RoundingMode.HALF_UP).doubleValue(),
+      s"mean_hits $mean != $hits/$n")
+  }
+
   test("mutual-kNN clusters: min-labels are closed, every vector " +
       "labeled once, mutual edges never cross clusters") {
     import spark.implicits._

@@ -620,7 +620,8 @@ class StreamingSpec extends SparkSuite {
     val batch = graft.queries.VectorOps.reindexDecision(spark, sf0001)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6),
-        r.getLong(7), r.getLong(8), r.getBoolean(9), r.getString(10)))
+        r.getLong(7), r.getLong(8), r.getBoolean(9), r.getString(10),
+        r.getLong(11)))
       .toMap
     assert(batch.size == 5)
     val audit = graft.queries.VectorOps.refinedRecall(spark, sf0001)
@@ -641,7 +642,8 @@ class StreamingSpec extends SparkSuite {
         java.sql.Timestamp.valueOf("2025-01-25 16:00:00"))
       .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7),
-        r.getLong(8), r.getLong(9), r.getBoolean(10), r.getString(11)))
+        r.getLong(8), r.getLong(9), r.getBoolean(10), r.getString(11),
+        r.getLong(12)))
       .toMap
     q.stop()
     assert(got == batch, s"stream=$got batch=$batch")
@@ -1470,9 +1472,11 @@ class StreamingSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).take(3)
     val t0 = java.sql.Timestamp.valueOf("2025-01-25 16:00:01")
     val ms = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
-    val q = StreamingQueries.graphSearchStream(
+    val (searchDf, searchCleanup) =
+      StreamingQueries.graphSearchStreamWithCleanup(
         ms.toDF().toDF("query_id", "embedding", "event_ts"), corpus,
         idxPath)
+    val q = searchDf
       .writeStream.outputMode("append").format("memory")
       .queryName("graph_search_out").start()
     ms.addData(deltas.map(d => (d._1, d._2, t0)).toIndexedSeq: _*)
@@ -1510,5 +1514,8 @@ class StreamingSpec extends SparkSuite {
     assert(expect.nonEmpty)
     for ((id, want) <- expect)
       assert(got(id) == want, s"query $id: ${got(id)} vs $want")
+    // release the stream's three cached static frames (ADVICE r15):
+    // after the handle runs, no block from this stream lingers
+    searchCleanup()
   }
 }
