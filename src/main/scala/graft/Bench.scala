@@ -110,7 +110,7 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries.keySet
       else SparkEntry.queries.keySet.filter(args.contains)
     if (Seq("q172", "q173", "q174", "q175", "q201", "q202", "q204",
-        "q205", "q206", "q207", "q208")
+        "q205", "q206", "q207", "q208", "q209", "q210")
         .exists(p => selectedNames.exists(_.startsWith(p))))
       graft.queries.ServingIndexes.ensureAll(spark, sfDir)
 

@@ -884,9 +884,12 @@ object KnnGraphOps {
     graphSearchFleetIndexed(spark, dir,
       ServingIndexes.knnCorpusGraphIndex(spark, dir))
 
-  /** q207 against an explicit index path (spec + stress entry). */
+  /** q207 against an explicit index path (spec + stress entry).
+    * `salts` widens the ENTRY only — the standing graph, hop budget,
+    * scoring, and cut are byte-identical across widths. */
   private[graft] def graphSearchFleetIndexed(spark: SparkSession,
-      dir: String, path: String): DataFrame = {
+      dir: String, path: String,
+      salts: Seq[String] = SeedSalts): DataFrame = {
     import spark.implicits._
     val emb = Tables(spark, dir, "embeddings")
       .select($"vec_id", $"embedding")
@@ -894,10 +897,41 @@ object KnnGraphOps {
     val delta = emb.filter(isDeltaVec($"vec_id"))
     deltaRouteOf(delta, corpus,
         readGraphEdges(spark, path).select($"a_id", $"b_id"),
-        math.max(1L, corpus.count() / SeedBucketSize), hops = RouteHops)
+        math.max(1L, corpus.count() / SeedBucketSize), hops = RouteHops,
+        salts = salts)
       .filter($"rank" <= 5)
       .select($"vec_id".as("query_id"), $"rank", $"nb_id")
   }
+
+  /** The wide-entry salt list q209/q210 serve with: the build's two
+    * bucketings plus ONE extra independent salt at query time.
+    * Query-side only — the standing graph and its seed arithmetic are
+    * untouched (a query vector buckets statelessly, so entry width is
+    * a pure serving knob, no index rebuild). `EntryWidthAb` measured
+    * the curve this ships: at 10×, mean entry 32 → 48 lifts fleet
+    * hit@5 0.346 → 0.474 at flat route wall. */
+  private[graft] val WideSalts: Seq[String] = Seq("a", "b", "c")
+
+  /** q209 — the FLEET search at WIDE ENTRY (the EntryWidthAb lever,
+    * productized): q207's exact body with three salted entry
+    * bucketings per query instead of two. Candidate bound per query
+    * rises 2·bucket·(1+k+k²+k³) → 3·bucket·(1+k+k²+k³) — still
+    * corpus-size-independent; the recall it buys is q210's audit
+    * row beside q208's. */
+  def graphSearchFleetWide(spark: SparkSession, dir: String): DataFrame =
+    graphSearchFleetIndexed(spark, dir,
+      ServingIndexes.knnCorpusGraphIndex(spark, dir), WideSalts)
+
+  /** q210 — q208's mean-hit@5 audit over the WIDE-entry route: the
+    * pair of rows a deployment reads side by side to decide whether
+    * the third salt pays for itself. Monotone by construction (a
+    * wider entry only ADDS candidates, and any candidate that
+    * displaces an exact-top-5 member from the route cut is itself an
+    * exact-top-5 member — OperatorPropertiesSpec pins
+    * total_hits(wide) ≥ total_hits(prod)). */
+  def graphFleetRecallWide(spark: SparkSession, dir: String): DataFrame =
+    graphFleetRecallIndexed(spark, dir,
+      ServingIndexes.knnCorpusGraphIndex(spark, dir), WideSalts)
 
   /** q208 — mean hit@5 of the FLEET search (the audit row the verdict
     * asked for beside q206): for every held-out query, its exact
@@ -919,7 +953,8 @@ object KnnGraphOps {
     * `recall_floor_ppm` (a floor can only be measured on the live
     * index the tick maintains, not the shared registry artifact). */
   private[graft] def graphFleetRecallIndexed(spark: SparkSession,
-      dir: String, path: String): DataFrame = {
+      dir: String, path: String,
+      salts: Seq[String] = SeedSalts): DataFrame = {
     import spark.implicits._
     val emb = Tables(spark, dir, "embeddings")
       .select($"vec_id", $"embedding")
@@ -936,7 +971,7 @@ object KnnGraphOps {
       .orderBy($"sim".desc, $"nb_id".asc)
     val exact = pairs.withColumn("rn", row_number().over(w))
       .filter($"rn" <= 5).select($"query_id", $"nb_id")
-    val routed = graphSearchFleetIndexed(spark, dir, path)
+    val routed = graphSearchFleetIndexed(spark, dir, path, salts)
       .select($"query_id", $"nb_id", lit(1L).as("hit"))
     exact.join(routed, Seq("query_id", "nb_id"), "left")
       .agg(
@@ -1209,10 +1244,12 @@ object KnnGraphOps {
     graphCtes(where = NotDeltaWhere) + ",\n" + searchCtes +
       "\nSELECT rank, vec_id FROM sroute"
 
-  /** q207's fleet route chain: graphDeltaInsertSql's per-query device
-    * (delta buckets, entry, expansions, PARTITION BY ranking) at
-    * [[RouteHops]] expansions and the top-5 serving cut. */
-  private lazy val fleetCtes = {
+  /** q207/q209's fleet route chain: graphDeltaInsertSql's per-query
+    * device (delta buckets, entry, expansions, PARTITION BY ranking)
+    * at [[RouteHops]] expansions and the top-5 serving cut, over the
+    * given entry-salt list (q207 the build's two, q209 the wide
+    * three). */
+  private def fleetCtes(salts: Seq[String] = SeedSalts) = {
     val expansions = (1 to RouteHops).map { i =>
       val p = if (i == 1) "fentry" else s"fe${i - 1}"
       s"""fe$i AS MATERIALIZED (
@@ -1229,10 +1266,20 @@ object KnnGraphOps {
        |    CAST(concat('0x', substr(md5(concat('knnseed', salt, ':',
        |      CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) % vnb.nb
        |      AS bk
-       |  FROM fqv, vnb, (SELECT UNNEST(['a', 'b']) AS salt)),
+       |  FROM fqv, vnb,
+       |    (SELECT UNNEST([${salts.map(s => s"'$s'").mkString(", ")}])
+       |      AS salt)),
+       |fcb AS MATERIALIZED (
+       |  SELECT vec_id, salt,
+       |    CAST(concat('0x', substr(md5(concat('knnseed', salt, ':',
+       |      CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) % vnb.nb
+       |      AS bk
+       |  FROM vemb, vnb,
+       |    (SELECT UNNEST([${salts.map(s => s"'$s'").mkString(", ")}])
+       |      AS salt)),
        |fentry AS MATERIALIZED (
        |  SELECT DISTINCT q.vec_id AS d_id, c.vec_id AS c_id
-       |  FROM fqb q JOIN bkt c ON q.salt = c.salt AND q.bk = c.bk),
+       |  FROM fqb q JOIN fcb c ON q.salt = c.salt AND q.bk = c.bk),
        |$expansions,
        |fcand AS (
        |  $unions),
@@ -1250,29 +1297,42 @@ object KnnGraphOps {
   }
 
   private lazy val graphSearchFleetSql =
-    graphCtes(where = NotDeltaWhere) + ",\n" + fleetCtes +
+    graphCtes(where = NotDeltaWhere) + ",\n" + fleetCtes() +
       "\nSELECT query_id, rank, nb_id FROM froute"
 
+  private lazy val graphSearchFleetWideSql =
+    graphCtes(where = NotDeltaWhere) + ",\n" + fleetCtes(WideSalts) +
+      "\nSELECT query_id, rank, nb_id FROM froute"
+
+  /** q208/q210's shared audit tail over whichever froute the salt
+    * list produced. */
+  private lazy val fleetRecallTail =
+    s""",
+       |fexact AS (
+       |  SELECT query_id, nb_id FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS nb_id,
+       |      ROW_NUMBER() OVER (
+       |        PARTITION BY q.vec_id
+       |        ORDER BY ${duckSim("e.embedding", "q.embedding")} DESC,
+       |                 e.vec_id ASC) AS rn
+       |    FROM vemb e, fqv q) t
+       |  WHERE rn <= 5)
+       |SELECT CAST(COUNT(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+       |  CAST(COALESCE(SUM(CASE WHEN r.nb_id IS NOT NULL
+       |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS total_hits,
+       |  CAST(CAST(SUM(CASE WHEN r.nb_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    / COUNT(DISTINCT e.query_id) AS DECIMAL(18,4)) AS DOUBLE)
+       |    AS mean_hits
+       |FROM fexact e LEFT JOIN froute r
+       |  ON e.query_id = r.query_id AND e.nb_id = r.nb_id""".stripMargin
+
   private lazy val graphFleetRecallSql =
-    graphCtes(where = NotDeltaWhere) + ",\n" + fleetCtes +
-      s""",
-         |fexact AS (
-         |  SELECT query_id, nb_id FROM (
-         |    SELECT q.vec_id AS query_id, e.vec_id AS nb_id,
-         |      ROW_NUMBER() OVER (
-         |        PARTITION BY q.vec_id
-         |        ORDER BY ${duckSim("e.embedding", "q.embedding")} DESC,
-         |                 e.vec_id ASC) AS rn
-         |    FROM vemb e, fqv q) t
-         |  WHERE rn <= 5)
-         |SELECT CAST(COUNT(DISTINCT e.query_id) AS BIGINT) AS n_queries,
-         |  CAST(COALESCE(SUM(CASE WHEN r.nb_id IS NOT NULL
-         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS total_hits,
-         |  CAST(CAST(SUM(CASE WHEN r.nb_id IS NOT NULL THEN 1 ELSE 0 END)
-         |    / COUNT(DISTINCT e.query_id) AS DECIMAL(18,4)) AS DOUBLE)
-         |    AS mean_hits
-         |FROM fexact e LEFT JOIN froute r
-         |  ON e.query_id = r.query_id AND e.nb_id = r.nb_id""".stripMargin
+    graphCtes(where = NotDeltaWhere) + ",\n" + fleetCtes() +
+      fleetRecallTail
+
+  private lazy val graphFleetRecallWideSql =
+    graphCtes(where = NotDeltaWhere) + ",\n" + fleetCtes(WideSalts) +
+      fleetRecallTail
 
   private lazy val graphSearchRecallSql =
     graphCtes(where = NotDeltaWhere) + ",\n" + searchCtes +
@@ -1372,5 +1432,16 @@ object KnnGraphOps {
       "mean hit@5 of the fleet search: exact top-5 per held-out " +
         "query vs the q207 route, one audit row (n_queries, " +
         "total_hits, mean_hits) — the serving tier's expected " +
-        "recall, read beside q206's single-query luck"))
+        "recall, read beside q206's single-query luck"),
+    Q("q209_graph_fleet_wide", graphSearchFleetWide,
+      Some(graphSearchFleetWideSql),
+      "fleet search at WIDE entry: a third independent salted " +
+        "bucketing per query (query-side only — no index change), " +
+        "the EntryWidthAb lever productized; candidate bound " +
+        "3·bucket·(1+k+k²+k³), still corpus-size-independent"),
+    Q("q210_graph_fleet_wide_recall", graphFleetRecallWide,
+      Some(graphFleetRecallWideSql),
+      "mean hit@5 of the wide-entry fleet — q208's audit row for " +
+        "q209, the side-by-side pair that prices the third salt; " +
+        "monotone ≥ q208 by construction (entry only adds candidates)"))
 }

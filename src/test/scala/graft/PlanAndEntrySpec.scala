@@ -129,7 +129,8 @@ class PlanAndEntrySpec extends SparkSuite {
     // not the data. Only declared one-row-report queries opt in; the
     // ban stays the default for everything else.
     val scalarRollups = Set("q186_scorer_agreement", "q194_retrieval_eval",
-      "q197_reindex_decision", "q208_graph_fleet_recall")
+      "q197_reindex_decision", "q208_graph_fleet_recall",
+      "q210_graph_fleet_wide_recall")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, sf0001).queryExecution.executedPlan.toString

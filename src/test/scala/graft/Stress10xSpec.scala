@@ -221,6 +221,8 @@ object Stress10xSpec {
     // recall rollup is a one-row scalar report (hence the opt-in)
     runAndAudit("q207_graph_fleet_search")
     runAndAudit("q208_graph_fleet_recall", scalarRollup = true)
+    runAndAudit("q209_graph_fleet_wide")
+    runAndAudit("q210_graph_fleet_wide_recall", scalarRollup = true)
     locally {
       def coverage(name: String): (Long, Long) = {
         val flags = SparkEntry.queries(name)(spark, dir)

@@ -1372,6 +1372,15 @@ class OperatorPropertiesSpec extends SparkSuite {
       .divide(new java.math.BigDecimal(n), 4,
         java.math.RoundingMode.HALF_UP).doubleValue(),
       s"mean_hits $mean != $hits/$n")
+    // q210 wide entry is MONOTONE: a third salt only ADDS candidates,
+    // and a candidate that displaces an exact-top-5 member from the
+    // route cut has higher sim, making it an exact-top-5 member
+    // itself — so per query (and in total) hits never regress
+    val wide = KnnGraphOps.graphFleetRecallWide(spark, sf0001)
+      .collect().head
+    assert(wide.getLong(0) == n)
+    assert(wide.getLong(1) >= hits,
+      s"wide entry regressed hits: ${wide.getLong(1)} < $hits")
   }
 
   test("mutual-kNN clusters: min-labels are closed, every vector " +
