@@ -252,10 +252,10 @@ object Bench {
     // as -1 and excluded from the sum) can't masquerade as a
     // faster-looking total when only this line survives truncation
     // the short line's reason to exist is truncation survival (the
-    // round-2 driver clipped a ~4 KB line mid-JSON) — it carries ONLY
-    // the contention marker on top of the totals (~125 bytes), the one
-    // adjudication field the r14 verdict asked for on this line; the
-    // two canary fields ride the full line above
+    // round-2 driver clipped a ~4 KB line mid-JSON) — it carries the
+    // totals plus the three adjudication fields (contention,
+    // cpu_total_s, n_tasks — still ~170 bytes, well inside any tail
+    // window); the two canary fields ride the full line above
     val nFailed = results.count(_._2 < 0)
     // cpu_total_s/n_tasks ride the short line too: it is the line that
     // survives stdout truncation and becomes the round artifact, and

@@ -63,8 +63,15 @@ object VectorIngestMain {
     * ONE place index-rebuild policy lives (VERDICT r14 #3: fresh
     * constants here silently diverged the tick from the report when
     * either changed). The row's `recall_gated = false` encodes the
-    * tick's drift-only arm, so the tick's natural verdict is q197's
-    * graph-family verdict verbatim (spec-pinned). */
+    * tick's drift arm: while the serving-recall floor holds, the
+    * tick's natural verdict is q197's graph-family verdict verbatim
+    * (spec-pinned under exactly that precondition). A BREACHED
+    * `recall_floor_ppm` forces rebuild regardless of drift — the one
+    * sanctioned divergence from the report, because q197 is a
+    * planning query over the corpus tables with no live index to
+    * measure, while the tick gauges the index it maintains
+    * (VERDICT r15 #6; q197 reports the floor column, the tick
+    * enforces it). */
   private[graft] val (graphTv2ThresholdPpm, graphCellThresholdPpm,
       graphRecallFloorPpm) = {
     val (_, tv2, cell, gated, floor) =
@@ -128,9 +135,13 @@ object VectorIngestMain {
     // index — mean hit@5 of fleet-routing the held-out queries, in
     // integer ppm. Drift watches what moved under the index; this
     // watches what the index still delivers — a degraded or torn
-    // edges table (zero drift) only this gauge can see. One bounded
-    // parameter read: the audit is a 1-row rollup.
-    val fr = KnnGraphOps.graphFleetRecallIndexed(spark, dir, graphPath)
+    // edges table (zero drift) only this gauge can see. The exact arm
+    // is capped at the RecallSampleMod query sample (q200's device):
+    // the full-fleet brute force is the registry audit's cost, not
+    // one a nightly tick pays unconditionally. The result read is a
+    // 1-row rollup.
+    val fr = KnnGraphOps.graphFleetRecallIndexed(spark, dir, graphPath,
+        sampleMod = KnnGraphOps.RecallSampleMod)
       .select($"n_queries", $"total_hits").head()
     val (frN, frHits) = (fr.getLong(0), fr.getLong(1))
     val recallPpm =

@@ -78,6 +78,12 @@ object KnnGraphOps {
     * n²). */
   private[graft] val RecallSampleMod = 25
 
+  /** Minimum sampled-fleet size for the tick's recall gauge: at 20
+    * queries the gauge's granularity is 1/(5·20) = 10000 ppm — fine
+    * against the 200000 ppm floor; below that the sample falls back
+    * to the full fleet (see [[graphFleetRecallIndexed]]). */
+  private[graft] val GaugeMinQueries = 20L
+
   /** Mean seed-bucket population: buckets of ~16 across the two salted
     * bucketings give each node ~30 geometry-blind first candidates at
     * all-pairs cost 16²/bucket — constant per bucket, linear in n
@@ -426,8 +432,12 @@ object KnnGraphOps {
     * bidirectional-insert writer added `rev` (forward vs reverse
     * twin) and `sim` (the router's exact score, what lets
     * [[compactGraphIndex]] absorb without re-scoring) to the delta
-    * row shape. A tree written by an earlier insert build may lack
-    * either:
+    * row shape. Each COMMITTED `batch=` directory is read and
+    * normalized SEPARATELY — one whole-tree read would infer the
+    * schema from a single arbitrary footer, and on a
+    * mixed-generation tree that either smuggles null `sim` past the
+    * guard below (new footer wins) or erases genuine reverse twins
+    * (old footer wins). Per directory:
     *
     *  - `rev` absent → every row is FORWARD adjacency (old writers
     *    emitted no reverse twins) — synthesized as `rev = false`, a
@@ -440,17 +450,51 @@ object KnnGraphOps {
     *    garbage. Loud error with the remediation spelled out (force a
     *    rebuild via [[knnGraphWriteIndexOf]] — which retires the delta
     *    tree — or delete `edges_delta` and re-send the inserts) rather
-    *    than a silent wrong-answer absorb. */
+    *    than a silent wrong-answer absorb;
+    *  - `_SUCCESS` absent → the directory is a TORN write (a crash
+    *    inside the idempotent-overwrite foreachBatch sink, possibly
+    *    footerless) awaiting its own replay's overwrite — skipped,
+    *    never read: a serving view must not surface half-committed
+    *    rows, and a gauge that threw on it would brick the very tick
+    *    whose insert path heals it. */
   private[graft] def readDeltaEdges(spark: SparkSession,
       path: String): DataFrame = {
-    val raw = spark.read.parquet(s"$path/edges_delta")
-    require(raw.columns.contains("sim"),
-      s"$path/edges_delta was written by a pre-sim builder; " +
-        "compaction cannot absorb unscored edges — rebuild the index " +
-        "(knnGraphWriteIndexOf retires the delta tree) or delete " +
-        "edges_delta and re-send the inserts through the current writer")
-    if (raw.columns.contains("rev")) raw
-    else raw.withColumn("rev", lit(false))
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"$path/edges_delta")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val committed =
+      if (!fs.exists(root)) Array.empty[Path]
+      else fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("batch="))
+        .filter(d => fs.exists(new Path(d, "_SUCCESS")))
+        .sortBy(_.getName)
+    val frames = committed.toSeq.map { d =>
+      val raw = spark.read.parquet(d.toString)
+      require(raw.columns.contains("sim"),
+        s"$d was written by a pre-sim builder; compaction cannot " +
+          "absorb unscored edges — rebuild the index " +
+          "(knnGraphWriteIndexOf retires the delta tree) or delete " +
+          "edges_delta and re-send the inserts through the current " +
+          "writer")
+      val withRev = if (raw.columns.contains("rev")) raw
+        else raw.withColumn("rev", lit(false))
+      withRev.select(col("vec_id"), col("rank"), col("nb_id"),
+        col("sim"), col("rev"))
+    }
+    if (frames.nonEmpty) frames.reduce(_ unionByName _)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("nb_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sim",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("rev",
+          org.apache.spark.sql.types.BooleanType))))
   }
 
   /** q201 — ANN answered BY ROUTING THE PERSISTED GRAPH (the HNSW
@@ -664,13 +708,16 @@ object KnnGraphOps {
       victims: DataFrame, survivors: DataFrame): Long = {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
+    // validate BEFORE the compaction below rewrites storage: the
+    // empty-take-down caller bug must fail loudly with the index
+    // untouched (the Seq overload's require-first contract)
+    val victimIds = victims.select($"vec_id").distinct().persist()
+    require(victimIds.count() > 0L,
+      "deleteFromGraphIndex needs at least one id")
     compactGraphIndex(spark, path)
     val edgesDir = new Path(s"$path/edges")
     val tmpDir = new Path(s"$path/edges.compacting")
     val fs = edgesDir.getFileSystem(spark.sessionState.newHadoopConf())
-    val victimIds = victims.select($"vec_id").distinct().persist()
-    require(victimIds.count() > 0L,
-      "deleteFromGraphIndex needs at least one id")
     val corpus = survivors.select($"vec_id", $"embedding")
       .join(victimIds, Seq("vec_id"), "left_anti")
     val g = spark.read.parquet(edgesDir.toString)
@@ -951,15 +998,33 @@ object KnnGraphOps {
     * [[graft.VectorIngestMain]]'s tick reads against ITS OWN standing
     * index to enforce the [[VectorOps.ReindexPolicy]]
     * `recall_floor_ppm` (a floor can only be measured on the live
-    * index the tick maintains, not the shared registry artifact). */
+    * index the tick maintains, not the shared registry artifact).
+    *
+    * `sampleMod` > 1 bounds the exact arm for the TICK's use: the
+    * audit's brute-force side costs O(corpus × queries), fine for the
+    * registry audit a human schedules but not for a cost the nightly
+    * tick pays unconditionally — the [[RecallSampleMod]] device caps
+    * it at a deterministic query sample. A sample below
+    * [[GaugeMinQueries]] falls back to the full fleet: a handful of
+    * queries reads in steps of 1/(5·n) — too coarse to resolve a 0.2
+    * floor (a tiny corpus measured EXACTLY 200000 ppm on a degraded
+    * index and failed to breach) — and at the corpus sizes where the
+    * sample is that small, the full arm is cheap anyway. q208/q210
+    * keep the full fleet (0): their oracles pin it. */
   private[graft] def graphFleetRecallIndexed(spark: SparkSession,
-      dir: String, path: String,
-      salts: Seq[String] = SeedSalts): DataFrame = {
+      dir: String, path: String, salts: Seq[String] = SeedSalts,
+      sampleMod: Long = 0L): DataFrame = {
     import spark.implicits._
     val emb = Tables(spark, dir, "embeddings")
       .select($"vec_id", $"embedding")
     val corpus = emb.filter(!isDeltaVec($"vec_id"))
-    val delta = emb.filter(isDeltaVec($"vec_id"))
+    val delta0 = emb.filter(isDeltaVec($"vec_id"))
+    val delta =
+      if (sampleMod <= 1L) delta0
+      else {
+        val s = delta0.filter($"vec_id" % sampleMod === 0)
+        if (s.count() >= GaugeMinQueries) s else delta0
+      }
     val pairs = corpus.select($"vec_id".as("nb_id"),
         $"embedding".as("c_emb"))
       .crossJoin(broadcast(delta.select($"vec_id".as("query_id"),

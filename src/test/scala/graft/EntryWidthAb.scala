@@ -78,13 +78,19 @@ object EntryWidthAb {
         .select($"d_id", $"c_id").distinct()
       val meanEntry = entry.groupBy($"d_id").count()
         .agg(avg($"count")).head().getDouble(0)
+      // time the ROUTE alone (materialized through persist+count);
+      // the exact-arm join below is audit bookkeeping, not the
+      // serving cost the "flat route wall" claim is about
       val t0 = System.nanoTime()
       val routed = KnnGraphOps.deltaRouteOf(delta, corpus, edges,
           nBuckets, hops = KnnGraphOps.RouteHops, salts = salts)
         .filter($"rank" <= 5)
         .select($"vec_id".as("query_id"), $"nb_id")
-      val hits = exact.join(routed, Seq("query_id", "nb_id")).count()
+        .persist()
+      routed.count()
       val sec = (System.nanoTime() - t0) / 1e9
+      val hits = exact.join(routed, Seq("query_id", "nb_id")).count()
+      routed.unpersist(blocking = false)
       val mean = hits.toDouble / (5.0 * nDelta)
       println(f"[entry-ab] $tag%-22s meanEntry=$meanEntry%7.1f " +
         f"hit@5=$mean%.3f (route ${sec}%.1f s)")

@@ -70,6 +70,27 @@ class VectorIngestMainSpec extends SparkSuite {
     assert(edgeSet(out) == pristine, "replay must heal the torn batch")
   }
 
+  test("a footerless torn delta batch does not brick the tick " +
+      "(stage 1b reads the serving view before the heal runs)") {
+    val out = freshOut("footerless")
+    val c1 = VectorIngestMain.runVectorIngest(spark, sf0001, out,
+      forceVerdict = Some("insert")).toMap
+    // the crash shape: a batch directory with no parquet footer and
+    // no _SUCCESS — a whole-tree parquet read throws on it, and the
+    // tick's new recall gauge runs BEFORE the insert path's healing
+    // overwrite ever could
+    val torn = new java.io.File(s"$out/knn_graph/edges_delta/batch=9")
+    torn.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(torn.getPath + "/garbage"),
+      "not parquet".getBytes("UTF-8"))
+    val c2 = VectorIngestMain.runVectorIngest(spark, sf0001, out,
+      forceVerdict = Some("insert")).toMap
+    assert(c2 - "recall_ppm" == c1 - "recall_ppm",
+      s"torn batch must not change the tick's storage facts: $c2 vs $c1")
+    assert(c2("recall_floor_breached") == 0L)
+  }
+
   test("rebuild branch: edges absorbed, edges_delta retired") {
     val out = freshOut("reb")
     // first tick inserts, second is the drift-triggered rebuild: the

@@ -238,6 +238,53 @@ class GraphIndexLifecycleSpec extends SparkSuite {
     assert(e2.getMessage.contains("pre-sim"))
   }
 
+  test("torn (footerless) delta batches are invisible to every reader " +
+      "and mixed-generation trees normalize per directory") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graphidx-mixedgen").toString
+    KnnGraphOps.knnGraphWriteIndexOf(corpus, path)
+    // batch=0: CURRENT writer (forward + reverse rows, rev column)
+    val d = emb.filter(isDelta).orderBy(col("vec_id")).limit(2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    graft.streaming.StreamingQueries.graphInsertBatch(
+      d.toSeq.toDF("vec_id", "embedding"), corpus, path, batchId = 0L)
+    val newGen = KnnGraphOps.readDeltaEdges(spark, path)
+    val nFwd = newGen.filter(!col("rev")).count()
+    val nRev = newGen.filter(col("rev")).count()
+    assert(nFwd > 0 && nRev == nFwd)
+    // batch=1: OLD writer (sim present, no rev column) — committed
+    val cid = corpus.orderBy(col("vec_id")).limit(1)
+      .collect().head.getLong(0)
+    Seq((d.head._1, 1L, cid, 0.5))
+      .toDF("vec_id", "rank", "nb_id", "sim")
+      .write.mode("overwrite").parquet(s"$path/edges_delta/batch=1")
+    // batch=2: TORN (footerless garbage, no _SUCCESS) — the crash
+    // shape a whole-tree read throws on before any heal can run
+    fs.mkdirs(new Path(s"$path/edges_delta/batch=2"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/edges_delta/batch=2/garbage"),
+      "not parquet".getBytes("UTF-8"))
+    // per-directory normalization: the old batch reads rev=false, the
+    // new batch keeps its genuine reverse twins (a single whole-tree
+    // footer would have erased one or the other), the torn batch is
+    // skipped — not thrown on
+    val mixed = KnnGraphOps.readDeltaEdges(spark, path)
+    assert(mixed.filter(col("rev")).count() == nRev,
+      "new-gen reverse twins must survive a mixed-generation read")
+    assert(mixed.filter(!col("rev")).count() == nFwd + 1,
+      "old-gen rows must read as forward adjacency")
+    // the serving view composes it the same way
+    val view = edgeSet(path)
+    assert(view.contains((d.head._1, cid, 0.5)))
+    // compaction absorbs the committed batches and retires the whole
+    // tree, torn dir included (its replay would recreate it)
+    KnnGraphOps.compactGraphIndex(spark, path)
+    assert(!fs.exists(new Path(s"$path/edges_delta")))
+    assert(spark.read.parquet(s"$path/edges")
+      .filter(col("a_id") === d.head._1).count() > 0)
+  }
+
   test("delete removes the vector from every adjacency and route, " +
       "heals affected nodes, leaves untouched nodes byte-identical") {
     val path = buildIndex("del")
