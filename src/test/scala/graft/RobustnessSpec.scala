@@ -189,6 +189,40 @@ class RobustnessSpec extends SparkSuite {
       r.getDouble(3) == Double.NegativeInfinity))
   }
 
+  test("convergent descent on degenerate corpora: the ε-stop fires " +
+      "immediately, never raises, and keeps the degenerate laws") {
+    import spark.implicits._
+    import graft.queries.KnnGraphOps
+    // all-zero corpus: every cosine is the NaN→-inf demotion, the
+    // topK tie-break is pure (sim desc, b_id asc) = lowest ids — so
+    // round 1's merge reproduces the seed graph exactly and the
+    // new-edge rate reads 0 < ε. The pin: the convergence loop
+    // terminates on its FIRST check (no spin toward the cap on a
+    // graph that cannot improve) and ANSI never raises on the
+    // all-degenerate arithmetic.
+    val zeros = (1 to 20).map(i => (i.toLong, Seq.fill(16)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val (gz, zRounds, zConv) = KnnGraphOps.nnDescentToConvergence(zeros)
+    assert(zConv && zRounds == 1,
+      s"all-degenerate corpus must ε-stop at round 1, got $zRounds")
+    val zRows = gz.collect()
+    assert(zRows.map(_.getLong(0)).toSet == (1 to 20).map(_.toLong).toSet)
+    assert(zRows.forall(_.getDouble(2) == Double.NegativeInfinity))
+    // mixed frame (the nnDescentOf fixture above): convergence keeps
+    // the law that no real node ranks a degenerate neighbor
+    def vec(seed: Int): Seq[Float] =
+      (0 until 64).map(d => ((seed * 31 + d) % 7 - 3) / 3.0f)
+    val rows = (1 to 20).map(i => (i.toLong, vec(i))) ++
+      Seq((98L, Seq.fill(64)(0.0f)), (99L, Seq(1.0f, 2.0f)))
+    val (gm, _, mConv) = KnnGraphOps.nnDescentToConvergence(
+      rows.toDF("vec_id", "embedding"))
+    assert(mConv, "22-vector mixed corpus must converge before the cap")
+    val degen = Set(98L, 99L)
+    assert(gm.collect().forall(r =>
+      degen(r.getLong(0)) || !degen(r.getLong(1))),
+      "a converged real node must still never rank a degenerate neighbor")
+  }
+
   test("calibration and DSIR lifts keep NULL/empty-text docs as rows") {
     import spark.implicits._
     // the synthetic corpus never carries NULL or empty text, so the
