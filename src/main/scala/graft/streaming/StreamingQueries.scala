@@ -1776,14 +1776,20 @@ object StreamingQueries {
     * (ADVICE r15). */
   def graphSearchStreamWithCleanup(queries: DataFrame, corpus: DataFrame,
       indexPath: String, k: Int = 5, eventTime: String = "event_ts",
-      delay: String = "10 seconds"): (DataFrame, () => Unit) = {
+      delay: String = "10 seconds",
+      salts: Seq[String] = graft.queries.KnnGraphOps.SeedSalts)
+      : (DataFrame, () => Unit) = {
     import graft.queries.KnnGraphOps
     import graft.functions.VectorExpressions.cosine
     val spark = corpus.sparkSession
     val nBuckets = math.max(1L,
       corpus.count() / KnnGraphOps.SeedBucketSize)
+    // entry width is a pure query-side knob here exactly as in batch
+    // q209: the corpus bucket table below is computed at stream
+    // definition under the SAME salt list, the standing graph is
+    // untouched (the wide-entry serving option on the stream surface)
     val cb = KnnGraphOps.seedBuckets(
-        corpus.select(col("vec_id"), col("embedding")), nBuckets)
+        corpus.select(col("vec_id"), col("embedding")), nBuckets, salts)
       .select(col("salt"), col("bk"), col("vec_id").as("c_id"))
       .persist()
     val edges = KnnGraphOps.readGraphEdges(spark, indexPath)
@@ -1792,7 +1798,7 @@ object StreamingQueries {
       col("embedding").as("c_emb")).persist()
     val probed = queries.withWatermark(eventTime, delay)
       .select(col("query_id"), col(eventTime), col("embedding"))
-      .withColumn("salt", explode(array(lit("a"), lit("b"))))
+      .withColumn("salt", explode(array(salts.map(lit(_)): _*)))
       .withColumn("bk",
         KnnGraphOps.seedBucketCol(col("query_id"), col("salt"), nBuckets))
     val entry = probed.join(cb, Seq("salt", "bk"))

@@ -1517,5 +1517,37 @@ class StreamingSpec extends SparkSuite {
     // release the stream's three cached static frames (ADVICE r15):
     // after the handle runs, no block from this stream lingers
     searchCleanup()
+    // WIDE-entry twin: the same arrivals served at the q209 salt list
+    // must answer the held-out query exactly as batch q209's fleet
+    // row — entry width is a query-side knob on both surfaces
+    val msW = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+    val (wideDf, wideCleanup) =
+      StreamingQueries.graphSearchStreamWithCleanup(
+        msW.toDF().toDF("query_id", "embedding", "event_ts"), corpus,
+        idxPath, salts = KnnGraphOps.WideSalts)
+    val qw = wideDf
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graph_search_wide_out").start()
+    msW.addData((deltas.head._1, deltas.head._2, t0))
+    qw.processAllAvailable()
+    msW.addData((999999L, deltas.head._2,
+      java.sql.Timestamp.valueOf("2025-01-25 16:05:00")))
+    qw.processAllAvailable()
+    val gotWide = spark.table("graph_search_wide_out")
+      .filter($"window_start" ===
+        java.sql.Timestamp.valueOf("2025-01-25 16:00:00"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](2)
+          .map(_.getAs[Long]("vec_id")))
+      .toMap
+    qw.stop()
+    wideCleanup()
+    val batch209 = KnnGraphOps.graphSearchFleetIndexed(
+        spark, sf0001, idxPath, KnnGraphOps.WideSalts)
+      .filter($"query_id" === deltas.head._1)
+      .collect().sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+    assert(batch209.nonEmpty)
+    assert(gotWide(deltas.head._1) == batch209,
+      s"wide stream=${gotWide(deltas.head._1)} batch q209=$batch209")
   }
 }
