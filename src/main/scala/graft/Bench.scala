@@ -75,6 +75,16 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE's coalescing floor, parameterised for experimentation. The
+      // round-17 A/B measured BOTH directions before keeping the 1m
+      // default: 64k parallelized the CPU-dense verification stages
+      // (q38 6.75 → 4.55 s) but multiplied per-stage task overhead on
+      // the iterative tiny-stage queries (q198 6.8 → 12.4 s, q205
+      // 2.1 → 8.2 s, q207 4.4 → 11.1 s) — a net suite LOSS, so the
+      // serial verification stages are instead parallelized surgically
+      // (explicit repartition of the candidate tables; see q38).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("GRAFT_MIN_PARTITION_SIZE", "1m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.eventLog.enabled", eventLogOn.toString)
@@ -170,7 +180,9 @@ object Bench {
            "q156" -> "q158", "q156" -> "q194",
            "q74" -> "q75", "q74" -> "q77", "q74" -> "q139",
            "q111" -> "q197", "q157" -> "q197",
-           "q198" -> "q199", "q198" -> "q200", "q198" -> "q203")
+           "q198" -> "q199", "q198" -> "q200", "q198" -> "q203",
+           "q205" -> "q206", "q207" -> "q208", "q208" -> "q210",
+           "q209" -> "q210")
          if pos(payer) >= 0 && pos(rider) >= 0)
       require(pos(payer) < pos(rider),
         s"bench attribution: shared-artifact payer $payer must run before rider $rider")

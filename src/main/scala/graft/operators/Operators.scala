@@ -233,9 +233,9 @@ object Operators {
     * neighborhood onto its minimum) — \|E\|-row shuffles, keyed only,
     * no collect of neighbor lists, so a high-degree hub costs map-side
     * combines, not a straggler. Convergence = the symmetric edge set
-    * is stable (two exceptAll counts — exact, no hash-collision risk);
-    * the fixpoint is a forest of stars whose centers are component
-    * minima. */
+    * is stable (cardinality match + one anti-join emptiness probe —
+    * exact, no hash-collision risk); the fixpoint is a forest of stars
+    * whose centers are component minima. */
   def connectedComponentsStar(edges: DataFrame,
       maxRounds: Int = 50): DataFrame = {
     val spark = edges.sparkSession
@@ -266,8 +266,15 @@ object Operators {
       stopMaterializes = true) { (cur, _) =>
       smallStar(largeStar(cur))
     } { (cur, next) =>
-      // set equality both ways; each exceptAll is an action over next
-      next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+      // set equality: both frames are DISTINCT edge sets (symmetrize
+      // ends in .distinct()), so |next| = |cur| ∧ next ∖ cur = ∅ ⟺
+      // next = cur. Two cheap counts over the checkpoint-materialized
+      // frames plus ONE anti-join probe replace the former pair of
+      // exceptAll passes (each exceptAll planned a full count-bookkeeping
+      // aggregate over the union of both sides — measured the dominant
+      // per-round cost of the contraction at sf0.1).
+      next.count() == cur.count() &&
+        next.join(cur, Seq("u", "v"), "left_anti").isEmpty
     }
     require(converged,
       s"star contraction did not converge in $maxRounds rounds — " +

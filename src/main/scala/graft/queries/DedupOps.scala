@@ -67,12 +67,16 @@ object DedupOps {
     // sort+dedup ONCE per document (amortized over every pair the doc
     // joins into), then the codegen merge-scan counts the intersection;
     // |A ∪ B| = |A| + |B| - |A ∩ B| avoids materializing the union.
-    val docs = Tables(spark, dir, "documents")
+    // The PROBE side (a) rides the fanned read: the per-pair merge-scan
+    // executes in the probe's partitions, and a single-split scan would
+    // serialize it (Tables.fanned — identity at production scale).
+    val docs = Tables.fanned(spark, dir, "documents")
       .select($"doc_id", $"source",
         array_sort(distinctTokens($"text")).as("tok"))
     val a = docs.select($"doc_id".as("a_id"), $"source", $"tok".as("a_tok"))
-    val b = docs.select($"doc_id".as("b_id"), $"source".as("b_source"),
-      $"tok".as("b_tok"))
+    val b = Tables(spark, dir, "documents")
+      .select($"doc_id".as("b_id"), $"source".as("b_source"),
+        array_sort(distinctTokens($"text")).as("b_tok"))
     a.join(b, $"source" === $"b_source" && $"a_id" < $"b_id")
       .filter(size($"a_tok") * 5 >= size($"b_tok") * 4 &&
         size($"b_tok") * 5 >= size($"a_tok") * 4)
@@ -207,7 +211,10 @@ object DedupOps {
   private val containExMemo = new ArtifactMemo
   def containmentPairs(spark: SparkSession, dir: String): DataFrame =
     containmentFrom(containExMemo.get(spark, dir)(
-      containmentExOf(Tables(spark, dir, "documents")).persist()),
+      // fanned read (guide §2.5): the shingle explode + df join above
+      // the scan is the corpus-pass this artifact exists to amortize —
+      // a single-split file would run it serially
+      containmentExOf(Tables.fanned(spark, dir, "documents")).persist()),
       ContainmentDfCap)
 
   private def containmentExOf(docs: DataFrame): DataFrame = {
@@ -350,7 +357,7 @@ object DedupOps {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = withShinglesAndMinhash(
-      Tables(spark, dir, "documents").select($"doc_id", $"text"))
+      Tables.fanned(spark, dir, "documents").select($"doc_id", $"text"))
 
     val bandKeys = explodeBandKeys(docs).select($"doc_id", $"band_key")
 
@@ -519,8 +526,11 @@ object DedupOps {
     * SHIPPED as [[minhashCalibrationSampled]] (q176). Everything
     * else is one equi-join + a 17-key rollup. */
   def minhashCalibration(spark: SparkSession, dir: String): DataFrame =
+    // fanned read: the per-pair 16-term minhash compare + hashed-set
+    // merge-scan execute in the self-join probe's partitions, which a
+    // single-split documents scan would serialize (identity at scale)
     minhashCalibrationOf(
-      Tables(spark, dir, "documents").select(
+      Tables.fanned(spark, dir, "documents").select(
         col("doc_id"), col("source"), col("text")))
 
   /** q176's sampling constants — one definition, interpolated into the
@@ -1249,7 +1259,9 @@ object DedupOps {
     * signature are deterministically 0 (every term contributes −1). */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir, "documents")
+    // fanned read (guide §2.5): one md5 per token + the 64-counter
+    // signature fold is the per-row-expensive map this scan feeds
+    Tables.fanned(spark, dir, "documents")
       .withColumn("th", expr(
         "transform(split(text, ' '), " +
           "t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"))

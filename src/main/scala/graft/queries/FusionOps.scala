@@ -480,7 +480,9 @@ object DedupFusionOps {
     * Bench/Verify pay that mining once across q42/q45/q54/q132. */
   def fusionClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val fp = docs(spark, dir)
+    // fanned read (guide §2.5): fingerprint = regexp + lower + md5 per
+    // row — per-row-expensive map work over a single-split scan
+    val fp = Tables.fanned(spark, dir, "documents")
       .select($"doc_id", DedupOps.fingerprintExpr($"text").as("fp"))
     val exactEdges = fp
       .join(fp.groupBy($"fp").agg(min($"doc_id").as("root")), "fp")
@@ -561,7 +563,8 @@ object DedupFusionOps {
     * the MinHash arm rides the session-memoized pair table. */
   def signalAttribution(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val fp = docs(spark, dir)
+    // fanned read: same fingerprint arm as q132 (see the note there)
+    val fp = Tables.fanned(spark, dir, "documents")
       .select($"doc_id", DedupOps.fingerprintExpr($"text").as("fp"))
     val exact = fp
       .join(fp.groupBy($"fp").agg(min($"doc_id").as("root")), "fp")

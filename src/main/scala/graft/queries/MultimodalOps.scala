@@ -77,7 +77,9 @@ object MultimodalOps {
     // clamping in BOTH forms pins thumb_bytes = 1 for empty payloads
     // (a 1-byte thumb of an empty image — the degenerate-input policy)
     // so a new corpus with empty docs cannot silently desynchronize.
-    Tables(spark, dir, "documents")
+    // fanned read (guide §2.5): hex + per-byte stride transform + md5
+    // per row — pure map work that a single-split scan serializes
+    Tables.fanned(spark, dir, "documents")
       .withColumn("hexstr", hex(encode($"text", "utf-8")))
       .withColumn("n", expr("CAST(length(hexstr) div 2 AS BIGINT)"))
       .withColumn("nn", expr("greatest(n, 1L)"))

@@ -321,7 +321,11 @@ object PipelineOps {
     bpeMergeMemo.computeIfAbsent(
       (spark.sparkContext, dir, nMerges, mergesPerRound, sentinelBase), _ => {
       val (merges, fin) =
-        bpeMineOf(Tables(spark, dir, "documents"), nMerges,
+        // fanned read (guide §2.5): every round re-scans the previous
+        // round's checkpointed segmentation, which inherits the scan's
+        // partitioning — a single-split documents file would serialize
+        // ALL N mining scans (identity at production scale)
+        bpeMineOf(Tables.fanned(spark, dir, "documents"), nMerges,
           mergesPerRound, sentinelBase)
       // the final re-segmentation is not consumed here — release the
       // checkpoint blocks backing it
@@ -363,7 +367,8 @@ object PipelineOps {
   def bpeMergesRound2(spark: SparkSession, dir: String,
       k: Int = 20): DataFrame = {
     import spark.implicits._
-    val (merges, seg) = bpeMineOf(Tables(spark, dir, "documents"), 1)
+    val (merges, seg) =
+      bpeMineOf(Tables.fanned(spark, dir, "documents"), 1)
     val counted = seg
       .filter(length($"seg") >= 2) // guard sequence(); 1-symbol tokens pair nothing
       .select(explode(expr(
@@ -2431,7 +2436,9 @@ object PipelineOps {
     * count shuffle on (doc_id, dim); long-form output keeps the row
     * width fixed at any dimensionality. */
   def featureHash(spark: SparkSession, dir: String): DataFrame =
-    featureHashOf(Tables(spark, dir, "documents"))
+    // fanned read (guide §2.5): the explode + per-token md5 map work
+    // runs in the scan's partitions — serial on a single-split file
+    featureHashOf(Tables.fanned(spark, dir, "documents"))
 
   /** The same lift over any (doc_id, text) frame — the streaming
     * decon twin builds its static eval index through this, so batch
@@ -2619,12 +2626,19 @@ object PipelineOps {
         .agg(sum($"w" * element_at(wLit, ($"dim" + 1).cast("int"))).as("s"))
         .filter($"y" * $"s" <= 0)
         .select($"doc_id", $"y".as("my"))
-        .persist()
-      val nMiss = miss.count()
-      val delta = feats.join(miss, "doc_id")
-        .groupBy($"dim").agg(sum($"my" * $"w").as("delta"))
-        .collect().map(x => x.getLong(0).toInt -> x.getLong(1)).toMap
-      miss.unpersist(blocking = false)
+      // ONE job per round instead of two (miss.count() + delta
+      // collect): every doc carries exactly one bias row (dim 64,
+      // w = 1) in `feats`, so the bias group's row count in the delta
+      // rollup IS n_miss — same integers, half the actions, and the
+      // per-round persist/unpersist churn goes away
+      val rows = feats.join(miss, "doc_id")
+        .groupBy($"dim").agg(sum($"my" * $"w").as("delta"),
+          count(lit(1)).as("n"))
+        .collect()
+      val delta = rows.map(x => x.getLong(0).toInt -> x.getLong(1)).toMap
+      val nMiss = rows.collectFirst {
+        case x if x.getLong(0) == PerceptronBiasDim => x.getLong(2)
+      }.getOrElse(0L)
       val den = math.max(nMiss, 1L)
       for (d <- 0 until nDims) {
         val scaled = delta.getOrElse(d, 0L) * PerceptronScale / den // JVM /: trunc

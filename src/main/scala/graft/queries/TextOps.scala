@@ -397,7 +397,9 @@ object TextOps {
   private[graft] def cmSketchTable(spark: SparkSession,
       dir: String): DataFrame =
     cmMemo.get(spark, dir)(
-      cmSketchOf(Tables(spark, dir, "documents")).persist())
+      // fanned read (guide §2.5): the per-token multi-row hashing pass
+      // above the scan would otherwise run in a single file split
+      cmSketchOf(Tables.fanned(spark, dir, "documents")).persist())
 
   /** Whether `df` IS the live memoized sketch — Bench's release
     * policy, same contract as [[DedupOps.isSharedArtifact]]. */
@@ -573,7 +575,9 @@ object TextOps {
 
   def heavyGrams(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables(spark, dir, "documents")
+    // fanned read (guide §2.5): both passes explode 8-grams with md5
+    // hashing per gram — per-row-expensive map work over the scan
+    val docs = Tables.fanned(spark, dir, "documents")
     // pass 1: the matrix (≤ HhRows·HhWidth narrow rows, memoized).
     // Collected to the driver as HhRows dense arrays — a BOUNDED
     // parameter read (16 384 longs = 128 KB, fixed by the sketch
@@ -887,7 +891,7 @@ object TextOps {
   }
 
   def bigramScore(spark: SparkSession, dir: String): DataFrame =
-    bigramScoreOf(Tables(spark, dir, "documents"))
+    bigramScoreOf(Tables.fanned(spark, dir, "documents"))
 
   private val bigramScoreSql =
     """WITH tok AS (

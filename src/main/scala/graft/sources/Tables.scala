@@ -47,6 +47,35 @@ object Tables {
     } else spark.read.parquet(path)
   }
 
+  /** Scale-adaptive fan-out of a table read (optimization guide §2.5,
+    * "input skew: one huge unsplittable file... repartition immediately
+    * after the read", applied to the small-file end): a parquet file
+    * under `spark.sql.files.maxPartitionBytes` reads as ONE scan task,
+    * and any per-row-expensive projection or broadcast-join PROBE above
+    * it then runs serially no matter how many cores the session has —
+    * measured at sf0.1: q41's whole 1.2M-pair merge-scan executed in
+    * the single 594 KB `documents` scan task (wall ≈ executorRun ≈
+    * one core). When the file would yield fewer splits than the
+    * session's parallelism, round-robin repartition to
+    * defaultParallelism — a one-file-sized exchange that unlocks every
+    * core. At production scale (file bytes ≫ cores × maxPartitionBytes)
+    * the condition is false and this is the IDENTITY: no extra
+    * exchange in any plan, so the fan-out never costs a 100 TB run
+    * anything. Round-robin is retry-safe (sortBeforeRepartition stays
+    * on) and every consumer is order-insensitive (joins/aggregates/
+    * totally-ordered windows). */
+  def fanned(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = apply(spark, dir, name)
+    val p = spark.sparkContext.defaultParallelism
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val bytes =
+      try path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(path).getLength
+      catch { case _: Exception => Long.MaxValue }
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    if (bytes / math.max(1L, maxSplit) < p) df.repartition(p) else df
+  }
+
   /** Register every table as a temp view so `spark.sql` text queries work
     * against the same relations the DataFrame API sees. */
   def registerAll(spark: SparkSession, dir: String): Unit =
