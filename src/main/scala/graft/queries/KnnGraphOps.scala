@@ -293,9 +293,7 @@ object KnnGraphOps {
   private[graft] def knnGraphTable(spark: SparkSession,
       dir: String): DataFrame =
     graphMemo.get(spark, dir) {
-      // fanned read (guide §2.5): the seed/score passes inherit the
-      // scan's partitioning — serial on a single-split embeddings file
-      val g = nnDescentOf(Tables.fanned(spark, dir, "embeddings")).persist()
+      val g = nnDescentOf(Tables(spark, dir, "embeddings")).persist()
       g.count() // materialize: consumed from both sides of self-joins
       g
     }
