@@ -1383,6 +1383,26 @@ class OperatorPropertiesSpec extends SparkSuite {
       s"wide entry regressed hits: ${wide.getLong(1)} < $hits")
   }
 
+  test("serving-route shared artifacts equal the fresh Indexed " +
+      "computation (r17 memo optimization changes no rows)") {
+    // q207/q208/q209/q210's registry bodies now read session-memoized
+    // route/exact artifacts; the *Indexed forms compute fresh. The
+    // memo must be invisible in the data: same rows, both salt widths.
+    val path = ServingIndexes.knnCorpusGraphIndex(spark, sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(KnnGraphOps.graphSearchFleet(spark, sf0001)) ==
+      rows(KnnGraphOps.graphSearchFleetIndexed(spark, sf0001, path)),
+      "memoized q207 route diverges from fresh computation")
+    assert(rows(KnnGraphOps.graphFleetRecall(spark, sf0001)) ==
+      rows(KnnGraphOps.graphFleetRecallIndexed(spark, sf0001, path)),
+      "memoized q208 audit diverges from fresh computation")
+    assert(rows(KnnGraphOps.graphFleetRecallWide(spark, sf0001)) ==
+      rows(KnnGraphOps.graphFleetRecallIndexed(spark, sf0001, path,
+        KnnGraphOps.WideSalts)),
+      "memoized q210 audit diverges from fresh computation")
+  }
+
   test("mutual-kNN clusters: min-labels are closed, every vector " +
       "labeled once, mutual edges never cross clusters") {
     import spark.implicits._
