@@ -80,9 +80,10 @@ object Bench {
       // default: 64k parallelized the CPU-dense verification stages
       // (q38 6.75 → 4.55 s) but multiplied per-stage task overhead on
       // the iterative tiny-stage queries (q198 6.8 → 12.4 s, q205
-      // 2.1 → 8.2 s, q207 4.4 → 11.1 s) — a net suite LOSS, so the
-      // serial verification stages are instead parallelized surgically
-      // (explicit repartition of the candidate tables; see q38).
+      // 2.1 → 8.2 s, q207 4.4 → 11.1 s) — a net suite LOSS. The
+      // surgical repartition alternatives for q38 were measured and
+      // ALSO rejected (memory-bound; OPTIMIZATION_r17.md "Measured
+      // and rejected"), so the default simply stays Spark's.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("GRAFT_MIN_PARTITION_SIZE", "1m"))
       .config("spark.sql.session.timeZone", "UTC")

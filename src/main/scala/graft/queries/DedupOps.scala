@@ -67,16 +67,20 @@ object DedupOps {
     // sort+dedup ONCE per document (amortized over every pair the doc
     // joins into), then the codegen merge-scan counts the intersection;
     // |A ∪ B| = |A| + |B| - |A ∩ B| avoids materializing the union.
-    // The PROBE side (a) rides the fanned read: the per-pair merge-scan
-    // executes in the probe's partitions, and a single-split scan would
-    // serialize it (Tables.fanned — identity at production scale).
-    val docs = Tables.fanned(spark, dir, "documents")
-      .select($"doc_id", $"source",
+    // ONE normalization definition for both join sides (they must
+    // never drift); the PROBE side (a) rides the fanned read — the
+    // per-pair merge-scan executes in the probe's partitions, and a
+    // single-split scan would serialize it (Tables.fanned — identity
+    // at production scale). The broadcast build side (b) reads plain:
+    // fanning a side that is collected whole buys nothing.
+    def tokDocs(docs: org.apache.spark.sql.DataFrame) =
+      docs.select($"doc_id", $"source",
         array_sort(distinctTokens($"text")).as("tok"))
-    val a = docs.select($"doc_id".as("a_id"), $"source", $"tok".as("a_tok"))
-    val b = Tables(spark, dir, "documents")
+    val a = tokDocs(Tables.fanned(spark, dir, "documents"))
+      .select($"doc_id".as("a_id"), $"source", $"tok".as("a_tok"))
+    val b = tokDocs(Tables(spark, dir, "documents"))
       .select($"doc_id".as("b_id"), $"source".as("b_source"),
-        array_sort(distinctTokens($"text")).as("b_tok"))
+        $"tok".as("b_tok"))
     a.join(b, $"source" === $"b_source" && $"a_id" < $"b_id")
       .filter(size($"a_tok") * 5 >= size($"b_tok") * 4 &&
         size($"b_tok") * 5 >= size($"a_tok") * 4)

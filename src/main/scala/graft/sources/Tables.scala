@@ -72,8 +72,23 @@ object Tables {
       try path.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .getContentSummary(path).getLength
       catch { case _: Exception => Long.MaxValue }
-    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    if (bytes / math.max(1L, maxSplit) < p) df.repartition(p) else df
+    // estimate the scan's split count the way Spark sizes splits
+    // (FilePartition.maxSplitBytes): splits shrink toward
+    // bytes/parallelism down to the open-cost floor, so a mid-size
+    // table already scans ~p-way and must NOT pay a redundant
+    // exchange here (review finding, r17: a naive bytes/maxPartition
+    // estimate would re-shuffle everything in the p·openCost..p·128MB
+    // band for zero added parallelism)
+    val conf = spark.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val bytesPerCore = (bytes + openCost) / math.max(1L, p.toLong)
+    val split = math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, bytesPerCore))
+    val estSplits = math.max(1L, (bytes + split - 1) / math.max(1L, split))
+    // fan only on a substantial deficit (≤ p/2): the estimate is a
+    // model, and re-shuffling a scan that is already near-p-way buys
+    // nothing for the price of a full exchange
+    if (estSplits * 2 <= p) df.repartition(p) else df
   }
 
   /** Register every table as a temp view so `spark.sql` text queries work

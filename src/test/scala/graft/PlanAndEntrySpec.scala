@@ -158,6 +158,13 @@ class PlanAndEntrySpec extends SparkSuite {
     // motivated this guard — skip compilation here entirely
     graft.queries.DedupOps.invalidateSharedArtifacts()
     graft.queries.VectorOps.invalidateSharedArtifacts()
+    // every memo family, not just the two historical ones — the r17
+    // serving-route artifacts (q205–q210) would otherwise serve this
+    // guard cached blocks and their pipelines would never compile
+    // under fallback=false (review finding, r17 optimization round)
+    graft.queries.TextOps.invalidateSharedArtifacts()
+    graft.queries.PipelineOps.invalidateSharedArtifacts()
+    graft.queries.KnnGraphOps.invalidateSharedArtifacts()
     try {
       val empties = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
         val n = fn(spark, sf0001).count()
