@@ -187,14 +187,14 @@ object Operators {
     // stream's parallelism is its source partitioning, not a file split
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= cores) df
-    else df.repartition(cores, key)
+    else df.repartition(graft.sources.Tables.fanWidth(df.sparkSession), key)
   }
 
   def fanOutIfNarrow(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= cores) df
-    else df.repartition(cores)
+    else df.repartition(graft.sources.Tables.fanWidth(df.sparkSession))
   }
 
   /** Release the block-manager blocks behind a localCheckpoint'd frame.
@@ -240,6 +240,12 @@ object Operators {
       maxRounds: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // CONTRACT (ADVICE r17): symmetrize is the only producer of round
+    // states and MUST return a duplicate-free frame (the .distinct()
+    // below) — the convergence probe's count-equality + one-sided
+    // anti-join is set equality ONLY over duplicate-free sets. An edit
+    // that drops the distinct would let e.g. {e1,e1} vs {e1,e2} pass
+    // both checks and converge on unequal sets.
     def symmetrize(df: DataFrame): DataFrame =
       df.filter($"u" =!= $"v")
         .select(explode(array(
@@ -261,20 +267,29 @@ object Operators {
           .select($"v".as("u"), $"m".as("v"))
           .union(m.select($"u", $"m".as("v"))))
     }
+    // |cur| was computed LAST round as |next| — carry it across rounds
+    // instead of re-running a count job on the superseded frame every
+    // round (r18: one fewer job — two fewer stages — per contraction
+    // round, on every CC consumer: q105/q132/q199).
+    var prevCount = -1L
     val (stars, _, converged) = iterateCheckpointed(
       symmetrize(edges.select($"u", $"v")), maxRounds,
       stopMaterializes = true) { (cur, _) =>
       smallStar(largeStar(cur))
     } { (cur, next) =>
       // set equality: both frames are DISTINCT edge sets (symmetrize
-      // ends in .distinct()), so |next| = |cur| ∧ next ∖ cur = ∅ ⟺
-      // next = cur. Two cheap counts over the checkpoint-materialized
-      // frames plus ONE anti-join probe replace the former pair of
-      // exceptAll passes (each exceptAll planned a full count-bookkeeping
-      // aggregate over the union of both sides — measured the dominant
-      // per-round cost of the contraction at sf0.1).
-      next.count() == cur.count() &&
-        next.join(cur, Seq("u", "v"), "left_anti").isEmpty
+      // ends in .distinct() — see the CONTRACT above), so |next| =
+      // |cur| ∧ next ∖ cur = ∅ ⟺ next = cur. One count over the
+      // checkpoint-materialized frame (the previous round's is carried
+      // in prevCount) plus ONE anti-join probe replace the former pair
+      // of exceptAll passes (each exceptAll planned a full
+      // count-bookkeeping aggregate over the union of both sides —
+      // measured the dominant per-round cost of the contraction at
+      // sf0.1).
+      val nc = next.count()
+      val cc = if (prevCount >= 0) prevCount else cur.count()
+      prevCount = nc
+      nc == cc && next.join(cur, Seq("u", "v"), "left_anti").isEmpty
     }
     require(converged,
       s"star contraction did not converge in $maxRounds rounds — " +
@@ -316,8 +331,10 @@ object Operators {
     *     chain — the one mechanism found (VERDICT r3) by which a
     *     contended run could inflate q45 5-8x. Checkpoint blocks are
     *     MEMORY_AND_DISK: under pressure they spill, never recompute.
-    *     Non-eager: the stop() count (or the next round's parameter
-    *     action) materializes it anyway. Exception: the FINAL round
+    *     Eager unless `stopMaterializes` (where the stop() count — or
+    *     the next round's parameter action — materializes it anyway,
+    *     so the eager pass would be a second job). Exception: the
+    *     FINAL round
     *     under `checkpointLast = false` returns `next` un-checkpointed
     *     and fully lazy — for fixed-round callers whose consumers are
     *     pure (q85's recount), leaving zero block-manager footprint;
@@ -337,10 +354,11 @@ object Operators {
     *
     * `stopMaterializes = true` declares that stop() itself runs an
     * action over `next` (q45's changed-count does), letting the
-    * harness skip its own materializing count — one action per round
-    * instead of two. Leave it false when stop() is a no-op (fixed-
-    * round callers): the harness count is then what truncates the
-    * checkpoint before the superseded round is released.
+    * harness checkpoint lazily — one action per round instead of two.
+    * Leave it false when stop() is a no-op (fixed-round callers): the
+    * checkpoint is then EAGER, and its internal single-stage RDD count
+    * is what truncates lineage before the superseded round is
+    * released.
     *
     * Ownership: the harness persists `init` and drops that cache when
     * round 1 supersedes it, but never releases checkpoint BLOCKS found
@@ -358,16 +376,18 @@ object Operators {
     while (!stopped && rounds < maxRounds) {
       val raw = step(state, rounds + 1)
       val lastLazy = rounds + 1 == maxRounds && !checkpointLast
+      // materialize BEFORE releasing the superseded round: a lazy
+      // checkpoint truncates next's lineage only at its first action —
+      // until then next still computes THROUGH state, whose blocks may
+      // be the truncated previous round's only source. Exactly one
+      // action runs per round: the EAGER checkpoint's internal RDD
+      // count (a single stage — cheaper than the former
+      // DataFrame.count(), which planned a partial+final aggregate
+      // pair per round), or stop()'s own when the caller declared it.
       val next =
-        if (lastLazy) raw else raw.localCheckpoint(eager = false)
+        if (lastLazy) raw
+        else raw.localCheckpoint(eager = !stopMaterializes)
       if (!lastLazy) {
-        // materialize BEFORE releasing the superseded round: the lazy
-        // checkpoint truncates next's lineage only at its first action
-        // — until then next still computes THROUGH state, whose blocks
-        // may be the truncated previous round's only source. Exactly
-        // one action runs per round: the harness count, or stop()'s
-        // own when the caller declared it.
-        if (!stopMaterializes) next.count()
         stopped = stop(state, next)
         // safe to drop eagerly now: next no longer references the
         // superseded round, and the frame is never touched again —

@@ -64,14 +64,46 @@ object Tables {
     * anything. Round-robin is retry-safe (sortBeforeRepartition stays
     * on) and every consumer is order-insensitive (joins/aggregates/
     * totally-ordered windows). */
+  /** Width an under-parallelized frame is fanned to. Capped below the
+    * session's core count (`GRAFT_FAN_MAX`, default [[DefaultFanMax]])
+    * because the fan exists for CPU-dense lifts whose parallel
+    * efficiency collapses well before 32 concurrent tasks on one
+    * socket: the r17 driver run showed `repartition(32)` INVERTING the
+    * fan's win under box contention (q101 2.3 s at 8 cores → 10.0 s at
+    * 32), and the r18 A/B at an idle 32-core box measured the capped
+    * fan within noise of the full-width one (per-task fixed overhead
+    * dominates past ~16 tasks) while shrinking every fanned stage's
+    * task count — fewer tasks is robustness a contended box banks
+    * directly. At low core counts the cap is inactive (min). */
+  private[graft] def fanWidth(spark: SparkSession): Int = {
+    val p = spark.sparkContext.defaultParallelism
+    val cap = sys.env.get("GRAFT_FAN_MAX").map(_.toInt)
+      .getOrElse(DefaultFanMax)
+    math.min(p, cap)
+  }
+
+  /** r18 A/B at 32 cores over the 39 fanned queries + riders (cold
+    * JVM each): cap 16 totals 71.4 s / 465 CPU-s / 6,306 tasks vs
+    * full-width 73.9 s / 620 CPU-s / 7,595 tasks vs cap 8 74.2 s —
+    * the capped fan is at-or-better on wall while doing 25 % less
+    * CPU and scheduling 17 % fewer tasks, exactly the robustness a
+    * contended 32-core box (the r17 driver run) banks. At ≤ 16 cores
+    * the cap is inactive. */
+  private[graft] val DefaultFanMax = 16
+
   def fanned(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = apply(spark, dir, name)
     val p = spark.sparkContext.defaultParallelism
     val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    // a filesystem metadata error degrades to the IDENTITY, never a
+    // forced full-table exchange (ADVICE r17: the old Long.MaxValue
+    // sentinel overflowed `bytes + openCost` to negative and yielded
+    // estSplits = 1, turning any transient getContentSummary failure
+    // into a production-scale repartition)
     val bytes =
       try path.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .getContentSummary(path).getLength
-      catch { case _: Exception => Long.MaxValue }
+      catch { case _: Exception => return df }
     // estimate the scan's split count the way Spark sizes splits
     // (FilePartition.maxSplitBytes): splits shrink toward
     // bytes/parallelism down to the open-cost floor, so a mid-size
@@ -88,7 +120,7 @@ object Tables {
     // fan only on a substantial deficit (≤ p/2): the estimate is a
     // model, and re-shuffling a scan that is already near-p-way buys
     // nothing for the price of a full exchange
-    if (estSplits * 2 <= p) df.repartition(p) else df
+    if (estSplits * 2 <= p) df.repartition(fanWidth(spark)) else df
   }
 
   /** Register every table as a temp view so `spark.sql` text queries work
