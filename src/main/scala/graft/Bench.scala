@@ -172,7 +172,11 @@ object Bench {
            "q45" -> "q93", "q45" -> "q102", "q45" -> "q103",
            "q45" -> "q104", "q45" -> "q143",
            "q66" -> "q67", "q66" -> "q68", "q66" -> "q76",
-           "q66" -> "q83", "q101" -> "q106", "q101" -> "q135",
+           "q66" -> "q83",
+           "q69" -> "q70", "q69" -> "q72", "q69" -> "q177",
+           "q70" -> "q115", "q70" -> "q126", "q70" -> "q156",
+           "q70" -> "q170",
+           "q101" -> "q106", "q101" -> "q135",
            "q111" -> "q124", "q111" -> "q125", "q111" -> "q134",
            "q111" -> "q136", "q111" -> "q141", "q111" -> "q178",
            "q122" -> "q123", "q134" -> "q137", "q157" -> "q159",

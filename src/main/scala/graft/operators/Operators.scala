@@ -252,6 +252,16 @@ object Operators {
           struct($"u", $"v"),
           struct($"v".as("u"), $"u".as("v")))).as("e"))
         .select($"e.u".as("u"), $"e.v".as("v"))
+        // plain (u, v)-keyed distinct, DELIBERATELY not the u-keyed
+        // dedup the descent round ships (r18 A/B): u-partitioning
+        // would let the next round's min aggregations reuse the
+        // exchange, but a contraction graph's per-u degree is
+        // UNBOUNDED (every round hangs a component's nodes onto its
+        // minimum — the hub is the algorithm's fixpoint shape), and
+        // the measured skew straggler cost q132 +4.2 s. The keyed
+        // trick is only sound where per-key cardinality is bounded
+        // by construction (descent: ≤ (2k)²; routes: the frontier
+        // bound).
         .distinct()
     def largeStar(nbrs: DataFrame): DataFrame = {
       val m = nbrs.groupBy($"u").agg(min($"v").as("mv"))

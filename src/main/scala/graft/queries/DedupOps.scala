@@ -127,6 +127,10 @@ object DedupOps {
     * proves the equivalence on real data every round. */
   def jaccardPairsPrefix(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // NOT fanned, deliberately (r18 A/B): `docs` feeds three readers
+    // (the token explode and both verify fetch sides), and fanning the
+    // scan re-ran the round-robin exchange per reader for a net LOSS
+    // (5.9 s vs 5.1 s with the keyed window fan below alone)
     val docs = Tables(spark, dir, "documents")
       .select($"doc_id", $"source",
         array_sort(distinctTokens($"text")).as("tok"))
@@ -134,17 +138,43 @@ object DedupOps {
       explode($"tok").as("token"))
     val dfreq = toks.groupBy($"token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id").orderBy($"df".asc, $"token".asc)
+    // pre-key the window's OWN exchange at fan width (guide §2.4/§2.5
+    // combined): the window needs HashPartitioning(doc_id) anyway, but
+    // AQE's advisory size would coalesce the few-MB token shuffle to
+    // ONE partition and serialize the rank pass; an explicit keyed
+    // repartition IS the window's exchange, just wide — no extra
+    // exchange in the plan, and at production bytes AQE never
+    // coalesces below the fan width to begin with.
     val prefixes = toks.join(dfreq, "token")
+      .repartition(graft.sources.Tables.fanWidth(spark), $"doc_id")
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= $"n" - ceil($"n" * 0.8) + 1)
-      .select($"doc_id", $"source", $"token")
+      .select($"doc_id", $"source", $"token", $"n")
+    // candidate-side LENGTH filter (r18, PPJoin's length pruning):
+    // J ≥ 0.8 forces 0.8·|y| ≤ |x| ≤ |y|/0.8 — the same bound the
+    // verify step re-checks, applied at generation so out-of-band
+    // pairs never reach the distinct or the two array-fetch joins.
+    // A candidate-set reduction only; the verify stage is untouched
+    // and the oracle unchanged. (The FULL positional filter was also
+    // measured and rejected: carrying the prefix rank through the
+    // self-join cost more than the extra pruning saved at this
+    // corpus's candidate volume — r18 A/B 6.7 s vs 5.8 s baseline.)
     val candidates = prefixes.as("x")
       .join(prefixes.as("y"),
         col("x.token") === col("y.token") &&
           col("x.source") === col("y.source") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          col("x.n") * 5 >= col("y.n") * 4 &&
+          col("y.n") * 5 >= col("x.n") * 4)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
+      // the candidate set is KBs but carries the query's whole verify
+      // CPU: AQE coalesces the distinct's shuffle to ONE partition and
+      // the per-pair merge-scan below then runs serially (measured:
+      // the final stage was 1 task × 3.2 CPU-s, the entire query).
+      // Spread the pairs to the fan width — the verify joins are
+      // broadcast fetches, so only candidate ids move (guide §2.5).
+      .repartition(graft.sources.Tables.fanWidth(spark))
     val side = docs.select($"doc_id", $"tok")
     candidates
       .join(side.select($"doc_id".as("a_id"), $"tok".as("a_tok")), "a_id")

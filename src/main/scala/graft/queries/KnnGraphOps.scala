@@ -183,8 +183,15 @@ object KnnGraphOps {
     // identical double (same expression, same inputs), so the MAX
     // merge is a pure pair-dedup — one partial-aggregatable shuffle,
     // cheaper than an anti-join prepass that would shuffle the same
-    // keys to save already-vectorized dot products
-    topK(scoreAgainst(emb, cand).union(g)
+    // keys to save already-vectorized dot products.
+    // ONE exchange for the merge AND the top-k window (guide §2.4,
+    // r18): hash-partitioning the merged frame on a_id satisfies both
+    // the (a_id, b_id) grouping (subset clustering) and the window's
+    // a_id distribution, so the former exchange pair — the round's two
+    // largest shuffles, both over the full candidate frame — collapses
+    // to one exchange plus a sort (plan diff committed). Values are
+    // untouched: max-merge and rank order are partition-independent.
+    topK(scoreAgainst(emb, cand).union(g).repartition($"a_id")
       .groupBy($"a_id", $"b_id").agg(max($"sim").as("sim")), k)
   }
 
@@ -372,12 +379,20 @@ object KnnGraphOps {
     val sample = emb.filter($"vec_id" % RecallSampleMod === 0)
     // sample side broadcast (the knnTopK device): the corpus scan
     // never shuffles and the plan stays BroadcastNestedLoopJoin, not
-    // CartesianProduct
-    val pairs = emb.select($"vec_id".as("b_id"))
-      .crossJoin(broadcast(sample.select($"vec_id".as("a_id"))))
+    // CartesianProduct. The cosine computes INLINE in the cross join
+    // (the fleetExactOf shape, r18): both embeddings are already on
+    // the joined row, so the former id-only pairs + two scoreAgainst
+    // re-joins shipped the sample×corpus frame through two extra
+    // broadcast joins for nothing — same pair set, same expression,
+    // bit-identical sims, two joins fewer (plan diff committed).
+    val pairs = emb.select($"vec_id".as("b_id"), $"embedding".as("b_emb"))
+      .crossJoin(broadcast(sample.select($"vec_id".as("a_id"),
+        $"embedding".as("a_emb"))))
       .filter($"a_id" =!= $"b_id")
-      .select($"a_id", $"b_id")
-    val exact = topK(scoreAgainst(emb, pairs), GraphK)
+      .select($"a_id", $"b_id",
+        nanvl(cosine($"a_emb", $"b_emb"),
+          lit(Double.NegativeInfinity)).as("sim"))
+    val exact = topK(pairs, GraphK)
       .select($"a_id", $"b_id")
     val g = knnGraphTable(spark, dir).select($"a_id", $"b_id")
     sample.select($"vec_id")
@@ -803,7 +818,7 @@ object KnnGraphOps {
     val delta = emb.filter(isDeltaVec($"vec_id"))
     deltaRouteOf(delta, corpus,
       spark.read.parquet(s"$path/edges").select($"a_id", $"b_id"),
-      math.max(1L, corpus.count() / SeedBucketSize))
+      math.max(1L, corpusCount(spark, dir) / SeedBucketSize))
       .select($"vec_id", $"rank", $"nb_id")
   }
 
@@ -836,7 +851,16 @@ object KnnGraphOps {
       f.join(g.select($"a_id".as("c_id"), $"b_id"), "c_id")
         .select($"d_id", $"b_id".as("c_id")).distinct()
     val frontiers = Iterator.iterate(entry)(expand).take(hops + 1).toSeq
-    val cand = frontiers.reduce(_ union _).distinct()
+    // keyed dedup instead of a plain distinct (guide §2.4, the
+    // descent-round device): HashPartitioning(d_id) satisfies the
+    // (d_id, c_id) dedup's clustering AND the top-k window's d_id
+    // distribution below — the two embedding fetch joins in between
+    // broadcast their build sides and preserve the streamed
+    // partitioning, so the window's former exchange over the whole
+    // scored frame disappears. Row set and values untouched.
+    val cand = frontiers.reduce(_ union _)
+      .repartition($"d_id")
+      .dropDuplicates("d_id", "c_id")
       .filter($"d_id" =!= $"c_id")
     val scored = cand
       .join(delta.select($"vec_id".as("d_id"), $"embedding".as("d_emb")),
@@ -890,7 +914,8 @@ object KnnGraphOps {
       .select($"vec_id", $"embedding")
     deltaRouteOf(q, corpus,
         readGraphEdges(spark, path).select($"a_id", $"b_id"),
-        math.max(1L, corpus.count() / SeedBucketSize), hops = RouteHops)
+        math.max(1L, corpusCount(spark, dir) / SeedBucketSize),
+        hops = RouteHops)
       .filter($"rank" <= 5)
       .select($"rank", $"nb_id".as("vec_id"))
   }
@@ -954,9 +979,32 @@ object KnnGraphOps {
   private val routeMemo = new DedupOps.ArtifactMemo
   private val searchMemo = new DedupOps.ArtifactMemo
   private val exactMemo = new DedupOps.ArtifactMemo
+
+  /** The standing-corpus row count — the bucket-count PARAMETER every
+    * route derives (`corpus.count() / SeedBucketSize`). One scalar per
+    * (context, dataset), memoized like the table artifacts (q202 pays
+    * the first read in its timed region; q205/q207/q209's route
+    * builds ride): the corpus slice of a dataset is immutable within
+    * a session — the ingest tick mutates its INDEX, never the
+    * embeddings table — so re-running the count job per route build
+    * bought nothing. */
+  private val corpusCountMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), java.lang.Long]
+  private[graft] def corpusCount(spark: SparkSession, dir: String): Long = {
+    corpusCountMemo.keySet.removeIf(k => k._1.isStopped)
+    corpusCountMemo.computeIfAbsent((spark.sparkContext, dir), _ =>
+      Tables(spark, dir, "embeddings")
+        .filter(!isDeltaVec(col("vec_id"))).count())
+  }
+  /** Unambiguous memo key over (dir, salt list): each component is
+    * length-prefixed, so distinct salt lists can never collide the way
+    * a plain delimiter join could (ADVICE r17: Seq("a,b") vs
+    * Seq("a","b"), or a '#' inside dir shifting the boundary). */
+  private def routeKey(dir: String, salts: Seq[String]): String =
+    (dir +: salts).map(c => s"${c.length}:$c").mkString("|")
   private def fleetRouteShared(spark: SparkSession, dir: String,
       salts: Seq[String]): DataFrame =
-    routeMemo.get(spark, s"$dir#${salts.mkString(",")}") {
+    routeMemo.get(spark, routeKey(dir, salts)) {
       val r = graphSearchFleetIndexed(spark, dir,
         ServingIndexes.knnCorpusGraphIndex(spark, dir), salts).persist()
       r.count()
@@ -987,8 +1035,8 @@ object KnnGraphOps {
     val delta = emb.filter(isDeltaVec($"vec_id"))
     deltaRouteOf(delta, corpus,
         readGraphEdges(spark, path).select($"a_id", $"b_id"),
-        math.max(1L, corpus.count() / SeedBucketSize), hops = RouteHops,
-        salts = salts)
+        math.max(1L, corpusCount(spark, dir) / SeedBucketSize),
+        hops = RouteHops, salts = salts)
       .filter($"rank" <= 5)
       .select($"vec_id".as("query_id"), $"rank", $"nb_id")
   }

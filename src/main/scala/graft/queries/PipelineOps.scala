@@ -1712,13 +1712,15 @@ object PipelineOps {
     * policy via [[isSharedArtifact]]. */
   private val lineageMemo = new DedupOps.ArtifactMemo
   private val dsirMemo = new DedupOps.ArtifactMemo
+  private[queries] val fhMemo = new DedupOps.ArtifactMemo
 
   private[graft] def isSharedArtifact(df: DataFrame): Boolean =
-    lineageMemo.holds(df) || dsirMemo.holds(df)
+    lineageMemo.holds(df) || dsirMemo.holds(df) || fhMemo.holds(df)
 
   def invalidateSharedArtifacts(): Unit = {
     lineageMemo.invalidate()
     dsirMemo.invalidate()
+    fhMemo.invalidate()
   }
 
   def docLineage(spark: SparkSession, dir: String): DataFrame =
@@ -2219,15 +2221,22 @@ object PipelineOps {
     * 2⁶³ through ~10¹² raw tokens; DECIMAL past that. */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame =
     dsirMemo.get(spark, dir) {
-      val df = dsirWeightsBuild(spark, dir).persist()
+      // the feature frame feeds BOTH the bucket-count aggregation and
+      // the per-doc rollup — un-persisted, the bigram explode + per-
+      // gram md5 corpus pass ran twice per build (r18; the q177 "one
+      // materialized lift" lesson applied here). Blocks are released
+      // once the memoized result is materialized.
+      val bg = dsirFeatures(Tables(spark, dir, "documents")).persist()
+      val df = dsirWeightsBuild(spark, dir, bg).persist()
       df.count()
+      bg.unpersist(blocking = false)
       df
     }
 
-  private def dsirWeightsBuild(spark: SparkSession, dir: String): DataFrame = {
+  private def dsirWeightsBuild(spark: SparkSession, dir: String,
+      bg: DataFrame): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, dir, "documents")
-    val bg = dsirFeatures(docs)
     val ct = bg.groupBy($"dim").agg(
       sum(when($"bench", 1L).otherwise(0L)).as("nt"),
       sum(when($"bench", 0L).otherwise(1L)).as("nr"))
@@ -2435,10 +2444,24 @@ object PipelineOps {
     * hash-checked. Scale shape: one scan, one partial-aggregatable
     * count shuffle on (doc_id, dim); long-form output keeps the row
     * width fixed at any dimensionality. */
+  /** Memoized per (context, dataset) — the hashed-features table is
+    * the single most re-derived frame in the registry (q69 emits it;
+    * q72's scorer, q177's trainer, and the whole [[VectorOps
+    * .docVectors]] stack densify it), and a deployment writes it to
+    * storage exactly once. Same [[DedupOps.ArtifactMemo]] contract as
+    * every shared artifact: q69 pays the corpus pass inside its timed
+    * region (payer-before-rider asserted in Bench), the memo is
+    * spec-pinned row-identical to the fresh [[featureHashOf]]
+    * computation, and the streaming/spec `*Of` forms stay fresh. */
   def featureHash(spark: SparkSession, dir: String): DataFrame =
-    // fanned read (guide §2.5): the explode + per-token md5 map work
-    // runs in the scan's partitions — serial on a single-split file
-    featureHashOf(Tables.fanned(spark, dir, "documents"))
+    fhMemo.get(spark, dir) {
+      // fanned read (guide §2.5): the explode + per-token md5 map work
+      // runs in the scan's partitions — serial on a single-split file
+      val fh = featureHashOf(Tables.fanned(spark, dir, "documents"))
+        .persist()
+      fh.count()
+      fh
+    }
 
   /** The same lift over any (doc_id, text) frame — the streaming
     * decon twin builds its static eval index through this, so batch
@@ -2585,13 +2608,19 @@ object PipelineOps {
     * state is 65 longs per round — the bpeMineOf/Lloyd bounded-
     * parameter-read contract. */
   def perceptronTrain(spark: SparkSession, dir: String): DataFrame =
-    perceptronTrainOf(Tables(spark, dir, "documents"))
+    // the registry path rides the shared q69 artifact (same rows as
+    // the fresh lift — spec-pinned) instead of re-running the
+    // tokenize+hash+group corpus pass
+    perceptronTrainOf(Tables(spark, dir, "documents"),
+      Some(featureHash(spark, dir)))
 
   /** The trainer over any (doc_id, text) frame — the ingest twin
     * ([[graft.streaming.StreamingQueries.perceptronScorer]]) trains
-    * its model from the standing corpus through this one
-    * definition. */
-  private[graft] def perceptronTrainOf(docs: DataFrame): DataFrame = {
+    * its model from the standing corpus through this one definition
+    * (building its own feature lift; only the registry wrapper passes
+    * the shared memo). */
+  private[graft] def perceptronTrainOf(docs: DataFrame,
+      sharedFh: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val teacherW = scoreWeights.zipWithIndex
@@ -2599,7 +2628,8 @@ object PipelineOps {
     // ONE materialized feature lift feeds both the teacher labels and
     // the training table (review r12: two lazy featureHashOf
     // references ran the tokenize+hash+group corpus pass twice)
-    val fh = featureHashOf(docs).persist()
+    val ownFh = sharedFh.isEmpty
+    val fh = sharedFh.getOrElse(featureHashOf(docs).persist())
     // teacher decision over the SAME features; docs with no tokens
     // never match a feature row and restore-join to score 0 → y = −1
     val score = fh
@@ -2615,7 +2645,9 @@ object PipelineOps {
       .join(labels, "doc_id")
       .persist()
     feats.count()
-    fh.unpersist(blocking = false)
+    // never unpersist the SHARED artifact — its whole point is
+    // cross-query reuse; only a locally-built lift is released here
+    if (ownFh) fh.unpersist(blocking = false)
     val nDims = PerceptronBiasDim.toInt + 1
     val w = Array.fill(nDims)(0L)
     val out = Vector.newBuilder[(Long, Long, Long, Long)]

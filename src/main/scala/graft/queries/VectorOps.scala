@@ -1382,7 +1382,7 @@ object VectorOps {
   private[graft] def isSharedArtifact(df: DataFrame): Boolean =
     indexMemo.holds(df) || hardNegMemo.holds(df) ||
       probeAsgMemo.holds(df) || bitextMemo.holds(df) ||
-      docIndexMemo.holds(df)
+      docIndexMemo.holds(df) || docVecMemo.holds(df)
 
   /** Drop the memoized artifacts (tests / long-lived JVMs). */
   def invalidateSharedArtifacts(): Unit = {
@@ -1391,6 +1391,7 @@ object VectorOps {
     probeAsgMemo.invalidate()
     bitextMemo.invalidate()
     docIndexMemo.invalidate()
+    docVecMemo.invalidate()
   }
 
   /** The PQ index-build artifact: every vector's packed code. */
@@ -2171,8 +2172,23 @@ object VectorOps {
     * small integers, exactly representable in float, so the
     * floor(v×1024) quantization downstream recovers count×1024
     * bit-exactly in both engines. */
+  /** Memoized per (context, dataset) — the densified document-vector
+    * table feeds FIVE registry paths (q70's doc-ANN, q115's SemDeDup,
+    * q126's decon, q156's retrieval index build, q170's bitext build),
+    * each of which previously re-ran the feature-hash + 64-way pivot
+    * corpus pass. A deployment writes this table once (the SemDeDup /
+    * doc-retrieval assignment-table precedent, [[probeAssignment]]);
+    * q70 pays the densify inside its timed region (payer-before-rider
+    * asserted in Bench; the q69 artifact it densifies FROM is paid by
+    * q69), the memo is spec-pinned row-identical to the fresh
+    * [[docVectorsOf]] lift, and the `*Of` forms stay fresh. */
+  private val docVecMemo = new DedupOps.ArtifactMemo
   private[graft] def docVectors(spark: SparkSession, dir: String): DataFrame =
-    docVectorsOf(PipelineOps.featureHash(spark, dir))
+    docVecMemo.get(spark, dir) {
+      val v = docVectorsOf(PipelineOps.featureHash(spark, dir)).persist()
+      v.count()
+      v
+    }
 
   private[graft] def docVectorsOf(fh: DataFrame): DataFrame = {
     val spark = fh.sparkSession

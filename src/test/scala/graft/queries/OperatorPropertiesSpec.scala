@@ -1403,6 +1403,22 @@ class OperatorPropertiesSpec extends SparkSuite {
       "memoized q210 audit diverges from fresh computation")
   }
 
+  test("feature-hash / doc-vector shared artifacts equal the fresh " +
+      "*Of computation (r18 memo optimization changes no rows)") {
+    // q69's hashed-features table and its densified doc-vector lift
+    // are session-memoized (q69/q70 pay, q72/q115/q126/q156/q170/q177
+    // ride); the memo must be invisible in the data.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val docs = graft.sources.Tables(spark, sf0001, "documents")
+    assert(rows(PipelineOps.featureHash(spark, sf0001)) ==
+      rows(PipelineOps.featureHashOf(docs)),
+      "memoized q69 feature hash diverges from fresh computation")
+    assert(rows(VectorOps.docVectors(spark, sf0001)) ==
+      rows(VectorOps.docVectorsOf(PipelineOps.featureHashOf(docs))),
+      "memoized doc-vector table diverges from fresh computation")
+  }
+
   test("mutual-kNN clusters: min-labels are closed, every vector " +
       "labeled once, mutual edges never cross clusters") {
     import spark.implicits._
