@@ -195,6 +195,17 @@ object KnnGraphOps {
       .groupBy($"a_id", $"b_id").agg(max($"sim").as("sim")), k)
   }
 
+  /** Dump ONE descent round's formatted plan over the seed graph —
+    * [[graft.tools.ExplainInternals]]'s entry: the registry plan hides
+    * the round shape behind the memo's checkpoint, and the r18
+    * exchange-merge claim needs committed plan evidence. */
+  private[graft] def explainDescentRound(spark: SparkSession,
+      dir: String): Unit = {
+    val (emb, g0) = descentSeed(
+      Tables(spark, dir, "embeddings"), GraphK)
+    descentRound(emb, g0, GraphK).explain("formatted")
+  }
+
   /** NN-Descent over any (vec_id, embedding) frame: hash-bucket seed,
     * then [[DescentRounds]] refinement rounds through the checkpointed
     * iteration harness (each round references the previous graph three

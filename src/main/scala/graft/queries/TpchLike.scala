@@ -203,6 +203,13 @@ object TpchLike {
     * share the NULL-marker convention for super-aggregate rows. */
   def rollupSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // NOT fanned, re-measured r18 (the r17 driver's 14.6 s 32-core
+    // q26 cell made this the first suspect): even with ROLLUP's 3×
+    // expand the fanned read measured 1.51 s vs 1.36 s plain at 32
+    // cores (CPU 8.2 vs 3.8 s for the 4-query family) — the exchange
+    // of the full lineitem rows costs more than parallelizing the
+    // expand+partial-aggregate saves, same verdict as the r17
+    // global-fan A/B on the rest of the TPC-H family.
     Tables(spark, dir, "lineitem")
       .rollup($"l_returnflag", $"l_linestatus")
       .agg(count(lit(1)).as("n"),
