@@ -182,19 +182,23 @@ object Operators {
     * only parallelism can misfire, and only in the local small-file
     * regime the helper exists for (a deployment-scale scan splits
     * past `cores` before AQE ever matters). */
+  // guard against the TARGET width, not the core count (self-review
+  // r18): with the fan capped below defaultParallelism, a frame already
+  // at-or-above the cap must not pay a full exchange to end up no wider
+  // (or narrower) than it started.
   def fanOutIfNarrow(df: DataFrame, key: Column): DataFrame = {
     if (df.isStreaming) return df // no .rdd on unstarted streams; a
     // stream's parallelism is its source partitioning, not a file split
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= cores) df
-    else df.repartition(graft.sources.Tables.fanWidth(df.sparkSession), key)
+    val w = graft.sources.Tables.fanWidth(df.sparkSession)
+    if (df.rdd.getNumPartitions >= w) df
+    else df.repartition(w, key)
   }
 
   def fanOutIfNarrow(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= cores) df
-    else df.repartition(graft.sources.Tables.fanWidth(df.sparkSession))
+    val w = graft.sources.Tables.fanWidth(df.sparkSession)
+    if (df.rdd.getNumPartitions >= w) df
+    else df.repartition(w)
   }
 
   /** Release the block-manager blocks behind a localCheckpoint'd frame.

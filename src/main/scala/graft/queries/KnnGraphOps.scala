@@ -868,7 +868,12 @@ object KnnGraphOps {
     // distribution below — the two embedding fetch joins in between
     // broadcast their build sides and preserve the streamed
     // partitioning, so the window's former exchange over the whole
-    // scored frame disappears. Row set and values untouched.
+    // scored frame disappears. Row set and values untouched. For a
+    // SINGLE-query caller (q205) this serializes the scoring into the
+    // one d_id partition — measured ACCEPTABLE (q205 1.83 → 1.60 s in
+    // the family A/B: one query's ≤ 2·bucket·(1+k+k²+k³) cosines are
+    // cheaper than the exchange the merge removes); width stays the
+    // session's shuffle-partition config, the production scale knob.
     val cand = frontiers.reduce(_ union _)
       .repartition($"d_id")
       .dropDuplicates("d_id", "c_id")
@@ -998,7 +1003,11 @@ object KnnGraphOps {
     * builds ride): the corpus slice of a dataset is immutable within
     * a session — the ingest tick mutates its INDEX, never the
     * embeddings table — so re-running the count job per route build
-    * bought nothing. */
+    * bought nothing. (A bare map, not an [[DedupOps.ArtifactMemo]]:
+    * the memo's Cell indirection exists to keep Spark jobs out of the
+    * map's bin lock, but a scalar count is exactly the job a racing
+    * second caller SHOULD block on rather than duplicate; the
+    * stopped-context sweep matches the memo's.) */
   private val corpusCountMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.SparkContext, String), java.lang.Long]
   private[graft] def corpusCount(spark: SparkSession, dir: String): Long = {

@@ -77,7 +77,12 @@ object Tables {
     * directly. At low core counts the cap is inactive (min). */
   private[graft] def fanWidth(spark: SparkSession): Int = {
     val p = spark.sparkContext.defaultParallelism
-    val cap = sys.env.get("GRAFT_FAN_MAX").map(_.toInt)
+    // defensive parse (self-review r18): a malformed or non-positive
+    // override must degrade to the default, not crash every fanned
+    // query with a NumberFormatException / repartition(0)
+    val cap = sys.env.get("GRAFT_FAN_MAX")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ > 0)
       .getOrElse(DefaultFanMax)
     math.min(p, cap)
   }
@@ -117,10 +122,14 @@ object Tables {
     val split = math.min(conf.filesMaxPartitionBytes,
       math.max(openCost, bytesPerCore))
     val estSplits = math.max(1L, (bytes + split - 1) / math.max(1L, split))
-    // fan only on a substantial deficit (≤ p/2): the estimate is a
-    // model, and re-shuffling a scan that is already near-p-way buys
-    // nothing for the price of a full exchange
-    if (estSplits * 2 <= p) df.repartition(fanWidth(spark)) else df
+    // fan only on a substantial deficit vs the TARGET width (≤ w/2,
+    // self-review r18 — the pre-cap code compared against p, which
+    // would have paid a full exchange to land at-or-below the width a
+    // mid-size scan already had): the estimate is a model, and
+    // re-shuffling a scan that is already near-target buys nothing
+    // for the price of a full exchange
+    val w = fanWidth(spark)
+    if (estSplits * 2 <= w) df.repartition(w) else df
   }
 
   /** Register every table as a temp view so `spark.sql` text queries work
